@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-generated test tables (TESTDATA.md).
+  *
+  * Each query receives the scale-factor directory at call time, so the same
+  * query definitions run at sf0.001 (smoke), sf0.01 (oracle) and sf0.1
+  * (bench) — and, unchanged, against any parquet directory on a real
+  * cluster. Parquet scans are the only source; Catalyst handles column
+  * pruning + predicate pushdown from the declarative plans built on top.
+  */
+object Tables {
+  def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, dir: String): DataFrame = t(s, dir, "region")
+  def nation(s: SparkSession, dir: String): DataFrame = t(s, dir, "nation")
+  def customer(s: SparkSession, dir: String): DataFrame = t(s, dir, "customer")
+  def supplier(s: SparkSession, dir: String): DataFrame = t(s, dir, "supplier")
+  def part(s: SparkSession, dir: String): DataFrame = t(s, dir, "part")
+  def orders(s: SparkSession, dir: String): DataFrame = t(s, dir, "orders")
+  def lineitem(s: SparkSession, dir: String): DataFrame = t(s, dir, "lineitem")
+  def events(s: SparkSession, dir: String): DataFrame = t(s, dir, "events")
+  def documents(s: SparkSession, dir: String): DataFrame = t(s, dir, "documents")
+  def embeddings(s: SparkSession, dir: String): DataFrame = t(s, dir, "embeddings")
+}

@@ -1,0 +1,26 @@
+package graft
+
+import graft.queries.Relational
+
+class RelationalSpec extends SparkSpec {
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("q_agg_group: 6 groups, aliased columns, deterministic order") {
+    val df = Relational.qAggGroup(spark, sf)
+    assert(df.columns.toSeq == Seq("l_returnflag", "l_linestatus", "sum_qty",
+      "sum_base_price", "sum_disc_price", "sum_charge", "avg_qty",
+      "avg_price", "avg_disc", "count_order"))
+    val rows = df.collect()
+    assert(rows.length == 6)
+    val flags = rows.map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(flags == flags.sorted)
+    assert(rows.map(_.getLong(9)).sum > 0)
+  }
+
+  test("every query id has spark impl; oracle keys are a subset") {
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+}

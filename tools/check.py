@@ -1,0 +1,74 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's t2 correctness gate (driver-side tooling,
+not engine code). Runs graft.Verify's dumped parquet against each
+oracle_sql.json entry executed in DuckDB over the same sf tables, then
+compares row count, column names (sorted), and a value hash.
+
+Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+"""
+import sys, json, glob, hashlib
+import duckdb
+
+def norm_cell(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        # repr of float is shortest round-trip; identical doubles -> identical str
+        if v != v:
+            return "NaN"
+        return repr(v)
+    if isinstance(v, bytes):
+        return v.hex()
+    return str(v)
+
+def table_hash(rows, cols):
+    """Sort columns by name (driver contract), keep row order, hash."""
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    h = hashlib.sha256()
+    for r in rows:
+        h.update("\x1f".join(norm_cell(r[i]) for i in order).encode())
+        h.update(b"\x1e")
+    return h.hexdigest()
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in ["region","nation","customer","supplier","part","orders",
+              "lineitem","events","documents","embeddings"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        spark_files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not spark_files:
+            print(f"FAIL {name}: no spark output"); n_fail += 1; continue
+        try:
+            o = con.execute(sql)
+            o_cols = [d[0] for d in o.description]
+            o_rows = o.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {e}"); n_fail += 1; continue
+        sq = con.execute(f"SELECT * FROM read_parquet({spark_files!r})")
+        s_cols = [d[0] for d in sq.description]
+        s_rows = sq.fetchall()
+        problems = []
+        if sorted(s_cols) != sorted(o_cols):
+            problems.append(f"cols spark={sorted(s_cols)} oracle={sorted(o_cols)}")
+        if len(s_rows) != len(o_rows):
+            problems.append(f"rows spark={len(s_rows)} oracle={len(o_rows)}")
+        if not problems and table_hash(s_rows, s_cols) != table_hash(o_rows, o_cols):
+            problems.append("hash mismatch")
+            for i, (a, b) in enumerate(zip(s_rows, o_rows)):
+                sa = [a[j] for j in sorted(range(len(s_cols)), key=lambda k: s_cols[k])]
+                sb = [b[j] for j in sorted(range(len(o_cols)), key=lambda k: o_cols[k])]
+                if [norm_cell(x) for x in sa] != [norm_cell(x) for x in sb]:
+                    problems.append(f"  first diff row {i}: spark={sa} oracle={sb}")
+                    break
+        if problems:
+            print(f"FAIL {name}: " + "; ".join(problems[:3])); n_fail += 1
+        else:
+            print(f"PASS {name} ({len(s_rows)} rows)"); n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
