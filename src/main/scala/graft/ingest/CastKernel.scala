@@ -1,0 +1,81 @@
+package graft.ingest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The reference's typed cast kernels (§1.4, /root/reference/src/analyse.rs:
+  * 108-313) as Column expression trees over an all-string scan. Invalid
+  * values become NULL, never errors — explicitly try-semantics, so the
+  * plan behaves identically whether the session runs ANSI on or off.
+  * Everything stays inside whole-stage codegen (no UDFs).
+  */
+object CastKernel {
+
+  private def gated(c: Column)(body: Column => Column): Column =
+    when(NullTokens.isNullToken(c), lit(null)).otherwise(body(trim(c)))
+
+  /** Boolean: token table, else null (analyse.rs:114-126). */
+  def toBoolean(c: Column): Column = Parsers.parseBool(c)
+
+  /** Int64: integer-syntax parse with i64 range check; overflow → null
+    * (analyse.rs:128-144 parses i128 then range-checks). */
+  def toLong(c: Column): Column = gated(c) { t =>
+    when(t.rlike("^[+-]?\\d+$"), t.try_cast("bigint")).otherwise(lit(null).cast(LongType))
+  }
+
+  /** UInt64 → LongType policy (SURVEY §7.4.1): non-negative integers that
+    * fit i64; negative → null like the reference (analyse.rs:146-162). */
+  def toUnsignedLong(c: Column): Column = gated(c) { t =>
+    val x = when(t.rlike("^[+]?\\d+$"), t.try_cast("bigint"))
+    when(x >= 0L, x).otherwise(lit(null).cast(LongType))
+  }
+
+  /** UInt64 full-fidelity variant: DecimalType(20,0) holds all of u64. */
+  def toUnsignedDecimal(c: Column): Column = gated(c) { t =>
+    val x = when(t.rlike("^[+]?\\d+$"), t.try_cast("decimal(20,0)"))
+    when(x >= 0 && x <= lit("18446744073709551615").cast(DecimalType(20, 0)), x)
+      .otherwise(lit(null).cast(DecimalType(20, 0)))
+  }
+
+  /** Float64: f64 parse; non-finite (inf/NaN) → null (analyse.rs:164-180).
+    * (NaN text is already a null token, but inf/Infinity parses.) */
+  def toDouble(c: Column): Column = gated(c) { t =>
+    val d = t.try_cast("double")
+    when(isnan(d) || d === Double.PositiveInfinity || d === Double.NegativeInfinity,
+      lit(null).cast(DoubleType)).otherwise(d)
+  }
+
+  def toDate(c: Column): Column = gated(c)(t => Parsers.parseDateYmd(t))
+
+  /** Timestamp: parse at ms precision then truncate to the declared unit
+    * (analyse.rs:196-250 scales ms → unit; s-unit floors to seconds). */
+  def toTimestamp(c: Column, unit: ScalarParse.TsUnit = ScalarParse.TsMilli): Column =
+    gated(c) { t =>
+      val ms = Parsers.parseTimestampMs(t)
+      val unitMs = unit match {
+        case ScalarParse.TsSecond => (ms / 1000).cast(LongType) * 1000 // floor to s
+        case _ => ms // ms/µs/ns all carry exactly ms precision (§1.4)
+      }
+      timestamp_millis(unitMs).cast(TimestampNTZType)
+    }
+
+  /** Utf8/LargeUtf8: identity modulo null tokens (analyse.rs:252-274). */
+  def toStringCol(c: Column): Column = NullTokens.normalize(c)
+
+  /** Binary/LargeBinary: UTF-8 bytes of the string (analyse.rs:276-298). */
+  def toBinary(c: Column): Column = NullTokens.normalize(c).cast(BinaryType)
+
+  /** Cast an all-string column to the inferred Spark type. */
+  def castTo(c: Column, dt: DataType, tsUnit: ScalarParse.TsUnit = ScalarParse.TsMilli): Column =
+    dt match {
+      case BooleanType => toBoolean(c)
+      case LongType => toLong(c)
+      case d: DecimalType if d.scale == 0 => toUnsignedDecimal(c)
+      case DoubleType => toDouble(c)
+      case DateType => toDate(c)
+      case TimestampNTZType | TimestampType => toTimestamp(c, tsUnit)
+      case BinaryType => toBinary(c)
+      case _ => toStringCol(c)
+    }
+}

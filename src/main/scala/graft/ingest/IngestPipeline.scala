@@ -1,0 +1,141 @@
+package graft.ingest
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The reference's end-to-end conversion pipeline (O1–O13,
+  * /root/reference/src/conversion.rs) re-expressed Spark-first:
+  *
+  *  - delimiter pre-pass: first line only (utils.rs:120-137) — a driver
+  *    read of one line, regardless of file size;
+  *  - schema inference: bounded 1,000-row sample by default
+  *    (schema.rs:11) via `limit(n).collect` (tiny, exact), or a
+  *    distributed per-partition stats fold for full-file mode — the
+  *    stats monoid is exactly Spark's partial+final aggregation shape;
+  *  - conversion: ONE all-string CSV scan + a `select` of codegen'd cast
+  *    expressions (CastKernel). The reference's producer/worker/writer
+  *    thread topology, block sizing, reorder buffer and backpressure all
+  *    collapse into Spark's scan partitioning + whole-stage codegen;
+  *  - sink: ZSTD parquet (the reference writes ZSTD level 5 —
+  *    conversion.rs:167-170).
+  *
+  * At 100 TB the same plan holds: the scan splits by
+  * `spark.sql.files.maxPartitionBytes`, casts are per-partition
+  * codegen'd projections (no shuffle anywhere), and the sink writes one
+  * file per task instead of the reference's single ordered file (its
+  * BTreeMap reorder buffer is a single-writer artifact; order-insensitive
+  * verification is the distributed contract — SURVEY §7.4.4).
+  */
+object IngestPipeline {
+
+  /** O2: read the first line of the file, count candidate delimiters.
+    * Uses Hadoop FS so it works on any supported filesystem, reading at
+    * most one buffered line — not a Spark job. */
+  def detectDelimiter(spark: SparkSession, path: String): Char = {
+    val p0 = new org.apache.hadoop.fs.Path(path)
+    val fs = p0.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a directory of part files delimits like its first data file
+    val p = if (fs.getFileStatus(p0).isDirectory)
+      fs.listStatus(p0).filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+        .map(_.getPath).minBy(_.getName.toString)
+    else p0
+    val in = fs.open(p)
+    try {
+      val reader = new java.io.BufferedReader(new java.io.InputStreamReader(in, "UTF-8"))
+      ScalarParse.detectDelimiter(Option(reader.readLine()).getOrElse(""))
+    } finally in.close()
+  }
+
+  /** Raw all-string read: header on, no Spark inference (its rules differ
+    * from the reference's — SURVEY §4.2), PERMISSIVE so short rows
+    * null-pad and bad rows never abort (analyse.rs:41-106 parity). */
+  def readRaw(spark: SparkSession, path: String, delimiter: Char): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("sep", delimiter.toString)
+      .option("mode", "PERMISSIVE")
+      .option("inferSchema", "false")
+      .csv(path)
+
+  /** O3–O5: infer per-column types. Default: bounded 1,000-row sample
+    * (MAX_LIGNES_INFERENCE, schema.rs:11) collected to the driver — the
+    * sample is tiny by construction, so driver-side pure-Scala stats are
+    * both exact and cheap. Full-scan mode distributes the same monoid as
+    * a per-partition fold + tree reduce (no row ever leaves its
+    * partition; only ~15 counters per column shuffle).
+    */
+  def inferStats(raw: DataFrame, fullScan: Boolean, sampleRows: Int = 1000): Seq[ColStats] = {
+    val nCols = raw.columns.length
+    if (!fullScan) {
+      val sample = raw.limit(sampleRows).collect()
+      sample.foldLeft(Seq.fill(nCols)(ColStats.empty)) { (acc, row) =>
+        acc.zipWithIndex.map { case (st, i) =>
+          val v = row.get(i)
+          if (v == null) st else st.observe(v.toString)
+        }
+      }
+    } else {
+      raw.rdd
+        .mapPartitions { rows =>
+          val acc = Array.fill(nCols)(ColStats.empty)
+          rows.foreach { row =>
+            var i = 0
+            while (i < nCols) {
+              val v = row.get(i)
+              if (v != null) acc(i) = acc(i).observe(v.toString)
+              i += 1
+            }
+          }
+          Iterator.single(acc)
+        }
+        .treeReduce((a, b) => a.zip(b).map { case (x, y) => x.merge(y) }, depth = 2)
+        .toSeq
+    }
+  }
+
+  /** Inferred schema with every field nullable (O6, conversion.rs:249-257)
+    * and the reference's timestamp-unit vote kept as field metadata. */
+  def inferSchema(raw: DataFrame, fullScan: Boolean): StructType = {
+    val stats = inferStats(raw, fullScan)
+    StructType(raw.columns.zip(stats).map { case (name, st) =>
+      val dt = TypeDecision.decide(st)
+      val md = if (dt == TimestampNTZType)
+        new MetadataBuilder()
+          .putString("graft.timestampUnit", TypeDecision.timestampUnit(st).toString)
+          .build()
+      else Metadata.empty
+      StructField(name, dt, nullable = true, md)
+    })
+  }
+
+  private def tsUnitOf(f: StructField): ScalarParse.TsUnit =
+    if (f.metadata.contains("graft.timestampUnit"))
+      f.metadata.getString("graft.timestampUnit") match {
+        case "TsSecond" => ScalarParse.TsSecond
+        case "TsMicro" => ScalarParse.TsMicro
+        case "TsNano" => ScalarParse.TsNano
+        case _ => ScalarParse.TsMilli
+      }
+    else ScalarParse.TsMilli
+
+  /** O10/O11: typed conversion — one projection of cast expressions. */
+  def applySchema(raw: DataFrame, schema: StructType): DataFrame = {
+    val casts: Seq[Column] = schema.fields.toSeq.map { f =>
+      CastKernel.castTo(col(f.name), f.dataType, tsUnitOf(f)).as(f.name)
+    }
+    raw.select(casts: _*)
+  }
+
+  /** Full pipeline: delimited text file → typed DataFrame. */
+  def convert(spark: SparkSession, path: String, fullScan: Boolean = false,
+              delimiter: Option[Char] = None): DataFrame = {
+    val d = delimiter.getOrElse(detectDelimiter(spark, path))
+    val raw = readRaw(spark, path, d)
+    applySchema(raw, inferSchema(raw, fullScan))
+  }
+
+  /** O13: ZSTD parquet sink (reference: ZSTD level 5, conversion.rs:167). */
+  def writeParquet(df: DataFrame, out: String): Unit =
+    df.write.mode("overwrite").option("compression", "zstd").parquet(out)
+}
