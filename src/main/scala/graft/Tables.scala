@@ -21,7 +21,19 @@ object Tables {
   def part(s: SparkSession, dir: String): DataFrame = t(s, dir, "part")
   def orders(s: SparkSession, dir: String): DataFrame = t(s, dir, "orders")
   def lineitem(s: SparkSession, dir: String): DataFrame = t(s, dir, "lineitem")
-  def events(s: SparkSession, dir: String): DataFrame = t(s, dir, "events")
+  /** `events.ts` is Parquet TIMESTAMP(NANOS), which Spark's reader
+    * rejects outright (PARQUET_TYPE_ILLEGAL). Read nanos as raw longs
+    * (runtime-settable legacy conf) and expose both the raw `ts` nanos
+    * and a µs-truncated `ts_ts` TimestampType column.
+    */
+  def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, dir, "events").withColumn(
+      "ts_ts",
+      org.apache.spark.sql.functions.timestamp_micros(
+        (org.apache.spark.sql.functions.col("ts") / 1000)
+          .cast(org.apache.spark.sql.types.LongType)))
+  }
   def documents(s: SparkSession, dir: String): DataFrame = t(s, dir, "documents")
   def embeddings(s: SparkSession, dir: String): DataFrame = t(s, dir, "embeddings")
 }

@@ -1,0 +1,307 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+import graft.Tables
+import graft.ingest.{CastKernel, NullTokens, Parsers}
+
+/** Scalar-function inventory (SURVEY.md §2.D): string/date/math function
+  * suites, JSON and array access, plus the reference's own parser
+  * surface (§2.B null tokens / bool table / multi-format date &
+  * timestamp / safe casts) exercised over deterministically synthesized
+  * raw strings so the oracle can mirror byte-for-byte.
+  *
+  * All expressions are `functions._` / Catalyst trees — codegen'd, no
+  * UDFs, so every query stays inside WholeStageCodegen on top of the
+  * pushed-down parquet scan.
+  */
+object Funcs {
+
+  // ── plain function suites ─────────────────────────────────────────
+
+  def qStringFuncs(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir).select(
+      col("p_partkey"),
+      upper(col("p_brand")).as("up_brand"),
+      lower(col("p_type")).as("lo_type"),
+      substring(col("p_name"), 1, 12).as("name_prefix"),
+      length(col("p_name")).cast(LongType).as("name_len"),
+      regexp_replace(col("p_type"), " ", "_").as("type_snake"),
+      concat_ws("-", col("p_brand"), col("p_size").cast("string")).as("brand_size"),
+      regexp_extract(col("p_name"), "^([a-z]+)", 1).as("first_word"),
+      lpad(col("p_partkey").cast("string"), 10, "0").as("key_padded"))
+      .orderBy("p_partkey")
+
+  private val qStringFuncsOracle =
+    """SELECT p_partkey,
+      |  upper(p_brand) AS up_brand,
+      |  lower(p_type) AS lo_type,
+      |  substring(p_name, 1, 12) AS name_prefix,
+      |  CAST(length(p_name) AS BIGINT) AS name_len,
+      |  regexp_replace(p_type, ' ', '_', 'g') AS type_snake,
+      |  concat_ws('-', p_brand, CAST(p_size AS VARCHAR)) AS brand_size,
+      |  regexp_extract(p_name, '^([a-z]+)', 1) AS first_word,
+      |  lpad(CAST(p_partkey AS VARCHAR), 10, '0') AS key_padded
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  def qDateFuncs(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir).select(
+      col("o_orderkey"),
+      year(col("o_orderdate")).cast(LongType).as("yr"),
+      month(col("o_orderdate")).cast(LongType).as("mo"),
+      dayofmonth(col("o_orderdate")).cast(LongType).as("dom"),
+      quarter(col("o_orderdate")).cast(LongType).as("qtr"),
+      date_trunc("month", col("o_orderdate")).as("month_start"),
+      datediff(lit("2002-01-01").cast("date"), col("o_orderdate"))
+        .cast(LongType).as("days_to_2002"),
+      (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("plus_30d"))
+      .orderBy("o_orderkey")
+
+  private val qDateFuncsOracle =
+    """SELECT o_orderkey,
+      |  CAST(year(o_orderdate) AS BIGINT) AS yr,
+      |  CAST(month(o_orderdate) AS BIGINT) AS mo,
+      |  CAST(day(o_orderdate) AS BIGINT) AS dom,
+      |  CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+      |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+      |  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS BIGINT) AS days_to_2002,
+      |  o_orderdate + INTERVAL 30 DAY AS plus_30d
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  def qMathFuncs(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir).select(
+      col("l_orderkey"), col("l_linenumber"),
+      abs(col("l_extendedprice") - 50000.0).as("abs_v"),
+      ceil(col("l_extendedprice")).as("ceil_v"),
+      floor(col("l_extendedprice")).as("floor_v"),
+      sqrt(col("l_extendedprice")).as("sqrt_v"), // IEEE-exact, engine-independent
+      pow(col("l_quantity"), 2).as("pow_v"),
+      round(log(col("l_extendedprice")), 6).as("ln_v"),
+      (col("l_linenumber") % 3).cast(LongType).as("mod_v"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  private val qMathFuncsOracle =
+    """SELECT l_orderkey, l_linenumber,
+      |  abs(l_extendedprice - 50000.0) AS abs_v,
+      |  CAST(ceil(l_extendedprice) AS BIGINT) AS ceil_v,
+      |  CAST(floor(l_extendedprice) AS BIGINT) AS floor_v,
+      |  sqrt(l_extendedprice) AS sqrt_v,
+      |  pow(l_quantity, 2) AS pow_v,
+      |  round(ln(l_extendedprice), 6) AS ln_v,
+      |  CAST(l_linenumber % 3 AS BIGINT) AS mod_v
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  // ── reference parser surface over synthesized raw strings ─────────
+
+  /** Deterministic raw string column both engines can synthesize
+    * identically: cycle of null tokens and clean values. */
+  private def rawTokenCol = {
+    val m = col("l_linenumber") % 6
+    when(m === 0, lit("NULL")).when(m === 1, lit(" "))
+      .when(m === 2, lit("n/a")).when(m === 3, lit("NaN"))
+      .otherwise(col("l_orderkey").cast("string"))
+  }
+
+  private val rawTokenSql =
+    """(CASE l_linenumber % 6 WHEN 0 THEN 'NULL' WHEN 1 THEN ' '
+      | WHEN 2 THEN 'n/a' WHEN 3 THEN 'NaN'
+      | ELSE CAST(l_orderkey AS VARCHAR) END)""".stripMargin
+
+  /** Reference null-token normalization (§2.B est_null_texte). */
+  def qNullNormalize(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir).select(
+      col("l_orderkey"), col("l_linenumber"),
+      rawTokenCol.as("raw"),
+      NullTokens.normalize(rawTokenCol).as("normalized"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  private val qNullNormalizeOracle =
+    s"""SELECT l_orderkey, l_linenumber, $rawTokenSql AS raw,
+       |  ${NullTokens.normalizeSql(rawTokenSql)} AS normalized
+       |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** Reference cast kernel incl. overflow→null, inf→null (§1.4). */
+  def qSafeCast(s: SparkSession, dir: String): DataFrame = {
+    val mi = col("l_linenumber") % 5
+    val rawInt = when(mi === 0, col("l_orderkey").cast("string"))
+      .when(mi === 1, lit("99999999999999999999999"))
+      .when(mi === 2, lit("12.5"))
+      .when(mi === 3, lit("-42"))
+      .otherwise(lit(""))
+    val md = col("l_linenumber") % 4
+    val rawDbl = when(md === 0, col("l_extendedprice").cast("decimal(12,2)").cast("string"))
+      .when(md === 1, lit("inf"))
+      .when(md === 2, lit("1e3"))
+      .otherwise(lit("abc"))
+    Tables.lineitem(s, dir).select(
+      col("l_orderkey"), col("l_linenumber"),
+      rawInt.as("raw_int"), rawDbl.as("raw_dbl"),
+      CastKernel.toLong(rawInt).as("long_val"),
+      CastKernel.toUnsignedLong(rawInt).as("ulong_val"),
+      CastKernel.toDouble(rawDbl).as("dbl_val"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  private val qSafeCastOracle = {
+    val rawInt =
+      """(CASE l_linenumber % 5 WHEN 0 THEN CAST(l_orderkey AS VARCHAR)
+        | WHEN 1 THEN '99999999999999999999999' WHEN 2 THEN '12.5'
+        | WHEN 3 THEN '-42' ELSE '' END)""".stripMargin
+    val rawDbl =
+      """(CASE l_linenumber % 4 WHEN 0 THEN CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS VARCHAR)
+        | WHEN 1 THEN 'inf' WHEN 2 THEN '1e3' ELSE 'abc' END)""".stripMargin
+    def gate(e: String) = s"NOT ($e IS NULL OR trim($e) = '' OR lower(trim($e)) IN ('null','none','nan','n/a','na'))"
+    s"""SELECT l_orderkey, l_linenumber, $rawInt AS raw_int, $rawDbl AS raw_dbl,
+       |  (CASE WHEN ${gate(rawInt)} AND regexp_matches(trim($rawInt), '^[+-]?[0-9]+$$')
+       |    THEN TRY_CAST(trim($rawInt) AS BIGINT) ELSE NULL END) AS long_val,
+       |  (CASE WHEN ${gate(rawInt)} AND regexp_matches(trim($rawInt), '^[+]?[0-9]+$$')
+       |    THEN TRY_CAST(trim($rawInt) AS BIGINT) ELSE NULL END) AS ulong_val,
+       |  (CASE WHEN ${gate(rawDbl)} AND TRY_CAST(trim($rawDbl) AS DOUBLE) IS NOT NULL
+       |        AND NOT isinf(TRY_CAST(trim($rawDbl) AS DOUBLE))
+       |        AND NOT isnan(TRY_CAST(trim($rawDbl) AS DOUBLE))
+       |    THEN TRY_CAST(trim($rawDbl) AS DOUBLE) ELSE NULL END) AS dbl_val
+       |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+  }
+
+  /** Reference bool-token mapping (§2.B parse_bool incl. on/off). */
+  def qParseBool(s: SparkSession, dir: String): DataFrame = {
+    val m = col("l_linenumber") % 8
+    val raw = when(m === 0, lit("true")).when(m === 1, lit("0"))
+      .when(m === 2, lit("YES")).when(m === 3, lit(" off "))
+      .when(m === 4, lit("on")).when(m === 5, lit("maybe"))
+      .when(m === 6, lit("T")).otherwise(lit("no"))
+    Tables.lineitem(s, dir).select(
+      col("l_orderkey"), col("l_linenumber"), raw.as("raw"),
+      Parsers.parseBool(raw).as("parsed"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  private val qParseBoolOracle = {
+    val raw =
+      """(CASE l_linenumber % 8 WHEN 0 THEN 'true' WHEN 1 THEN '0'
+        | WHEN 2 THEN 'YES' WHEN 3 THEN ' off ' WHEN 4 THEN 'on'
+        | WHEN 5 THEN 'maybe' WHEN 6 THEN 'T' ELSE 'no' END)""".stripMargin
+    s"""SELECT l_orderkey, l_linenumber, $raw AS raw,
+       |  ${Parsers.parseBoolSql(raw)} AS parsed
+       |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+  }
+
+  /** Dates formatted 3 ways then re-parsed via the day-first coalesce. */
+  def qParseDateMulti(s: SparkSession, dir: String): DataFrame = {
+    val m = col("o_orderkey") % 3
+    val raw = when(m === 0, date_format(col("o_orderdate"), "yyyy-MM-dd"))
+      .when(m === 1, date_format(col("o_orderdate"), "dd/MM/yyyy"))
+      .otherwise(date_format(col("o_orderdate"), "MM/dd/yyyy"))
+    Tables.orders(s, dir).select(
+      col("o_orderkey"), raw.as("raw"),
+      Parsers.parseDateYmd(raw).as("parsed"))
+      .orderBy("o_orderkey")
+  }
+
+  private val qParseDateMultiOracle = {
+    val raw =
+      """(CASE o_orderkey % 3 WHEN 0 THEN strftime(o_orderdate, '%Y-%m-%d')
+        | WHEN 1 THEN strftime(o_orderdate, '%d/%m/%Y')
+        | ELSE strftime(o_orderdate, '%m/%d/%Y') END)""".stripMargin
+    s"""SELECT o_orderkey, $raw AS raw,
+       |  ${Parsers.parseDateYmdSql(raw)} AS parsed
+       |FROM orders ORDER BY o_orderkey""".stripMargin
+  }
+
+  /** Timestamps via text formats AND epoch-range branches (s + ms).
+    * The +400000000s shift pushes 1995–2001 order dates into the
+    * reference's accepted epoch-seconds window (≈2001–2096). */
+  def qParseTsMulti(s: SparkSession, dir: String): DataFrame = {
+    val m = col("o_orderkey") % 4
+    // o_orderdate arrives as TIMESTAMP_NTZ; route through TimestampType
+    // (session pinned UTC) to reach epoch seconds.
+    val shifted = col("o_orderdate").cast("timestamp").cast("long") + 400000000L
+    val raw = when(m === 0, date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss"))
+      .when(m === 1, date_format(col("o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss.SSS"))
+      .when(m === 2, shifted.cast("string"))
+      .otherwise((shifted * 1000).cast("string"))
+    Tables.orders(s, dir).select(
+      col("o_orderkey"), raw.as("raw"),
+      Parsers.parseTimestamp(raw).as("parsed"))
+      .orderBy("o_orderkey")
+  }
+
+  private val qParseTsMultiOracle = {
+    val shifted = "(CAST(epoch(o_orderdate) AS BIGINT) + 400000000)"
+    val raw =
+      s"""(CASE o_orderkey % 4 WHEN 0 THEN strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')
+         | WHEN 1 THEN strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S.%g')
+         | WHEN 2 THEN CAST($shifted AS VARCHAR)
+         | ELSE CAST($shifted * 1000 AS VARCHAR) END)""".stripMargin
+    s"""SELECT o_orderkey, $raw AS raw,
+       |  make_timestamp(${Parsers.parseTimestampMsSql(raw)} * 1000) AS parsed
+       |FROM orders ORDER BY o_orderkey""".stripMargin
+  }
+
+  // ── JSON / array access ───────────────────────────────────────────
+
+  def qJsonExtract(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).select(
+      col("event_id"),
+      get_json_object(col("props"), "$.k").as("k_str"),
+      get_json_object(col("props"), "$.k").try_cast("bigint").as("k_num"),
+      from_json(col("props"),
+        org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+        .getField("k").as("k_typed"))
+      .orderBy("event_id")
+
+  private val qJsonExtractOracle =
+    """SELECT event_id,
+      |  json_extract_string(props, '$.k') AS k_str,
+      |  TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num,
+      |  TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_typed
+      |FROM events ORDER BY event_id""".stripMargin
+
+  def qArrayFuncs(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir).select(
+      col("vec_id"),
+      size(col("embedding")).cast(LongType).as("n_dims"),
+      round(element_at(col("embedding"), 1).cast(DoubleType), 4).as("first_val"),
+      round(element_at(col("embedding"), -1).cast(DoubleType), 4).as("last_val"),
+      transform(slice(col("embedding"), 1, 3),
+        x => round(x.cast(DoubleType), 4)).as("head3"))
+      .orderBy("vec_id")
+
+  private val qArrayFuncsOracle =
+    """SELECT vec_id,
+      |  CAST(len(embedding) AS BIGINT) AS n_dims,
+      |  round(CAST(embedding[1] AS DOUBLE), 4) AS first_val,
+      |  round(CAST(embedding[-1] AS DOUBLE), 4) AS last_val,
+      |  list_transform(embedding[1:3], x -> round(CAST(x AS DOUBLE), 4)) AS head3
+      |FROM embeddings ORDER BY vec_id""".stripMargin
+
+  // ── registry ──────────────────────────────────────────────────────
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_string_funcs" -> (qStringFuncs _),
+    "q_date_funcs" -> (qDateFuncs _),
+    "q_math_funcs" -> (qMathFuncs _),
+    "q_null_normalize" -> (qNullNormalize _),
+    "q_safe_cast" -> (qSafeCast _),
+    "q_parse_bool" -> (qParseBool _),
+    "q_parse_date_multi" -> (qParseDateMulti _),
+    "q_parse_ts_multi" -> (qParseTsMulti _),
+    "q_json_extract" -> (qJsonExtract _),
+    "q_array_funcs" -> (qArrayFuncs _)
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_string_funcs" -> qStringFuncsOracle,
+    "q_date_funcs" -> qDateFuncsOracle,
+    "q_math_funcs" -> qMathFuncsOracle,
+    "q_null_normalize" -> qNullNormalizeOracle,
+    "q_safe_cast" -> qSafeCastOracle,
+    "q_parse_bool" -> qParseBoolOracle,
+    "q_parse_date_multi" -> qParseDateMultiOracle,
+    "q_parse_ts_multi" -> qParseTsMultiOracle,
+    "q_json_extract" -> qJsonExtractOracle,
+    "q_array_funcs" -> qArrayFuncsOracle
+  )
+}

@@ -1,23 +1,68 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
 
 import graft.Tables
 import graft.queries.QueryUtil._
 
-/** Relational query inventory (SURVEY.md §2.D): aggregations, joins,
-  * windows, sorts, set ops — each declared with the DataFrame API so
-  * Catalyst owns the physical strategy (partial aggregation, join
-  * selection, pushdown). Every query ends in a total ORDER BY on a unique
-  * key so the driver's ordered hash compare is deterministic.
+/** Relational query inventory (SURVEY.md §2.D): scans, filters, joins,
+  * aggregations, windows, sorts, set ops — each declared with the
+  * DataFrame API so Catalyst owns the physical strategy (partial
+  * aggregation, join selection, pushdown, AQE). Every query ends in a
+  * total ORDER BY on a unique key set so the driver's ordered hash
+  * compare is deterministic; every float aggregate uses the exact-decimal
+  * discipline from [[QueryUtil]].
+  *
+  * Scale notes (100 TB): small dimensions (region/nation/customer at
+  * dim-scale) are broadcast explicitly; fact-fact joins shuffle on their
+  * keys and AQE handles skew; aggregations are partial+final (map-side
+  * combine) by construction.
   */
 object Relational {
 
-  /** TPC-H Q1-like pricing summary. Maps to a single hash-aggregate with
-    * map-side partial aggregation; the shipdate filter and 7-column
-    * projection push down to the parquet scan.
-    */
+  // ── scan / project ────────────────────────────────────────────────
+
+  /** Projection + arithmetic; pushes a 6-column ReadSchema to parquet. */
+  def qScanProject(s: SparkSession, dir: String): DataFrame = {
+    val price = money(col("l_extendedprice"))
+    val disc = rate(col("l_discount"))
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"),
+        (price * (one - disc)).cast(DoubleType).as("disc_price"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  private val qScanProjectOracle =
+    s"""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount,
+       |  CAST(${moneySql("l_extendedprice")} * (1.00 - ${rateSql("l_discount")}) AS DOUBLE) AS disc_price
+       |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** AND/OR/IN/BETWEEN/LIKE predicate mix; all pushable to the scan. */
+  def qFilterPred(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .filter(col("o_totalprice").between(1000.0, 200000.0) &&
+        col("o_orderstatus").isin("O", "F") &&
+        (col("o_orderpriority").like("1-%") || col("o_orderpriority").like("2-%")) &&
+        col("o_orderdate") >= lit("1996-01-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate", "o_orderpriority")
+      .orderBy("o_orderkey")
+
+  private val qFilterPredOracle =
+    """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate, o_orderpriority
+      |FROM orders
+      |WHERE o_totalprice BETWEEN 1000.0 AND 200000.0
+      |  AND o_orderstatus IN ('O','F')
+      |  AND (o_orderpriority LIKE '1-%' OR o_orderpriority LIKE '2-%')
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |ORDER BY o_orderkey""".stripMargin
+
+  // ── aggregation family ────────────────────────────────────────────
+
+  /** TPC-H Q1-like pricing summary: one hash aggregate, map-side partial. */
   def qAggGroup(s: SparkSession, dir: String): DataFrame = {
     val price = money(col("l_extendedprice"))
     val disc = rate(col("l_discount"))
@@ -37,7 +82,7 @@ object Relational {
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
 
-  val qAggGroupOracle: String = {
+  private val qAggGroupOracle = {
     val price = moneySql("l_extendedprice")
     val disc = rateSql("l_discount")
     val tax = rateSql("l_tax")
@@ -56,11 +101,326 @@ object Relational {
        |ORDER BY l_returnflag, l_linestatus""".stripMargin
   }
 
+  /** Distinct counts per group (expands to a two-phase aggregate). */
+  def qAggDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(countDistinct(col("o_custkey")).as("n_customers"),
+        countDistinct(col("o_orderstatus")).as("n_statuses"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderpriority"))
+
+  private val qAggDistinctOracle =
+    """SELECT o_orderpriority,
+      |  COUNT(DISTINCT o_custkey) AS n_customers,
+      |  COUNT(DISTINCT o_orderstatus) AS n_statuses,
+      |  COUNT(*) AS n_orders
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** Rollup over (returnflag, linestatus); subtotal rows keyed '(all)'. */
+  def qAggRollup(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+      .select(coalesce(col("l_returnflag"), lit("(all)")).as("rf"),
+        coalesce(col("l_linestatus"), lit("(all)")).as("ls"),
+        col("sum_qty"), col("n"))
+      .orderBy(col("rf"), col("ls"))
+
+  private val qAggRollupOracle =
+    s"""SELECT COALESCE(l_returnflag, '(all)') AS rf,
+       |  COALESCE(l_linestatus, '(all)') AS ls,
+       |  ${dsumSql("l_quantity")} AS sum_qty, COUNT(*) AS n
+       |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+       |ORDER BY rf, ls""".stripMargin
+
+  /** Cube over (orderstatus, orderpriority). */
+  def qAggCube(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(dsum(col("o_totalprice")).as("sum_price"), count(lit(1)).as("n"))
+      .select(coalesce(col("o_orderstatus"), lit("(all)")).as("st"),
+        coalesce(col("o_orderpriority"), lit("(all)")).as("pri"),
+        col("sum_price"), col("n"))
+      .orderBy(col("st"), col("pri"))
+
+  private val qAggCubeOracle =
+    s"""SELECT COALESCE(o_orderstatus, '(all)') AS st,
+       |  COALESCE(o_orderpriority, '(all)') AS pri,
+       |  ${dsumSql("o_totalprice")} AS sum_price, COUNT(*) AS n
+       |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+       |ORDER BY st, pri""".stripMargin
+
+  /** Explicit grouping sets: by flag, by status, and grand total. */
+  def qGroupingSets(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(dsum(col("l_extendedprice")).as("sum_price"), count(lit(1)).as("n"))
+      .select(coalesce(col("l_returnflag"), lit("(all)")).as("rf"),
+        coalesce(col("l_linestatus"), lit("(all)")).as("ls"),
+        col("sum_price"), col("n"))
+      .orderBy(col("rf"), col("ls"))
+
+  private val qGroupingSetsOracle =
+    s"""SELECT COALESCE(l_returnflag, '(all)') AS rf,
+       |  COALESCE(l_linestatus, '(all)') AS ls,
+       |  ${dsumSql("l_extendedprice")} AS sum_price, COUNT(*) AS n
+       |FROM lineitem
+       |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+       |ORDER BY rf, ls""".stripMargin
+
+  // ── join family ───────────────────────────────────────────────────
+
+  /** orders ⋈ customer, revenue per market segment. At scale: customer
+    * shuffles on custkey with orders (both fact-sized) — Catalyst picks
+    * sort-merge; AQE converts to broadcast when the filtered side fits. */
+  def qJoinInner(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"), "inner")
+      .groupBy(col("c_mktsegment"))
+      .agg(dsum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
+      .orderBy(col("c_mktsegment"))
+
+  private val qJoinInnerOracle =
+    s"""SELECT c_mktsegment, ${dsumSql("o_totalprice")} AS revenue, COUNT(*) AS n_orders
+       |FROM orders JOIN customer ON o_custkey = c_custkey
+       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  /** customer LEFT JOIN orders: non-matches keep the customer row. */
+  def qJoinLeft(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"), col("c_mktsegment"))
+      .agg(count(col("o_orderkey")).as("n_orders"),
+        coalesce(dsum(col("o_totalprice")), lit(0.0)).as("total_spent"))
+      .orderBy(col("c_custkey"))
+
+  private val qJoinLeftOracle =
+    s"""SELECT c_custkey, c_mktsegment, COUNT(o_orderkey) AS n_orders,
+       |  COALESCE(${dsumSql("o_totalprice")}, 0.0) AS total_spent
+       |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+       |GROUP BY c_custkey, c_mktsegment ORDER BY c_custkey""".stripMargin
+
+  /** Customers with ≥1 order — LEFT SEMI (EXISTS): no row multiplication,
+    * right side reduced to its join key before the probe. */
+  def qJoinSemi(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+
+  private val qJoinSemiOracle =
+    """SELECT c_custkey, c_name, c_mktsegment FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Customers with no recent orders — LEFT ANTI (NOT EXISTS). The date
+    * filter keeps the result non-degenerate (every customer has SOME
+    * order) and pushes down below the join. */
+  def qJoinAnti(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+
+  private val qJoinAntiOracle =
+    """SELECT c_custkey, c_name, c_mktsegment FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      |  AND o_orderdate >= TIMESTAMP '2000-01-01')
+      |ORDER BY c_custkey""".stripMargin
+
+  /** TPC-H Q5-like 5-way join. region/nation are broadcast explicitly
+    * (dim tables stay tiny at any fact scale); customer⋈orders⋈lineitem
+    * shuffle on their keys. */
+  def qJoinMultiway(s: SparkSession, dir: String): DataFrame = {
+    val price = money(col("l_extendedprice"))
+    val disc = rate(col("l_discount"))
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(dsumDec(price * (one - disc)).as("revenue"), count(lit(1)).as("n_items"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  private val qJoinMultiwayOracle = {
+    val price = moneySql("l_extendedprice")
+    val disc = rateSql("l_discount")
+    s"""SELECT r_name, n_name,
+       |  ${dsumDecSql(s"$price * (1.00 - $disc)")} AS revenue, COUNT(*) AS n_items
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+       |  AND o_orderdate < TIMESTAMP '1998-01-01'
+       |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin
+  }
+
+  // ── window family ─────────────────────────────────────────────────
+
+  /** Top-3 orders per customer by price (unique tiebreak on orderkey). */
+  def qWindowRank(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("o_custkey", "rn", "o_orderkey", "o_totalprice")
+      .orderBy("o_custkey", "rn")
+  }
+
+  private val qWindowRankOracle =
+    """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders) t
+      |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin
+
+  /** Sliding 3-row sum per customer over order history. */
+  def qWindowFrame(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(-2, Window.currentRow)
+    Tables.orders(s, dir)
+      .withColumn("moving_spend", sum(money(col("o_totalprice"))).over(w).cast(DoubleType))
+      .select("o_custkey", "o_orderkey", "o_totalprice", "moving_spend")
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  private val qWindowFrameOracle =
+    s"""SELECT o_custkey, o_orderkey, o_totalprice,
+       |  CAST(SUM(${moneySql("o_totalprice")}) OVER (PARTITION BY o_custkey
+       |    ORDER BY o_orderdate, o_orderkey
+       |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_spend
+       |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  /** Order-over-order delta per customer with lag/lead. */
+  def qWindowLag(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val tp = money(col("o_totalprice"))
+    Tables.orders(s, dir)
+      .withColumn("delta_prev", (tp - lag(tp, 1).over(w)).cast(DoubleType))
+      .withColumn("delta_next", (lead(tp, 1).over(w) - tp).cast(DoubleType))
+      .select("o_custkey", "o_orderkey", "o_totalprice", "delta_prev", "delta_next")
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  private val qWindowLagOracle = {
+    val tp = moneySql("o_totalprice")
+    s"""SELECT o_custkey, o_orderkey, o_totalprice,
+       |  CAST($tp - LAG($tp, 1) OVER w AS DOUBLE) AS delta_prev,
+       |  CAST(LEAD($tp, 1) OVER w - $tp AS DOUBLE) AS delta_next
+       |FROM orders
+       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+       |ORDER BY o_custkey, o_orderkey""".stripMargin
+  }
+
+  // ── sort / limit ──────────────────────────────────────────────────
+
+  /** Global top-100 by price. Spark plans TakeOrderedAndProject: per-
+    * partition top-k then a k-sized merge on the driver — no full sort,
+    * no shuffle of the full table, scales to any row count. */
+  def qSortTopk(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+
+  private val qSortTopkOracle =
+    """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+      |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
+
+  // ── set ops ───────────────────────────────────────────────────────
+
+  /** UNION (distinct) of key sets. */
+  def qSetUnion(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir).select(col("o_custkey").as("key"))
+      .union(Tables.customer(s, dir).select(col("c_custkey").as("key")))
+      .distinct()
+      .orderBy("key")
+
+  private val qSetUnionOracle =
+    """SELECT o_custkey AS key FROM orders UNION SELECT c_custkey FROM customer
+      |ORDER BY key""".stripMargin
+
+  /** INTERSECT of order keys present in lineitem. */
+  def qSetIntersect(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir).select(col("o_orderkey").as("key"))
+      .intersect(Tables.lineitem(s, dir).select(col("l_orderkey").as("key")))
+      .orderBy("key")
+
+  private val qSetIntersectOracle =
+    """SELECT o_orderkey AS key FROM orders INTERSECT SELECT l_orderkey FROM lineitem
+      |ORDER BY key""".stripMargin
+
+  /** EXCEPT: customers that never placed a big-ticket order. */
+  def qSetExcept(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir).select(col("c_custkey").as("key"))
+      .except(Tables.orders(s, dir)
+        .filter(col("o_totalprice") > 150000.0)
+        .select(col("o_custkey").as("key")))
+      .orderBy("key")
+
+  private val qSetExceptOracle =
+    """SELECT c_custkey AS key FROM customer
+      |EXCEPT SELECT o_custkey FROM orders WHERE o_totalprice > 150000.0
+      |ORDER BY key""".stripMargin
+
+  // ── registry ──────────────────────────────────────────────────────
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_agg_group" -> (qAggGroup _)
+    "q_scan_project" -> (qScanProject _),
+    "q_filter_pred" -> (qFilterPred _),
+    "q_agg_group" -> (qAggGroup _),
+    "q_agg_distinct" -> (qAggDistinct _),
+    "q_agg_rollup" -> (qAggRollup _),
+    "q_agg_cube" -> (qAggCube _),
+    "q_grouping_sets" -> (qGroupingSets _),
+    "q_join_inner" -> (qJoinInner _),
+    "q_join_left" -> (qJoinLeft _),
+    "q_join_semi" -> (qJoinSemi _),
+    "q_join_anti" -> (qJoinAnti _),
+    "q_join_multiway" -> (qJoinMultiway _),
+    "q_window_rank" -> (qWindowRank _),
+    "q_window_frame" -> (qWindowFrame _),
+    "q_window_lag" -> (qWindowLag _),
+    "q_sort_topk" -> (qSortTopk _),
+    "q_set_union" -> (qSetUnion _),
+    "q_set_intersect" -> (qSetIntersect _),
+    "q_set_except" -> (qSetExcept _)
   )
 
   def oracleSql: Map[String, String] = Map(
-    "q_agg_group" -> qAggGroupOracle
+    "q_scan_project" -> qScanProjectOracle,
+    "q_filter_pred" -> qFilterPredOracle,
+    "q_agg_group" -> qAggGroupOracle,
+    "q_agg_distinct" -> qAggDistinctOracle,
+    "q_agg_rollup" -> qAggRollupOracle,
+    "q_agg_cube" -> qAggCubeOracle,
+    "q_grouping_sets" -> qGroupingSetsOracle,
+    "q_join_inner" -> qJoinInnerOracle,
+    "q_join_left" -> qJoinLeftOracle,
+    "q_join_semi" -> qJoinSemiOracle,
+    "q_join_anti" -> qJoinAntiOracle,
+    "q_join_multiway" -> qJoinMultiwayOracle,
+    "q_window_rank" -> qWindowRankOracle,
+    "q_window_frame" -> qWindowFrameOracle,
+    "q_window_lag" -> qWindowLagOracle,
+    "q_sort_topk" -> qSortTopkOracle,
+    "q_set_union" -> qSetUnionOracle,
+    "q_set_intersect" -> qSetIntersectOracle,
+    "q_set_except" -> qSetExceptOracle
   )
 }
