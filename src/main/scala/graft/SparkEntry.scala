@@ -18,6 +18,11 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
       graft.queries.Funcs.queries ++
+      graft.queries.Events.queries ++
+      graft.queries.TextAnalysis.queries ++
+      graft.queries.Dedup.queries ++
+      graft.queries.Similarity.queries ++
+      graft.queries.Extensions.queries ++
       graft.queries.Ingest.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -25,5 +30,10 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracleSql ++
       graft.queries.Funcs.oracleSql ++
+      graft.queries.Events.oracleSql ++
+      graft.queries.TextAnalysis.oracleSql ++
+      graft.queries.Dedup.oracleSql ++
+      graft.queries.Similarity.oracleSql ++
+      graft.queries.Extensions.oracleSql ++
       graft.queries.Ingest.oracleSql
 }

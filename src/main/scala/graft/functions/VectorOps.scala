@@ -1,0 +1,36 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Vector math over `Array[Float]` embedding columns, built from Spark's
+  * higher-order functions (`zip_with`/`aggregate`) — codegen'd Catalyst
+  * expressions, no UDFs, scale-independent.
+  *
+  * Determinism note: `aggregate(..., lit(0.0), _+_)` is a SEQUENTIAL
+  * left fold per row, and DuckDB's `list_reduce` folds the same way
+  * (seedless, but 0.0+x ≡ x for finite x), so both engines produce
+  * bit-identical doubles — the oracle can compare raw cosines with no
+  * rounding slack.
+  */
+object VectorOps {
+
+  /** Sequential-fold dot product of two float vectors as double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** DuckDB mirrors: identical fold order and double arithmetic. */
+  def dotSql(a: String, b: String): String =
+    s"""list_reduce(list_transform(list_zip($a, $b),
+       |  p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)""".stripMargin
+
+  def cosineSql(a: String, b: String): String =
+    s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
+}

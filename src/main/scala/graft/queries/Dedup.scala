@@ -1,0 +1,205 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+import graft.Tables
+import graft.functions.VectorOps
+
+/** Deduplication family for a training-data pipeline (builder brief):
+  * exact (hash groupBy), word-bigram Jaccard, MinHash+LSH, SimHash, and
+  * embedding-cosine near-dup. Exact/ngram/embed are oracle-checked; the
+  * LSH/SimHash candidate generators are the 100 TB scale path (no
+  * pairwise O(n²)) and are unit-tested against planted duplicates plus
+  * the brute-force ground truth.
+  */
+object Dedup {
+
+  // ── exact dedup ───────────────────────────────────────────────────
+
+  /** Keep the lowest doc_id per exact text. At scale this is one shuffle
+    * on text-hash (Spark partial-aggregates the min doc_id map-side). */
+  def qDedupExact(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("text")).orderBy(col("doc_id"))
+    Tables.documents(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+
+  private val qDedupExactOracle =
+    """SELECT doc_id, lang, source, n_chars FROM (
+      |  SELECT doc_id, lang, source, n_chars,
+      |    ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+      |  FROM documents) t
+      |WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
+  // ── n-gram Jaccard (oracle baseline for near-dup) ─────────────────
+
+  private def bigrams(text: Column): Column = {
+    val toks = split(trim(text), "\\s+")
+    array_distinct(zip_with(
+      slice(toks, lit(1), size(toks) - 1),
+      slice(toks, lit(2), size(toks) - 1),
+      (a, b) => concat(a, lit(" "), b)))
+  }
+
+  /** Word-bigram Jaccard over all doc pairs (same lang) above threshold.
+    * This O(n²) form is the exactness baseline the LSH path approximates;
+    * the lang equi-key already shards the cross product. */
+  def qDedupNgram(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(
+      col("doc_id"), col("lang"), bigrams(col("text")).as("grams"))
+    val a = d.select(col("doc_id").as("a_id"), col("lang"), col("grams").as("a_grams"))
+    val b = d.select(col("doc_id").as("b_id"), col("lang"), col("grams").as("b_grams"))
+    val inter = size(array_intersect(col("a_grams"), col("b_grams"))).cast(DoubleType)
+    val uni = size(array_union(col("a_grams"), col("b_grams"))).cast(DoubleType)
+    a.join(b, Seq("lang"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), round(inter / uni, 6).as("jaccard"))
+      .filter(col("jaccard") >= 0.12)
+      .orderBy("a_id", "b_id")
+  }
+
+  private val qDedupNgramOracle = {
+    val grams =
+      """list_distinct(list_transform(
+        |  range(1, len(string_split_regex(trim(text), '\s+'))),
+        |  i -> string_split_regex(trim(text), '\s+')[i] || ' ' ||
+        |       string_split_regex(trim(text), '\s+')[i+1]))""".stripMargin
+    s"""WITH d AS (SELECT doc_id, lang, $grams AS grams FROM documents)
+       |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |  round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+       |        CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE), 6) AS jaccard
+       |FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+       |WHERE round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+       |        CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE), 6) >= 0.12
+       |ORDER BY a_id, b_id""".stripMargin
+  }
+
+  // ── MinHash + LSH (scale path, no oracle) ─────────────────────────
+
+  /** 32 MinHash permutations banded 8×4. Token hashes come from
+    * xxhash64 (engine-native, codegen'd); permutations are
+    * (a_i * h + b_i) mod p with fixed odd constants. Candidate pairs
+    * surface via an equi-join on (band, bucket) — the only shuffle keys —
+    * then verify with exact bigram Jaccard. No O(n²) anywhere: at 100 TB
+    * the band buckets bound the candidate set.
+    */
+  def qDedupMinhash(s: SparkSession, dir: String): DataFrame = {
+    val nHash = 32
+    val bands = 8
+    val rowsPerBand = nHash / bands
+    // 2^31-1 keeps a*h + b inside signed 64-bit (ANSI-safe, no overflow)
+    val p = 2147483647L
+    val rng = new scala.util.Random(42)
+    val coef = Seq.fill(nHash)((math.abs(rng.nextLong()) % p | 1L, math.abs(rng.nextLong()) % p))
+
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), bigrams(col("text")).as("toks"))
+    // token -> positive base hash, then 32 affine permutations, min per doc
+    val minAggs = (0 until nHash).map { i =>
+      val (a, b) = coef(i)
+      min(pmod(col("h") * a + b, lit(p))).as(s"m$i")
+    }
+    val sig = docs.select(col("doc_id"), explode(col("toks")).as("tok"))
+      .withColumn("h", pmod(xxhash64(col("tok")), lit(p)))
+      .groupBy(col("doc_id"))
+      .agg(minAggs.head, minAggs.tail: _*)
+    // band key = hash of the band's minhash tuple
+    val banded = sig.select(col("doc_id"),
+      posexplode(array((0 until bands).map { bIdx =>
+        xxhash64((bIdx * rowsPerBand until (bIdx + 1) * rowsPerBand).map(i => col(s"m$i")): _*)
+      }: _*)).as(Seq("band", "bucket")))
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
+    // verify candidates with exact bigram Jaccard
+    val grams = Tables.documents(s, dir).select(col("doc_id"), bigrams(col("text")).as("grams"))
+    val inter = size(array_intersect(col("a_grams"), col("b_grams"))).cast(DoubleType)
+    val uni = size(array_union(col("a_grams"), col("b_grams"))).cast(DoubleType)
+    cand
+      .join(grams.select(col("doc_id").as("a_id"), col("grams").as("a_grams")), "a_id")
+      .join(grams.select(col("doc_id").as("b_id"), col("grams").as("b_grams")), "b_id")
+      .select(col("a_id"), col("b_id"), round(inter / uni, 6).as("jaccard"))
+      .orderBy("a_id", "b_id")
+  }
+
+  // ── SimHash (scale path, no oracle) ───────────────────────────────
+
+  /** 64-bit SimHash per doc: sign of per-bit ±1 sums over word hashes
+    * (frequency-weighted — repeated tokens keep their weight, which is
+    * what makes the signature stable under single-word edits),
+    * computed without UDFs via a doc×bit explode + two aggregations.
+    * Pairs are candidates when any 16-bit quarter matches (banding), then
+    * filtered by Hamming distance ≤ 12 (bit_count of xor). Two shuffles
+    * total (doc×bit agg, band equi-join) — no O(n²). */
+  def qDedupSimhash(s: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val simhash = words
+      .select(col("doc_id"), explode(sequence(lit(0), lit(63))).as("k"), col("h"))
+      .groupBy(col("doc_id"), col("k"))
+      .agg(sum(expr("(h >> k) & 1") * 2 - 1).as("bit_sum"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("bit_sum") > 0, expr("shiftleft(1L, CAST(k AS INT))"))
+        .otherwise(0L)).as("simhash"))
+    val banded = simhash.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(i =>
+        expr(s"(simhash >> ${i * 16}) & 65535")): _*)).as(Seq("band", "bucket")))
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
+        expr("bit_count(x.simhash ^ y.simhash)").cast(LongType).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 12)
+      .orderBy("a_id", "b_id")
+  }
+
+  // ── embedding-cosine near-dup (oracle) ────────────────────────────
+
+  /** Near-duplicate vectors by exact cosine ≥ 0.95 over all pairs, plus
+    * the keep/drop verdict (survivor = lowest vec_id not already dropped
+    * by a lower-id near-dup — one-pass min-id rule). The brute-force
+    * pair scan is the oracle baseline; q_ann_lsh is the scale path. */
+  def qDedupEmbed(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_vec"))
+    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_vec"))
+    val cos = VectorOps.cosine(col("a_vec"), col("b_vec"))
+    a.crossJoin(b)
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), cos.as("cosine"))
+      .filter(col("cosine") >= 0.95)
+      .orderBy("a_id", "b_id")
+  }
+
+  private val qDedupEmbedOracle = {
+    val cos = VectorOps.cosineSql("a.embedding", "b.embedding")
+    s"""SELECT a.vec_id AS a_id, b.vec_id AS b_id, $cos AS cosine
+       |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+       |WHERE $cos >= 0.95
+       |ORDER BY a_id, b_id""".stripMargin
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_exact" -> (qDedupExact _),
+    "q_dedup_ngram" -> (qDedupNgram _),
+    "q_dedup_minhash" -> (qDedupMinhash _),
+    "q_dedup_simhash" -> (qDedupSimhash _),
+    "q_dedup_embed" -> (qDedupEmbed _)
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_dedup_exact" -> qDedupExactOracle,
+    "q_dedup_ngram" -> qDedupNgramOracle,
+    "q_dedup_embed" -> qDedupEmbedOracle
+  )
+}

@@ -1,0 +1,74 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.multimodal.Multimodal
+import graft.streaming.Sessionize
+
+/** Queries exposing the streaming-state and multimodal operators through
+  * the driver contract. */
+object Extensions {
+
+  /** Stateful sessionization through the shared session-splitting core
+    * (the streaming variant runs in StreamingSpec; this batch form uses
+    * the same groupByKey keyed-state shape via flatMapGroups). Oracle:
+    * equivalent to q_events_sessions' window formulation. */
+  def qEventsSessionState(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val evs = Tables.events(s, dir)
+      .select(col("user_id"), expr("ts div 1000").as("ts_us"))
+      .as[Sessionize.Ev]
+    Sessionize.sessionizeBatch(evs)
+      .toDF()
+      .orderBy("user_id", "start_us")
+  }
+
+  private val qEventsSessionStateOracle =
+    """WITH g AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS tus,
+      |    CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+      |      OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+      |      THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+      |), s AS (
+      |  SELECT user_id, tus,
+      |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY tus, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS session_seq
+      |  FROM g
+      |)
+      |SELECT user_id, MIN(tus) AS start_us, MAX(tus) AS end_us,
+      |  COUNT(*) AS n_events
+      |FROM s GROUP BY user_id, session_seq
+      |ORDER BY user_id, start_us""".stripMargin
+
+  /** Multimodal feature extraction: binary payload + metadata → typed
+    * per-partition batched decode (stubbed) → scalar features. The
+    * oracle mirrors the stub arithmetic (first 4 bytes as unsigned). */
+  def qMultimodalFeatures(s: SparkSession, dir: String): DataFrame =
+    Multimodal.extractFeatures(
+      Multimodal.mediaFromDocuments(Tables.documents(s, dir)))
+      .toDF()
+      .orderBy("doc_id")
+
+  private val qMultimodalFeaturesOracle =
+    """SELECT doc_id, 'image/fake' AS kind,
+      |  CAST(strlen(text) AS BIGINT) AS byte_len,
+      |  CAST(unicode(substring(text, 1, 1)) AS DOUBLE) AS f1,
+      |  CAST(unicode(substring(text, 2, 1)) AS DOUBLE) AS f2,
+      |  CAST(unicode(substring(text, 3, 1)) AS DOUBLE) AS f3,
+      |  CAST(unicode(substring(text, 4, 1)) AS DOUBLE) AS f4
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_events_session_state" -> (qEventsSessionState _),
+    "q_multimodal_features" -> (qMultimodalFeatures _)
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_events_session_state" -> qEventsSessionStateOracle,
+    "q_multimodal_features" -> qMultimodalFeaturesOracle
+  )
+}

@@ -1,0 +1,167 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+import graft.Tables
+
+/** Text-analysis operators for a training-data pipeline (builder brief):
+  * language ID (marker-word heuristic), quality scoring, token counting
+  * (whitespace + BPE-ish regex), and document fingerprinting (rolling
+  * hash) — all as codegen'd expression trees over the `documents` table,
+  * each with an exact DuckDB oracle.
+  *
+  * Scale: every query is scan → project/aggregate with no joins; the
+  * per-lang stats aggregate partial+final. At 100 TB these are pure
+  * map-side pipelines.
+  */
+object TextAnalysis {
+
+  private def wordCount(c: Column): Column =
+    size(split(trim(c), "\\s+")).cast(LongType)
+
+  /** Per-language corpus statistics. */
+  def qTextStats(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(length(col("text"))).cast(LongType).as("sum_len"),
+        sum(wordCount(col("text"))).as("sum_words"),
+        round(sum(length(col("text"))).cast(DoubleType) / count(lit(1)), 4)
+          .as("avg_len"))
+      .orderBy("lang")
+
+  private val qTextStatsOracle =
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  CAST(SUM(length(text)) AS BIGINT) AS sum_len,
+      |  CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS sum_words,
+      |  round(CAST(SUM(length(text)) AS DOUBLE) / COUNT(*), 4) AS avg_len
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** Marker-word language scoring with deterministic argmax tiebreak.
+    * (An n-gram character model is the production upgrade; marker words
+    * keep the oracle exactly mirrorable.) */
+  def qTextLangid(s: SparkSession, dir: String): DataFrame = {
+    def score(pat: String): Column =
+      size(regexp_extract_all(col("text"), lit(pat), lit(0))).cast(LongType)
+    val sEn = score("\\b(the|of|and|a|to)\\b")
+    val sQu = score("\\b(query|table|scan|join)\\b")
+    val sDa = score("\\b(data|row|column|value)\\b")
+    val pred = when(sEn >= sQu && sEn >= sDa, lit("en_like"))
+      .when(sQu >= sDa, lit("query_like"))
+      .otherwise(lit("data_like"))
+    Tables.documents(s, dir).select(
+      col("doc_id"), col("lang"),
+      sEn.as("s_en"), sQu.as("s_query"), sDa.as("s_data"), pred.as("pred"))
+      .orderBy("doc_id")
+  }
+
+  private val qTextLangidOracle = {
+    def sc(p: String) = s"CAST(len(regexp_extract_all(text, '$p')) AS BIGINT)"
+    val sEn = sc("\\b(the|of|and|a|to)\\b")
+    val sQu = sc("\\b(query|table|scan|join)\\b")
+    val sDa = sc("\\b(data|row|column|value)\\b")
+    s"""SELECT doc_id, lang, $sEn AS s_en, $sQu AS s_query, $sDa AS s_data,
+       |  (CASE WHEN $sEn >= $sQu AND $sEn >= $sDa THEN 'en_like'
+       |    WHEN $sQu >= $sDa THEN 'query_like' ELSE 'data_like' END) AS pred
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  /** Quality scoring: length/punctuation/stopword ratios + a composite
+    * score; all integer-derived double arithmetic (deterministic). */
+  def qTextQuality(s: SparkSession, dir: String): DataFrame = {
+    val len = length(col("text")).cast(LongType)
+    val words = wordCount(col("text"))
+    val punct = size(regexp_extract_all(col("text"), lit("[.,!?;:]"), lit(0))).cast(LongType)
+    val stops = size(regexp_extract_all(col("text"), lit("\\b(the|a|of|and)\\b"), lit(0))).cast(LongType)
+    val punctRatio = round(punct.cast(DoubleType) / len, 6)
+    val stopRatio = round(stops.cast(DoubleType) / words, 6)
+    val avgWordLen = round(len.cast(DoubleType) / words, 4)
+    val score = round(least(lit(1.0), words.cast(DoubleType) / 50.0) *
+      (lit(1.0) - punctRatio), 6)
+    Tables.documents(s, dir).select(
+      col("doc_id"), len.as("n_len"), words.as("n_words"),
+      punct.as("n_punct"), stops.as("n_stop"),
+      punctRatio.as("punct_ratio"), stopRatio.as("stop_ratio"),
+      avgWordLen.as("avg_word_len"), score.as("quality"))
+      .orderBy("doc_id")
+  }
+
+  private val qTextQualityOracle = {
+    val len = "CAST(length(text) AS BIGINT)"
+    val words = "CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)"
+    val punct = "CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT)"
+    val stops = "CAST(len(regexp_extract_all(text, '\\b(the|a|of|and)\\b')) AS BIGINT)"
+    val punctRatio = s"round(CAST($punct AS DOUBLE) / $len, 6)"
+    s"""SELECT doc_id, $len AS n_len, $words AS n_words,
+       |  $punct AS n_punct, $stops AS n_stop,
+       |  $punctRatio AS punct_ratio,
+       |  round(CAST($stops AS DOUBLE) / $words, 6) AS stop_ratio,
+       |  round(CAST($len AS DOUBLE) / $words, 4) AS avg_word_len,
+       |  round(least(1.0, CAST($words AS DOUBLE) / 50.0) * (1.0 - $punctRatio), 6) AS quality
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  /** Token counting: whitespace tokens vs a BPE-ish regex segmentation
+    * (letter runs / digit runs / single punctuation). */
+  def qTextTokens(s: SparkSession, dir: String): DataFrame = {
+    val ws = wordCount(col("text"))
+    val bpe = size(regexp_extract_all(col("text"),
+      lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast(LongType)
+    Tables.documents(s, dir).select(
+      col("doc_id"), length(col("text")).cast(LongType).as("n_chars_obs"),
+      ws.as("ws_tokens"), bpe.as("bpe_tokens"),
+      round(length(col("text")).cast(DoubleType) / bpe, 4).as("chars_per_token"))
+      .orderBy("doc_id")
+  }
+
+  private val qTextTokensOracle = {
+    val bpe = "CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)"
+    s"""SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_obs,
+       |  CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS ws_tokens,
+       |  $bpe AS bpe_tokens,
+       |  round(CAST(length(text) AS DOUBLE) / $bpe, 4) AS chars_per_token
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  /** Rolling polynomial hash fingerprint, char-by-char mod 1e9+7.
+    * Spark folds with seed 0 ((0*31+c)%M = c), DuckDB's seedless
+    * list_reduce starts at c — identical sequences, exact BIGINT math.
+    */
+  def qTextFingerprint(s: SparkSession, dir: String): DataFrame = {
+    val fp = aggregate(
+      transform(split(col("text"), ""), ch => ascii(ch).cast(LongType)),
+      lit(0L), (acc, c) => (acc * 31 + c) % 1000000007L)
+    Tables.documents(s, dir).select(
+      col("doc_id"), fp.as("fingerprint"),
+      substring(col("text"), 1, 16).as("prefix"))
+      .orderBy("doc_id")
+  }
+
+  private val qTextFingerprintOracle =
+    """SELECT doc_id,
+      |  list_reduce(list_transform(string_split(text, ''), ch -> CAST(unicode(ch) AS BIGINT)),
+      |    (acc, c) -> (acc * 31 + c) % 1000000007) AS fingerprint,
+      |  substring(text, 1, 16) AS prefix
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_stats" -> (qTextStats _),
+    "q_text_langid" -> (qTextLangid _),
+    "q_text_quality" -> (qTextQuality _),
+    "q_text_tokens" -> (qTextTokens _),
+    "q_text_fingerprint" -> (qTextFingerprint _)
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_text_stats" -> qTextStatsOracle,
+    "q_text_langid" -> qTextLangidOracle,
+    "q_text_quality" -> qTextQualityOracle,
+    "q_text_tokens" -> qTextTokensOracle,
+    "q_text_fingerprint" -> qTextFingerprintOracle
+  )
+}

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.{Dedup, Similarity}
+
+/** Dedup / similarity operators: planted-duplicate detection for the
+  * LSH paths (which have no SQL oracle by design) and recall of the
+  * approximate ANN vs the exact baseline. */
+class ExtensionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def plantedDocs = {
+    // 20 distinct docs + near-identical copies of docs 3 and 7
+    val vocab = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa")
+    val rng = new scala.util.Random(1)
+    val base = (0L until 20L).map { i =>
+      (i, (0 until 60).map(_ => vocab(rng.nextInt(vocab.size))).mkString(" "))
+    }
+    val dup3 = (100L, base(3)._2.replace("alpha", "alpha"))   // exact copy
+    val dup7 = (101L, base(7)._2 + " omega")                  // near copy
+    (base :+ dup3 :+ dup7).toDF("doc_id", "text")
+      .withColumn("lang", lit("xx"))
+      .withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+  }
+
+  test("minhash LSH surfaces planted near-duplicates") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dedup").toString
+    plantedDocs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val pairs = Dedup.qDedupMinhash(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.exists { case (a, b, j) => a == 3L && b == 100L && j == 1.0 })
+    assert(pairs.exists { case (a, b, j) => a == 7L && b == 101L && j > 0.9 })
+  }
+
+  test("simhash banding surfaces planted near-duplicates") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dedup2").toString
+    plantedDocs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val pairs = Dedup.qDedupSimhash(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.exists { case (a, b, h) => a == 3L && b == 100L && h == 0L })
+    assert(pairs.exists { case (a, b, _) => a == 7L && b == 101L })
+  }
+
+  test("exact dedup keeps the lowest doc_id per text") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dedup3").toString
+    plantedDocs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val kept = Dedup.qDedupExact(spark, dir).collect().map(_.getLong(0)).toSet
+    assert(!kept.contains(100L)) // exact copy of doc 3 dropped
+    assert(kept.contains(3L) && kept.contains(101L)) // near-copy survives exact dedup
+  }
+
+  test("LSH ANN recall@10 vs exact top-10 is at least 0.5") {
+    val exact = Similarity.qEmbedCosineTopk(spark, sf).collect().map(_.getLong(0)).toSet
+    val approx = Similarity.qAnnLsh(spark, sf).collect().map(_.getLong(0)).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall=$recall exact=$exact approx=$approx")
+  }
+
+  test("embedding near-dup pairs are symmetric-free and above threshold") {
+    val rows = Dedup.qDedupEmbed(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getDouble(2) >= 0.95)
+    }
+  }
+}

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.streaming.Sessionize
+
+/** Structured Streaming sessionization: flatMapGroupsWithState over a
+  * file stream, checked against the batch twin on closed sessions. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streaming sessionization matches batch on closed sessions") {
+    // stage events as a typed parquet the stream can read with a schema
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"), expr("ts div 1000").as("ts_us"))
+    evs.write.mode("overwrite").parquet(dir)
+
+    val batchSessions = Sessionize.sessionizeBatch(evs.as[Sessionize.Ev])
+      .collect().map(s => (s.user_id, s.start_us, s.end_us, s.n_events)).toSet
+
+    val stream = spark.readStream
+      .schema("user_id LONG, ts_us LONG")
+      .parquet(dir)
+      .as[Sessionize.Ev]
+    // NoTimeout in-test: closed sessions emit as gaps are observed; open
+    // tails stay in state (the timeout flush is a production setting —
+    // exercising it here would leave the trigger spinning empty batches).
+    val q = Sessionize.sessionizeStream(stream, timeoutMs = 0)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sessions_out")
+      .trigger(Trigger.ProcessingTime("200 milliseconds"))
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("sessions_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(streamed.nonEmpty)
+      // every streamed session must be a genuine batch session
+      assert(streamed.subsetOf(batchSessions),
+        s"streamed-only: ${(streamed -- batchSessions).take(3)}")
+      // everything missing must be an open tail (one per user at most)
+      val missing = batchSessions -- streamed
+      val users = evs.select("user_id").distinct().count()
+      assert(missing.size <= users, s"more missing sessions than users: ${missing.size}")
+    } finally q.stop()
+  }
+
+  test("session split core handles gaps and singletons") {
+    val gap = Sessionize.DefaultGapUs
+    val out = Sessionize.split(1L, Seq(0L, 10L, gap + 20L, gap + 30L, 3 * gap + 100L), gap)
+    assert(out == Seq(
+      Sessionize.Session(1L, 0L, 10L, 2),
+      Sessionize.Session(1L, gap + 20L, gap + 30L, 2),
+      Sessionize.Session(1L, 3 * gap + 100L, 3 * gap + 100L, 1)))
+  }
+}
