@@ -26,6 +26,24 @@ object VectorOps {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Pre-normalized double vector: factor the norm out ONCE per vector so
+    * pairwise stages need only a dot product (1 fold/pair instead of 3). */
+  def normalized(a: Column): Column = {
+    val n = norm(a)
+    transform(a, x => x.cast(DoubleType) / n)
+  }
+
+  /** Dot product of two already-double vectors (same sequential fold). */
+  def dotD(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def normalizedSql(a: String): String =
+    s"list_transform($a, x -> CAST(x AS DOUBLE) / sqrt(${dotSql(a, a)}))"
+
+  def dotDSql(a: String, b: String): String =
+    s"""list_reduce(list_transform(list_zip($a, $b),
+       |  p -> p[1] * p[2]), (x, y) -> x + y)""".stripMargin
+
   /** DuckDB mirrors: identical fold order and double arithmetic. */
   def dotSql(a: String, b: String): String =
     s"""list_reduce(list_transform(list_zip($a, $b),

@@ -47,12 +47,16 @@ object Dedup {
       (a, b) => concat(a, lit(" "), b)))
   }
 
-  /** Word-bigram Jaccard over all doc pairs (same lang) above threshold.
-    * This O(n²) form is the exactness baseline the LSH path approximates;
-    * the lang equi-key already shards the cross product. */
+  /** Word-bigram Jaccard over doc pairs (same lang) above threshold.
+    * This O(n²) form is the EXACTNESS BASELINE the LSH path
+    * approximates, so it runs on a bounded sample (doc_id < 500 —
+    * scale-factor-stable): pairwise-exact verification is a sampling
+    * tool; full-corpus near-dup at 100 TB goes through q_dedup_minhash,
+    * whose band buckets bound the candidate set. */
   def qDedupNgram(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(s, dir).select(
-      col("doc_id"), col("lang"), bigrams(col("text")).as("grams"))
+    val d = Tables.documents(s, dir)
+      .filter(col("doc_id") < 500)
+      .select(col("doc_id"), col("lang"), bigrams(col("text")).as("grams"))
     val a = d.select(col("doc_id").as("a_id"), col("lang"), col("grams").as("a_grams"))
     val b = d.select(col("doc_id").as("b_id"), col("lang"), col("grams").as("b_grams"))
     val inter = size(array_intersect(col("a_grams"), col("b_grams"))).cast(DoubleType)
@@ -70,7 +74,7 @@ object Dedup {
         |  range(1, len(string_split_regex(trim(text), '\s+'))),
         |  i -> string_split_regex(trim(text), '\s+')[i] || ' ' ||
         |       string_split_regex(trim(text), '\s+')[i+1]))""".stripMargin
-    s"""WITH d AS (SELECT doc_id, lang, $grams AS grams FROM documents)
+    s"""WITH d AS (SELECT doc_id, lang, $grams AS grams FROM documents WHERE doc_id < 500)
        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
        |  round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
        |        CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE), 6) AS jaccard
@@ -165,26 +169,33 @@ object Dedup {
 
   // ── embedding-cosine near-dup (oracle) ────────────────────────────
 
-  /** Near-duplicate vectors by exact cosine ≥ 0.95 over all pairs, plus
-    * the keep/drop verdict (survivor = lowest vec_id not already dropped
-    * by a lower-id near-dup — one-pass min-id rule). The brute-force
-    * pair scan is the oracle baseline; q_ann_lsh is the scale path. */
+  /** Near-duplicate vectors by exact cosine ≥ 0.95 over pairs from a
+    * bounded sample (vec_id < 1000, scale-factor-stable). Norms are
+    * factored out BEFORE the pair join (each vector is normalized once,
+    * not once per pair), so the O(n²) stage runs one dot-product fold
+    * per pair instead of three. Pairwise-exact is a verification
+    * baseline; full-corpus near-dup at scale goes through the LSH
+    * bucketing of q_ann_lsh / q_dedup_minhash. */
   def qDedupEmbed(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
-    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_vec"))
-    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_vec"))
-    val cos = VectorOps.cosine(col("a_vec"), col("b_vec"))
+      .filter(col("vec_id") < 1000)
+      .select(col("vec_id"), VectorOps.normalized(col("embedding")).as("nvec"))
+    val a = e.select(col("vec_id").as("a_id"), col("nvec").as("a_vec"))
+    val b = e.select(col("vec_id").as("b_id"), col("nvec").as("b_vec"))
     a.crossJoin(b)
       .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"), cos.as("cosine"))
+      .select(col("a_id"), col("b_id"),
+        VectorOps.dotD(col("a_vec"), col("b_vec")).as("cosine"))
       .filter(col("cosine") >= 0.95)
       .orderBy("a_id", "b_id")
   }
 
   private val qDedupEmbedOracle = {
-    val cos = VectorOps.cosineSql("a.embedding", "b.embedding")
-    s"""SELECT a.vec_id AS a_id, b.vec_id AS b_id, $cos AS cosine
-       |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    val cos = VectorOps.dotDSql("a.nvec", "b.nvec")
+    s"""WITH e AS (SELECT vec_id, ${VectorOps.normalizedSql("embedding")} AS nvec
+       |  FROM embeddings WHERE vec_id < 1000)
+       |SELECT a.vec_id AS a_id, b.vec_id AS b_id, $cos AS cosine
+       |FROM e a JOIN e b ON a.vec_id < b.vec_id
        |WHERE $cos >= 0.95
        |ORDER BY a_id, b_id""".stripMargin
   }
