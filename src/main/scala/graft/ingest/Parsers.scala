@@ -83,9 +83,16 @@ object Parsers {
       .otherwise(lit(null).cast(LongType))
   }
 
-  /** Full parse_timestamp_ms: text formats first, then epoch ranges. */
-  def parseTimestampMs(c: Column): Column =
+  /** Full parse_timestamp_ms: text formats first, then epoch ranges.
+    * Kept as the pure-built-in composition; the hot path uses the fused
+    * native expression below (identical semantics, one compiled call). */
+  def parseTimestampMsChain(c: Column): Column =
     coalesce(parseTimestampMsText(c), parseTimestampMsEpoch(c))
+
+  /** Fused single-expression variant (graft.functions.TimestampMsParse,
+    * codegen'd): same ladder, ~10 expression branches collapsed. */
+  def parseTimestampMs(c: Column): Column =
+    graft.functions.TimestampMsParse.parseTsMs(trim(c))
 
   /** parse_timestamp_ms → TIMESTAMP_NTZ (µs storage loses nothing: the
     * reference itself truncates to ms — SURVEY §1.4). */

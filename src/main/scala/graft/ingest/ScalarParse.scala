@@ -98,6 +98,13 @@ object ScalarParse {
     }
   }
 
+  /** Codegen-friendly variant of [[parseTimestampMs]]: Long.MinValue is
+    * the null sentinel (unreachable as a real epoch-ms — the text
+    * formats bottom out around year 0 and the epoch ranges are ≥ 1e12).
+    * Called from generated Java code (see TimestampMsParse). */
+  def parseTimestampMsOrMin(v: String): Long =
+    parseTimestampMs(v).getOrElse(Long.MinValue)
+
   /** Timestamp units, ordered as the reference's TimeUnit. */
   sealed trait TsUnit
   case object TsSecond extends TsUnit

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType}
 
@@ -79,9 +80,45 @@ object Similarity {
       .limit(10)
   }
 
+  /** IVF-style approximate top-k: a fixed set of 16 "centroid" vectors
+    * (deterministically the vectors with vec_id 1..16 — a k-means fit
+    * would refine them at scale) partitions the corpus by nearest
+    * centroid; the query probes only its nprobe=2 nearest lists. The
+    * centroid assignment is a broadcast join (16 rows), the search
+    * touches ~nprobe/16 of the data — at 100 TB the inverted lists
+    * become partition keys and the probe prunes partitions. No oracle
+    * (approximate); SimilaritySpec checks recall vs the exact top-k. */
+  def qAnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val nprobe = 2
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val centroids = e.filter(col("vec_id").between(1, 16))
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("c_vec"))
+    val wBest = Window.partitionBy(col("vec_id")).orderBy(col("cdot").desc, col("centroid_id"))
+    val assigned = e.crossJoin(broadcast(centroids))
+      .withColumn("cdot", VectorOps.cosine(col("embedding"), col("c_vec")))
+      .withColumn("crn", row_number().over(wBest))
+      .filter(col("crn") === 1)
+      .select(col("vec_id"), col("label"), col("embedding"), col("centroid_id"))
+    val queryLists = assigned.filter(col("vec_id") === 0)
+      .select(col("embedding").as("q_vec"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("cdot", VectorOps.cosine(col("q_vec"), col("c_vec")))
+      .orderBy(col("cdot").desc, col("centroid_id"))
+      .limit(nprobe)
+      .select(col("centroid_id"), col("q_vec"))
+    assigned.filter(col("vec_id") =!= 0)
+      .join(broadcast(queryLists), "centroid_id")
+      .select(col("vec_id"), col("label"),
+        VectorOps.cosine(col("embedding"), col("q_vec")).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(10)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_embed_cosine_topk" -> (qEmbedCosineTopk _),
-    "q_ann_lsh" -> (qAnnLsh _)
+    "q_ann_lsh" -> (qAnnLsh _),
+    "q_ann_ivf" -> (qAnnIvf _)
   )
 
   def oracleSql: Map[String, String] = Map(

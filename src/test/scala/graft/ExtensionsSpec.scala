@@ -58,6 +58,27 @@ class ExtensionsSpec extends SparkSpec {
     assert(recall >= 0.5, s"recall=$recall exact=$exact approx=$approx")
   }
 
+  test("IVF ANN returns 10 candidates with nontrivial recall") {
+    val exact = Similarity.qEmbedCosineTopk(spark, sf).collect().map(_.getLong(0)).toSet
+    val rows = Similarity.qAnnIvf(spark, sf).collect()
+    assert(rows.length == 10)
+    val recall = (exact & rows.map(_.getLong(0)).toSet).size.toDouble / exact.size
+    assert(recall >= 0.3, s"recall=$recall")
+    // approximate scores must be genuine cosines (within [-1, 1])
+    rows.foreach(r => assert(math.abs(r.getDouble(2)) <= 1.0 + 1e-9))
+  }
+
+  test("partitioned parquet sink lays out hive-style directories") {
+    val out = java.nio.file.Files.createTempDirectory("graft_part").toString
+    graft.ingest.IngestPipeline.writeParquetPartitioned(
+      Tables.documents(spark, sf), out, Seq("lang"))
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(dirs.exists(_.startsWith("lang=")))
+    // partition pruning: reading one partition sees only that lang
+    val one = spark.read.parquet(out).filter(col("lang") === dirs.head.stripPrefix("lang="))
+    assert(one.select("lang").distinct().count() == 1)
+  }
+
   test("embedding near-dup pairs are symmetric-free and above threshold") {
     val rows = Dedup.qDedupEmbed(spark, sf).collect()
     rows.foreach { r =>

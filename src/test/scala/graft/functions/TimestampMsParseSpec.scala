@@ -1,0 +1,54 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.ingest.Parsers
+import org.apache.spark.sql.functions._
+
+/** The fused native expression must agree with the pure-built-in chain
+  * (and with ScalarParse, which the reference-parity tests pin) on every
+  * edge case, under both codegen and interpreted evaluation. */
+class TimestampMsParseSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val cases = Seq(
+    "1970-01-01 00:00:01", "1970-01-01T00:00:01", "1970-01-01 00:00:01.5",
+    "1970-01-01 00:00:01.123456789", "02/01/1970 00:00:00",
+    "1970/01/02 00:00:00", "1000000000", "2000000000000",
+    "2000000000000000", "2000000000000000000", "999999999", "5000000000",
+    "invalid", "", "  ", "2024-13-01 00:00:00", "2024-01-32 00:00:00",
+    "2024-01-01 25:00:00", "2024-01-01T12:00:00+02:00", "-42", "1.5e3"
+  )
+
+  test("fused expression agrees with the built-in chain on all edges") {
+    val df = cases.toDF("v").select(
+      col("v"),
+      Parsers.parseTimestampMs(col("v")).as("fused"),
+      Parsers.parseTimestampMsChain(trim(col("v"))).as("chain"))
+    val rows = df.collect()
+    rows.foreach { r =>
+      assert(r.get(1) == r.get(2), s"input='${r.getString(0)}' fused=${r.get(1)} chain=${r.get(2)}")
+    }
+  }
+
+  test("fused expression agrees under interpreted (non-codegen) eval") {
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val got = cases.toDF("v")
+        .select(Parsers.parseTimestampMs(col("v")).as("fused")).collect()
+        .map(r => if (r.isNullAt(0)) null else r.getLong(0))
+      val want = cases.map(v =>
+        graft.ingest.ScalarParse.parseTimestampMs(v).map(Long.box).orNull)
+      assert(got.toSeq == want)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
+  test("null propagates") {
+    val got = Seq[Option[String]](None, Some("1000000000")).toDF("v")
+      .select(Parsers.parseTimestampMs(col("v"))).collect()
+    assert(got(0).isNullAt(0) && got(1).getLong(0) == 1000000000000L)
+  }
+}
