@@ -46,6 +46,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("watermarked tumbling-window stream agrees with the batch twin") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream2").toString
+    val evs = Tables.events(spark, sf).select(col("ts_ts").as("ts"),
+      col("event_type"), col("value"))
+    evs.write.mode("overwrite").parquet(dir)
+
+    val batch = evs.groupBy(window(col("ts"), "1 hour").getField("start").as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+
+    val q = spark.readStream
+      .schema("ts TIMESTAMP, event_type STRING, value DOUBLE")
+      .parquet(dir)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").getField("start").as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("tumble_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("tumble_out").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+      assert(streamed == batch, s"missing=${(batch -- streamed).take(3)} extra=${(streamed -- batch).take(3)}")
+    } finally q.stop()
+  }
+
   test("session split core handles gaps and singletons") {
     val gap = Sessionize.DefaultGapUs
     val out = Sessionize.split(1L, Seq(0L, 10L, gap + 20L, gap + 30L, 3 * gap + 100L), gap)
