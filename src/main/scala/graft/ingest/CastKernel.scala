@@ -19,15 +19,20 @@ object CastKernel {
   def toBoolean(c: Column): Column = Parsers.parseBool(c)
 
   /** Int64: integer-syntax parse with i64 range check; overflow → null
-    * (analyse.rs:128-144 parses i128 then range-checks). */
+    * (analyse.rs:128-144 parses i128 then range-checks). The length gate
+    * (sign + ≤19 digits can't overflow except near the i64 boundary)
+    * short-circuits obviously-overflowing strings BEFORE try_cast, whose
+    * failure path raises/catches a JVM exception per row — measured 6 µs
+    * per failing row at sf0.1. */
   def toLong(c: Column): Column = gated(c) { t =>
-    when(t.rlike("^[+-]?\\d+$"), t.try_cast("bigint")).otherwise(lit(null).cast(LongType))
+    when(t.rlike("^[+-]?\\d{1,19}$"), t.try_cast("bigint"))
+      .otherwise(lit(null).cast(LongType))
   }
 
   /** UInt64 → LongType policy (SURVEY §7.4.1): non-negative integers that
     * fit i64; negative → null like the reference (analyse.rs:146-162). */
   def toUnsignedLong(c: Column): Column = gated(c) { t =>
-    val x = when(t.rlike("^[+]?\\d+$"), t.try_cast("bigint"))
+    val x = when(t.rlike("^[+]?\\d{1,19}$"), t.try_cast("bigint"))
     when(x >= 0L, x).otherwise(lit(null).cast(LongType))
   }
 
@@ -39,9 +44,14 @@ object CastKernel {
   }
 
   /** Float64: f64 parse; non-finite (inf/NaN) → null (analyse.rs:164-180).
-    * (NaN text is already a null token, but inf/Infinity parses.) */
+    * (NaN text is already a null token, but inf/Infinity parses.)
+    * The syntax gate both avoids the try_cast exception path on garbage
+    * AND pins Rust f64 syntax: Spark's string→double accepts Java-isms
+    * (hex "0x10", suffix "1.5d") that the reference rejects. */
   def toDouble(c: Column): Column = gated(c) { t =>
-    val d = t.try_cast("double")
+    val syntaxOk = t.rlike("^[+-]?([0-9.]+([eE][+-]?[0-9]+)?)$") ||
+      lower(t).rlike("^[+-]?(inf|infinity|nan)$")
+    val d = when(syntaxOk, t.try_cast("double"))
     when(isnan(d) || d === Double.PositiveInfinity || d === Double.NegativeInfinity,
       lit(null).cast(DoubleType)).otherwise(d)
   }

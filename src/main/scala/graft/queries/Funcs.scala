@@ -71,7 +71,7 @@ object Funcs {
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
   def qMathFuncs(s: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(s, dir).select(
+    Tables.lineitem(s, dir).orderBy("l_orderkey", "l_linenumber").select(
       col("l_orderkey"), col("l_linenumber"),
       abs(col("l_extendedprice") - 50000.0).as("abs_v"),
       ceil(col("l_extendedprice")).as("ceil_v"),
@@ -80,7 +80,6 @@ object Funcs {
       pow(col("l_quantity"), 2).as("pow_v"),
       round(log(col("l_extendedprice")), 6).as("ln_v"),
       (col("l_linenumber") % 3).cast(LongType).as("mod_v"))
-      .orderBy("l_orderkey", "l_linenumber")
 
   private val qMathFuncsOracle =
     """SELECT l_orderkey, l_linenumber,
@@ -111,11 +110,10 @@ object Funcs {
 
   /** Reference null-token normalization (§2.B est_null_texte). */
   def qNullNormalize(s: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(s, dir).select(
+    Tables.lineitem(s, dir).orderBy("l_orderkey", "l_linenumber").select(
       col("l_orderkey"), col("l_linenumber"),
       rawTokenCol.as("raw"),
       NullTokens.normalize(rawTokenCol).as("normalized"))
-      .orderBy("l_orderkey", "l_linenumber")
 
   private val qNullNormalizeOracle =
     s"""SELECT l_orderkey, l_linenumber, $rawTokenSql AS raw,
@@ -135,13 +133,17 @@ object Funcs {
       .when(md === 1, lit("inf"))
       .when(md === 2, lit("1e3"))
       .otherwise(lit("abc"))
-    Tables.lineitem(s, dir).select(
-      col("l_orderkey"), col("l_linenumber"),
-      rawInt.as("raw_int"), rawDbl.as("raw_dbl"),
-      CastKernel.toLong(rawInt).as("long_val"),
-      CastKernel.toUnsignedLong(rawInt).as("ulong_val"),
-      CastKernel.toDouble(rawDbl).as("dbl_val"))
+    // ORDER BY before the projection: range-partitioning samples its
+    // child to pick bounds, so sorting the raw scan (cheap) instead of
+    // the parse projection avoids computing every kernel twice.
+    Tables.lineitem(s, dir)
       .orderBy("l_orderkey", "l_linenumber")
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        rawInt.as("raw_int"), rawDbl.as("raw_dbl"),
+        CastKernel.toLong(rawInt).as("long_val"),
+        CastKernel.toUnsignedLong(rawInt).as("ulong_val"),
+        CastKernel.toDouble(rawDbl).as("dbl_val"))
   }
 
   private val qSafeCastOracle = {
@@ -172,10 +174,9 @@ object Funcs {
       .when(m === 2, lit("YES")).when(m === 3, lit(" off "))
       .when(m === 4, lit("on")).when(m === 5, lit("maybe"))
       .when(m === 6, lit("T")).otherwise(lit("no"))
-    Tables.lineitem(s, dir).select(
+    Tables.lineitem(s, dir).orderBy("l_orderkey", "l_linenumber").select(
       col("l_orderkey"), col("l_linenumber"), raw.as("raw"),
       Parsers.parseBool(raw).as("parsed"))
-      .orderBy("l_orderkey", "l_linenumber")
   }
 
   private val qParseBoolOracle = {
@@ -194,10 +195,9 @@ object Funcs {
     val raw = when(m === 0, date_format(col("o_orderdate"), "yyyy-MM-dd"))
       .when(m === 1, date_format(col("o_orderdate"), "dd/MM/yyyy"))
       .otherwise(date_format(col("o_orderdate"), "MM/dd/yyyy"))
-    Tables.orders(s, dir).select(
+    Tables.orders(s, dir).orderBy("o_orderkey").select(
       col("o_orderkey"), raw.as("raw"),
       Parsers.parseDateYmd(raw).as("parsed"))
-      .orderBy("o_orderkey")
   }
 
   private val qParseDateMultiOracle = {
@@ -222,10 +222,9 @@ object Funcs {
       .when(m === 1, date_format(col("o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss.SSS"))
       .when(m === 2, shifted.cast("string"))
       .otherwise((shifted * 1000).cast("string"))
-    Tables.orders(s, dir).select(
+    Tables.orders(s, dir).orderBy("o_orderkey").select(
       col("o_orderkey"), raw.as("raw"),
       Parsers.parseTimestamp(raw).as("parsed"))
-      .orderBy("o_orderkey")
   }
 
   private val qParseTsMultiOracle = {
@@ -243,14 +242,13 @@ object Funcs {
   // ── JSON / array access ───────────────────────────────────────────
 
   def qJsonExtract(s: SparkSession, dir: String): DataFrame =
-    Tables.events(s, dir).select(
+    Tables.events(s, dir).orderBy("event_id").select(
       col("event_id"),
       get_json_object(col("props"), "$.k").as("k_str"),
       get_json_object(col("props"), "$.k").try_cast("bigint").as("k_num"),
       from_json(col("props"),
         org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
         .getField("k").as("k_typed"))
-      .orderBy("event_id")
 
   private val qJsonExtractOracle =
     """SELECT event_id,

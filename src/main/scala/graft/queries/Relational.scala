@@ -30,10 +30,10 @@ object Relational {
     val price = money(col("l_extendedprice"))
     val disc = rate(col("l_discount"))
     Tables.lineitem(s, dir)
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
         col("l_extendedprice"), col("l_discount"),
         (price * (one - disc)).cast(DoubleType).as("disc_price"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
   }
 
   private val qScanProjectOracle =

@@ -37,9 +37,10 @@ class CastKernelSpec extends SparkSpec {
     assert(r(1) == null && r(2) == null)
   }
 
-  test("toDouble: non-finite → null (analyse.rs:164-180)") {
-    assert(runKernel(Seq("3.14", "inf", "-inf", "Infinity", "1e308", "abc"), CastKernel.toDouble)
-      == Seq(3.14, null, null, null, 1e308, null))
+  test("toDouble: non-finite → null; Java-isms rejected (analyse.rs:164-180)") {
+    assert(runKernel(Seq("3.14", "inf", "-inf", "Infinity", "1e308", "abc",
+      "0x10", "1.5d", "+.5"), CastKernel.toDouble)
+      == Seq(3.14, null, null, null, 1e308, null, null, null, 0.5))
   }
 
   test("toDate: 3 formats, day-first priority (utils.rs:67-79)") {
