@@ -6,12 +6,14 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Shared session for all suites (one JVM-wide SparkSession). */
 object SparkSpec {
   lazy val spark: SparkSession = {
+    System.setProperty("derby.system.home", "/tmp/graft_derby")
     val s = SparkSession
       .builder()
       .master("local[4]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
