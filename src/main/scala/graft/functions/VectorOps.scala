@@ -40,6 +40,43 @@ object VectorOps {
   def normalizedSql(a: String): String =
     s"list_transform($a, x -> CAST(x AS DOUBLE) / sqrt(${dotSql(a, a)}))"
 
+  /** All-pairs cosine above a threshold via a broadcast block
+    * nested-loop: the (bounded) right side ships to every task once and
+    * the left side streams per-partition through primitive-array loops.
+    * Higher-order-function folds evaluate interpreted per element
+    * (~µs/pair); this path runs the identical arithmetic — normalize
+    * then ascending-index dot, bit-for-bit the list_reduce order — at
+    * memory bandwidth. At scale the left side stays fully distributed;
+    * only the broadcast side must fit an executor (tile it beyond that).
+    */
+  def pairwiseCosinePairs(vecs: org.apache.spark.sql.Dataset[(Long, Array[Float])],
+                          threshold: Double): org.apache.spark.sql.DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    def norm(a: Array[Float]): Array[Double] = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * a(i).toDouble; i += 1 }
+      val n = math.sqrt(s)
+      val out = new Array[Double](a.length)
+      i = 0
+      while (i < a.length) { out(i) = a(i).toDouble / n; i += 1 }
+      out
+    }
+    val right = spark.sparkContext.broadcast(
+      vecs.collect().sortBy(_._1).map { case (id, v) => (id, norm(v)) })
+    vecs.mapPartitions { it =>
+      val r = right.value
+      it.flatMap { case (aId, aRaw) =>
+        val a = norm(aRaw)
+        r.iterator.filter(_._1 > aId).flatMap { case (bId, b) =>
+          var s = 0.0; var i = 0
+          while (i < a.length) { s += a(i) * b(i); i += 1 }
+          if (s >= threshold) Some((aId, bId, s)) else None
+        }
+      }
+    }.toDF("a_id", "b_id", "cosine")
+  }
+
   def dotDSql(a: String, b: String): String =
     s"""list_reduce(list_transform(list_zip($a, $b),
        |  p -> p[1] * p[2]), (x, y) -> x + y)""".stripMargin

@@ -169,31 +169,26 @@ object Dedup {
 
   // ── embedding-cosine near-dup (oracle) ────────────────────────────
 
-  /** Near-duplicate vectors by exact cosine ≥ 0.95 over pairs from a
-    * bounded sample (vec_id < 1000, scale-factor-stable). Norms are
-    * factored out BEFORE the pair join (each vector is normalized once,
-    * not once per pair), so the O(n²) stage runs one dot-product fold
-    * per pair instead of three. Pairwise-exact is a verification
-    * baseline; full-corpus near-dup at scale goes through the LSH
-    * bucketing of q_ann_lsh / q_dedup_minhash. */
+  /** Near-duplicate vectors by exact cosine ≥ 0.95 over ALL pairs, via
+    * the broadcast block nested-loop in VectorOps (primitive-array dot
+    * at memory bandwidth, identical fold order to the oracle's
+    * list_reduce). The left side stays distributed; the broadcast side
+    * is the corpus' vector column only (embeddings ship compactly — at
+    * true 100 TB scale, tile the broadcast or use q_ann_lsh bucketing
+    * first). */
   def qDedupEmbed(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(s, dir)
-      .filter(col("vec_id") < 1000)
-      .select(col("vec_id"), VectorOps.normalized(col("embedding")).as("nvec"))
-    val a = e.select(col("vec_id").as("a_id"), col("nvec").as("a_vec"))
-    val b = e.select(col("vec_id").as("b_id"), col("nvec").as("b_vec"))
-    a.crossJoin(b)
-      .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"),
-        VectorOps.dotD(col("a_vec"), col("b_vec")).as("cosine"))
-      .filter(col("cosine") >= 0.95)
+    import s.implicits._
+    val vecs = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+    VectorOps.pairwiseCosinePairs(vecs, 0.95)
       .orderBy("a_id", "b_id")
   }
 
   private val qDedupEmbedOracle = {
     val cos = VectorOps.dotDSql("a.nvec", "b.nvec")
     s"""WITH e AS (SELECT vec_id, ${VectorOps.normalizedSql("embedding")} AS nvec
-       |  FROM embeddings WHERE vec_id < 1000)
+       |  FROM embeddings)
        |SELECT a.vec_id AS a_id, b.vec_id AS b_id, $cos AS cosine
        |FROM e a JOIN e b ON a.vec_id < b.vec_id
        |WHERE $cos >= 0.95

@@ -327,6 +327,49 @@ object Relational {
        |ORDER BY o_custkey, o_orderkey""".stripMargin
   }
 
+  /** Analytic window suite: ntile / percent_rank / cume_dist /
+    * first+last over the same per-customer frame. percent_rank and
+    * cume_dist are exact rational values (rank ratios) — deterministic
+    * doubles in both engines given the tie-free ordering. */
+  def qWindowAnalytic(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    val wFrame = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(s, dir)
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .withColumn("pct_rank", round(percent_rank().over(w), 6))
+      .withColumn("cume", round(cume_dist().over(w), 6))
+      .withColumn("cheapest", first(col("o_orderkey")).over(wFrame))
+      .withColumn("priciest", last(col("o_orderkey")).over(wFrame))
+      .select("o_custkey", "o_orderkey", "quartile", "pct_rank", "cume",
+        "cheapest", "priciest")
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  private val qWindowAnalyticOracle =
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+      |  round(PERCENT_RANK() OVER w, 6) AS pct_rank,
+      |  round(CUME_DIST() OVER w, 6) AS cume,
+      |  FIRST_VALUE(o_orderkey) OVER wf AS cheapest,
+      |  LAST_VALUE(o_orderkey) OVER wf AS priciest
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey),
+      |  wf AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  /** HyperLogLog approximate distinct vs the exact count. Approximate
+    * values are engine-specific → no value oracle; the driver's
+    * rows-only check applies and AggSpec bounds the relative error. */
+  def qAggApprox(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+      .orderBy("l_returnflag")
+
   // ── sort / limit ──────────────────────────────────────────────────
 
   /** Global top-100 by price. Spark plans TakeOrderedAndProject: per-
@@ -396,6 +439,8 @@ object Relational {
     "q_window_rank" -> (qWindowRank _),
     "q_window_frame" -> (qWindowFrame _),
     "q_window_lag" -> (qWindowLag _),
+    "q_window_analytic" -> (qWindowAnalytic _),
+    "q_agg_approx" -> (qAggApprox _),
     "q_sort_topk" -> (qSortTopk _),
     "q_set_union" -> (qSetUnion _),
     "q_set_intersect" -> (qSetIntersect _),
@@ -418,6 +463,7 @@ object Relational {
     "q_window_rank" -> qWindowRankOracle,
     "q_window_frame" -> qWindowFrameOracle,
     "q_window_lag" -> qWindowLagOracle,
+    "q_window_analytic" -> qWindowAnalyticOracle,
     "q_sort_topk" -> qSortTopkOracle,
     "q_set_union" -> qSetUnionOracle,
     "q_set_intersect" -> qSetIntersectOracle,

@@ -23,4 +23,12 @@ class RelationalSpec extends SparkSpec {
   test("every query id has spark impl; oracle keys are a subset") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
+
+  test("approx_count_distinct stays within 5% of exact") {
+    Relational.qAggApprox(spark, sf).collect().foreach { r =>
+      val (approx, exact) = (r.getLong(1), r.getLong(2))
+      assert(math.abs(approx - exact).toDouble / exact <= 0.05,
+        s"approx=$approx exact=$exact")
+    }
+  }
 }
