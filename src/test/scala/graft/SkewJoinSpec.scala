@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.SkewJoin
+
+class SkewJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("salted join returns exactly the plain join's rows under heavy skew") {
+    // 90% of the big side lands on one key — the pathological shape
+    val big = (0 until 20000).map { i =>
+      (if (i % 10 == 0) i.toLong % 100 else 7L, i.toLong)
+    }.toDF("k", "row_id")
+    val small = (0L until 100L).map(k => (k, s"dim_$k")).toDF("sk", "payload")
+
+    val plain = big.join(small, col("k") === col("sk"))
+      .select("k", "row_id", "payload")
+    val salted = SkewJoin.saltedJoin(big, small, Seq("k" -> "sk"),
+      saltSource = col("row_id"), salts = 8)
+      .select("k", "row_id", "payload")
+
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+
+  test("salt spreads the hot key over many partitions") {
+    val big = (0 until 8000).map(i => (7L, i.toLong)).toDF("k", "row_id")
+    val saltCounts = big
+      .withColumn("_graft_salt", pmod(hash(col("row_id")), lit(8)))
+      .groupBy("_graft_salt").count().collect()
+    assert(saltCounts.length == 8) // all 8 salt buckets in use
+    assert(saltCounts.map(_.getLong(1)).max < 8000 * 0.25) // no bucket dominates
+  }
+}
