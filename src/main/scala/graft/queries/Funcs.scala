@@ -257,22 +257,24 @@ object Funcs {
       |  TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_typed
       |FROM events ORDER BY event_id""".stripMargin
 
+  // "+ 0.0" canonicalizes signed zero: Spark's round collapses -1e-5 to
+  // 0.0 while DuckDB keeps -0.0 — adding positive zero maps both to 0.0.
   def qArrayFuncs(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir).select(
       col("vec_id"),
       size(col("embedding")).cast(LongType).as("n_dims"),
-      round(element_at(col("embedding"), 1).cast(DoubleType), 4).as("first_val"),
-      round(element_at(col("embedding"), -1).cast(DoubleType), 4).as("last_val"),
+      (round(element_at(col("embedding"), 1).cast(DoubleType), 4) + 0.0).as("first_val"),
+      (round(element_at(col("embedding"), -1).cast(DoubleType), 4) + 0.0).as("last_val"),
       transform(slice(col("embedding"), 1, 3),
-        x => round(x.cast(DoubleType), 4)).as("head3"))
+        x => round(x.cast(DoubleType), 4) + 0.0).as("head3"))
       .orderBy("vec_id")
 
   private val qArrayFuncsOracle =
     """SELECT vec_id,
       |  CAST(len(embedding) AS BIGINT) AS n_dims,
-      |  round(CAST(embedding[1] AS DOUBLE), 4) AS first_val,
-      |  round(CAST(embedding[-1] AS DOUBLE), 4) AS last_val,
-      |  list_transform(embedding[1:3], x -> round(CAST(x AS DOUBLE), 4)) AS head3
+      |  round(CAST(embedding[1] AS DOUBLE), 4) + 0.0 AS first_val,
+      |  round(CAST(embedding[-1] AS DOUBLE), 4) + 0.0 AS last_val,
+      |  list_transform(embedding[1:3], x -> round(CAST(x AS DOUBLE), 4) + 0.0) AS head3
       |FROM embeddings ORDER BY vec_id""".stripMargin
 
   // ── registry ──────────────────────────────────────────────────────

@@ -266,6 +266,44 @@ object Relational {
        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin
   }
 
+  /** TPC-H Q3-like shipping-priority query authored in SQL — the
+    * spark.sql surface over registered views compiles to the same
+    * Catalyst plan as the DataFrame API (join reorder, pushdown, partial
+    * aggregation all apply). Revenue uses the exact-decimal discipline.
+    */
+  def qSqlQ3(s: SparkSession, dir: String): DataFrame = {
+    Tables.customer(s, dir).createOrReplaceTempView("v_customer")
+    Tables.orders(s, dir).createOrReplaceTempView("v_orders")
+    Tables.lineitem(s, dir).createOrReplaceTempView("v_lineitem")
+    s.sql(
+      """SELECT l_orderkey,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |           (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+        |  o_orderdate, o_orderpriority
+        |FROM v_customer JOIN v_orders ON c_custkey = o_custkey
+        |JOIN v_lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-03-15'
+        |  AND l_shipdate > TIMESTAMP '1995-03-15'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin)
+  }
+
+  private val qSqlQ3Oracle =
+    """SELECT l_orderkey,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |           (1.00 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+      |  o_orderdate, o_orderpriority
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-03-15'
+      |  AND l_shipdate > TIMESTAMP '1995-03-15'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey
+      |LIMIT 10""".stripMargin
+
   // ── window family ─────────────────────────────────────────────────
 
   /** Top-3 orders per customer by price (unique tiebreak on orderkey). */
@@ -436,6 +474,7 @@ object Relational {
     "q_join_semi" -> (qJoinSemi _),
     "q_join_anti" -> (qJoinAnti _),
     "q_join_multiway" -> (qJoinMultiway _),
+    "q_sql_q3" -> (qSqlQ3 _),
     "q_window_rank" -> (qWindowRank _),
     "q_window_frame" -> (qWindowFrame _),
     "q_window_lag" -> (qWindowLag _),
@@ -460,6 +499,7 @@ object Relational {
     "q_join_semi" -> qJoinSemiOracle,
     "q_join_anti" -> qJoinAntiOracle,
     "q_join_multiway" -> qJoinMultiwayOracle,
+    "q_sql_q3" -> qSqlQ3Oracle,
     "q_window_rank" -> qWindowRankOracle,
     "q_window_frame" -> qWindowFrameOracle,
     "q_window_lag" -> qWindowLagOracle,

@@ -1,0 +1,44 @@
+package graft
+
+/** Automated plan-quality guard: no query may silently regress into a
+  * non-broadcast cartesian product, and parquet scans must prune
+  * columns (a scan reading every column for a narrow projection means
+  * pushdown broke). Runs over the whole registry so future queries get
+  * audited for free.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  // these intentionally pair every row with a broadcast side
+  private val broadcastNlAllowed = Set(
+    "q_embed_cosine_topk", "q_ann_lsh", "q_ann_ivf", "q_dedup_embed")
+
+  test("no query plans a non-broadcast CartesianProduct") {
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val plan = fn(spark, sf).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plans a CartesianProduct:\n${plan.take(2000)}")
+    }
+  }
+
+  test("narrow projections prune parquet scan columns") {
+    // q_scan_project reads 5 of lineitem's 11 columns + nothing else
+    val plan = graft.queries.Relational.qScanProject(spark, sf)
+      .queryExecution.executedPlan.toString
+    val readSchema = "ReadSchema: [^\n]*".r.findFirstIn(plan).getOrElse("")
+    assert(readSchema.contains("l_orderkey") && !readSchema.contains("l_shipdate"),
+      s"scan not pruned: $readSchema")
+    // q_join_multiway's lineitem scan carries only 3 columns
+    val plan2 = graft.queries.Relational.qJoinMultiway(spark, sf)
+      .queryExecution.executedPlan.toString
+    val li = "ReadSchema: [^\n]*l_extendedprice[^\n]*".r.findFirstIn(plan2).getOrElse("")
+    assert(li.nonEmpty && !li.contains("l_shipdate") && !li.contains("l_quantity"),
+      s"multiway lineitem scan not pruned: $li")
+  }
+
+  test("filters push down to the parquet scan") {
+    val plan = graft.queries.Relational.qFilterPred(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters:") && plan.contains("GreaterThanOrEqual(o_totalprice"),
+      s"filter not pushed:\n${plan.take(1500)}")
+  }
+}
