@@ -77,13 +77,79 @@ object Events {
       |FROM s GROUP BY user_id, session_seq
       |ORDER BY user_id, session_seq""".stripMargin
 
+  /** Sliding 1-hour windows every 30 minutes via window() — each event
+    * lands in two overlapping windows (Spark explodes them; the oracle
+    * mirrors with a two-way UNION of epoch-aligned 30-min buckets). */
+  def qEventsSliding(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts_ts"), "1 hour", "30 minutes").getField("start").as("ws"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      .orderBy("ws", "event_type")
+
+  private val qEventsSlidingOracle =
+    s"""WITH w AS (
+       |  SELECT time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP)) AS ws,
+       |    event_type, value FROM events
+       |  UNION ALL
+       |  SELECT time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP))
+       |    - INTERVAL 30 MINUTE, event_type, value FROM events
+       |)
+       |SELECT ws, event_type, COUNT(*) AS n_events,
+       |  ${dsumSql("value")} AS sum_value
+       |FROM w GROUP BY ws, event_type ORDER BY ws, event_type""".stripMargin
+
+  /** AS-OF join — the classic operator Spark lacks natively, composed
+    * from built-ins (preference (a), SURVEY §4.3): tag both sides, union
+    * on the shared (key, time) axis, and carry the latest order forward
+    * with last(ignoreNulls) over one partition-ordered window — a single
+    * shuffle on the key, no per-row range probing, scales like any
+    * window aggregation. Each event gets the most recent order (at or
+    * before its timestamp) of the same customer. Orders are pre-reduced
+    * to one row per (custkey, date) so the match is deterministic;
+    * DuckDB's native ASOF LEFT JOIN is the oracle. */
+  def qAsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val orders1 = Tables.orders(s, dir)
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max(col("o_orderkey")).as("o_orderkey"))
+    val oTagged = orders1.select(
+      col("o_custkey").as("key"), col("o_orderdate").cast("timestamp").as("t"),
+      lit(null).cast(LongType).as("event_id"),
+      col("o_orderkey").as("ord_key"), lit(1).as("side"))
+    val eTagged = Tables.events(s, dir).select(
+      col("user_id").as("key"), col("ts_ts").as("t"),
+      col("event_id"), lit(null).cast(LongType).as("ord_key"), lit(0).as("side"))
+    val w = Window.partitionBy(col("key"))
+      .orderBy(col("t"), col("side").desc) // order rows first on time ties
+      .rowsBetween(Window.unboundedPreceding, 0)
+    oTagged.unionByName(eTagged)
+      .withColumn("matched_orderkey", last(col("ord_key"), ignoreNulls = true).over(w))
+      .filter(col("side") === 0)
+      .select(col("event_id"), col("key").as("user_id"), col("matched_orderkey"))
+      .orderBy("event_id")
+  }
+
+  private val qAsofJoinOracle =
+    """WITH o1 AS (
+      |  SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+      |  FROM orders GROUP BY o_custkey, o_orderdate
+      |)
+      |SELECT e.event_id, e.user_id, o1.o_orderkey AS matched_orderkey
+      |FROM events e ASOF LEFT JOIN o1
+      |  ON e.user_id = o1.o_custkey AND CAST(e.ts AS TIMESTAMP) >= o1.o_orderdate
+      |ORDER BY e.event_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_events_tumble" -> (qEventsTumble _),
-    "q_events_sessions" -> (qEventsSessions _)
+    "q_events_sliding" -> (qEventsSliding _),
+    "q_events_sessions" -> (qEventsSessions _),
+    "q_asof_join" -> (qAsofJoin _)
   )
 
   def oracleSql: Map[String, String] = Map(
     "q_events_tumble" -> qEventsTumbleOracle,
-    "q_events_sessions" -> qEventsSessionsOracle
+    "q_events_sliding" -> qEventsSlidingOracle,
+    "q_events_sessions" -> qEventsSessionsOracle,
+    "q_asof_join" -> qAsofJoinOracle
   )
 }
