@@ -423,6 +423,76 @@ object Relational {
     """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
       |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
 
+  /** Pivot: order counts + revenue per priority, spread over the three
+    * order statuses (explicit value list keeps the schema static — the
+    * distributed-safe form; an unlisted pivot would need an extra
+    * distinct pass). Oracle mirrors with conditional aggregation. */
+  def qPivot(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .select(col("o_orderpriority"),
+        coalesce(col("F"), lit(0L)).as("n_f"),
+        coalesce(col("O"), lit(0L)).as("n_o"),
+        coalesce(col("P"), lit(0L)).as("n_p"))
+      .orderBy("o_orderpriority")
+
+  private val qPivotOracle =
+    """SELECT o_orderpriority,
+      |  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+      |  COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+      |  COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** Unpivot (melt): wide numeric lineitem columns to (metric, value)
+    * rows — Dataset.unpivot, mirrored by UNION ALL in the oracle. */
+  def qUnpivot(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_extendedprice"), col("l_tax"))
+      .unpivot(Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_tax")),
+        "metric", "value")
+      .orderBy("l_orderkey", "l_linenumber", "metric")
+
+  private val qUnpivotOracle =
+    """SELECT l_orderkey, l_linenumber, metric, value FROM (
+      |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS value FROM lineitem
+      |  UNION ALL
+      |  SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+      |  UNION ALL
+      |  SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem) t
+      |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin
+
+  /** Range (non-equi) join: bucket order values into literal price
+    * brackets. The bracket table is broadcast, so the non-equi predicate
+    * evaluates as a broadcast nested loop over 4 rows — the right plan
+    * at any fact size. */
+  def qRangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val brackets = s.createDataFrame(Seq(
+      ("budget", 0.0, 50000.0),
+      ("mid", 50000.0, 150000.0),
+      ("premium", 150000.0, 300000.0),
+      ("luxury", 300000.0, 1e9)
+    )).toDF("bracket", "lo", "hi")
+    Tables.orders(s, dir)
+      .join(broadcast(brackets),
+        col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+      .groupBy(col("bracket"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+      .orderBy("bracket")
+  }
+
+  private val qRangeJoinOracle =
+    s"""WITH brackets(bracket, lo, hi) AS (VALUES
+       |  ('budget', 0.0, 50000.0), ('mid', 50000.0, 150000.0),
+       |  ('premium', 150000.0, 300000.0), ('luxury', 300000.0, 1e9))
+       |SELECT bracket, COUNT(*) AS n_orders, ${dsumSql("o_totalprice")} AS revenue
+       |FROM orders JOIN brackets
+       |  ON o_totalprice >= lo AND o_totalprice < hi
+       |GROUP BY bracket ORDER BY bracket""".stripMargin
+
   // ── set ops ───────────────────────────────────────────────────────
 
   /** UNION (distinct) of key sets. */
@@ -475,6 +545,9 @@ object Relational {
     "q_join_anti" -> (qJoinAnti _),
     "q_join_multiway" -> (qJoinMultiway _),
     "q_sql_q3" -> (qSqlQ3 _),
+    "q_pivot" -> (qPivot _),
+    "q_unpivot" -> (qUnpivot _),
+    "q_range_join" -> (qRangeJoin _),
     "q_window_rank" -> (qWindowRank _),
     "q_window_frame" -> (qWindowFrame _),
     "q_window_lag" -> (qWindowLag _),
@@ -500,6 +573,9 @@ object Relational {
     "q_join_anti" -> qJoinAntiOracle,
     "q_join_multiway" -> qJoinMultiwayOracle,
     "q_sql_q3" -> qSqlQ3Oracle,
+    "q_pivot" -> qPivotOracle,
+    "q_unpivot" -> qUnpivotOracle,
+    "q_range_join" -> qRangeJoinOracle,
     "q_window_rank" -> qWindowRankOracle,
     "q_window_frame" -> qWindowFrameOracle,
     "q_window_lag" -> qWindowLagOracle,
