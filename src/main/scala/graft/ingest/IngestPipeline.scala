@@ -139,6 +139,36 @@ object IngestPipeline {
   def writeParquet(df: DataFrame, out: String): Unit =
     df.write.mode("overwrite").option("compression", "zstd").parquet(out)
 
+  /** O16: error accounting. The reference keeps process-global atomics
+    * counting parse failures (analyse.rs:15-23) and prints them at the
+    * end; the distributed equivalent is one aggregation pass counting,
+    * per column, cells that are present (not a null token) yet fail
+    * their typed cast — i.e. genuine conversion errors, distinguished
+    * from legitimate nulls. Runs as a single job over the same scan.
+    */
+  def conversionErrorCounts(raw: DataFrame, schema: StructType): Map[String, Long] = {
+    val counters = schema.fields.toSeq.map { f =>
+      val c = col(f.name)
+      val failed = !NullTokens.isNullToken(c) &&
+        CastKernel.castTo(c, f.dataType, tsUnitOf(f)).isNull
+      sum(when(failed, 1L).otherwise(0L)).as(f.name)
+    }
+    val row = raw.agg(counters.head, counters.tail: _*).collect()(0)
+    schema.fields.zipWithIndex.map { case (f, i) =>
+      f.name -> (if (row.isNullAt(i)) 0L else row.getLong(i))
+    }.toMap
+  }
+
+  /** O12: the reference's deterministic input-ordered single-file output
+    * (BTreeMap reorder buffer, conversion.rs:177-189) — a single-writer
+    * artifact. For strict parity: order by an explicit key and collapse
+    * to one task. The distributed default is writeParquet[Partitioned]
+    * with order-insensitive verification (SURVEY §7.4.4).
+    */
+  def writeParquetSingleOrdered(df: DataFrame, out: String, orderCols: Seq[String]): Unit =
+    df.orderBy(orderCols.map(col): _*).coalesce(1)
+      .write.mode("overwrite").option("compression", "zstd").parquet(out)
+
   /** Hive-style partitioned sink — beyond the reference's single-file
     * writer, this is the 100 TB layout: one directory per partition
     * value enables partition pruning on read, and each task writes its

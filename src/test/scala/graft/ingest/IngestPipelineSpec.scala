@@ -66,6 +66,29 @@ class IngestPipelineSpec extends SparkSpec {
     assert(bad.length == 1 && bad(0).isNullAt(1))
   }
 
+  test("conversion error accounting counts only genuine failures (O16)") {
+    val p = tempCsv("n,d\n1,2024-01-01\nBAD,2024-01-02\nNULL,not-a-date\n4,\n")
+    val raw = IngestPipeline.readRaw(spark, p, ',')
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("n", LongType, true),
+      org.apache.spark.sql.types.StructField("d", DateType, true)))
+    val errs = IngestPipeline.conversionErrorCounts(raw, schema)
+    // BAD fails the long cast; not-a-date fails the date cast;
+    // NULL and empty are null TOKENS, not errors
+    assert(errs == Map("n" -> 1L, "d" -> 1L))
+  }
+
+  test("ordered single-file sink reproduces input order (O12)") {
+    val p = tempCsv("k,v\n3,c\n1,a\n2,b\n")
+    val df = IngestPipeline.convert(spark, p, fullScan = true)
+    val out = Files.createTempDirectory("graft_ordered").toString
+    IngestPipeline.writeParquetSingleOrdered(df, out, Seq("k"))
+    val files = new java.io.File(out).listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(files.length == 1) // single file like the reference's writer
+    val back = spark.read.parquet(out).collect()
+    assert(back.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("timestamp unit vote survives into metadata") {
     val p = tempCsv("t\n2024-01-01 12:00:00.123456789\n2024-01-02 08:00:00.987654321\n")
     val raw = IngestPipeline.readRaw(spark, p, ',')
