@@ -46,6 +46,14 @@ class TimestampMsParseSpec extends SparkSpec {
     }
   }
 
+  test("SQL registration: graft_parse_ts_ms callable from spark.sql") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_parse_ts_ms('1970-01-01 00:00:01') AS a, graft_parse_ts_ms('junk') AS b")
+      .collect()(0)
+    assert(r.getLong(0) == 1000L && r.isNullAt(1))
+  }
+
   test("null propagates") {
     val got = Seq[Option[String]](None, Some("1000000000")).toDF("v")
       .select(Parsers.parseTimestampMs(col("v"))).collect()
