@@ -62,4 +62,40 @@ object Multimodal {
       }
     }
   }
+
+  case class FrameRecord(doc_id: Long, frame_idx: Int, frame_bytes: Array[Byte])
+
+  /** Frame sampling: one output row per every-kth "frame" of the
+    * payload. STUB frame extraction (fixed-size byte slices stand in for
+    * decoded frames); the plumbing — 1→N row explosion that stays on the
+    * partition holding the bytes, no shuffle — is the real pattern. */
+  def sampleFrames(media: Dataset[MediaRecord], frameBytes: Int = 16,
+                   everyK: Int = 4): Dataset[FrameRecord] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        val nFrames = math.max(1, r.media.length / frameBytes)
+        (0 until nFrames by everyK).iterator.map { i =>
+          FrameRecord(r.doc_id, i,
+            r.media.slice(i * frameBytes, math.min((i + 1) * frameBytes, r.media.length)))
+        }
+      }
+    }
+  }
+
+  /** "Resize": deterministic stub downsampling of the payload (every
+    * stride-th byte) standing in for an image resize kernel, keeping the
+    * metadata consistent with the new size. */
+  def resizeStub(media: Dataset[MediaRecord], stride: Int = 4): Dataset[MediaRecord] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        val out = r.media.indices.collect { case i if i % stride == 0 => r.media(i) }.toArray
+        r.copy(media = out, width = math.max(1, r.width / stride),
+          height = math.max(1, r.height / stride))
+      }
+    }
+  }
 }

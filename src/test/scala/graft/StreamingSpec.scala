@@ -75,6 +75,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup and stream-static dim join") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream3").toString
+    // duplicate every event once → dropDuplicates must halve it
+    val evs = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("value"))
+    evs.union(evs).write.mode("overwrite").parquet(dir)
+    val dim = Tables.customer(spark, sf)
+      .select(col("c_custkey"), col("c_mktsegment"))
+
+    val q = spark.readStream
+      .schema("event_id LONG, user_id LONG, value DOUBLE")
+      .parquet(dir)
+      .dropDuplicates("event_id")
+      .join(dim, col("user_id") === col("c_custkey")) // stream-static join
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("dedup_join_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("dedup_join_out").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val batch = evs.dropDuplicates("event_id")
+        .join(dim, col("user_id") === col("c_custkey"))
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(streamed == batch && streamed.values.sum == evs.count())
+    } finally q.stop()
+  }
+
   test("session split core handles gaps and singletons") {
     val gap = Sessionize.DefaultGapUs
     val out = Sessionize.split(1L, Seq(0L, 10L, gap + 20L, gap + 30L, 3 * gap + 100L), gap)
