@@ -139,21 +139,23 @@ object Dedup {
   /** 64-bit SimHash per doc: sign of per-bit ±1 sums over word hashes
     * (frequency-weighted — repeated tokens keep their weight, which is
     * what makes the signature stable under single-word edits),
-    * computed without UDFs via a doc×bit explode + two aggregations.
-    * Pairs are candidates when any 16-bit quarter matches (banding), then
-    * filtered by Hamming distance ≤ 12 (bit_count of xor). Two shuffles
-    * total (doc×bit agg, band equi-join) — no O(n²). */
+    * computed without UDFs as ONE aggregation with 64 bit-sum columns —
+    * no doc×bit row explosion, one shuffle keyed by doc, partial
+    * aggregation does the heavy lifting map-side. Pairs are candidates
+    * when any 16-bit quarter matches (banding), then filtered by
+    * Hamming distance ≤ 12 (bit_count of xor). */
   def qDedupSimhash(s: SparkSession, dir: String): DataFrame = {
     val words = Tables.documents(s, dir)
       .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
       .withColumn("h", xxhash64(col("tok")))
+    val bitAggs = (0 until 64).map(k =>
+      sum(expr(s"((h >> $k) & 1) * 2 - 1")).as(s"b$k"))
     val simhash = words
-      .select(col("doc_id"), explode(sequence(lit(0), lit(63))).as("k"), col("h"))
-      .groupBy(col("doc_id"), col("k"))
-      .agg(sum(expr("(h >> k) & 1") * 2 - 1).as("bit_sum"))
       .groupBy(col("doc_id"))
-      .agg(sum(when(col("bit_sum") > 0, expr("shiftleft(1L, CAST(k AS INT))"))
-        .otherwise(0L)).as("simhash"))
+      .agg(bitAggs.head, bitAggs.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(k =>
+          when(col(s"b$k") > 0, lit(1L << k)).otherwise(0L)).reduce(_ + _).as("simhash"))
     val banded = simhash.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(i =>
         expr(s"(simhash >> ${i * 16}) & 65535")): _*)).as(Seq("band", "bucket")))
