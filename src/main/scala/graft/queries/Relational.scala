@@ -304,6 +304,29 @@ object Relational {
       |ORDER BY revenue DESC, l_orderkey
       |LIMIT 10""".stripMargin
 
+  /** Correlated scalar subquery — Catalyst decorrelates it into a left
+    * outer aggregate join (no per-row re-execution; the same plan shape
+    * at any scale). */
+  def qSubqueryScalar(s: SparkSession, dir: String): DataFrame = {
+    Tables.customer(s, dir).createOrReplaceTempView("v_customer_sq")
+    Tables.orders(s, dir).createOrReplaceTempView("v_orders_sq")
+    s.sql(
+      """SELECT c_custkey, c_mktsegment,
+        |  (SELECT MAX(o_totalprice) FROM v_orders_sq WHERE o_custkey = c_custkey) AS max_order,
+        |  (SELECT COUNT(*) FROM v_orders_sq WHERE o_custkey = c_custkey
+        |     AND o_orderpriority LIKE '1-%') AS n_urgent
+        |FROM v_customer_sq
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  private val qSubqueryScalarOracle =
+    """SELECT c_custkey, c_mktsegment,
+      |  (SELECT MAX(o_totalprice) FROM orders WHERE o_custkey = c_custkey) AS max_order,
+      |  (SELECT COUNT(*) FROM orders WHERE o_custkey = c_custkey
+      |     AND o_orderpriority LIKE '1-%') AS n_urgent
+      |FROM customer
+      |ORDER BY c_custkey""".stripMargin
+
   // ── window family ─────────────────────────────────────────────────
 
   /** Top-3 orders per customer by price (unique tiebreak on orderkey). */
@@ -548,6 +571,7 @@ object Relational {
     "q_pivot" -> (qPivot _),
     "q_unpivot" -> (qUnpivot _),
     "q_range_join" -> (qRangeJoin _),
+    "q_subquery_scalar" -> (qSubqueryScalar _),
     "q_window_rank" -> (qWindowRank _),
     "q_window_frame" -> (qWindowFrame _),
     "q_window_lag" -> (qWindowLag _),
@@ -576,6 +600,7 @@ object Relational {
     "q_pivot" -> qPivotOracle,
     "q_unpivot" -> qUnpivotOracle,
     "q_range_join" -> qRangeJoinOracle,
+    "q_subquery_scalar" -> qSubqueryScalarOracle,
     "q_window_rank" -> qWindowRankOracle,
     "q_window_frame" -> qWindowFrameOracle,
     "q_window_lag" -> qWindowLagOracle,
