@@ -15,5 +15,7 @@ object GraftFunctions {
   def register(spark: SparkSession): Unit = {
     FunctionBridge.register(spark, "graft_parse_ts_ms",
       exprs => TimestampMsParse(exprs.head))
+    FunctionBridge.register(spark, "graft_parse_date_ymd",
+      exprs => DateYmdParse(exprs.head))
   }
 }

@@ -30,8 +30,10 @@ object Parsers {
        |  ELSE NULL END)""".stripMargin
 
   /** 3-format date parse; coalesce order preserves day-first priority
-    * (utils.rs:67-79: %Y-%m-%d, then %d/%m/%Y, then %m/%d/%Y). */
-  def parseDateYmd(c: Column): Column = {
+    * (utils.rs:67-79: %Y-%m-%d, then %d/%m/%Y, then %m/%d/%Y). Built-in
+    * composition kept for reference; the default path is the fused
+    * native expression below. */
+  def parseDateYmdChain(c: Column): Column = {
     val t = trim(c)
     coalesce(
       try_to_timestamp(t, lit("yyyy-MM-dd")),
@@ -39,6 +41,10 @@ object Parsers {
       try_to_timestamp(t, lit("MM/dd/yyyy"))
     ).cast(DateType)
   }
+
+  /** Fused single-expression date parse (graft.functions.DateYmdParse). */
+  def parseDateYmd(c: Column): Column =
+    graft.functions.DateYmdParse.parseDateYmd(trim(c))
 
   def parseDateYmdSql(e: String): String =
     s"""COALESCE(

@@ -98,6 +98,11 @@ object ScalarParse {
     }
   }
 
+  /** Codegen-friendly variant of [[parseDateYmd]]: Int.MinValue is the
+    * null sentinel (epoch-day range is ±~11.8M days — unreachable). */
+  def parseDateYmdOrMin(v: String): Int =
+    parseDateYmd(v).getOrElse(Int.MinValue)
+
   /** Codegen-friendly variant of [[parseTimestampMs]]: Long.MinValue is
     * the null sentinel (unreachable as a real epoch-ms — the text
     * formats bottom out around year 0 and the epoch ranges are ≥ 1e12).

@@ -54,6 +54,24 @@ class TimestampMsParseSpec extends SparkSpec {
     assert(r.getLong(0) == 1000L && r.isNullAt(1))
   }
 
+  test("fused date parse agrees with ScalarParse on all edges (both eval modes)") {
+    val dateCases = Seq("1970-01-01", "02/01/1970", "13/01/1970", "01/13/1970",
+      "2024-02-30", "2024-02-29", "invalid", "", " 2024-01-01 ", "31/12/1999")
+    def run(): Seq[Any] = dateCases.toDF("v")
+      .select(Parsers.parseDateYmd(col("v")).as("d")).collect()
+      .map(r => if (r.isNullAt(0)) null else r.getDate(0).toLocalDate.toEpochDay.toInt).toSeq
+    val want = dateCases.map(v =>
+      graft.ingest.ScalarParse.parseDateYmd(v).map(Int.box).orNull)
+    assert(run().map(x => if (x == null) null else Int.box(x.asInstanceOf[Int])) == want)
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try assert(run().map(x => if (x == null) null else Int.box(x.asInstanceOf[Int])) == want)
+    finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
   test("null propagates") {
     val got = Seq[Option[String]](None, Some("1000000000")).toDF("v")
       .select(Parsers.parseTimestampMs(col("v"))).collect()
