@@ -135,6 +135,27 @@ object IngestPipeline {
     applySchema(raw, inferSchema(raw, fullScan))
   }
 
+  /** Streaming form of the pipeline (beyond the reference, which fully
+    * buffers even stdin — main.rs:102-120): schema is inferred ONCE from
+    * the files already present (streams can't be sampled retroactively),
+    * then new files arriving in the directory flow through the same cast
+    * kernels continuously. Pair with `writeStream.format("parquet")` +
+    * checkpointing for an incremental tabular→parquet ingest service. */
+  def convertStream(spark: SparkSession, path: String,
+                    delimiter: Option[Char] = None): DataFrame = {
+    val d = delimiter.getOrElse(detectDelimiter(spark, path))
+    val schema = inferSchema(readRaw(spark, path, d), fullScan = false)
+    val allString = StructType(schema.fields.map(f =>
+      StructField(f.name, org.apache.spark.sql.types.StringType, nullable = true)))
+    val rawStream = spark.readStream
+      .option("header", "true")
+      .option("sep", d.toString)
+      .option("mode", "PERMISSIVE")
+      .schema(allString)
+      .csv(path)
+    applySchema(rawStream, schema)
+  }
+
   /** O13: ZSTD parquet sink (reference: ZSTD level 5, conversion.rs:167). */
   def writeParquet(df: DataFrame, out: String): Unit =
     df.write.mode("overwrite").option("compression", "zstd").parquet(out)

@@ -104,6 +104,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming ingest: late-arriving TSV files flow through the cast kernels") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_ingest")
+    java.nio.file.Files.writeString(dir.resolve("part1.tsv"),
+      "n\td\n1\t2024-01-01\n2\t2024-01-02\n")
+    val typed = graft.ingest.IngestPipeline.convertStream(spark, dir.toString)
+    assert(typed.isStreaming)
+    assert(typed.schema.map(_.dataType) == Seq(LongType, DateType))
+    val q = typed.writeStream.outputMode("append")
+      .format("memory").queryName("ingest_stream_out").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("ingest_stream_out").count() == 2)
+      // a file that arrives later is picked up and typed the same way
+      java.nio.file.Files.writeString(dir.resolve("part2.tsv"),
+        "n\td\nBAD\tnot-a-date\n4\t2024-01-04\n")
+      q.processAllAvailable()
+      val rows = spark.table("ingest_stream_out").orderBy("n").collect()
+      assert(rows.length == 4)
+      assert(rows.count(_.isNullAt(0)) == 1) // BAD → null, never an error
+      assert(rows.map(r => if (r.isNullAt(0)) -1 else r.getLong(0)).toSet == Set(-1, 1, 2, 4))
+    } finally q.stop()
+  }
+
   test("session split core handles gaps and singletons") {
     val gap = Sessionize.DefaultGapUs
     val out = Sessionize.split(1L, Seq(0L, 10L, gap + 20L, gap + 30L, 3 * gap + 100L), gap)
