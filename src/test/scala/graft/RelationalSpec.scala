@@ -24,6 +24,16 @@ class RelationalSpec extends SparkSpec {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
 
+  test("no query id collides across family registries (Map ++ overrides silently)") {
+    import graft.queries._
+    val families = Seq(Relational.queries, Funcs.queries, Events.queries,
+      TextAnalysis.queries, Dedup.queries, Similarity.queries,
+      Extensions.queries, Ingest.queries)
+    val total = families.map(_.size).sum
+    assert(SparkEntry.queries.size == total,
+      s"registry collision: merged=${SparkEntry.queries.size} sum=$total")
+  }
+
   test("approx_count_distinct stays within 5% of exact") {
     Relational.qAggApprox(spark, sf).collect().foreach { r =>
       val (approx, exact) = (r.getLong(1), r.getLong(2))
