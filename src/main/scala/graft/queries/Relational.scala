@@ -151,6 +151,74 @@ object Relational {
        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
        |ORDER BY st, pri""".stripMargin
 
+  /** Statistical moments without float-order nondeterminism: stddev and
+    * correlation computed from EXACT decimal power sums (Sx, Sxx, Sxy),
+    * combined in double by the closed-form formulas — the distributed
+    * merge order can't perturb an exact sum, so both engines agree
+    * bit-for-bit. (Built-in stddev/corr use Welford-style merges whose
+    * float error depends on partitioning — unusable for hash compare.) */
+  def qAggStats(s: SparkSession, dir: String): DataFrame = {
+    val q = money(col("l_quantity"))
+    val p = money(col("l_extendedprice"))
+    val n = count(lit(1)).cast(DoubleType)
+    val sq = sum(q).cast(DoubleType)
+    val sp = sum(p).cast(DoubleType)
+    val sqq = sum(q * q).cast(DoubleType)
+    val spp = sum(p * p).cast(DoubleType)
+    val sqp = sum(q * p).cast(DoubleType)
+    val varQ = (sqq - sq * sq / n) / (n - 1)
+    val varP = (spp - sp * sp / n) / (n - 1)
+    val covQP = (sqp - sq * sp / n) / (n - 1)
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(round(sqrt(varQ), 6).as("stddev_qty"),
+        round(sqrt(varP), 4).as("stddev_price"),
+        round(covQP / (sqrt(varQ) * sqrt(varP)), 6).as("corr_qty_price"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+  }
+
+  private val qAggStatsOracle = {
+    val q = moneySql("l_quantity")
+    val p = moneySql("l_extendedprice")
+    val n = "CAST(COUNT(*) AS DOUBLE)"
+    val sq = s"CAST(SUM($q) AS DOUBLE)"
+    val sp = s"CAST(SUM($p) AS DOUBLE)"
+    val sqq = s"CAST(SUM($q * $q) AS DOUBLE)"
+    val spp = s"CAST(SUM($p * $p) AS DOUBLE)"
+    val sqp = s"CAST(SUM($q * $p) AS DOUBLE)"
+    val varQ = s"(($sqq - $sq * $sq / $n) / ($n - 1))"
+    val varP = s"(($spp - $sp * $sp / $n) / ($n - 1))"
+    val covQP = s"(($sqp - $sq * $sp / $n) / ($n - 1))"
+    s"""SELECT l_returnflag,
+       |  round(sqrt($varQ), 6) AS stddev_qty,
+       |  round(sqrt($varP), 4) AS stddev_price,
+       |  round($covQP / (sqrt($varQ) * sqrt($varP)), 6) AS corr_qty_price,
+       |  COUNT(*) AS n
+       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+  }
+
+  /** Exact percentiles (type-7 linear interpolation — Spark `percentile`
+    * and DuckDB `quantile_cont` produce bit-identical doubles). Exact
+    * percentile sorts within each group; at 100 TB prefer
+    * approx_percentile (t-digest) — exact is the verification form. */
+  def qAggPercentile(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_extendedprice, 0.5)").as("median_price"),
+        expr("percentile(l_extendedprice, 0.9)").as("p90_price"),
+        expr("percentile(l_quantity, 0.25)").as("q1_qty"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
+  private val qAggPercentileOracle =
+    """SELECT l_returnflag,
+      |  quantile_cont(l_extendedprice, 0.5) AS median_price,
+      |  quantile_cont(l_extendedprice, 0.9) AS p90_price,
+      |  quantile_cont(l_quantity, 0.25) AS q1_qty,
+      |  COUNT(*) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   /** Explicit grouping sets: by flag, by status, and grand total. */
   def qGroupingSets(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
@@ -560,6 +628,8 @@ object Relational {
     "q_agg_group" -> (qAggGroup _),
     "q_agg_distinct" -> (qAggDistinct _),
     "q_agg_rollup" -> (qAggRollup _),
+    "q_agg_stats" -> (qAggStats _),
+    "q_agg_percentile" -> (qAggPercentile _),
     "q_agg_cube" -> (qAggCube _),
     "q_grouping_sets" -> (qGroupingSets _),
     "q_join_inner" -> (qJoinInner _),
@@ -589,6 +659,8 @@ object Relational {
     "q_agg_group" -> qAggGroupOracle,
     "q_agg_distinct" -> qAggDistinctOracle,
     "q_agg_rollup" -> qAggRollupOracle,
+    "q_agg_stats" -> qAggStatsOracle,
+    "q_agg_percentile" -> qAggPercentileOracle,
     "q_agg_cube" -> qAggCubeOracle,
     "q_grouping_sets" -> qGroupingSetsOracle,
     "q_join_inner" -> qJoinInnerOracle,
