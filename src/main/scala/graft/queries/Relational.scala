@@ -301,6 +301,36 @@ object Relational {
       |  AND o_orderdate >= TIMESTAMP '2000-01-01')
       |ORDER BY c_custkey""".stripMargin
 
+  /** FULL OUTER join: recent big spenders vs the premium-segment
+    * customer list — each side keeps its exclusives with nulls on the
+    * other. (Full outer can't broadcast either side; it shuffles both —
+    * the correct plan at any scale.) */
+  def qJoinFull(s: SparkSession, dir: String): DataFrame = {
+    val spenders = Tables.orders(s, dir)
+      .filter(col("o_totalprice") > 250000.0)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_big_orders"))
+    val premium = Tables.customer(s, dir)
+      .filter(col("c_acctbal") > 8000.0)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    spenders.join(premium, col("o_custkey") === col("c_custkey"), "full_outer")
+      .select(coalesce(col("o_custkey"), col("c_custkey")).as("custkey"),
+        coalesce(col("n_big_orders"), lit(0L)).as("n_big_orders"),
+        coalesce(col("c_mktsegment"), lit("(none)")).as("segment"))
+      .orderBy("custkey")
+  }
+
+  private val qJoinFullOracle =
+    """SELECT COALESCE(o_custkey, c_custkey) AS custkey,
+      |  COALESCE(n_big_orders, 0) AS n_big_orders,
+      |  COALESCE(c_mktsegment, '(none)') AS segment
+      |FROM (SELECT o_custkey, COUNT(*) AS n_big_orders FROM orders
+      |      WHERE o_totalprice > 250000.0 GROUP BY o_custkey) s
+      |FULL JOIN (SELECT c_custkey, c_mktsegment FROM customer
+      |           WHERE c_acctbal > 8000.0) p
+      |  ON o_custkey = c_custkey
+      |ORDER BY custkey""".stripMargin
+
   /** TPC-H Q5-like 5-way join. region/nation are broadcast explicitly
     * (dim tables stay tiny at any fact scale); customer⋈orders⋈lineitem
     * shuffle on their keys. */
@@ -636,6 +666,7 @@ object Relational {
     "q_join_left" -> (qJoinLeft _),
     "q_join_semi" -> (qJoinSemi _),
     "q_join_anti" -> (qJoinAnti _),
+    "q_join_full" -> (qJoinFull _),
     "q_join_multiway" -> (qJoinMultiway _),
     "q_sql_q3" -> (qSqlQ3 _),
     "q_pivot" -> (qPivot _),
@@ -667,6 +698,7 @@ object Relational {
     "q_join_left" -> qJoinLeftOracle,
     "q_join_semi" -> qJoinSemiOracle,
     "q_join_anti" -> qJoinAntiOracle,
+    "q_join_full" -> qJoinFullOracle,
     "q_join_multiway" -> qJoinMultiwayOracle,
     "q_sql_q3" -> qSqlQ3Oracle,
     "q_pivot" -> qPivotOracle,
