@@ -27,12 +27,18 @@ object Tables {
     * and a µs-truncated `ts_ts` TimestampType column.
     */
   def events(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Set at session build in Verify/Bench/tests; this guard only covers
+    // externally-supplied sessions (the driver's entry() contract) and
+    // never mutates a session that is already configured.
+    if (!s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // `ts div 1000`, not `/ 1000`: Spark's `/` is double division and
+    // ns-magnitude longs (~1e18) exceed double's 2^53 exact range — the
+    // rounded quotient can differ ±1 µs from exact truncation.
     t(s, dir, "events").withColumn(
       "ts_ts",
       org.apache.spark.sql.functions.timestamp_micros(
-        (org.apache.spark.sql.functions.col("ts") / 1000)
-          .cast(org.apache.spark.sql.types.LongType)))
+        org.apache.spark.sql.functions.expr("ts div 1000")))
   }
   def documents(s: SparkSession, dir: String): DataFrame = t(s, dir, "documents")
   def embeddings(s: SparkSession, dir: String): DataFrame = t(s, dir, "embeddings")

@@ -40,41 +40,33 @@ object VectorOps {
   def normalizedSql(a: String): String =
     s"list_transform($a, x -> CAST(x AS DOUBLE) / sqrt(${dotSql(a, a)}))"
 
-  /** All-pairs cosine above a threshold via a broadcast block
-    * nested-loop: the (bounded) right side ships to every task once and
-    * the left side streams per-partition through primitive-array loops.
-    * Higher-order-function folds evaluate interpreted per element
-    * (~µs/pair); this path runs the identical arithmetic — normalize
-    * then ascending-index dot, bit-for-bit the list_reduce order — at
-    * memory bandwidth. At scale the left side stays fully distributed;
-    * only the broadcast side must fit an executor (tile it beyond that).
+  /** Random-hyperplane LSH band keys for a vector column, as an array of
+    * `(band, bucket)` structs ready for `posexplode`. Each of `bands`
+    * buckets hashes the signs of `bits` fixed hyperplane projections
+    * (seeded Gaussian literals — plan constants, not data). Two vectors
+    * with cosine c agree on one sign bit with p = 1 − acos(c)/π, so a
+    * whole band matches with p^bits and at least one of the `bands`
+    * bands with 1 − (1 − p^bits)^bands: at the defaults (16 bands × 10
+    * bits) a 0.95-cosine pair is missed with prob ≈ 1.2e-3 while a
+    * random (c≈0) pair collides with prob ≈ 1.6% — the knobs trade
+    * recall against candidate volume. The band key is the ONLY join key
+    * downstream, so candidate generation is one equi-join shuffle — no
+    * all-pairs, no driver materialization.
     */
-  def pairwiseCosinePairs(vecs: org.apache.spark.sql.Dataset[(Long, Array[Float])],
-                          threshold: Double): org.apache.spark.sql.DataFrame = {
-    val spark = vecs.sparkSession
-    import spark.implicits._
-    def norm(a: Array[Float]): Array[Double] = {
-      var s = 0.0; var i = 0
-      while (i < a.length) { s += a(i).toDouble * a(i).toDouble; i += 1 }
-      val n = math.sqrt(s)
-      val out = new Array[Double](a.length)
-      i = 0
-      while (i < a.length) { out(i) = a(i).toDouble / n; i += 1 }
-      out
+  def lshBandBuckets(vec: Column, dims: Int, bands: Int = 16,
+                     bits: Int = 10, seed: Long = 97): Column = {
+    val rng = new scala.util.Random(seed)
+    val planes = Seq.fill(bands * bits)(Array.fill(dims)(rng.nextGaussian()))
+    val bandCols = (0 until bands).map { b =>
+      val bucket = (0 until bits).map { k =>
+        val proj = aggregate(
+          zip_with(vec, lit(planes(b * bits + k)), (x, w) => x.cast(DoubleType) * w),
+          lit(0.0), (acc, x) => acc + x)
+        when(proj > 0, lit(1L << k)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      struct(lit(b).as("band"), bucket.as("bucket"))
     }
-    val right = spark.sparkContext.broadcast(
-      vecs.collect().sortBy(_._1).map { case (id, v) => (id, norm(v)) })
-    vecs.mapPartitions { it =>
-      val r = right.value
-      it.flatMap { case (aId, aRaw) =>
-        val a = norm(aRaw)
-        r.iterator.filter(_._1 > aId).flatMap { case (bId, b) =>
-          var s = 0.0; var i = 0
-          while (i < a.length) { s += a(i) * b(i); i += 1 }
-          if (s >= threshold) Some((aId, bId, s)) else None
-        }
-      }
-    }.toDF("a_id", "b_id", "cosine")
+    array(bandCols: _*)
   }
 
   def dotDSql(a: String, b: String): String =

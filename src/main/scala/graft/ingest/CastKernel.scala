@@ -76,10 +76,14 @@ object CastKernel {
   /** Binary/LargeBinary: UTF-8 bytes of the string (analyse.rs:276-298). */
   def toBinary(c: Column): Column = NullTokens.normalize(c).cast(BinaryType)
 
-  /** Cast an all-string column to the inferred Spark type. */
-  def castTo(c: Column, dt: DataType, tsUnit: ScalarParse.TsUnit = ScalarParse.TsMilli): Column =
+  /** Cast an all-string column to the inferred Spark type. `unsigned`
+    * (from the `graft.unsigned` field metadata) routes LongType through
+    * the u64 kernel, which nulls negatives like the reference. */
+  def castTo(c: Column, dt: DataType, tsUnit: ScalarParse.TsUnit = ScalarParse.TsMilli,
+             unsigned: Boolean = false): Column =
     dt match {
       case BooleanType => toBoolean(c)
+      case LongType if unsigned => toUnsignedLong(c)
       case LongType => toLong(c)
       case d: DecimalType if d.scale == 0 => toUnsignedDecimal(c)
       case DoubleType => toDouble(c)

@@ -100,14 +100,21 @@ object IngestPipeline {
     val stats = inferStats(raw, fullScan)
     StructType(raw.columns.zip(stats).map { case (name, st) =>
       val dt = TypeDecision.decide(st)
-      val md = if (dt == TimestampNTZType)
-        new MetadataBuilder()
-          .putString("graft.timestampUnit", TypeDecision.timestampUnit(st).toString)
-          .build()
-      else Metadata.empty
-      StructField(name, dt, nullable = true, md)
+      val mdb = new MetadataBuilder()
+      if (dt == TimestampNTZType)
+        mdb.putString("graft.timestampUnit", TypeDecision.timestampUnit(st).toString)
+      // Spark collapses reference-UInt64 → LongType, which would silently
+      // route conversion through the signed kernel (keeping negatives the
+      // reference's u64 parse nulls, analyse.rs:146-162). Carry the
+      // unsignedness as field metadata so castTo picks toUnsignedLong.
+      if (dt == LongType && TypeDecision.decideRef(st) == "UInt64")
+        mdb.putBoolean("graft.unsigned", true)
+      StructField(name, dt, nullable = true, mdb.build())
     })
   }
+
+  private def isUnsigned(f: StructField): Boolean =
+    f.metadata.contains("graft.unsigned") && f.metadata.getBoolean("graft.unsigned")
 
   private def tsUnitOf(f: StructField): ScalarParse.TsUnit =
     if (f.metadata.contains("graft.timestampUnit"))
@@ -122,7 +129,7 @@ object IngestPipeline {
   /** O10/O11: typed conversion — one projection of cast expressions. */
   def applySchema(raw: DataFrame, schema: StructType): DataFrame = {
     val casts: Seq[Column] = schema.fields.toSeq.map { f =>
-      CastKernel.castTo(col(f.name), f.dataType, tsUnitOf(f)).as(f.name)
+      CastKernel.castTo(col(f.name), f.dataType, tsUnitOf(f), isUnsigned(f)).as(f.name)
     }
     raw.select(casts: _*)
   }
@@ -156,9 +163,25 @@ object IngestPipeline {
     applySchema(rawStream, schema)
   }
 
+  /** O9: the reference's adaptive block sizing (conversion.rs:52-58) —
+    * 250k rows for narrow tables, 150k to 50 columns, 5k beyond — reused
+    * here as the parquet row-group row limit, its closest durable
+    * artifact (the reference sets max_row_group_size = block size,
+    * conversion.rs:169). */
+  def rowGroupRows(nCols: Int): Int =
+    if (nCols <= 20) 250000 else if (nCols <= 50) 150000 else 5000
+
+  /** O13 writer properties: ZSTD level 5 + row-group rows = block size
+    * (conversion.rs:167-170). Passed as per-write options — Spark merges
+    * them into the job's Hadoop conf, so no session/global mutation. */
+  def writerOptions(nCols: Int): Map[String, String] = Map(
+    "compression" -> "zstd",
+    "parquet.compression.codec.zstd.level" -> "5",
+    "parquet.block.row.count.limit" -> rowGroupRows(nCols).toString)
+
   /** O13: ZSTD parquet sink (reference: ZSTD level 5, conversion.rs:167). */
   def writeParquet(df: DataFrame, out: String): Unit =
-    df.write.mode("overwrite").option("compression", "zstd").parquet(out)
+    df.write.mode("overwrite").options(writerOptions(df.columns.length)).parquet(out)
 
   /** O16: error accounting. The reference keeps process-global atomics
     * counting parse failures (analyse.rs:15-23) and prints them at the
@@ -171,7 +194,7 @@ object IngestPipeline {
     val counters = schema.fields.toSeq.map { f =>
       val c = col(f.name)
       val failed = !NullTokens.isNullToken(c) &&
-        CastKernel.castTo(c, f.dataType, tsUnitOf(f)).isNull
+        CastKernel.castTo(c, f.dataType, tsUnitOf(f), isUnsigned(f)).isNull
       sum(when(failed, 1L).otherwise(0L)).as(f.name)
     }
     val row = raw.agg(counters.head, counters.tail: _*).collect()(0)
@@ -188,13 +211,13 @@ object IngestPipeline {
     */
   def writeParquetSingleOrdered(df: DataFrame, out: String, orderCols: Seq[String]): Unit =
     df.orderBy(orderCols.map(col): _*).coalesce(1)
-      .write.mode("overwrite").option("compression", "zstd").parquet(out)
+      .write.mode("overwrite").options(writerOptions(df.columns.length)).parquet(out)
 
   /** Hive-style partitioned sink — beyond the reference's single-file
     * writer, this is the 100 TB layout: one directory per partition
     * value enables partition pruning on read, and each task writes its
     * own file (no single-writer bottleneck, no reorder buffer). */
   def writeParquetPartitioned(df: DataFrame, out: String, cols: Seq[String]): Unit =
-    df.write.mode("overwrite").option("compression", "zstd")
+    df.write.mode("overwrite").options(writerOptions(df.columns.length))
       .partitionBy(cols: _*).parquet(out)
 }

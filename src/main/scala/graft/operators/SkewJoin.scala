@@ -24,6 +24,13 @@ object SkewJoin {
                  joinKeys: Seq[(String, String)], saltSource: Column,
                  salts: Int, joinType: String = "inner"): DataFrame = {
     require(salts > 0)
+    // The small side is REPLICATED per salt: join types that emit
+    // unmatched small-side rows (right/full outer) would emit each such
+    // row `salts` times. Only big-side-preserving types are sound here.
+    val okTypes = Set("inner", "left", "left_outer", "leftouter",
+      "left_semi", "leftsemi", "semi", "left_anti", "leftanti", "anti", "cross")
+    require(okTypes.contains(joinType.toLowerCase.replace(" ", "")),
+      s"saltedJoin: joinType '$joinType' would duplicate unmatched replicated rows")
     val salted = bigSkewed.withColumn("_graft_salt", pmod(hash(saltSource), lit(salts)))
     val replicated = small.withColumn("_graft_salt",
       explode(sequence(lit(0), lit(salts - 1))))

@@ -171,19 +171,33 @@ object Dedup {
 
   // ── embedding-cosine near-dup (oracle) ────────────────────────────
 
-  /** Near-duplicate vectors by exact cosine ≥ 0.95 over ALL pairs, via
-    * the broadcast block nested-loop in VectorOps (primitive-array dot
-    * at memory bandwidth, identical fold order to the oracle's
-    * list_reduce). The left side stays distributed; the broadcast side
-    * is the corpus' vector column only (embeddings ship compactly — at
-    * true 100 TB scale, tile the broadcast or use q_ann_lsh bucketing
-    * first). */
+  /** Near-duplicate vectors by exact cosine ≥ 0.95, with candidates from
+    * random-hyperplane LSH band buckets (VectorOps.lshBandBuckets): the
+    * (band, bucket) key is the only join key, so candidate generation is
+    * one equi-join shuffle — no all-pairs scan, no driver collect. Exact
+    * cosine (the oracle's sequential list_reduce fold over normalized
+    * vectors, bit-identical) then keeps only true pairs, so false
+    * candidates never reach the output; a missed 0.95-pair has prob
+    * ≈ 1.2e-3 at 16 bands × 10 bits (DedupSpec checks recall against the
+    * brute-force ground truth). At 100 TB everything here scales: sign
+    * projections are map-side, buckets bound the candidate set. */
   def qDedupEmbed(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val vecs = Tables.embeddings(s, dir)
-      .select(col("vec_id"), col("embedding"))
-      .as[(Long, Array[Float])]
-    VectorOps.pairwiseCosinePairs(vecs, 0.95)
+    val base = Tables.embeddings(s, dir)
+      .select(col("vec_id"), VectorOps.normalized(col("embedding")).as("nvec"))
+    // sign bits are scale-invariant: bucket on the raw-normalized vector
+    val sigs = base.select(col("vec_id"),
+      inline(VectorOps.lshBandBuckets(col("nvec"), dims = 64)))
+    val cand = sigs.as("x").join(sigs.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
+      .distinct()
+    cand
+      .join(base.select(col("vec_id").as("a_id"), col("nvec").as("a_nvec")), "a_id")
+      .join(base.select(col("vec_id").as("b_id"), col("nvec").as("b_nvec")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        VectorOps.dotD(col("a_nvec"), col("b_nvec")).as("cosine"))
+      .filter(col("cosine") >= 0.95)
       .orderBy("a_id", "b_id")
   }
 

@@ -259,14 +259,19 @@ object Funcs {
 
   // "+ 0.0" canonicalizes signed zero: Spark's round collapses -1e-5 to
   // 0.0 while DuckDB keeps -0.0 — adding positive zero maps both to 0.0.
+  // head3 keeps the slice/transform array coverage but ships as a string:
+  // the driver's pandas hash compare can't factorize raw array cells, and
+  // DECIMAL(10,4) formatting is fixed-scale on both engines (double→string
+  // shortest-repr conventions differ, e.g. Java "1.0E-4" vs Ryu "0.0001").
   def qArrayFuncs(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir).select(
       col("vec_id"),
       size(col("embedding")).cast(LongType).as("n_dims"),
       (round(element_at(col("embedding"), 1).cast(DoubleType), 4) + 0.0).as("first_val"),
       (round(element_at(col("embedding"), -1).cast(DoubleType), 4) + 0.0).as("last_val"),
-      transform(slice(col("embedding"), 1, 3),
-        x => round(x.cast(DoubleType), 4) + 0.0).as("head3"))
+      concat_ws(",", transform(slice(col("embedding"), 1, 3),
+        x => (round(x.cast(DoubleType), 4) + 0.0)
+          .cast("decimal(10,4)").cast("string"))).as("head3"))
       .orderBy("vec_id")
 
   private val qArrayFuncsOracle =
@@ -274,7 +279,8 @@ object Funcs {
       |  CAST(len(embedding) AS BIGINT) AS n_dims,
       |  round(CAST(embedding[1] AS DOUBLE), 4) + 0.0 AS first_val,
       |  round(CAST(embedding[-1] AS DOUBLE), 4) + 0.0 AS last_val,
-      |  list_transform(embedding[1:3], x -> round(CAST(x AS DOUBLE), 4) + 0.0) AS head3
+      |  array_to_string(list_transform(embedding[1:3],
+      |    x -> CAST(CAST(round(CAST(x AS DOUBLE), 4) + 0.0 AS DECIMAL(10,4)) AS VARCHAR)), ',') AS head3
       |FROM embeddings ORDER BY vec_id""".stripMargin
 
   // ── registry ──────────────────────────────────────────────────────

@@ -19,8 +19,11 @@ import graft.ingest.IngestPipeline
 object Ingest {
 
   def qIngestTyped(s: SparkSession, dir: String): DataFrame = {
+    // key the staging dir on the sanitized path itself — hashCode could
+    // collide across distinct sf dirs and silently reuse the wrong TSV
+    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
     val tsvDir = new java.io.File(
-      sys.props("java.io.tmpdir"), s"graft_ingest_tsv_${dir.hashCode.abs}").toString
+      sys.props("java.io.tmpdir"), s"graft_ingest_tsv_$key").toString
     // stage the TSV once per sf dir — materializing the input is test
     // harness work, not part of the conversion pipeline being measured
     if (!new java.io.File(tsvDir, "_SUCCESS").exists()) {
