@@ -171,22 +171,32 @@ object Dedup {
 
   // ── embedding-cosine near-dup (oracle) ────────────────────────────
 
-  /** Near-duplicate vectors by exact cosine ≥ 0.95, with candidates from
-    * random-hyperplane LSH band buckets (VectorOps.lshBandBuckets): the
-    * (band, bucket) key is the only join key, so candidate generation is
-    * one equi-join shuffle — no all-pairs scan, no driver collect. Exact
-    * cosine (the oracle's sequential list_reduce fold over normalized
-    * vectors, bit-identical) then keeps only true pairs, so false
-    * candidates never reach the output; a missed 0.95-pair has prob
-    * ≈ 1.2e-3 at 16 bands × 10 bits (DedupSpec checks recall against the
+  /** Near-duplicate pairs by exact cosine ≥ `threshold`, with candidates
+    * from random-hyperplane LSH band buckets: the (band, bucket) key is
+    * the only join key, so candidate generation is one equi-join shuffle
+    * — no all-pairs scan, no driver collect. Signatures come from the
+    * codegen'd [[graft.functions.LshSignature]] (primitive loops over a
+    * seeded plane matrix; ~100× cheaper per row than interpreted
+    * higher-order folds — this is the one full-scan stage). Exact cosine
+    * (the oracle's sequential list_reduce fold over normalized vectors,
+    * bit-identical) then keeps only true pairs, so false candidates
+    * never reach the output; a missed 0.95-pair has prob ≈ 1.2e-3 at
+    * 16 bands × 10 bits (DedupSpec checks recall against the
     * brute-force ground truth). At 100 TB everything here scales: sign
-    * projections are map-side, buckets bound the candidate set. */
-  def qDedupEmbed(s: SparkSession, dir: String): DataFrame = {
-    val base = Tables.embeddings(s, dir)
-      .select(col("vec_id"), VectorOps.normalized(col("embedding")).as("nvec"))
-    // sign bits are scale-invariant: bucket on the raw-normalized vector
-    val sigs = base.select(col("vec_id"),
-      inline(VectorOps.lshBandBuckets(col("nvec"), dims = 64)))
+    * projections are map-side, buckets bound the candidate set.
+    *
+    * Takes any (id, vector) frame so planted-dup specs can drive it on
+    * synthetic corpora; `qDedupEmbed` binds it to the embeddings table.
+    */
+  def embedNearDupPairs(vecs: DataFrame, idCol: String, vecCol: String,
+                        dims: Int, threshold: Double): DataFrame = {
+    val base = vecs.select(
+      col(idCol).as("vec_id"), VectorOps.normalized(col(vecCol)).as("nvec"))
+    // sign bits are scale-invariant: bucket on the normalized vector
+    val sigs = base
+      .select(col("vec_id"),
+        posexplode(graft.functions.LshSignature.signature(col("nvec"), dims)))
+      .toDF("vec_id", "band", "bucket")
     val cand = sigs.as("x").join(sigs.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.vec_id") < col("y.vec_id"))
@@ -197,9 +207,13 @@ object Dedup {
       .join(base.select(col("vec_id").as("b_id"), col("nvec").as("b_nvec")), "b_id")
       .select(col("a_id"), col("b_id"),
         VectorOps.dotD(col("a_nvec"), col("b_nvec")).as("cosine"))
-      .filter(col("cosine") >= 0.95)
-      .orderBy("a_id", "b_id")
+      .filter(col("cosine") >= threshold)
   }
+
+  def qDedupEmbed(s: SparkSession, dir: String): DataFrame =
+    embedNearDupPairs(Tables.embeddings(s, dir), "vec_id", "embedding",
+        dims = 64, threshold = 0.95)
+      .orderBy("a_id", "b_id")
 
   private val qDedupEmbedOracle = {
     val cos = VectorOps.dotDSql("a.nvec", "b.nvec")

@@ -1,0 +1,64 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The codegen'd LSH signature must agree bit-for-bit with the
+  * interpreted higher-order-function formulation (same seed → same
+  * plane matrix, same fold order) under both evaluation modes — the
+  * (band, bucket) equi-join in embed dedup is only sound if every
+  * path derives identical buckets. */
+class LshSignatureSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dims = 64
+  private def corpus(n: Int, seed: Long): Seq[(Long, Array[Double])] = {
+    val rng = new scala.util.Random(seed)
+    (0L until n).map(i => (i, Array.fill(dims)(rng.nextGaussian())))
+  }
+
+  test("codegen signature equals the interpreted column formulation") {
+    val df = corpus(50, 7).toDF("id", "vec")
+    val rows = df.select(
+        LshSignature.signature(col("vec"), dims).as("fast"),
+        // column version emits array<struct<band,bucket>>: project buckets
+        transform(VectorOps.lshBandBuckets(col("vec"), dims), s =>
+          s.getField("bucket")).as("slow"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1),
+        s"codegen/interpreted bucket mismatch: ${r.getSeq[Long](0)} vs ${r.getSeq[Long](1)}")
+    }
+  }
+
+  test("signature is identical under interpreted (non-codegen) eval") {
+    val df = corpus(20, 11).toDF("id", "vec")
+    val fast = df.select(LshSignature.signature(col("vec"), dims))
+      .collect().map(_.getSeq[Long](0))
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val interp = df.select(LshSignature.signature(col("vec"), dims))
+        .collect().map(_.getSeq[Long](0))
+      assert(fast.toSeq == interp.toSeq)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
+  test("near-identical vectors collide on a band; random pairs differ") {
+    val rng = new scala.util.Random(3)
+    val base = Array.fill(dims)(rng.nextGaussian())
+    val dup = base.map(_ + rng.nextGaussian() * 0.01)
+    val other = Array.fill(dims)(rng.nextGaussian())
+    val rows = Seq((1L, base), (2L, dup), (3L, other)).toDF("id", "vec")
+      .select(LshSignature.signature(col("vec"), dims)).collect()
+    val Array(sBase, sDup, sOther) = rows.map(_.getSeq[Long](0))
+    // ~0.9998 cosine flips ~0.5 of the 160 sign bits: nearly every band
+    // still matches, and ≥1 shared band is what candidate-gen needs
+    val shared = sBase.zip(sDup).count { case (a, b) => a == b }
+    assert(shared >= 1, "0.9998-cosine pair should collide on at least one band")
+    assert(sBase != sOther, "independent vectors should not share the full signature")
+  }
+}
