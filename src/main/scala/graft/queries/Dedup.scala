@@ -144,18 +144,24 @@ object Dedup {
     * aggregation does the heavy lifting map-side. Pairs are candidates
     * when any 16-bit quarter matches (banding), then filtered by
     * Hamming distance ≤ 12 (bit_count of xor). */
-  def qDedupSimhash(s: SparkSession, dir: String): DataFrame = {
+  /** The 64-bit signature stage alone — exposed so specs can measure
+    * banding recall against brute-force Hamming ground truth. */
+  def simhashSignatures(s: SparkSession, dir: String): DataFrame = {
     val words = Tables.documents(s, dir)
       .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
       .withColumn("h", xxhash64(col("tok")))
     val bitAggs = (0 until 64).map(k =>
       sum(expr(s"((h >> $k) & 1) * 2 - 1")).as(s"b$k"))
-    val simhash = words
+    words
       .groupBy(col("doc_id"))
       .agg(bitAggs.head, bitAggs.tail: _*)
       .select(col("doc_id"),
         (0 until 64).map(k =>
           when(col(s"b$k") > 0, lit(1L << k)).otherwise(0L)).reduce(_ + _).as("simhash"))
+  }
+
+  def qDedupSimhash(s: SparkSession, dir: String): DataFrame = {
+    val simhash = simhashSignatures(s, dir)
     val banded = simhash.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(i =>
         expr(s"(simhash >> ${i * 16}) & 65535")): _*)).as(Seq("band", "bucket")))

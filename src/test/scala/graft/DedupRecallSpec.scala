@@ -1,0 +1,79 @@
+package graft
+
+import graft.queries.Dedup
+
+/** Recall of the LSH scale paths against FULL-corpus ground truth at
+  * sf0.01 (500 docs — small enough that the exact O(n²) baselines are
+  * computable in the spec), per the round-1 verdict: planted-dup smoke
+  * tests prove the plumbing, these prove the probabilistic knobs are
+  * set right. The sf0.01 corpus contains 25 true near-dup pairs
+  * (word-bigram Jaccard ≥ 0.9) over a ~0.1-Jaccard background.
+  */
+class DedupRecallSpec extends SparkSpec {
+
+  private val sf01 = "/root/testdata/sf0.01"
+
+  // exact all-pairs bigram-Jaccard ground truth, computed driver-side
+  // with the same tokenization as Dedup.bigrams (trim, \s+ split,
+  // consecutive-pair distinct)
+  private lazy val jaccardTruth: Set[(Long, Long)] = {
+    val docs = Tables.documents(spark, sf01)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0),
+        r.getString(1).trim.split("\\s+").toSeq.sliding(2)
+          .collect { case Seq(a, b) => s"$a $b" }.toSet))
+    (for {
+      i <- docs.indices.iterator
+      j <- (i + 1) until docs.length
+      inter = (docs(i)._2 & docs(j)._2).size.toDouble
+      uni = (docs(i)._2 | docs(j)._2).size.toDouble
+      if uni > 0 && inter / uni >= 0.9
+    } yield {
+      val (a, b) = (docs(i)._1, docs(j)._1)
+      (math.min(a, b), math.max(a, b))
+    }).toSet
+  }
+
+  test("minhash LSH recall >= 0.9 vs exact Jaccard>=0.9 pairs over the whole corpus") {
+    assert(jaccardTruth.size >= 20,
+      s"expected >=20 true near-dup pairs at sf0.01, got ${jaccardTruth.size}")
+    val got = Dedup.qDedupMinhash(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (jaccardTruth & got).size.toDouble / jaccardTruth.size
+    // 8 bands x 4 rows: a 0.9-Jaccard pair misses every band with
+    // prob (1 - 0.9^4)^8 = 2e-4 — recall should be ~1.0
+    assert(recall >= 0.9,
+      s"minhash recall=$recall (|truth|=${jaccardTruth.size}, |got|=${got.size})")
+    // scale property: the band buckets must BOUND the candidate set —
+    // surfacing most of the n^2/2 = 124,750 pairs would mean the
+    // banding prunes nothing
+    assert(got.size < 2500, s"candidate set not bounded: ${got.size} pairs surfaced")
+  }
+
+  test("simhash surfaces the true near-dups and never misses Hamming<=3") {
+    val got = Dedup.qDedupSimhash(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // true near-identical docs have near-identical token bags → their
+    // simhashes collide on (at least) one 16-bit quarter
+    val recall = (jaccardTruth & got).size.toDouble / jaccardTruth.size
+    assert(recall >= 0.9,
+      s"simhash recall=$recall vs Jaccard truth (|truth|=${jaccardTruth.size}, |got|=${got.size})")
+
+    // pigeonhole guarantee: <=3 flipped bits cannot touch all 4
+    // quarters, so every Hamming<=3 pair MUST be a banding candidate
+    // (and survives the <=12 output filter)
+    val sigs = Dedup.simhashSignatures(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val ham3 = (for {
+      i <- sigs.indices.iterator
+      j <- (i + 1) until sigs.length
+      if java.lang.Long.bitCount(sigs(i)._2 ^ sigs(j)._2) <= 3
+    } yield {
+      val (a, b) = (sigs(i)._1, sigs(j)._1)
+      (math.min(a, b), math.max(a, b))
+    }).toSet
+    assert(ham3.nonEmpty, "corpus should contain Hamming<=3 signature pairs")
+    assert((ham3 -- got).isEmpty,
+      s"banding lost ${(ham3 -- got).size} of ${ham3.size} Hamming<=3 pairs")
+  }
+}
