@@ -213,6 +213,28 @@ object IngestPipeline {
     df.orderBy(orderCols.map(col): _*).coalesce(1)
       .write.mode("overwrite").options(writerOptions(df.columns.length)).parquet(out)
 
+  /** A single parquet FILE at `out` (not a directory): Spark writes a
+    * one-task directory, then the lone part file is renamed onto the
+    * target path — byte-level layout parity with the reference's
+    * ArrowWriter output (one file, ZSTD-5, block-sized row groups).
+    * The caller supplies already-ordered data (see ConvertMain). */
+  def writeParquetSingleFile(df: DataFrame, out: String): Unit = {
+    val tmpDir = out + ".graft-tmp"
+    df.coalesce(1).write.mode("overwrite")
+      .options(writerOptions(df.columns.length)).parquet(tmpDir)
+    val conf = df.sparkSession.sparkContext.hadoopConfiguration
+    val tmpPath = new org.apache.hadoop.fs.Path(tmpDir)
+    val fs = tmpPath.getFileSystem(conf)
+    val part = fs.listStatus(tmpPath)
+      .map(_.getPath).filter(_.getName.startsWith("part-"))
+      .ensuring(_.length == 1, "coalesce(1) must produce exactly one part file")
+      .head
+    val target = new org.apache.hadoop.fs.Path(out)
+    if (fs.exists(target)) fs.delete(target, false)
+    fs.rename(part, target)
+    fs.delete(tmpPath, true)
+  }
+
   /** Hive-style partitioned sink — beyond the reference's single-file
     * writer, this is the 100 TB layout: one directory per partition
     * value enables partition pruning on read, and each task writes its
