@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.multimodal.Multimodal
+import graft.queries.QueryUtil._
 import graft.streaming.Sessionize
 
 /** Queries exposing the streaming-state and multimodal operators through
@@ -62,13 +63,38 @@ object Extensions {
       |  CAST(unicode(substring(text, 4, 1)) AS DOUBLE) AS f4
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Salted skew join surfaced through the driver contract: lineitem
+    * (big, salted 8 ways on the row-distinguishing (orderkey,
+    * linenumber) hash) ⋈ supplier (small, replicated per salt), then a
+    * per-supplier rollup. Semantically identical to the plain join —
+    * which is exactly what the oracle runs — so the hash gate proves
+    * salting is result-transparent, and SkewJoinSpec proves the hot key
+    * actually spreads across partitions. */
+  def qSkewJoin(s: SparkSession, dir: String): DataFrame =
+    graft.operators.SkewJoin.saltedJoin(
+        Tables.lineitem(s, dir), Tables.supplier(s, dir),
+        joinKeys = Seq("l_suppkey" -> "s_suppkey"),
+        saltSource = struct(col("l_orderkey"), col("l_linenumber")),
+        salts = 8)
+      .groupBy(col("s_name"))
+      .agg(dsum(col("l_quantity")).as("sum_qty"),
+        count(lit(1)).as("n_items"))
+      .orderBy("s_name")
+
+  private val qSkewJoinOracle =
+    s"""SELECT s_name, ${dsumSql("l_quantity")} AS sum_qty, COUNT(*) AS n_items
+       |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+       |GROUP BY s_name ORDER BY s_name""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_events_session_state" -> (qEventsSessionState _),
+    "q_skew_join" -> (qSkewJoin _),
     "q_multimodal_features" -> (qMultimodalFeatures _)
   )
 
   def oracleSql: Map[String, String] = Map(
     "q_events_session_state" -> qEventsSessionStateOracle,
+    "q_skew_join" -> qSkewJoinOracle,
     "q_multimodal_features" -> qMultimodalFeaturesOracle
   )
 }
