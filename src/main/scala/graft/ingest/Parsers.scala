@@ -35,10 +35,13 @@ object Parsers {
     * native expression below. */
   def parseDateYmdChain(c: Column): Column = {
     val t = trim(c)
+    // single-letter M/d accept 1-2 digits, matching chrono's unpadded
+    // numeric parsing ('1/2/2020') — and DuckDB's %-formats, which are
+    // already flexible, so the oracle side needs no change
     coalesce(
-      try_to_timestamp(t, lit("yyyy-MM-dd")),
-      try_to_timestamp(t, lit("dd/MM/yyyy")),
-      try_to_timestamp(t, lit("MM/dd/yyyy"))
+      try_to_timestamp(t, lit("yyyy-M-d")),
+      try_to_timestamp(t, lit("d/M/yyyy")),
+      try_to_timestamp(t, lit("M/d/yyyy"))
     ).cast(DateType)
   }
 
@@ -61,16 +64,17 @@ object Parsers {
     */
   def parseTimestampMsText(c: Column): Column = {
     val t = trim(c)
-    val isoRe = "^(\\d{4}-\\d{2}-\\d{2})[ T](\\d{2}:\\d{2}:\\d{2})(?:\\.(\\d{1,9}))?$"
+    // 1-2 digit day/month/time fields, like chrono's unpadded parsing
+    val isoRe = "^(\\d{4}-\\d{1,2}-\\d{1,2})[ T](\\d{1,2}:\\d{1,2}:\\d{1,2})(?:\\.(\\d{1,9}))?$"
     val base = try_to_timestamp(
       concat_ws(" ", regexp_extract(t, isoRe, 1), regexp_extract(t, isoRe, 2)),
-      lit("yyyy-MM-dd HH:mm:ss"))
+      lit("yyyy-M-d H:m:s"))
     val fracDigits = regexp_extract(t, isoRe, 3)
     val fracMs = when(length(fracDigits) > 0,
       rpad(fracDigits, 3, "0").substr(1, 3).cast(LongType)).otherwise(lit(0L))
     val isoMs = when(t.rlike(isoRe), unix_millis(base) + fracMs)
-    val dmy = unix_millis(try_to_timestamp(t, lit("dd/MM/yyyy HH:mm:ss")))
-    val ymdSlash = unix_millis(try_to_timestamp(t, lit("yyyy/MM/dd HH:mm:ss")))
+    val dmy = unix_millis(try_to_timestamp(t, lit("d/M/yyyy H:m:s")))
+    val ymdSlash = unix_millis(try_to_timestamp(t, lit("yyyy/M/d H:m:s")))
     coalesce(isoMs, dmy, ymdSlash)
   }
 

@@ -34,8 +34,10 @@ object ScalarParse {
 
   // Strict numeric-date resolver: chrono's %Y-%m-%d rejects month 13 /
   // day 32, so must we. DateTimeFormatter default (SMART) would coerce.
+  // Single-letter M/d accept 1-2 digits — chrono's numeric fields parse
+  // unpadded values ('1/2/2020'), so ours must too.
   private val dateFormats: Seq[DateTimeFormatter] = Seq(
-    "uuuu-MM-dd", "dd/MM/uuuu", "MM/dd/uuuu"
+    "uuuu-M-d", "d/M/uuuu", "M/d/uuuu"
   ).map(p => DateTimeFormatter.ofPattern(p).withResolverStyle(ResolverStyle.STRICT))
 
   /** 3-format date parse, day-first beats month-first (utils.rs:67-79).
@@ -54,12 +56,14 @@ object ScalarParse {
   // Datetime text: "yyyy-MM-dd HH:mm:ss" or "...T..." with optional
   // 1-9 digit fraction, plus "dd/MM/yyyy HH:mm:ss" and
   // "yyyy/MM/dd HH:mm:ss" (utils.rs:81-103).
+  // day/month/time fields accept 1-2 digits (chrono parses unpadded
+  // '2020-1-2 3:4:5'); the year stays 4-digit, offsets stay padded
   private val IsoDateTime =
-    """^(\d{4})-(\d{2})-(\d{2})[ T](\d{2}):(\d{2}):(\d{2})(?:\.(\d{1,9}))?$""".r
+    """^(\d{4})-(\d{1,2})-(\d{1,2})[ T](\d{1,2}):(\d{1,2}):(\d{1,2})(?:\.(\d{1,9}))?$""".r
   private val DmyDateTime =
-    """^(\d{2})/(\d{2})/(\d{4}) (\d{2}):(\d{2}):(\d{2})$""".r
+    """^(\d{1,2})/(\d{1,2})/(\d{4}) (\d{1,2}):(\d{1,2}):(\d{1,2})$""".r
   private val YmdSlashDateTime =
-    """^(\d{4})/(\d{2})/(\d{2}) (\d{2}):(\d{2}):(\d{2})$""".r
+    """^(\d{4})/(\d{1,2})/(\d{1,2}) (\d{1,2}):(\d{1,2}):(\d{1,2})$""".r
 
   private def toEpochMs(y: Int, mo: Int, d: Int, h: Int, mi: Int, s: Int,
                         frac: String): Option[Long] =
@@ -136,7 +140,7 @@ object ScalarParse {
   // timestamp but CONVERT to null (parseTimestampMs has no tz formats) —
   // the reference's observable asymmetry, kept deliberately.
   private val TzDateTime =
-    """^(\d{4})-(\d{2})-(\d{2})[ T](\d{2}):(\d{2}):(\d{2})(?:\.(\d{1,9}))?(Z|z|[+-]\d{2}:?\d{2})$""".r
+    """^(\d{4})-(\d{1,2})-(\d{1,2})[ T](\d{1,2}):(\d{1,2}):(\d{1,2})(?:\.(\d{1,9}))?(Z|z|[+-]\d{2}:?\d{2})$""".r
 
   private def validCivil(y: Int, mo: Int, d: Int, h: Int, mi: Int, s: Int): Boolean =
     Try { LocalDate.of(y, mo, d); require(h < 24 && mi < 60 && s < 60) }.isSuccess

@@ -16,7 +16,8 @@ class TimestampMsParseSpec extends SparkSpec {
     "1970/01/02 00:00:00", "1000000000", "2000000000000",
     "2000000000000000", "2000000000000000000", "999999999", "5000000000",
     "invalid", "", "  ", "2024-13-01 00:00:00", "2024-01-32 00:00:00",
-    "2024-01-01 25:00:00", "2024-01-01T12:00:00+02:00", "-42", "1.5e3"
+    "2024-01-01 25:00:00", "2024-01-01T12:00:00+02:00", "-42", "1.5e3",
+    "1970-1-2 3:4:5", "2/1/1970 0:0:1", "1970/1/2 0:0:0", "2020-1-2T3:4:5.25"
   )
 
   test("fused expression agrees with the built-in chain on all edges") {

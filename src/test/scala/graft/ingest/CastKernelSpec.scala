@@ -30,6 +30,31 @@ class CastKernelSpec extends SparkSpec {
       == Seq(42L, null, 0L, 3L))
   }
 
+  test("zero-padded integers: gate applies to significant digits (i128 parse parity)") {
+    // the reference's i128 parse accepts leading zeros at any length;
+    // the 19-digit overflow gate must not count them
+    assert(runKernel(Seq("0000000000000000000000123", "-00042", "00", "+007",
+      "00009223372036854775807", "00009223372036854775808"), CastKernel.toLong)
+      == Seq(123L, -42L, 0L, 7L, Long.MaxValue, null))
+    assert(runKernel(Seq("0000000000000000000000123", "000"), CastKernel.toUnsignedLong)
+      == Seq(123L, 0L))
+  }
+
+  test("unsigned metadata routes conversion through the u64 kernel (negatives null)") {
+    // sample (first 1,000 rows) is all non-negative digits → decideRef
+    // UInt64 → LongType + graft.unsigned metadata; the negative AFTER
+    // the sample must null through toUnsignedLong, not survive toLong
+    val rows = (0 until 1000).map(i => i.toString) ++ Seq("-5", "17")
+    val raw = rows.toDF("u")
+    val schema = IngestPipeline.inferSchema(raw, fullScan = false)
+    assert(schema.fields.head.dataType == org.apache.spark.sql.types.LongType)
+    assert(schema.fields.head.metadata.contains("graft.unsigned"))
+    val out = IngestPipeline.applySchema(raw, schema).collect()
+      .map(r => if (r.isNullAt(0)) null else r.getLong(0))
+    assert(out(1000) == null, "negative must null through the unsigned kernel")
+    assert(out(1001) == 17L && out(0) == 0L)
+  }
+
   test("toUnsignedDecimal: full u64 fidelity") {
     val r = runKernel(Seq("18446744073709551615", "18446744073709551616", "-1"),
       CastKernel.toUnsignedDecimal)

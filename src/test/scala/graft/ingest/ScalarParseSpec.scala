@@ -35,6 +35,10 @@ class ScalarParseSpec extends AnyFunSuite {
     assert(parseDateYmd("invalid").isEmpty)
     assert(parseDateYmd("13/01/1970").contains(12)) // only dd/MM parses
     assert(parseDateYmd("2024-02-30").isEmpty) // strict resolver
+    // chrono numeric fields parse unpadded 1-2 digit values
+    assert(parseDateYmd("1/2/2020").contains(18293)) // day-first: Feb 1
+    assert(parseDateYmd("2020-1-2").contains(18263))
+    assert(parseDateYmd("2020-13-2").isEmpty) // still strict on ranges
   }
 
   test("parse_timestamp_ms text + epoch (utils_tests.rs:36-44)") {
@@ -44,6 +48,9 @@ class ScalarParseSpec extends AnyFunSuite {
     // 6 formats
     assert(parseTimestampMs("1970-01-01T00:00:01").contains(1000L))
     assert(parseTimestampMs("1970-01-01 00:00:01.5").contains(1500L))
+    assert(parseTimestampMs("1970-1-2 3:4:5").contains(
+      86400000L + 3 * 3600000L + 4 * 60000L + 5000L)) // unpadded fields
+    assert(parseTimestampMs("2/1/1970 0:0:1").contains(86401000L)) // day-first
     assert(parseTimestampMs("1970-01-01 00:00:01.123456789").contains(1123L)) // ms truncation
     assert(parseTimestampMs("02/01/1970 00:00:00").contains(86400000L))
     assert(parseTimestampMs("1970/01/02 00:00:00").contains(86400000L))
