@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-evidence bench: replicates the sf0.1 corpus `factor`× into a
+  * synthetic ~sf1 dataset, then times the headline queries on it — the
+  * order-of-magnitude check that the plans hold as data grows (the
+  * driver's own bench is pinned at sf0.1).
+  *
+  * Replication is key-shifted so the scaled corpus keeps the ORIGINAL's
+  * statistical shape instead of degenerating:
+  *  - facts (lineitem/orders/events) get disjoint key ranges per copy;
+  *    dims (customer/supplier/part/nation/region) stay fixed size —
+  *    fact growth against fixed dims is exactly how warehouses scale;
+  *  - documents get a per-copy token prefix, so each copy keeps the
+  *    original's planted near-dup pairs while copies share no bigrams
+  *    (otherwise every doc would have factor-1 cross-copy "dups" and
+  *    dedup timing would measure an unrealistic everything-matches
+  *    corpus);
+  *  - embeddings get a per-copy cyclic dimension shift — intra-copy
+  *    cosines (and planted near-dup pairs) are preserved exactly,
+  *    cross-copy cosines drop to noise.
+  *
+  * Usage: SPARK_GRAFT_SCALE_OUT=/tmp/graft_sf1 runMain graft.ScaleBench
+  * Prints one JSON line: per-query seconds at the scaled size.
+  */
+object ScaleBench {
+
+  private val headline = Seq(
+    "q_agg_group", "q_agg_percentile", "q_agg_approx", "q_sql_q3",
+    "q_join_multiway", "q_sort_topk", "q_window_rank", "q_events_sessions",
+    "q_dedup_exact", "q_dedup_minhash", "q_dedup_simhash", "q_dedup_embed",
+    "q_skew_join", "q_text_quality", "q_embed_cosine_topk", "q_filter_pred")
+
+  def buildScaledData(spark: SparkSession, src: String, out: String, factor: Int): Unit = {
+    val KEY = 100000000L // key shift per copy: far above any sf0.1 key
+
+    def copies(df: DataFrame)(shift: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until factor).map(k => shift(df, k)).reduce(_ unionAll _)
+
+    def write(df: DataFrame, name: String): Unit =
+      df.write.mode("overwrite").option("compression", "zstd")
+        .parquet(s"$out/$name.parquet")
+
+    // fixed-size dims: verbatim
+    Seq("region", "nation", "customer", "supplier", "part").foreach { t =>
+      write(spark.read.parquet(s"$src/$t.parquet"), t)
+    }
+    val li = spark.read.parquet(s"$src/lineitem.parquet")
+    write(copies(li)((d, k) => d.withColumn("l_orderkey", col("l_orderkey") + k * KEY)),
+      "lineitem")
+    val ord = spark.read.parquet(s"$src/orders.parquet")
+    write(copies(ord)((d, k) => d.withColumn("o_orderkey", col("o_orderkey") + k * KEY)),
+      "orders")
+    val ev = spark.read.parquet(s"$src/events.parquet")
+    write(copies(ev)((d, k) => d
+        .withColumn("event_id", col("event_id") + k * KEY)
+        .withColumn("user_id", col("user_id") + k * KEY)),
+      "events")
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    write(copies(docs)((d, k) => d
+        .withColumn("doc_id", col("doc_id") + k * KEY)
+        .withColumn("text", regexp_replace(col("text"), "(\\S+)", s"c${k}_$$1"))),
+      "documents")
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    write(copies(emb)((d, k) => d
+        .withColumn("vec_id", col("vec_id") + k * KEY)
+        .withColumn("embedding",
+          expr(s"transform(sequence(0, 63), i -> element_at(embedding, (CAST(i AS INT) + ${k * 7}) % 64 + 1))")
+            .cast("array<float>"))),
+      "embeddings")
+    spark.createDataFrame(Seq(Tuple1(factor))).toDF("factor")
+      .write.mode("overwrite").json(s"$out/_READY")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val out = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "/tmp/graft_sf1")
+    val src = sys.env.getOrElse("SPARK_GRAFT_SRC", "/root/testdata/sf0.1")
+    val factor = sys.env.getOrElse("SPARK_GRAFT_FACTOR", "10").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    if (!new java.io.File(s"$out/_READY").exists()) {
+      System.err.println(s"[scale] building ${factor}x corpus at $out from $src")
+      buildScaledData(spark, src, out, factor)
+    }
+
+    spark.read.parquet(s"$out/lineitem.parquet").limit(1).write
+      .mode("overwrite").format("noop").save() // warmup
+
+    val results = headline.map { name =>
+      val t0 = System.nanoTime()
+      try SparkEntry.queries(name)(spark, out).write.mode("overwrite").format("noop").save()
+      catch { case e: Throwable =>
+        System.err.println(s"[scale] $name failed: ${e.getMessage}")
+      }
+      name -> (System.nanoTime() - t0) / 1e9
+    }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"scale_total","value":${results.map(_._2).sum},"unit":"sec","factor":$factor,"queries":$qs,"src":"$src"}""")
+    spark.stop()
+  }
+}
