@@ -27,8 +27,15 @@ object VectorOps {
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** Pre-normalized double vector: factor the norm out ONCE per vector so
-    * pairwise stages need only a dot product (1 fold/pair instead of 3). */
-  def normalized(a: Column): Column = {
+    * pairwise stages need only a dot product (1 fold/pair instead of 3).
+    * Runs as the codegen'd [[NormalizeVec]] primitive loop — bit-identical
+    * to [[normalizedHof]] (same IEEE op sequence; NormalizeVecSpec pins
+    * it), so oracle hashes are unaffected. */
+  def normalized(a: Column): Column = NormalizeVec.normalize(a)
+
+  /** The higher-order-function formulation (interpreted per element) —
+    * kept as the spec's independent witness for the codegen twin. */
+  def normalizedHof(a: Column): Column = {
     val n = norm(a)
     transform(a, x => x.cast(DoubleType) / n)
   }

@@ -80,37 +80,75 @@ object Similarity {
       .limit(10)
   }
 
-  /** IVF-style approximate top-k: a fixed set of 16 "centroid" vectors
-    * (deterministically the vectors with vec_id 1..16 — a k-means fit
-    * would refine them at scale) partitions the corpus by nearest
-    * centroid; the query probes only its nprobe=2 nearest lists. The
-    * centroid assignment is a broadcast join (16 rows), the search
-    * touches ~nprobe/16 of the data — at 100 TB the inverted lists
-    * become partition keys and the probe prunes partitions. No oracle
-    * (approximate); SimilaritySpec checks recall vs the exact top-k. */
+  /** Nearest-centroid id for a normalized vector against k centroid
+    * LITERALS — a pure map-side projection, no crossJoin, no window
+    * shuffle, one codegen'd primitive loop per row (ArgmaxDot; ties
+    * break toward the higher centroid id, deterministically). */
+  private def nearestCentroid(nvec: org.apache.spark.sql.Column,
+                              cents: Seq[Array[Double]]): org.apache.spark.sql.Column =
+    graft.functions.ArgmaxDot.argmaxDot(nvec, cents)
+
+  /** Distributed spherical k-means (Lloyd) refinement: each iteration
+    * is one map-side argmax assignment against broadcast centroid
+    * literals + one groupBy with 64 per-dimension avg aggregates
+    * (partial aggregation does the reduction map-side — the canonical
+    * Spark shape). Only the k×dims centroid matrix ever reaches the
+    * driver (size independent of corpus size); the corpus itself stays
+    * distributed. Empty clusters keep their previous centroid; means
+    * are re-normalized to the unit sphere (cosine geometry). */
+  def kmeansCentroids(base: DataFrame, nvecCol: String, dims: Int,
+                      k: Int, iters: Int): Seq[Array[Double]] = {
+    def normalize(a: Array[Double]): Array[Double] = {
+      val n = math.sqrt(a.map(x => x * x).sum)
+      if (n == 0) a else a.map(_ / n)
+    }
+    // deterministic seeds: the k lowest-id vectors
+    var cents: Seq[Array[Double]] = base
+      .orderBy("vec_id").limit(k).orderBy("vec_id")
+      .select(nvecCol).collect().map(_.getSeq[Double](0).toArray).toSeq
+    val dimAvgs = (0 until dims).map(d =>
+      avg(element_at(col(nvecCol), d + 1)).as(s"_m$d"))
+    for (_ <- 0 until iters) {
+      val means = base
+        .select(col(nvecCol), nearestCentroid(col(nvecCol), cents).as("cid"))
+        .groupBy("cid").agg(dimAvgs.head, dimAvgs.tail: _*)
+        .collect().map(r => r.getInt(0) ->
+          normalize((0 until dims).map(d => r.getDouble(d + 1)).toArray)).toMap
+      cents = cents.zipWithIndex.map { case (old, i) => means.getOrElse(i, old) }
+    }
+    cents
+  }
+
+  /** IVF approximate top-k with k-means-refined centroids: 16 centroids
+    * fit by 3 distributed Lloyd iterations (seeded at the lowest-id
+    * vectors) partition the corpus into inverted lists by a map-side
+    * argmax — no crossJoin, no window; the query probes only its
+    * nprobe=2 nearest lists (in-plan: sort the (dot, id) structs,
+    * slice, explode). The search touches ~nprobe/16 of the data — at
+    * 100 TB the inverted lists become partition keys and the probe
+    * prunes partitions. No oracle (approximate); SimilaritySpec checks
+    * recall vs the exact top-k. */
   def qAnnIvf(s: SparkSession, dir: String): DataFrame = {
     val nprobe = 2
-    val e = Tables.embeddings(s, dir)
-      .select(col("vec_id"), col("label"), col("embedding"))
-    val centroids = e.filter(col("vec_id").between(1, 16))
-      .select(col("vec_id").as("centroid_id"), col("embedding").as("c_vec"))
-    val wBest = Window.partitionBy(col("vec_id")).orderBy(col("cdot").desc, col("centroid_id"))
-    val assigned = e.crossJoin(broadcast(centroids))
-      .withColumn("cdot", VectorOps.cosine(col("embedding"), col("c_vec")))
-      .withColumn("crn", row_number().over(wBest))
-      .filter(col("crn") === 1)
-      .select(col("vec_id"), col("label"), col("embedding"), col("centroid_id"))
+    val k = 16
+    val dims = 64
+    val base = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"),
+        VectorOps.normalized(col("embedding")).as("nvec"))
+    val cents = kmeansCentroids(base, "nvec", dims, k, iters = 3)
+    val assigned = base.withColumn("centroid_id", nearestCentroid(col("nvec"), cents))
+    // query's nprobe best lists, computed in-plan from the same literals
+    val dotStructs = array(cents.zipWithIndex.map { case (c, i) =>
+      struct(VectorOps.dotD(col("nvec"), lit(c)).as("d"), lit(i).as("i"))
+    }: _*)
     val queryLists = assigned.filter(col("vec_id") === 0)
-      .select(col("embedding").as("q_vec"))
-      .crossJoin(broadcast(centroids))
-      .withColumn("cdot", VectorOps.cosine(col("q_vec"), col("c_vec")))
-      .orderBy(col("cdot").desc, col("centroid_id"))
-      .limit(nprobe)
-      .select(col("centroid_id"), col("q_vec"))
+      .select(col("nvec").as("q_nvec"),
+        explode(slice(reverse(array_sort(dotStructs)), 1, nprobe)).as("probe"))
+      .select(col("probe.i").as("centroid_id"), col("q_nvec"))
     assigned.filter(col("vec_id") =!= 0)
       .join(broadcast(queryLists), "centroid_id")
       .select(col("vec_id"), col("label"),
-        VectorOps.cosine(col("embedding"), col("q_vec")).as("cosine"))
+        VectorOps.dotD(col("nvec"), col("q_nvec")).as("cosine"))
       .orderBy(col("cosine").desc, col("vec_id"))
       .limit(10)
   }

@@ -1,0 +1,64 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The codegen'd normalize/argmax kernels must agree bit-for-bit with
+  * their higher-order-function formulations under both evaluation
+  * modes — the embedding oracles hash raw doubles with zero slack, so
+  * "close" is not enough. */
+class NormalizeVecSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def floats(n: Int, seed: Long): Seq[(Long, Array[Float])] = {
+    val rng = new scala.util.Random(seed)
+    (0L until n).map(i => (i, Array.fill(64)(rng.nextGaussian().toFloat)))
+  }
+
+  test("codegen normalize == interpreted fold, bit-for-bit (float input)") {
+    val df = floats(50, 5).toDF("id", "vec")
+    val rows = df.select(
+      VectorOps.normalized(col("vec")).as("fast"),
+      VectorOps.normalizedHof(col("vec")).as("slow")).collect()
+    rows.foreach { r =>
+      val (a, b) = (r.getSeq[Double](0), r.getSeq[Double](1))
+      assert(a.length == b.length)
+      a.zip(b).foreach { case (x, y) =>
+        assert(java.lang.Double.doubleToRawLongBits(x) ==
+          java.lang.Double.doubleToRawLongBits(y), s"$x != $y (bitwise)")
+      }
+    }
+  }
+
+  test("normalize agrees under interpreted (non-codegen) eval; double input too") {
+    val df = floats(20, 9).map { case (i, v) => (i, v.map(_.toDouble)) }.toDF("id", "vec")
+    val fast = df.select(VectorOps.normalized(col("vec"))).collect().map(_.getSeq[Double](0))
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val interp = df.select(VectorOps.normalized(col("vec"))).collect().map(_.getSeq[Double](0))
+      assert(fast.map(_.toSeq).toSeq == interp.map(_.toSeq).toSeq)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
+  test("argmaxDot == struct-greatest formulation incl. tie-breaks") {
+    val rng = new scala.util.Random(13)
+    val cents = Seq.fill(16)(Array.fill(64)(rng.nextGaussian()))
+    val df = floats(100, 21).toDF("id", "vec")
+      .select(col("id"), VectorOps.normalized(col("vec")).as("nvec"))
+    val viaGreatest = greatest(cents.zipWithIndex.map { case (c, i) =>
+      struct(VectorOps.dotD(col("nvec"), lit(c)).as("d"), lit(i).as("i"))
+    }: _*).getField("i")
+    val rows = df.select(
+      ArgmaxDot.argmaxDot(col("nvec"), cents).as("fast"),
+      viaGreatest.as("slow")).collect()
+    rows.foreach(r => assert(r.getInt(0) == r.getInt(1)))
+    // tie-break: identical centroids → higher index wins in both forms
+    val twin = Seq(cents.head, cents.head)
+    val r2 = df.limit(5).select(ArgmaxDot.argmaxDot(col("nvec"), twin)).collect()
+    r2.foreach(r => assert(r.getInt(0) == 1))
+  }
+}
