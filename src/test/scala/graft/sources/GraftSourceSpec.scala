@@ -1,0 +1,70 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.ingest.IngestPipeline
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The DataSourceV2 surface must be row-for-row identical to the
+  * pipeline API on the same file (same inference, same kernels), and
+  * must prune unprojected columns inside the source. */
+class GraftSourceSpec extends SparkSpec {
+
+  private lazy val fixture: String = {
+    val dir = Files.createTempDirectory("graft_dsv2")
+    val f = dir.resolve("data.tsv")
+    val content = ("id\tname\tscore\tflag\tts\tn" +:
+      (0 until 1200).map { i =>
+        val n = if (i >= 1150) "oops" else (i * 3).toString // post-sample failures
+        val sec = f"${i % 60}%02d"
+        s"$i\tname_$i\t${i * 0.25}\t${if (i % 2 == 0) "yes" else "no"}\t2024-01-01T00:00:$sec\t$n"
+      }).mkString("", "\n", "\n")
+    Files.write(f, content.getBytes("UTF-8"))
+    f.toString
+  }
+
+  test("format(\"graft\") infers the reference schema and types rows") {
+    val df = spark.read.format("graft").load(fixture)
+    val types = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    assert(types("id") == LongType && types("n") == LongType)
+    assert(types("score") == DoubleType && types("flag") == BooleanType)
+    assert(types("ts") == TimestampNTZType && types("name") == StringType)
+    assert(df.count() == 1200)
+  }
+
+  test("DSv2 rows == IngestPipeline.convert rows (same kernels, same nulls)") {
+    val viaSource = spark.read.format("graft").load(fixture)
+      .orderBy("id").collect()
+    val viaPipeline = IngestPipeline.convert(spark, fixture)
+      .orderBy("id").collect()
+    assert(viaSource.length == viaPipeline.length)
+    viaSource.zip(viaPipeline).foreach { case (a, b) =>
+      assert(a == b, s"row mismatch:\n  source:   $a\n  pipeline: $b")
+    }
+  }
+
+  test("column pruning reaches the source reader") {
+    val df = spark.read.format("graft").load(fixture).select("id", "score")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema") || df.schema.fieldNames.sameElements(Array("id", "score")))
+    assert(df.collect().length == 1200)
+    // the scan's reported read schema carries only the projected columns
+    val scan = df.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(!scan.contains("name"), s"unpruned scan: ${scan.take(300)}")
+  }
+
+  test("directory input reads every part file, one partition each") {
+    val dir = Files.createTempDirectory("graft_dsv2_dir")
+    (0 until 3).foreach { p =>
+      Files.write(dir.resolve(s"part-$p.tsv"),
+        (s"k\tv" +: (0 until 10).map(i => s"${p * 100 + i}\tx$i"))
+          .mkString("", "\n", "\n").getBytes("UTF-8"))
+    }
+    val df = spark.read.format("graft").load(dir.toString)
+    assert(df.count() == 30)
+    assert(df.rdd.getNumPartitions == 3)
+    assert(df.schema.fields.head.dataType == LongType)
+  }
+}
