@@ -175,6 +175,67 @@ object Dedup {
       .orderBy("a_id", "b_id")
   }
 
+  // ── near-dup clustering (connected components, oracle) ───────────
+
+  /** Connected components over near-dup pairs by iterative min-label
+    * propagation: label(u) ← min(label(u), min label of neighbors),
+    * repeated `rounds` times — converges once `rounds` ≥ the component
+    * diameter (extra rounds are no-ops), so the output is the exact
+    * fixpoint, deterministically. Each round is one self-contained
+    * join+groupBy over the EDGE list (never the corpus): at 100 TB the
+    * per-round cost is O(|edges|) shuffle, and the round count for
+    * pathological long-chain graphs is handled by switching to the
+    * large-star/small-star formulation (same join shape, O(log n)
+    * rounds — documented here as the scale escalation; near-dup
+    * components in practice have tiny diameters).
+    *
+    * Turning PAIRS into GROUPS is what an actual dedup pass needs: keep
+    * min(doc_id) per cluster, drop the rest. */
+  def nearDupClusters(pairs: DataFrame, rounds: Int): DataFrame = {
+    val edges = pairs.toDF("a", "b")
+    val undirected = edges.union(edges.select(col("b"), col("a"))).toDF("u", "v")
+    var labels = undirected.select(col("u")).distinct()
+      .withColumn("lbl", col("u"))
+    for (_ <- 0 until rounds) {
+      val neighborMin = undirected
+        .join(labels.select(col("u").as("v"), col("lbl").as("vlbl")), "v")
+        .groupBy("u").agg(min(col("vlbl")).as("nlbl"))
+      labels = labels.join(neighborMin, Seq("u"), "left")
+        .select(col("u"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+    }
+    labels
+  }
+
+  /** Near-dup clusters of the oracle-checked ngram pairs: each doc in a
+    * ≥0.12-Jaccard pair labeled with the min doc_id of its component.
+    * Oracle: DuckDB recursive CTE (transitive closure + MIN). */
+  def qDedupClusters(s: SparkSession, dir: String): DataFrame =
+    nearDupClusters(qDedupNgram(s, dir).select(col("a_id"), col("b_id")), rounds = 6)
+      .select(col("u").cast(LongType).as("doc_id"), col("lbl").cast(LongType).as("cluster"))
+      .orderBy("doc_id")
+
+  private val qDedupClustersOracle = {
+    val grams =
+      """list_distinct(list_transform(
+        |  range(1, len(string_split_regex(trim(text), '\s+'))),
+        |  i -> string_split_regex(trim(text), '\s+')[i] || ' ' ||
+        |       string_split_regex(trim(text), '\s+')[i+1]))""".stripMargin
+    s"""WITH d AS (SELECT doc_id, lang, $grams AS grams FROM documents WHERE doc_id < 500),
+       |pairs AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+       |  WHERE round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+       |        CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE), 6) >= 0.12),
+       |edges AS (SELECT a_id AS u, b_id AS v FROM pairs UNION SELECT b_id, a_id FROM pairs),
+       |rec AS (
+       |  WITH RECURSIVE reach(u, r) AS (
+       |    SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+       |    UNION
+       |    SELECT e.u, reach.r FROM edges e JOIN reach ON reach.u = e.v
+       |  ) SELECT * FROM reach)
+       |SELECT u AS doc_id, MIN(r) AS cluster FROM rec GROUP BY u ORDER BY doc_id""".stripMargin
+  }
+
   // ── embedding-cosine near-dup (oracle) ────────────────────────────
 
   /** Near-duplicate pairs by exact cosine ≥ `threshold`, with candidates
@@ -236,12 +297,14 @@ object Dedup {
     "q_dedup_ngram" -> (qDedupNgram _),
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_dedup_simhash" -> (qDedupSimhash _),
+    "q_dedup_clusters" -> (qDedupClusters _),
     "q_dedup_embed" -> (qDedupEmbed _)
   )
 
   def oracleSql: Map[String, String] = Map(
     "q_dedup_exact" -> qDedupExactOracle,
     "q_dedup_ngram" -> qDedupNgramOracle,
+    "q_dedup_clusters" -> qDedupClustersOracle,
     "q_dedup_embed" -> qDedupEmbedOracle
   )
 }

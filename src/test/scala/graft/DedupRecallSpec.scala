@@ -50,6 +50,21 @@ class DedupRecallSpec extends SparkSpec {
     assert(got.size < 2500, s"candidate set not bounded: ${got.size} pairs surfaced")
   }
 
+  test("min-label propagation finds exact components on a chain + island graph") {
+    import spark.implicits._
+    // path 1-2-3-4-5 (diameter 4) + triangle 10-11-12 + isolated pair 20-21
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (20L, 21L)).toDF("a", "b")
+    val got = Dedup.nearDupClusters(pairs, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+    // insufficient rounds must NOT silently converge (fixpoint = rounds >= diameter)
+    val short = Dedup.nearDupClusters(pairs, rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(short(5L) == 4L, "1 round propagates labels one hop only")
+  }
+
   test("simhash surfaces the true near-dups and never misses Hamming<=3") {
     val got = Dedup.qDedupSimhash(spark, sf01).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
