@@ -55,6 +55,7 @@ class ExtensionsSpec extends SparkSpec {
     val exact = Similarity.qEmbedCosineTopk(spark, sf).collect().map(_.getLong(0)).toSet
     val approx = Similarity.qAnnLsh(spark, sf).collect().map(_.getLong(0)).toSet
     val recall = (exact & approx).size.toDouble / exact.size
+    info(s"LSH recall@10 = $recall")
     assert(recall >= 0.5, s"recall=$recall exact=$exact approx=$approx")
   }
 
@@ -63,7 +64,10 @@ class ExtensionsSpec extends SparkSpec {
     val rows = Similarity.qAnnIvf(spark, sf).collect()
     assert(rows.length == 10)
     val recall = (exact & rows.map(_.getLong(0)).toSet).size.toDouble / exact.size
-    assert(recall >= 0.3, s"recall=$recall")
+    info(s"IVF recall@10 = $recall")
+    // 0.8 measured with k-means-refined centroids (was 0.3-floor with
+    // fixed seeds); nprobe=2 of k=16 lists bounds what's reachable
+    assert(recall >= 0.6, s"recall=$recall")
     // approximate scores must be genuine cosines (within [-1, 1])
     rows.foreach(r => assert(math.abs(r.getDouble(2)) <= 1.0 + 1e-9))
   }
