@@ -24,9 +24,12 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // warmup: JVM + codegen + parquet footer caches
+    // warmup: JVM + codegen + parquet footer caches, and the staged TSV
+    // input for q_ingest_typed (materializing the INPUT is environment
+    // setup; the timed query then measures the conversion itself)
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1).write
       .mode("overwrite").format("noop").save()
+    graft.queries.Ingest.ensureStaged(spark, sfDir)
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

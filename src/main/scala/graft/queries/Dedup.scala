@@ -206,11 +206,69 @@ object Dedup {
     labels
   }
 
+  /** O(log n)-round connected components (the alternating large-star /
+    * small-star algorithm of Kiveris et al., "Connected Components in
+    * MapReduce and Beyond") — the scale escalation documented on
+    * [[nearDupClusters]]: min-label propagation needs diameter rounds,
+    * this contracts long chains exponentially, so a 100 TB candidate
+    * graph with pathological chains still converges in ~log rounds.
+    *
+    *  - large-star: every node u points its LARGER neighbors at
+    *    m = min(N(u) ∪ u);
+    *  - small-star: every node u points its smaller-or-equal neighbors
+    *    and itself at m = min over those;
+    *
+    * each round is two groupBy-join passes over the edge list (always
+    * O(|edges|), never the corpus); convergence is detected by an edge
+    * multiset checksum (a count+sum action per round — driver reads two
+    * numbers, the data stays distributed). Returns (u, lbl) with
+    * lbl = min node id of u's component. */
+  def nearDupClustersLogN(pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
+    def largeStar(e: DataFrame): DataFrame = {
+      val nbrs = e.union(e.select(col("v"), col("u"))).toDF("u", "v").distinct()
+      val m = nbrs.groupBy("u").agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("u"), col("mv")).as("m"))
+      nbrs.filter(col("v") > col("u")).join(m, "u")
+        .select(col("v").as("u"), col("m").as("v")).distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      // orient edges small->large: (u, v) with v <= u
+      val oriented = e.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v")).distinct()
+      val m = oriented.groupBy("u").agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("u"), col("mv")).as("m"))
+      oriented.join(m, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(m.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v")).distinct()
+    }
+    var edges = pairs.toDF("u", "v").filter(col("u") =!= col("v")).distinct()
+    var prev = (-1L, -1L)
+    var done = false
+    var round = 0
+    while (!done && round < maxRounds) {
+      edges = smallStar(largeStar(edges)).localCheckpoint(true)
+      val sig = edges.agg(count(lit(1)), sum(col("u") * 31 + col("v")))
+        .collect()(0)
+      val cur = (sig.getLong(0), if (sig.isNullAt(1)) 0L else sig.getLong(1))
+      done = cur == prev
+      prev = cur
+      round += 1
+    }
+    // converged edge set is a star per component: (node, center)
+    val members = edges.select(col("u"), col("v").as("lbl"))
+    val centers = edges.select(col("v")).distinct()
+      .select(col("v").as("u"), col("v").as("lbl"))
+    members.union(centers).distinct()
+  }
+
   /** Near-dup clusters of the oracle-checked ngram pairs: each doc in a
-    * ≥0.12-Jaccard pair labeled with the min doc_id of its component.
-    * Oracle: DuckDB recursive CTE (transitive closure + MIN). */
+    * ≥0.12-Jaccard pair labeled with the min doc_id of its component,
+    * through the log-round star algorithm (the at-scale path gets the
+    * oracle row). Oracle: DuckDB recursive CTE (transitive closure +
+    * MIN). */
   def qDedupClusters(s: SparkSession, dir: String): DataFrame =
-    nearDupClusters(qDedupNgram(s, dir).select(col("a_id"), col("b_id")), rounds = 6)
+    nearDupClustersLogN(qDedupNgram(s, dir).select(col("a_id"), col("b_id")))
       .select(col("u").cast(LongType).as("doc_id"), col("lbl").cast(LongType).as("cluster"))
       .orderBy("doc_id")
 

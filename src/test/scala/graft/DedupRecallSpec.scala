@@ -65,6 +65,37 @@ class DedupRecallSpec extends SparkSpec {
     assert(short(5L) == 4L, "1 round propagates labels one hop only")
   }
 
+  test("large-star/small-star components: exact on long chains in log rounds") {
+    import spark.implicits._
+    // a 64-node path (diameter 63) — min-label propagation would need
+    // 63 rounds; the alternating algorithm contracts it in ~log rounds
+    val chain = (0L until 63L).map(i => (i, i + 1)).toDF("a", "b")
+    val got = Dedup.nearDupClustersLogN(chain, maxRounds = 12)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 64 && got.values.forall(_ == 0L),
+      s"chain must collapse to component 0, got ${got.toSeq.sortBy(_._1).take(8)}...")
+
+    // random graph: must agree exactly with a driver-side union-find
+    val rng = new scala.util.Random(17)
+    val pairs = Seq.fill(120)((rng.nextInt(80).toLong, rng.nextInt(80).toLong))
+      .filter { case (a, b) => a != b }
+    val df = pairs.toDF("a", "b")
+    val fast = Dedup.nearDupClustersLogN(df)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val truth = parent.keys.map(x => x -> find(x)).toMap
+    assert(fast == truth,
+      s"disagreement: ${(fast.toSet -- truth.toSet).take(5)} vs ${(truth.toSet -- fast.toSet).take(5)}")
+  }
+
   test("simhash surfaces the true near-dups and never misses Hamming<=3") {
     val got = Dedup.qDedupSimhash(spark, sf01).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
