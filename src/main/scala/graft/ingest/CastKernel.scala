@@ -25,19 +25,19 @@ object CastKernel {
     * failure path raises/catches a JVM exception per row — measured 6 µs
     * per failing row at sf0.1. */
   def toLong(c: Column): Column = gated(c) { t =>
-    // strip redundant leading zeros first: the reference's i128 parse
-    // accepts '000...0123' at any length, so the 19-digit overflow gate
-    // must apply to SIGNIFICANT digits only
-    val z = regexp_replace(t, "^([+-]?)0+(?=\\d)", "$1")
-    when(z.rlike("^[+-]?\\d{1,19}$"), z.try_cast("bigint"))
+    // 38-digit syntax gate = the reference's i128 parse domain (i128
+    // overflows at 39 digits), so zero-padded values like '000...0123'
+    // pass through; try_cast then nulls true i64 overflows. The gate
+    // still short-circuits garbage BEFORE try_cast's exception path;
+    // only rare 20-38-digit genuine overflows pay it.
+    when(t.rlike("^[+-]?\\d{1,38}$"), t.try_cast("bigint"))
       .otherwise(lit(null).cast(LongType))
   }
 
   /** UInt64 → LongType policy (SURVEY §7.4.1): non-negative integers that
     * fit i64; negative → null like the reference (analyse.rs:146-162). */
   def toUnsignedLong(c: Column): Column = gated(c) { t =>
-    val z = regexp_replace(t, "^([+]?)0+(?=\\d)", "$1")
-    val x = when(z.rlike("^[+]?\\d{1,19}$"), z.try_cast("bigint"))
+    val x = when(t.rlike("^[+]?\\d{1,38}$"), t.try_cast("bigint"))
     when(x >= 0L, x).otherwise(lit(null).cast(LongType))
   }
 
