@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType}
 
@@ -149,7 +150,57 @@ object TextAnalysis {
       |  substring(text, 1, 16) AS prefix
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** The composite curation pipeline a training-data user actually
+    * runs: exact-dedup (keep lowest doc_id per text) → per-doc quality
+    * + language signals → threshold filter → typed projection of the
+    * kept corpus. One window shuffle + map-side scoring; every stage is
+    * the already-verified building block, composed. */
+  def qQualityFilter(s: SparkSession, dir: String): DataFrame = {
+    val len = length(col("text")).cast(LongType)
+    val words = wordCount(col("text"))
+    val punct = size(regexp_extract_all(col("text"), lit("[.,!?;:]"), lit(0))).cast(LongType)
+    val punctRatio = round(punct.cast(DoubleType) / len, 6)
+    val quality = round(least(lit(1.0), words.cast(DoubleType) / 50.0) *
+      (lit(1.0) - punctRatio), 6)
+    def score(pat: String): Column =
+      size(regexp_extract_all(col("text"), lit(pat), lit(0))).cast(LongType)
+    val sEn = score("\\b(the|of|and|a|to)\\b")
+    val sQu = score("\\b(query|table|scan|join)\\b")
+    val sDa = score("\\b(data|row|column|value)\\b")
+    val pred = when(sEn >= sQu && sEn >= sDa, lit("en_like"))
+      .when(sQu >= sDa, lit("query_like"))
+      .otherwise(lit("data_like"))
+    val w = Window.partitionBy(col("text")).orderBy(col("doc_id"))
+    Tables.documents(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1) // exact-dedup: keep lowest doc_id per text
+      .select(col("doc_id"), col("lang"), words.as("n_words"),
+        quality.as("quality"), pred.as("pred"))
+      .filter(col("n_words") >= 30 && col("quality") >= 0.75)
+      .orderBy("doc_id")
+  }
+
+  private val qQualityFilterOracle = {
+    val len = "CAST(length(text) AS BIGINT)"
+    val words = "CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)"
+    val punct = "CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT)"
+    val punctRatio = s"round(CAST($punct AS DOUBLE) / $len, 6)"
+    val quality = s"round(least(1.0, CAST($words AS DOUBLE) / 50.0) * (1.0 - $punctRatio), 6)"
+    def sc(p: String) = s"CAST(len(regexp_extract_all(text, '$p')) AS BIGINT)"
+    val (sEn, sQu, sDa) = (sc("\\b(the|of|and|a|to)\\b"),
+      sc("\\b(query|table|scan|join)\\b"), sc("\\b(data|row|column|value)\\b"))
+    s"""WITH kept AS (
+       |  SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+       |  FROM documents)
+       |SELECT doc_id, lang, $words AS n_words, $quality AS quality,
+       |  (CASE WHEN $sEn >= $sQu AND $sEn >= $sDa THEN 'en_like'
+       |    WHEN $sQu >= $sDa THEN 'query_like' ELSE 'data_like' END) AS pred
+       |FROM kept WHERE rn = 1 AND $words >= 30 AND $quality >= 0.75
+       |ORDER BY doc_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_quality_filter" -> (qQualityFilter _),
     "q_text_stats" -> (qTextStats _),
     "q_text_langid" -> (qTextLangid _),
     "q_text_quality" -> (qTextQuality _),
@@ -158,6 +209,7 @@ object TextAnalysis {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_quality_filter" -> qQualityFilterOracle,
     "q_text_stats" -> qTextStatsOracle,
     "q_text_langid" -> qTextLangidOracle,
     "q_text_quality" -> qTextQualityOracle,
