@@ -41,10 +41,16 @@ object Similarity {
   /** Random-hyperplane LSH approximate top-k: 12 fixed hyperplanes
     * (seeded, literal coefficients) → 12-bit sign bucket per vector;
     * candidates share the query's bucket in any of 4 three-bit bands.
-    * Exact cosine is computed only for candidates. At 100 TB the bucket
-    * id is one groupBy key — the full pairwise cosine never happens.
-    * No oracle (approximate by construction); SimilaritySpec asserts
-    * recall against the exact top-k. */
+    * MULTI-PROBE on the query side: each band also probes its 3
+    * Hamming-1 neighbor buckets (a sign bit near the hyperplane is the
+    * most likely to flip), which multiplies query-side band keys ×4 —
+    * a constant — while the CORPUS side still emits exactly 4 keys per
+    * vector, so the index size is unchanged and recall roughly doubles
+    * on near-orthogonal tails. Exact cosine is computed only for
+    * candidates. At 100 TB the bucket id is one groupBy key — the full
+    * pairwise cosine never happens. No oracle (approximate by
+    * construction); SimilaritySpec asserts recall against the exact
+    * top-k. */
   def qAnnLsh(s: SparkSession, dir: String): DataFrame = {
     val dims = 64
     val nPlanes = 12
@@ -66,8 +72,11 @@ object Similarity {
       .withColumn("bucket", signBits(col("embedding")))
       .withColumn("bands", array((0 until 4).map(i =>
         concat_ws(":", lit(i), expr(s"(bucket >> ${i * 3}) & 7"))): _*))
+    // query probes each band's bucket AND its 3 single-bit flips
+    val probeBands = array((for (i <- 0 until 4; flip <- Seq(0, 1, 2, 4)) yield
+      concat_ws(":", lit(i), expr(s"((bucket >> ${i * 3}) & 7) ^ $flip"))): _*)
     val q = e.filter(col("vec_id") === 0)
-      .select(explode(col("bands")).as("band_key"), col("embedding").as("q_vec"))
+      .select(explode(probeBands).as("band_key"), col("embedding").as("q_vec"))
     e.filter(col("vec_id") =!= 0)
       .select(col("vec_id"), col("label"), col("embedding"),
         explode(col("bands")).as("band_key"))

@@ -51,12 +51,13 @@ class ExtensionsSpec extends SparkSpec {
     assert(kept.contains(3L) && kept.contains(101L)) // near-copy survives exact dedup
   }
 
-  test("LSH ANN recall@10 vs exact top-10 is at least 0.5") {
+  test("LSH ANN recall@10 vs exact top-10 is at least 0.8 (multi-probe)") {
     val exact = Similarity.qEmbedCosineTopk(spark, sf).collect().map(_.getLong(0)).toSet
     val approx = Similarity.qAnnLsh(spark, sf).collect().map(_.getLong(0)).toSet
     val recall = (exact & approx).size.toDouble / exact.size
     info(s"LSH recall@10 = $recall")
-    assert(recall >= 0.5, s"recall=$recall exact=$exact approx=$approx")
+    // 1.0 measured with Hamming-1 multi-probe (0.5 single-probe)
+    assert(recall >= 0.8, s"recall=$recall exact=$exact approx=$approx")
   }
 
   test("IVF ANN returns 10 candidates with nontrivial recall") {
