@@ -31,6 +31,7 @@ object ScaleBench {
     "q_agg_group", "q_agg_percentile", "q_agg_approx", "q_sql_q3",
     "q_join_multiway", "q_sort_topk", "q_window_rank", "q_events_sessions",
     "q_dedup_exact", "q_dedup_minhash", "q_dedup_simhash", "q_dedup_embed",
+    "q_dedup_clusters", "q_quality_filter", "q_ann_lsh", "q_ann_ivf",
     "q_skew_join", "q_text_quality", "q_embed_cosine_topk", "q_filter_pred")
 
   def buildScaledData(spark: SparkSession, src: String, out: String, factor: Int): Unit = {
