@@ -35,6 +35,28 @@ class PlanAuditSpec extends SparkSpec {
       s"multiway lineitem scan not pruned: $li")
   }
 
+  test("skew join broadcasts the replicated dim and keeps the salt out of the scan") {
+    val plan = graft.queries.Extensions.qSkewJoin(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"salted dim should broadcast at this size:\n${plan.take(1200)}")
+    // lineitem scan reads only the join/agg/salt-source columns
+    val li = "ReadSchema: [^\n]*l_suppkey[^\n]*".r.findFirstIn(plan).getOrElse("")
+    assert(li.nonEmpty && !li.contains("l_extendedprice"),
+      s"lineitem scan not pruned: $li")
+  }
+
+  test("quality filter is one window shuffle over a pruned scan") {
+    val plan = graft.queries.TextAnalysis.qQualityFilter(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the only wide ops: the dedup window and the final orderBy
+    val exchanges = "Exchange (hashpartitioning|rangepartitioning)".r
+      .findAllIn(plan).length
+    assert(exchanges <= 2, s"expected <=2 exchanges (window + sort), got $exchanges:\n${plan.take(1500)}")
+    val rs = "ReadSchema: [^\n]*".r.findFirstIn(plan).getOrElse("")
+    assert(!rs.contains("n_chars"), s"documents scan not pruned: $rs")
+  }
+
   test("filters push down to the parquet scan") {
     val plan = graft.queries.Relational.qFilterPred(spark, sf)
       .queryExecution.executedPlan.toString
