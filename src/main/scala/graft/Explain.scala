@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dumps `explain("formatted")` for a headline subset of the registry —
+  * the plan-shape evidence behind SCALE.md's claims. Usage:
+  * `sbt "runMain graft.Explain [sfDir]" > EXPLAINS.txt` */
+object Explain {
+  val headline = Seq(
+    "q_filter_pred", "q_sort_topk", "q_join_multiway", "q_agg_group",
+    "q_skew_join", "q_dedup_minhash", "q_dedup_embed", "q_quality_filter")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    headline.foreach { name =>
+      println(s"\n===== $name =====")
+      println(SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
+    }
+    spark.stop()
+  }
+}
