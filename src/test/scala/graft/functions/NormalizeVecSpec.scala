@@ -44,6 +44,17 @@ class NormalizeVecSpec extends SparkSpec {
     }
   }
 
+  test("SQL surface: graft_normalize_vec and graft_lsh_signature callable") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_normalize_vec(array(CAST(3.0 AS DOUBLE), CAST(4.0 AS DOUBLE))) AS nv,
+        |  size(graft_lsh_signature(
+        |    graft_normalize_vec(array(CAST(3.0 AS DOUBLE), CAST(4.0 AS DOUBLE))), 2)) AS nbands
+        |""".stripMargin).collect()(0)
+    assert(r.getSeq[Double](0) == Seq(0.6, 0.8))
+    assert(r.getInt(1) == 16)
+  }
+
   test("argmaxDot == struct-greatest formulation incl. tie-breaks") {
     val rng = new scala.util.Random(13)
     val cents = Seq.fill(16)(Array.fill(64)(rng.nextGaussian()))
