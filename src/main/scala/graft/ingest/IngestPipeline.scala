@@ -56,6 +56,9 @@ object IngestPipeline {
       .option("sep", delimiter.toString)
       .option("mode", "PERMISSIVE")
       .option("inferSchema", "false")
+      // RFC-4180 "" doubling like the reference's csv crate (Spark's
+      // default escape is backslash, which the reference does not use)
+      .option("escape", "\"")
       .csv(path)
 
   /** O3–O5: infer per-column types. Default: bounded 1,000-row sample
@@ -158,6 +161,7 @@ object IngestPipeline {
       .option("header", "true")
       .option("sep", d.toString)
       .option("mode", "PERMISSIVE")
+      .option("escape", "\"")
       .schema(allString)
       .csv(path)
     applySchema(rawStream, schema)

@@ -184,10 +184,13 @@ class GraftPartitionReader(p: GraftFilePartition)
   private var current: InternalRow = _
 
   override def next(): Boolean = {
-    val line = in.readLine()
-    if (line == null) { current = null; false }
+    val raw = in.readLine()
+    if (raw == null) { current = null; false }
     else {
-      val tokens = line.split(p.delim.toString, -1)
+      // readLine strips \n but keeps a CRLF file's \r — drop it, like
+      // the reference's csv reader (and Spark's CSV source) do
+      val line = if (raw.nonEmpty && raw.last == '\r') raw.dropRight(1) else raw
+      val tokens = GraftPartitionReader.splitFields(line, p.delim)
       val row = new GenericInternalRow(fields.length)
       var i = 0
       while (i < fields.length) {
@@ -204,4 +207,32 @@ class GraftPartitionReader(p: GraftFilePartition)
 
   override def get(): InternalRow = current
   override def close(): Unit = in.close()
+}
+
+object GraftPartitionReader {
+  /** RFC-4180-style field split: fields optionally double-quoted, `""`
+    * escapes a quote inside a quoted field — the same single-LINE
+    * grammar the reference's csv crate applies per block line (embedded
+    * newlines are out of scope there too; conversion.rs feeds it line
+    * blocks). Unquoted fields pass through verbatim. */
+  def splitFields(line: String, delim: Char): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new java.lang.StringBuilder()
+    var i = 0
+    var inQuotes = false
+    while (i < line.length) {
+      val c = line.charAt(i)
+      if (inQuotes) {
+        if (c == '"') {
+          if (i + 1 < line.length && line.charAt(i + 1) == '"') { cur.append('"'); i += 1 }
+          else inQuotes = false
+        } else cur.append(c)
+      } else if (c == '"' && cur.length() == 0) inQuotes = true
+      else if (c == delim) { out += cur.toString; cur.setLength(0) }
+      else cur.append(c)
+      i += 1
+    }
+    out += cur.toString
+    out.toArray
+  }
 }

@@ -55,6 +55,23 @@ class GraftSourceSpec extends SparkSpec {
     assert(!scan.contains("name"), s"unpruned scan: ${scan.take(300)}")
   }
 
+  test("CRLF line endings and quoted fields parse like Spark's CSV source") {
+    val dir = Files.createTempDirectory("graft_dsv2_crlf")
+    val f = dir.resolve("crlf.csv")
+    // CRLF file with a quoted field containing the delimiter + "" escape
+    val content = "id,txt,n\r\n1,\"a,b\",10\r\n2,\"say \"\"hi\"\"\",20\r\n3,plain,30\r\n"
+    Files.write(f, content.getBytes("UTF-8"))
+    val viaSource = spark.read.format("graft").load(f.toString)
+      .orderBy("id").collect()
+    val viaPipeline = IngestPipeline.convert(spark, f.toString)
+      .orderBy("id").collect()
+    assert(viaSource.toSeq == viaPipeline.toSeq,
+      s"source=${viaSource.toSeq} pipeline=${viaPipeline.toSeq}")
+    assert(viaSource(0).getString(1) == "a,b")
+    assert(viaSource(1).getString(1) == "say \"hi\"")
+    assert(viaSource(2).getLong(2) == 30L) // no trailing \r corruption
+  }
+
   test("directory input reads every part file, one partition each") {
     val dir = Files.createTempDirectory("graft_dsv2_dir")
     (0 until 3).foreach { p =>
