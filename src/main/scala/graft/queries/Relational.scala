@@ -219,6 +219,20 @@ object Relational {
       |  COUNT(*) AS n
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** The at-scale twin of [[qAggPercentile]]: approx_percentile's
+    * Greenwald-Khanna sketch merges map-side (mergeable summary ⇒ one
+    * partial+final aggregation, no per-group sort), with rank error
+    * ≤ 1/accuracy. No oracle (sketch internals are engine-specific);
+    * RelationalSpec bounds it against the exact form. */
+  def qAggPercentileApprox(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("median_price"),
+        expr("approx_percentile(l_extendedprice, 0.9, 1000)").as("p90_price"),
+        expr("approx_percentile(l_quantity, 0.25, 1000)").as("q1_qty"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
   /** Explicit grouping sets: by flag, by status, and grand total. */
   def qGroupingSets(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
@@ -678,6 +692,7 @@ object Relational {
     "q_window_lag" -> (qWindowLag _),
     "q_window_analytic" -> (qWindowAnalytic _),
     "q_agg_approx" -> (qAggApprox _),
+    "q_agg_percentile_approx" -> (qAggPercentileApprox _),
     "q_sort_topk" -> (qSortTopk _),
     "q_set_union" -> (qSetUnion _),
     "q_set_intersect" -> (qSetIntersect _),

@@ -8,6 +8,25 @@ class RelationalSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("approx_percentile stays within 5% of the exact per-group percentiles") {
+    val exact = Relational.qAggPercentile(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val approx = Relational.qAggPercentileApprox(spark, sf).collect()
+    assert(approx.length == exact.size)
+    approx.foreach { r =>
+      val (em, ep, eq) = exact(r.getString(0))
+      // atol absorbs the discrete-vs-interpolated quantile definition
+      // gap: approx_percentile returns an actual data value, exact
+      // percentile() interpolates between two
+      def close(a: Double, e: Double, atol: Double) =
+        math.abs(a - e) <= math.max(0.05 * math.abs(e), atol)
+      assert(close(r.getDouble(1), em, 0), s"median ${r.getDouble(1)} vs $em")
+      assert(close(r.getDouble(2), ep, 0), s"p90 ${r.getDouble(2)} vs $ep")
+      // l_quantity is integer-valued: one discrete step of tolerance
+      assert(close(r.getDouble(3), eq, 1.0), s"q1 ${r.getDouble(3)} vs $eq")
+    }
+  }
+
   test("q_agg_group: 6 groups, aliased columns, deterministic order") {
     val df = Relational.qAggGroup(spark, sf)
     assert(df.columns.toSeq == Seq("l_returnflag", "l_linestatus", "sum_qty",
