@@ -63,6 +63,30 @@ object Extensions {
       |  CAST(unicode(substring(text, 4, 1)) AS DOUBLE) AS f4
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Frame sampling surfaced through the driver contract: every 4th
+    * 16-byte "frame" of each payload, one output row per frame — the
+    * 1→N explosion stays on the partition holding the bytes (no
+    * shuffle; Multimodal.sampleFrames). Projected to scalars
+    * (frame length + first byte) so the hash gate can compare. */
+  def qMultimodalFrames(s: SparkSession, dir: String): DataFrame =
+    Multimodal.sampleFrames(
+        Multimodal.mediaFromDocuments(Tables.documents(s, dir)))
+      .toDF()
+      .select(col("doc_id"), col("frame_idx"),
+        length(col("frame_bytes")).cast("long").as("frame_len"),
+        ascii(decode(col("frame_bytes"), "UTF-8")).cast("long").as("first_byte"))
+      .orderBy("doc_id", "frame_idx")
+
+  private val qMultimodalFramesOracle =
+    """WITH f AS (
+      |  SELECT doc_id, text,
+      |    unnest(range(0, greatest(1, strlen(text) // 16), 4)) AS i
+      |  FROM documents)
+      |SELECT doc_id, CAST(i AS INT) AS frame_idx,
+      |  CAST(least(16, strlen(text) - i * 16) AS BIGINT) AS frame_len,
+      |  CAST(unicode(substring(text, CAST(i * 16 + 1 AS INT), 1)) AS BIGINT) AS first_byte
+      |FROM f ORDER BY doc_id, frame_idx""".stripMargin
+
   /** Salted skew join surfaced through the driver contract: lineitem
     * (big, salted 8 ways on the row-distinguishing (orderkey,
     * linenumber) hash) ⋈ supplier (small, replicated per salt), then a
@@ -89,12 +113,14 @@ object Extensions {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_events_session_state" -> (qEventsSessionState _),
     "q_skew_join" -> (qSkewJoin _),
-    "q_multimodal_features" -> (qMultimodalFeatures _)
+    "q_multimodal_features" -> (qMultimodalFeatures _),
+    "q_multimodal_frames" -> (qMultimodalFrames _)
   )
 
   def oracleSql: Map[String, String] = Map(
     "q_events_session_state" -> qEventsSessionStateOracle,
     "q_skew_join" -> qSkewJoinOracle,
-    "q_multimodal_features" -> qMultimodalFeaturesOracle
+    "q_multimodal_features" -> qMultimodalFeaturesOracle,
+    "q_multimodal_frames" -> qMultimodalFramesOracle
   )
 }

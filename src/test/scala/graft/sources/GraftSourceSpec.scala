@@ -72,6 +72,20 @@ class GraftSourceSpec extends SparkSpec {
     assert(viaSource(2).getLong(2) == 30L) // no trailing \r corruption
   }
 
+  test("malformed rows: short rows null-pad, long rows drop extras (PERMISSIVE parity)") {
+    val dir = Files.createTempDirectory("graft_dsv2_bad")
+    val f = dir.resolve("bad.tsv")
+    Files.write(f, "a\tb\tc\n1\tx\t10\n2\ty\n3\tz\t30\textra\n".getBytes("UTF-8"))
+    val viaSource = spark.read.format("graft").load(f.toString)
+      .orderBy("a").collect()
+    val viaPipeline = IngestPipeline.convert(spark, f.toString)
+      .orderBy("a").collect()
+    assert(viaSource.toSeq == viaPipeline.toSeq,
+      s"source=${viaSource.toSeq} pipeline=${viaPipeline.toSeq}")
+    assert(viaSource(1).isNullAt(2), "short row's missing field must null-pad")
+    assert(viaSource(2).getLong(2) == 30L)
+  }
+
   test("directory input reads every part file, one partition each") {
     val dir = Files.createTempDirectory("graft_dsv2_dir")
     (0 until 3).foreach { p =>
