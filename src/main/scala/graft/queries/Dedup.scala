@@ -321,12 +321,20 @@ object Dedup {
     */
   def embedNearDupPairs(vecs: DataFrame, idCol: String, vecCol: String,
                         dims: Int, threshold: Double): DataFrame = {
+    // bits ~ log2(n) (SCALE.md): random-collision rate per bucket stays
+    // constant as the corpus grows, so candidate volume stays O(n);
+    // recall at 0.95 cosine stays >0.97 through bits 10-15. One count
+    // action (parquet metadata) per call buys the right plan constant.
+    val n = vecs.count()
+    val bits = math.min(15, math.max(10,
+      math.ceil(math.log(math.max(n, 2).toDouble) / math.log(2)).toInt - 1))
     val base = vecs.select(
       col(idCol).as("vec_id"), VectorOps.normalized(col(vecCol)).as("nvec"))
     // sign bits are scale-invariant: bucket on the normalized vector
     val sigs = base
       .select(col("vec_id"),
-        posexplode(graft.functions.LshSignature.signature(col("nvec"), dims)))
+        posexplode(graft.functions.LshSignature.signature(col("nvec"), dims,
+          bits = bits)))
       .toDF("vec_id", "band", "bucket")
     val cand = sigs.as("x").join(sigs.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
