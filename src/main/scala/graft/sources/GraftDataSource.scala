@@ -122,7 +122,12 @@ case class GraftFilePartition(file: String, full: StructType,
   extends InputPartition
 
 /** Line reader + per-value conversion through the reference kernels.
-  * Only required columns are parsed. */
+  * Only required columns are parsed.
+  *
+  * The reader builds a default Hadoop Configuration executor-side
+  * (Configuration isn't serializable): local/HDFS paths resolve from
+  * defaults; object-store schemes needing session-specific conf keys
+  * would pass them through the partition as a string map. */
 class GraftPartitionReader(p: GraftFilePartition)
   extends PartitionReader[InternalRow] {
 
