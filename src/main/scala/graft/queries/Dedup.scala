@@ -253,7 +253,9 @@ object Dedup {
     var round = 0
     while (!done && round < maxRounds) {
       edges = smallStar(largeStar(edges)).localCheckpoint(true)
-      val sig = edges.agg(count(lit(1)), sum(col("u") * 31 + col("v")))
+      // order-independent multiset signature; hash() mixes (u, v) so a
+      // swap or relabel cannot silently collide the way u*31+v could
+      val sig = edges.agg(count(lit(1)), sum(hash(col("u"), col("v")).cast(LongType)))
         .collect()(0)
       val cur = (sig.getLong(0), if (sig.isNullAt(1)) 0L else sig.getLong(1))
       done = cur == prev

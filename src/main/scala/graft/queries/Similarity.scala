@@ -105,14 +105,14 @@ object Similarity {
     * distributed. Empty clusters keep their previous centroid; means
     * are re-normalized to the unit sphere (cosine geometry). */
   def kmeansCentroids(base: DataFrame, nvecCol: String, dims: Int,
-                      k: Int, iters: Int): Seq[Array[Double]] = {
+                      k: Int, iters: Int, idCol: String = "vec_id"): Seq[Array[Double]] = {
     def normalize(a: Array[Double]): Array[Double] = {
       val n = math.sqrt(a.map(x => x * x).sum)
       if (n == 0) a else a.map(_ / n)
     }
     // deterministic seeds: the k lowest-id vectors
     var cents: Seq[Array[Double]] = base
-      .orderBy("vec_id").limit(k).orderBy("vec_id")
+      .orderBy(idCol).limit(k).orderBy(idCol)
       .select(nvecCol).collect().map(_.getSeq[Double](0).toArray).toSeq
     val dimAvgs = (0 until dims).map(d =>
       avg(element_at(col(nvecCol), d + 1)).as(s"_m$d"))
