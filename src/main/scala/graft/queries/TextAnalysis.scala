@@ -155,27 +155,36 @@ object TextAnalysis {
     * + language signals → threshold filter → typed projection of the
     * kept corpus. One window shuffle + map-side scoring; every stage is
     * the already-verified building block, composed. */
-  def qQualityFilter(s: SparkSession, dir: String): DataFrame = {
-    val len = length(col("text")).cast(LongType)
-    val words = wordCount(col("text"))
-    val punct = size(regexp_extract_all(col("text"), lit("[.,!?;:]"), lit(0))).cast(LongType)
+  /** Quality score of a text column (shared by the batch and streaming
+    * curation forms). */
+  def qualityScore(text: Column): Column = {
+    val len = length(text).cast(LongType)
+    val words = wordCount(text)
+    val punct = size(regexp_extract_all(text, lit("[.,!?;:]"), lit(0))).cast(LongType)
     val punctRatio = round(punct.cast(DoubleType) / len, 6)
-    val quality = round(least(lit(1.0), words.cast(DoubleType) / 50.0) *
+    round(least(lit(1.0), words.cast(DoubleType) / 50.0) *
       (lit(1.0) - punctRatio), 6)
+  }
+
+  /** n-gram-heuristic language label (shared batch/streaming). */
+  def langPred(text: Column): Column = {
     def score(pat: String): Column =
-      size(regexp_extract_all(col("text"), lit(pat), lit(0))).cast(LongType)
+      size(regexp_extract_all(text, lit(pat), lit(0))).cast(LongType)
     val sEn = score("\\b(the|of|and|a|to)\\b")
     val sQu = score("\\b(query|table|scan|join)\\b")
     val sDa = score("\\b(data|row|column|value)\\b")
-    val pred = when(sEn >= sQu && sEn >= sDa, lit("en_like"))
+    when(sEn >= sQu && sEn >= sDa, lit("en_like"))
       .when(sQu >= sDa, lit("query_like"))
       .otherwise(lit("data_like"))
+  }
+
+  def qQualityFilter(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("text")).orderBy(col("doc_id"))
     Tables.documents(s, dir)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1) // exact-dedup: keep lowest doc_id per text
-      .select(col("doc_id"), col("lang"), words.as("n_words"),
-        quality.as("quality"), pred.as("pred"))
+      .select(col("doc_id"), col("lang"), wordCount(col("text")).as("n_words"),
+        qualityScore(col("text")).as("quality"), langPred(col("text")).as("pred"))
       .filter(col("n_words") >= 30 && col("quality") >= 0.75)
       .orderBy("doc_id")
   }

@@ -128,6 +128,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming curation: stateful dedup + quality filter matches the batch form") {
+    import graft.queries.TextAnalysis
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)](spark)
+    val good = "the data of the table and a row of the query to scan " * 3 // 36 words
+    val short = "the data"                                  // fails n_words >= 30
+    input.addData(Seq(
+      (1L, good), (2L, good + "extra"), (3L, short), (4L, good)): _*) // 4 dups 1
+    val curated = input.toDF().toDF("doc_id", "text")
+      .dropDuplicates("text") // stateful exact-dedup, streaming twin of the window
+      .select(col("doc_id"),
+        graft.queries.TextAnalysis.qualityScore(col("text")).as("quality"),
+        TextAnalysis.langPred(col("text")).as("pred"))
+      .filter(col("quality") >= 0.75)
+    val q = curated.writeStream.outputMode("append")
+      .format("memory").queryName("curation_out").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("curation_out").orderBy("doc_id").collect()
+      // doc 4 deduped against doc 1 (first arrival wins), doc 3 filtered
+      assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L),
+        rows.map(_.getLong(0)).mkString(","))
+      assert(rows.forall(_.getString(2) == "en_like"))
+      // identical signals to the batch expressions on the same texts
+      val batch = Seq((1L, good), (2L, good + "extra")).toDF("doc_id", "text")
+        .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      rows.foreach(r => assert(r.getDouble(1) == batch(r.getLong(0))))
+    } finally q.stop()
+  }
+
   test("session split core handles gaps and singletons") {
     val gap = Sessionize.DefaultGapUs
     val out = Sessionize.split(1L, Seq(0L, 10L, gap + 20L, gap + 30L, 3 * gap + 100L), gap)
