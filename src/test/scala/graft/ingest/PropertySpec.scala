@@ -66,6 +66,25 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("DSv2 field splitter round-trips random quoted fields") {
+    val rng = new scala.util.Random(99)
+    def field(): String = {
+      val chars = "ab,\"\t x"
+      (0 until rng.nextInt(8)).map(_ => chars(rng.nextInt(chars.length))).mkString
+    }
+    def quote(f: String): String = "\"" + f.replace("\"", "\"\"") + "\""
+    (0 until 300).foreach { _ =>
+      val delim = if (rng.nextBoolean()) ',' else '\t'
+      val fields = Seq.fill(1 + rng.nextInt(5))(field())
+      // quote any field; fields containing the delimiter or a quote MUST be quoted
+      val line = fields.map { f =>
+        if (f.contains(delim) || f.contains('"') || rng.nextBoolean()) quote(f) else f
+      }.mkString(delim.toString)
+      val got = graft.sources.GraftPartitionReader.splitFields(line, delim).toSeq
+      assert(got == fields, s"line=[$line] delim=[$delim] got=$got want=$fields")
+    }
+  }
+
   test("cast kernel semantics match scalar parsers on random input") {
     // spot-parity between the pure functions and what CastKernelSpec
     // pins for the Column builders: bool/i64/f64 agreement on samples
