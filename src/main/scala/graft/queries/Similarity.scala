@@ -161,13 +161,57 @@ object Similarity {
       .limit(10)
   }
 
+  /** Scalar (int8) embedding quantization — the 4× storage compression
+    * a 100 TB embedding corpus ships with: per-vector min/max affine
+    * map to 0..255, reconstruction, and fidelity metrics (max abs
+    * error + cosine between original and reconstruction). Pure
+    * map-side expression trees, and every step is mirrored exactly in
+    * the DuckDB oracle (same fold order ⇒ bit-identical doubles). */
+  def qEmbedQuant(s: SparkSession, dir: String): DataFrame = {
+    val emb = transform(col("embedding"), x => x.cast(DoubleType))
+    val mn = array_min(emb)
+    val mx = array_max(emb)
+    val scale = (mx - mn) / lit(255.0)
+    val q = transform(emb, x => round((x - mn) / scale).cast(LongType))
+    val deq = transform(q, v => mn + v.cast(DoubleType) * scale)
+    val maxErr = array_max(zip_with(emb, deq, (a, b) => abs(a - b)))
+    val fid = VectorOps.dotD(emb, deq) /
+      (sqrt(VectorOps.dotD(emb, emb)) * sqrt(VectorOps.dotD(deq, deq)))
+    Tables.embeddings(s, dir).select(
+      col("vec_id"),
+      round(mn, 6).as("qmin"),
+      round(mx, 6).as("qmax"),
+      round(maxErr, 6).as("max_err"),
+      round(fid, 6).as("fidelity"))
+      .orderBy("vec_id")
+  }
+
+  private val qEmbedQuantOracle = {
+    val emb = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+    val mn = s"list_min($emb)"
+    val mx = s"list_max($emb)"
+    val scale = s"(($mx - $mn) / 255.0)"
+    val q = s"list_transform($emb, x -> CAST(round((x - $mn) / $scale) AS BIGINT))"
+    val deq = s"list_transform($q, v -> $mn + CAST(v AS DOUBLE) * $scale)"
+    val maxErr = s"list_max(list_transform(list_zip($emb, $deq), p -> abs(p[1] - p[2])))"
+    val fid = s"(${VectorOps.dotDSql(emb, deq)} / (sqrt(${VectorOps.dotDSql(emb, emb)}) * sqrt(${VectorOps.dotDSql(deq, deq)})))"
+    s"""SELECT vec_id,
+       |  round($mn, 6) AS qmin,
+       |  round($mx, 6) AS qmax,
+       |  round($maxErr, 6) AS max_err,
+       |  round($fid, 6) AS fidelity
+       |FROM embeddings ORDER BY vec_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_embed_quant" -> (qEmbedQuant _),
     "q_embed_cosine_topk" -> (qEmbedCosineTopk _),
     "q_ann_lsh" -> (qAnnLsh _),
     "q_ann_ivf" -> (qAnnIvf _)
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_embed_quant" -> qEmbedQuantOracle,
     "q_embed_cosine_topk" -> qEmbedCosineTopkOracle
   )
 }

@@ -84,6 +84,16 @@ class ExtensionsSpec extends SparkSpec {
     assert(one.select("lang").distinct().count() == 1)
   }
 
+  test("int8 quantization: error bounded by half a quantum, fidelity >= 0.999") {
+    val rows = Similarity.qEmbedQuant(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (mn, mx, err, fid) = (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(err <= (mx - mn) / 255.0 / 2.0 + 1e-6, s"err=$err range=${mx - mn}")
+      assert(fid >= 0.999, s"fidelity=$fid")
+    }
+  }
+
   test("embedding near-dup pairs are symmetric-free and above threshold") {
     val rows = Dedup.qDedupEmbed(spark, sf).collect()
     rows.foreach { r =>
