@@ -116,18 +116,34 @@ object ConvertMain {
 
     val ticker = new ProgressTicker(spark, totalRows, err)
     ticker.start()
+    val obs = org.apache.spark.sql.Observation("graft_convert")
     val rows = try {
       // input-order single-file parity: tag each raw row with its scan
       // position BEFORE casting, sort on the cheap raw side (Spark
       // samples a sort's child — sorting before the cast projection
-      // evaluates the kernels once), cast, and collapse to one file
+      // evaluates the kernels once), cast, and collapse to one file.
+      //
+      // Error accounting rides the SAME job via Dataset.observe — the
+      // distributed twin of the reference's inline atomics
+      // (analyse.rs:15-23) — so the input is scanned exactly once. The
+      // CollectMetrics node sits ABOVE the sort: the range partitioner's
+      // sampling pass only evaluates the sort's child, so placing the
+      // counters above it keeps each row counted exactly once.
       val rawIdx = raw.withColumn("_graft_row", monotonically_increasing_id())
-      val typed = IngestPipeline.applySchema(rawIdx.orderBy("_graft_row"), schema)
+      val counted = rawIdx.orderBy("_graft_row")
+        .observe(obs, count(lit(1)).as("_rows"), IngestPipeline.errorCountExprs(schema): _*)
+      val typed = IngestPipeline.applySchema(counted, schema)
       IngestPipeline.writeParquetSingleFile(typed, outputPath)
-      spark.read.parquet(outputPath).count()
+      obs.get("_rows").asInstanceOf[Long]
     } finally ticker.stop()
 
-    val errorCounts = IngestPipeline.conversionErrorCounts(raw, schema)
+    val metrics = obs.get
+    val errorCounts = schema.fields.zipWithIndex.map { case (f, i) =>
+      f.name -> (metrics(s"_err_$i") match {
+        case null => 0L
+        case n: java.lang.Number => n.longValue()
+      })
+    }.toMap
     errorReport(errorCounts).foreach(err)
     val totalErrors = errorCounts.values.sum
     if (totalErrors > 0)

@@ -29,11 +29,20 @@ case class ArgmaxDot(child: Expression, matrix: Array[Double], dims: Int)
   }
 
   override def dataType: DataType = IntegerType
-  override def nullable: Boolean = child.nullable
+  // null-element policy (shared with NormalizeVec/LshSignature): any
+  // null element makes the assignment NULL — a partial dot product is
+  // not a meaningful argmax
+  override def nullable: Boolean = child.nullable || arrayMayContainNull
+  private def arrayMayContainNull: Boolean = child.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => false
+  }
   override def prettyName: String = "graft_argmax_dot"
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
+    var j = 0
+    while (j < arr.numElements()) { if (arr.isNullAt(j)) return null; j += 1 }
     val n = math.min(dims, arr.numElements())
     val k = matrix.length / dims
     var best = Double.NegativeInfinity
@@ -59,20 +68,37 @@ case class ArgmaxDot(child: Expression, matrix: Array[Double], dims: Int)
       val i = ctx.freshName("i")
       val d = ctx.freshName("d")
       val s = ctx.freshName("s")
-      s"""
-         |int $n = Math.min($dims, $c.numElements());
-         |int $k = $m.length / $dims;
-         |double $best = Double.NEGATIVE_INFINITY;
-         |int $idx = 0;
-         |for (int $i = 0; $i < $k; $i++) {
-         |  double $s = 0.0;
-         |  for (int $d = 0; $d < $n; $d++) {
-         |    $s += $c.getDouble($d) * $m[$i * $dims + $d];
-         |  }
-         |  if (Double.compare($s, $best) >= 0) { $best = $s; $idx = $i; }
-         |}
-         |${ev.value} = $idx;
-       """.stripMargin
+      val compute =
+        s"""
+           |int $n = Math.min($dims, $c.numElements());
+           |int $k = $m.length / $dims;
+           |double $best = Double.NEGATIVE_INFINITY;
+           |int $idx = 0;
+           |for (int $i = 0; $i < $k; $i++) {
+           |  double $s = 0.0;
+           |  for (int $d = 0; $d < $n; $d++) {
+           |    $s += $c.getDouble($d) * $m[$i * $dims + $d];
+           |  }
+           |  if (Double.compare($s, $best) >= 0) { $best = $s; $idx = $i; }
+           |}
+           |${ev.value} = $idx;
+         """.stripMargin
+      val body = if (arrayMayContainNull) {
+        val hasNull = ctx.freshName("hasNull")
+        val j = ctx.freshName("j")
+        s"""
+           |boolean $hasNull = false;
+           |for (int $j = 0; $j < $c.numElements(); $j++) {
+           |  if ($c.isNullAt($j)) { $hasNull = true; break; }
+           |}
+           |if ($hasNull) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |$compute
+           |}
+         """.stripMargin
+      } else compute
+      body
     })
   }
 

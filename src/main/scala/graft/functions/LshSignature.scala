@@ -34,7 +34,14 @@ case class LshSignature(child: Expression, dims: Int, bands: Int,
   }
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def nullable: Boolean = child.nullable
+  // null-element policy (shared with NormalizeVec/ArgmaxDot): any null
+  // element makes the whole signature NULL — a partial projection is
+  // not a meaningful bucket key
+  override def nullable: Boolean = child.nullable || arrayMayContainNull
+  private def arrayMayContainNull: Boolean = child.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => false
+  }
   override def prettyName: String = "graft_lsh_signature"
 
   // flattened plane matrix, (band*bits + bit)-major — identical draw
@@ -44,6 +51,8 @@ case class LshSignature(child: Expression, dims: Int, bands: Int,
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
+    var j = 0
+    while (j < arr.numElements()) { if (arr.isNullAt(j)) return null; j += 1 }
     val n = math.min(dims, arr.numElements())
     val buckets = new Array[Long](bands)
     var b = 0
@@ -75,23 +84,40 @@ case class LshSignature(child: Expression, dims: Int, bands: Int,
       val s = ctx.freshName("s")
       val off = ctx.freshName("off")
       val bucket = ctx.freshName("bucket")
-      s"""
-         |long[] $buckets = new long[$bands];
-         |int $n = Math.min($dims, $c.numElements());
-         |for (int $b = 0; $b < $bands; $b++) {
-         |  long $bucket = 0L;
-         |  for (int $k = 0; $k < $bits; $k++) {
-         |    int $off = ($b * $bits + $k) * $dims;
-         |    double $s = 0.0;
-         |    for (int $d = 0; $d < $n; $d++) {
-         |      $s += $c.getDouble($d) * $planesRef[$off + $d];
-         |    }
-         |    if ($s > 0) $bucket |= (1L << $k);
-         |  }
-         |  $buckets[$b] = $bucket;
-         |}
-         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($buckets);
-       """.stripMargin
+      val hasNull = ctx.freshName("hasNull")
+      val compute =
+        s"""
+           |long[] $buckets = new long[$bands];
+           |int $n = Math.min($dims, $c.numElements());
+           |for (int $b = 0; $b < $bands; $b++) {
+           |  long $bucket = 0L;
+           |  for (int $k = 0; $k < $bits; $k++) {
+           |    int $off = ($b * $bits + $k) * $dims;
+           |    double $s = 0.0;
+           |    for (int $d = 0; $d < $n; $d++) {
+           |      $s += $c.getDouble($d) * $planesRef[$off + $d];
+           |    }
+           |    if ($s > 0) $bucket |= (1L << $k);
+           |  }
+           |  $buckets[$b] = $bucket;
+           |}
+           |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($buckets);
+         """.stripMargin
+      val body = if (arrayMayContainNull) {
+        val j = ctx.freshName("j")
+        s"""
+           |boolean $hasNull = false;
+           |for (int $j = 0; $j < $c.numElements(); $j++) {
+           |  if ($c.isNullAt($j)) { $hasNull = true; break; }
+           |}
+           |if ($hasNull) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |$compute
+           |}
+         """.stripMargin
+      } else compute
+      body
     })
   }
 

@@ -18,6 +18,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * not move a single output bit of the cosine queries
   * (NormalizeVecSpec pins it). Zero-norm vectors propagate the fold's
   * behavior exactly: 0/0 = NaN per element.
+  *
+  * Null-element policy: an array containing ANY null element
+  * normalizes to NULL (the whole value). The HOF twin instead yields
+  * an all-null array (null poisons the fold ⇒ null norm ⇒ every
+  * division is null) — same information, but this kernel keeps its
+  * `containsNull = false` output contract, so the whole-value NULL is
+  * the honest encoding. NormalizeVecSpec pins the policy.
   */
 case class NormalizeVec(child: Expression) extends UnaryExpression {
 
@@ -34,14 +41,20 @@ case class NormalizeVec(child: Expression) extends UnaryExpression {
   }
 
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
-  override def nullable: Boolean = child.nullable
+  override def nullable: Boolean = child.nullable || arrayMayContainNull
+  private def arrayMayContainNull: Boolean = child.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => false
+  }
   override def prettyName: String = "graft_normalize_vec"
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
-    val v = new Array[Double](n)
     var i = 0
+    while (i < n) { if (arr.isNullAt(i)) return null; i += 1 }
+    val v = new Array[Double](n)
+    i = 0
     while (i < n) {
       v(i) = if (elemIsFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
       i += 1
@@ -63,15 +76,33 @@ case class NormalizeVec(child: Expression) extends UnaryExpression {
       val norm = ctx.freshName("norm")
       val i = ctx.freshName("i")
       val get = if (elemIsFloat) s"(double) $c.getFloat" else s"$c.getDouble"
+      val hasNull = ctx.freshName("hasNull")
+      val compute =
+        s"""
+           |double[] $v = new double[$n];
+           |for (int $i = 0; $i < $n; $i++) { $v[$i] = $get($i); }
+           |double $s = 0.0;
+           |for (int $i = 0; $i < $n; $i++) { $s += $v[$i] * $v[$i]; }
+           |double $norm = Math.sqrt($s);
+           |for (int $i = 0; $i < $n; $i++) { $v[$i] = $v[$i] / $norm; }
+           |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($v);
+         """.stripMargin
+      // only emit the null-element branch when the schema admits element
+      // nulls — otherwise `ev.isNull` can be an unassignable literal
+      val body = if (arrayMayContainNull)
+        s"""
+           |boolean $hasNull = false;
+           |for (int $i = 0; $i < $n; $i++) { if ($c.isNullAt($i)) { $hasNull = true; break; } }
+           |if ($hasNull) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |$compute
+           |}
+         """.stripMargin
+      else compute
       s"""
          |int $n = $c.numElements();
-         |double[] $v = new double[$n];
-         |for (int $i = 0; $i < $n; $i++) { $v[$i] = $get($i); }
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) { $s += $v[$i] * $v[$i]; }
-         |double $norm = Math.sqrt($s);
-         |for (int $i = 0; $i < $n; $i++) { $v[$i] = $v[$i] / $norm; }
-         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($v);
+         |$body
        """.stripMargin
     })
 

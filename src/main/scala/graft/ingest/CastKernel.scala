@@ -69,7 +69,12 @@ object CastKernel {
     gated(c) { t =>
       val ms = Parsers.parseTimestampMs(t)
       val unitMs = unit match {
-        case ScalarParse.TsSecond => (ms / 1000).cast(LongType) * 1000 // floor to s
+        // TRUE floor to the second boundary (ms - pmod stays in integer
+        // math; `cast` after `/` truncates toward zero, which rounds
+        // pre-1970 fractional seconds the wrong way — the reference
+        // floors, analyse.rs s-unit scaling, and the DSv2 reader's
+        // math.floorDiv must agree bit-for-bit)
+        case ScalarParse.TsSecond => ms - pmod(ms, lit(1000L))
         case _ => ms // ms/µs/ns all carry exactly ms precision (§1.4)
       }
       timestamp_millis(unitMs).cast(TimestampNTZType)

@@ -37,7 +37,8 @@ object IngestPipeline {
     val fs = p0.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // a directory of part files delimits like its first data file
     val p = if (fs.getFileStatus(p0).isDirectory)
-      fs.listStatus(p0).filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+      fs.listStatus(p0)
+        .filter(s => s.isFile && graft.sources.GraftDataSource.isDataFile(s.getPath.getName))
         .map(_.getPath).minBy(_.getName.toString)
     else p0
     val in = fs.open(p)
@@ -195,17 +196,26 @@ object IngestPipeline {
     * from legitimate nulls. Runs as a single job over the same scan.
     */
   def conversionErrorCounts(raw: DataFrame, schema: StructType): Map[String, Long] = {
-    val counters = schema.fields.toSeq.map { f =>
-      val c = col(f.name)
-      val failed = !NullTokens.isNullToken(c) &&
-        CastKernel.castTo(c, f.dataType, tsUnitOf(f), isUnsigned(f)).isNull
-      sum(when(failed, 1L).otherwise(0L)).as(f.name)
-    }
+    val counters = errorCountExprs(schema)
     val row = raw.agg(counters.head, counters.tail: _*).collect()(0)
     schema.fields.zipWithIndex.map { case (f, i) =>
       f.name -> (if (row.isNullAt(i)) 0L else row.getLong(i))
     }.toMap
   }
+
+  /** The per-column genuine-failure counters as aggregate expressions,
+    * aliased positionally (`_err_0`, `_err_1`, …) so they can't collide
+    * with user column names. Shared by the standalone aggregation above
+    * and ConvertMain's inline `Dataset.observe` (which accumulates them
+    * DURING the conversion job — the reference's inline atomics,
+    * analyse.rs:15-23, without a second scan). */
+  def errorCountExprs(schema: StructType): Seq[Column] =
+    schema.fields.toSeq.zipWithIndex.map { case (f, i) =>
+      val c = col(f.name)
+      val failed = !NullTokens.isNullToken(c) &&
+        CastKernel.castTo(c, f.dataType, tsUnitOf(f), isUnsigned(f)).isNull
+      sum(when(failed, 1L).otherwise(0L)).as(s"_err_$i")
+    }
 
   /** O12: the reference's deterministic input-ordered single-file output
     * (BTreeMap reorder buffer, conversion.rs:177-189) — a single-writer

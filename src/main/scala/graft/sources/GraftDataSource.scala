@@ -53,7 +53,7 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val spark = SparkSession.active
     val path = pathOf(options)
-    val delim = Option(options.get("sep")).map(_.head)
+    val delim = GraftDataSource.sepOption(options)
       .getOrElse(IngestPipeline.detectDelimiter(spark, path))
     val raw = IngestPipeline.readRaw(spark, path, delim)
     IngestPipeline.inferSchema(raw, options.getBoolean("fullScan", false))
@@ -74,7 +74,7 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
     override def newScanBuilder(scanOptions: CaseInsensitiveStringMap): ScanBuilder = {
       val spark = SparkSession.active
       val path = pathOf(options)
-      val delim = Option(options.get("sep")).map(_.head)
+      val delim = GraftDataSource.sepOption(options)
         .getOrElse(IngestPipeline.detectDelimiter(spark, path))
       new GraftScanBuilder(schema, path, delim)
     }
@@ -101,7 +101,8 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
       val fs = root.getFileSystem(conf)
       val files =
         if (fs.getFileStatus(root).isDirectory)
-          fs.listStatus(root).filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+          fs.listStatus(root)
+            .filter(s => s.isFile && GraftDataSource.isDataFile(s.getPath.getName))
             .map(_.getPath.toString).sorted
         else Array(path)
       files.map(f => GraftFilePartition(f, full, required, delim): InputPartition)
@@ -113,6 +114,22 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
           new GraftPartitionReader(partition.asInstanceOf[GraftFilePartition])
       }
   }
+}
+
+object GraftDataSource {
+  /** Spark's hidden-file convention: '_' (markers like _SUCCESS) and
+    * '.' (sidecars like .crc, editor droppings) are metadata, not data. */
+  def isDataFile(name: String): Boolean =
+    !name.startsWith("_") && !name.startsWith(".")
+
+  /** The `sep` option must be exactly one character — silently taking
+    * `head` would read a literally-typed "\\t" as '\\'. */
+  def sepOption(options: CaseInsensitiveStringMap): Option[Char] =
+    Option(options.get("sep")).map { s =>
+      require(s.length == 1,
+        s"graft option 'sep' must be a single character, got ${s.length}: '$s'")
+      s.head
+    }
 }
 
 /** Serializable per-file split: the FULL inferred schema (for token

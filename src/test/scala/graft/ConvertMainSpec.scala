@@ -87,6 +87,8 @@ class ConvertMainSpec extends SparkSpec {
     } finally {
       System.setIn(oldIn)
       Files.deleteIfExists(Paths.get("stdin.parquet"))
+      // ChecksumFileSystem leaves a .crc sidecar next to the renamed file
+      Files.deleteIfExists(Paths.get(".stdin.parquet.crc"))
     }
   }
 

@@ -55,6 +55,45 @@ class NormalizeVecSpec extends SparkSpec {
     assert(r.getInt(1) == 16)
   }
 
+  test("null-element policy: any null element => whole result NULL (all three kernels)") {
+    GraftFunctions.register(spark)
+    val df = spark.sql(
+      """SELECT * FROM VALUES
+        |  (0L, array(CAST(3.0 AS DOUBLE), CAST(4.0 AS DOUBLE))),
+        |  (1L, array(CAST(1.0 AS DOUBLE), CAST(NULL AS DOUBLE))),
+        |  (2L, CAST(NULL AS ARRAY<DOUBLE>))
+        |AS t(id, vec)""".stripMargin)
+    val cents = Seq(Array(1.0, 0.0), Array(0.0, 1.0))
+    // codegen'd path
+    val rows = df.select(col("id"),
+      VectorOps.normalized(col("vec")).as("nv"),
+      LshSignature.signature(col("vec"), 2).as("sig"),
+      ArgmaxDot.argmaxDot(col("vec"), cents).as("am"))
+      .orderBy("id").collect()
+    assert(!rows(0).isNullAt(1) && !rows(0).isNullAt(2) && !rows(0).isNullAt(3))
+    Seq(1, 2).foreach { i =>
+      assert(rows(i).isNullAt(1), s"row $i normalize should be null")
+      assert(rows(i).isNullAt(2), s"row $i lsh signature should be null")
+      assert(rows(i).isNullAt(3), s"row $i argmax should be null")
+    }
+    // interpreted path agrees
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val interp = df.select(col("id"),
+        VectorOps.normalized(col("vec")).as("nv"),
+        LshSignature.signature(col("vec"), 2).as("sig"),
+        ArgmaxDot.argmaxDot(col("vec"), cents).as("am"))
+        .orderBy("id").collect()
+      Seq(1, 2).foreach { i =>
+        assert(interp(i).isNullAt(1) && interp(i).isNullAt(2) && interp(i).isNullAt(3))
+      }
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
   test("argmaxDot == struct-greatest formulation incl. tie-breaks") {
     val rng = new scala.util.Random(13)
     val cents = Seq.fill(16)(Array.fill(64)(rng.nextGaussian()))

@@ -91,6 +91,16 @@ class CastKernelSpec extends SparkSpec {
     assert(r(0) == java.time.LocalDateTime.parse("1970-01-01T00:00:01"))
   }
 
+  test("toTimestamp second-unit FLOORS pre-1970 fractional seconds (not truncate-to-zero)") {
+    // -500 ms must floor to -1000 ms (1969-12-31T23:59:59), matching the
+    // reference's s-unit scaling and the DSv2 reader's math.floorDiv —
+    // double division + cast truncates toward zero (→ 1970-01-01T00:00:00)
+    val r = runKernel(Seq("1969-12-31 23:59:59.5", "1969-12-31 23:59:59.999"),
+      c => CastKernel.toTimestamp(c, ScalarParse.TsSecond))
+    assert(r(0) == java.time.LocalDateTime.parse("1969-12-31T23:59:59"))
+    assert(r(1) == java.time.LocalDateTime.parse("1969-12-31T23:59:59"))
+  }
+
   test("toStringCol/toBinary: null tokens → null, raw kept (analyse.rs:252-298)") {
     assert(runKernel(Seq("  x  ", "NULL", " ", "ok"), CastKernel.toStringCol)
       == Seq("  x  ", null, null, "ok"))

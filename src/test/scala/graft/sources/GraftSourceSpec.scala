@@ -86,6 +86,47 @@ class GraftSourceSpec extends SparkSpec {
     assert(viaSource(2).getLong(2) == 30L)
   }
 
+  test("pre-1970 fractional seconds: DSv2 and pipeline FLOOR identically (s-unit)") {
+    val dir = Files.createTempDirectory("graft_dsv2_pre1970")
+    val f = dir.resolve("old.tsv")
+    // one fractional digit votes the TsSecond unit; negative epoch values
+    // exercise the floor-vs-truncate divergence the advisor flagged
+    Files.write(f, ("id\tts\n" +
+      "1\t1969-12-31 23:59:59.5\n" +
+      "2\t1969-06-15 12:00:00.9\n" +
+      "3\t2024-01-01 00:00:30.5\n").getBytes("UTF-8"))
+    val viaSource = spark.read.format("graft").load(f.toString)
+      .orderBy("id").collect()
+    val viaPipeline = IngestPipeline.convert(spark, f.toString)
+      .orderBy("id").collect()
+    assert(viaSource.toSeq == viaPipeline.toSeq,
+      s"source=${viaSource.toSeq} pipeline=${viaPipeline.toSeq}")
+    assert(viaSource(0).getAs[java.time.LocalDateTime]("ts") ==
+      java.time.LocalDateTime.parse("1969-12-31T23:59:59"), "floor, not truncate toward zero")
+    assert(viaSource(1).getAs[java.time.LocalDateTime]("ts") ==
+      java.time.LocalDateTime.parse("1969-06-15T12:00:00"))
+    assert(viaSource(2).getAs[java.time.LocalDateTime]("ts") ==
+      java.time.LocalDateTime.parse("2024-01-01T00:00:30"))
+  }
+
+  test("dot-prefixed and underscore-prefixed files are skipped as hidden") {
+    val dir = Files.createTempDirectory("graft_dsv2_hidden")
+    Files.write(dir.resolve("data.tsv"),
+      "k\tv\n1\ta\n2\tb\n".getBytes("UTF-8"))
+    Files.write(dir.resolve(".data.tsv.crc"), Array[Byte](1, 2, 3, 4))
+    Files.write(dir.resolve("_SUCCESS"), Array.emptyByteArray)
+    val df = spark.read.format("graft").load(dir.toString)
+    assert(df.count() == 2)
+    assert(df.rdd.getNumPartitions == 1)
+  }
+
+  test("multi-character sep option is rejected, not silently truncated") {
+    val err = intercept[IllegalArgumentException] {
+      spark.read.format("graft").option("sep", "\\t").load(fixture).collect()
+    }
+    assert(err.getMessage.contains("single character"))
+  }
+
   test("directory input reads every part file, one partition each") {
     val dir = Files.createTempDirectory("graft_dsv2_dir")
     (0 until 3).foreach { p =>
