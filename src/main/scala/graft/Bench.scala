@@ -31,7 +31,13 @@ object Bench {
       .mode("overwrite").format("noop").save()
     graft.queries.Ingest.ensureStaged(spark, sfDir)
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional args = run only these queries (local iteration aid; the
+    // driver invokes with no args and gets the full registry).
+    val wanted = args.toSet
+    val selected =
+      if (wanted.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.filter { case (k, _) => wanted(k) }
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
       catch { case e: Throwable =>

@@ -168,21 +168,36 @@ object Similarity {
     * map-side expression trees, and every step is mirrored exactly in
     * the DuckDB oracle (same fold order ⇒ bit-identical doubles). */
   def qEmbedQuant(s: SparkSession, dir: String): DataFrame = {
-    val emb = transform(col("embedding"), x => x.cast(DoubleType))
-    val mn = array_min(emb)
-    val mx = array_max(emb)
-    val scale = (mx - mn) / lit(255.0)
-    val q = transform(emb, x => round((x - mn) / scale).cast(LongType))
-    val deq = transform(q, v => mn + v.cast(DoubleType) * scale)
-    val maxErr = array_max(zip_with(emb, deq, (a, b) => abs(a - b)))
-    val fid = VectorOps.dotD(emb, deq) /
-      (sqrt(VectorOps.dotD(emb, emb)) * sqrt(VectorOps.dotD(deq, deq)))
-    Tables.embeddings(s, dir).select(
+    // Stage every shared subexpression as a REAL column. Higher-order
+    // functions run interpreted, so an aggregate embedded in a lambda
+    // body (e.g. array_min(emb) inside the quantize transform) would
+    // re-evaluate per ELEMENT per reference — the round-3 bench showed
+    // that inlined form at 13 s for 2k×64 (~40× its map-side peers).
+    // As attributes, mn/mx/scale/deq each evaluate once per row and
+    // CollapseProject keeps them staged (multi-referenced non-cheap
+    // producers are not merged). Arithmetic op sequence is unchanged,
+    // so the DuckDB oracle still matches bit-for-bit.
+    val staged = Tables.embeddings(s, dir)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast(DoubleType)).as("emb"))
+      .withColumn("mn", array_min(col("emb")))
+      .withColumn("mx", array_max(col("emb")))
+      .withColumn("scale", (col("mx") - col("mn")) / lit(255.0))
+      // q (round → int8 code) and deq (reconstruct) fused in one pass:
+      // same per-element op order as the separate q/deq transforms.
+      .withColumn("deq", transform(col("emb"), x =>
+        col("mn") + round((x - col("mn")) / col("scale"))
+          .cast(LongType).cast(DoubleType) * col("scale")))
+    staged.select(
       col("vec_id"),
-      round(mn, 6).as("qmin"),
-      round(mx, 6).as("qmax"),
-      round(maxErr, 6).as("max_err"),
-      round(fid, 6).as("fidelity"))
+      round(col("mn"), 6).as("qmin"),
+      round(col("mx"), 6).as("qmax"),
+      round(array_max(zip_with(col("emb"), col("deq"), (a, b) => abs(a - b))), 6)
+        .as("max_err"),
+      round(VectorOps.dotD(col("emb"), col("deq")) /
+        (sqrt(VectorOps.dotD(col("emb"), col("emb"))) *
+          sqrt(VectorOps.dotD(col("deq"), col("deq")))), 6)
+        .as("fidelity"))
       .orderBy("vec_id")
   }
 
