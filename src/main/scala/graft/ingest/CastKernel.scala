@@ -64,17 +64,19 @@ object CastKernel {
   def toDate(c: Column): Column = gated(c)(t => Parsers.parseDateYmd(t))
 
   /** Timestamp: parse at ms precision then truncate to the declared unit
-    * (analyse.rs:196-250 scales ms → unit; s-unit floors to seconds). */
+    * (analyse.rs:196-250 scales ms → unit; s-unit truncates toward zero). */
   def toTimestamp(c: Column, unit: ScalarParse.TsUnit = ScalarParse.TsMilli): Column =
     gated(c) { t =>
       val ms = Parsers.parseTimestampMs(t)
       val unitMs = unit match {
-        // TRUE floor to the second boundary (ms - pmod stays in integer
-        // math; `cast` after `/` truncates toward zero, which rounds
-        // pre-1970 fractional seconds the wrong way — the reference
-        // floors, analyse.rs s-unit scaling, and the DSv2 reader's
-        // math.floorDiv must agree bit-for-bit)
-        case ScalarParse.TsSecond => ms - pmod(ms, lit(1000L))
+        // Truncate toward zero, matching the reference EXACTLY: analyse.rs
+        // s-unit scaling is Rust `ms / 1_000` on the chrono i64, which
+        // rounds toward zero — so pre-1970 fractional seconds round UP
+        // ("1969-12-31 23:59:59.5" → 1970-01-01T00:00:00). Spark's `%`
+        // has Java remainder semantics (sign of dividend), so
+        // `ms - ms % 1000` reproduces that contract in integer math.
+        // The DSv2 reader's s-unit scaling must agree bit-for-bit.
+        case ScalarParse.TsSecond => ms - (ms % lit(1000L))
         case _ => ms // ms/µs/ns all carry exactly ms precision (§1.4)
       }
       timestamp_millis(unitMs).cast(TimestampNTZType)

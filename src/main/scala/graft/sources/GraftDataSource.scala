@@ -194,7 +194,10 @@ class GraftPartitionReader(p: GraftFilePartition)
         val unit = tsUnit(f)
         v => ScalarParse.parseTimestampMs(v).map { ms =>
           val unitMs = unit match {
-            case ScalarParse.TsSecond => math.floorDiv(ms, 1000L) * 1000L
+            // Scala Long `/` truncates toward zero, same as the
+            // reference's Rust `ms / 1_000` (analyse.rs s-unit) and
+            // CastKernel's `ms - ms % 1000`.
+            case ScalarParse.TsSecond => (ms / 1000L) * 1000L
             case _ => ms
           }
           Long.box(unitMs * 1000L) // µs storage

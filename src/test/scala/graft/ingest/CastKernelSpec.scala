@@ -91,14 +91,15 @@ class CastKernelSpec extends SparkSpec {
     assert(r(0) == java.time.LocalDateTime.parse("1970-01-01T00:00:01"))
   }
 
-  test("toTimestamp second-unit FLOORS pre-1970 fractional seconds (not truncate-to-zero)") {
-    // -500 ms must floor to -1000 ms (1969-12-31T23:59:59), matching the
-    // reference's s-unit scaling and the DSv2 reader's math.floorDiv —
-    // double division + cast truncates toward zero (→ 1970-01-01T00:00:00)
+  test("toTimestamp second-unit TRUNCATES pre-1970 fractional seconds toward zero") {
+    // Reference parity: analyse.rs s-unit scaling is Rust `ms / 1_000`,
+    // which truncates toward zero — so -500 ms ("…59.5") becomes 0 ms
+    // (1970-01-01T00:00:00), NOT floored to -1000 ms. Pre-1970
+    // fractional seconds therefore round UP, exactly like the reference.
     val r = runKernel(Seq("1969-12-31 23:59:59.5", "1969-12-31 23:59:59.999"),
       c => CastKernel.toTimestamp(c, ScalarParse.TsSecond))
-    assert(r(0) == java.time.LocalDateTime.parse("1969-12-31T23:59:59"))
-    assert(r(1) == java.time.LocalDateTime.parse("1969-12-31T23:59:59"))
+    assert(r(0) == java.time.LocalDateTime.parse("1970-01-01T00:00:00"))
+    assert(r(1) == java.time.LocalDateTime.parse("1970-01-01T00:00:00"))
   }
 
   test("toStringCol/toBinary: null tokens → null, raw kept (analyse.rs:252-298)") {

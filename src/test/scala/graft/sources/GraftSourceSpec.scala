@@ -86,11 +86,12 @@ class GraftSourceSpec extends SparkSpec {
     assert(viaSource(2).getLong(2) == 30L)
   }
 
-  test("pre-1970 fractional seconds: DSv2 and pipeline FLOOR identically (s-unit)") {
+  test("pre-1970 fractional seconds: DSv2 and pipeline TRUNCATE identically (s-unit)") {
     val dir = Files.createTempDirectory("graft_dsv2_pre1970")
     val f = dir.resolve("old.tsv")
     // one fractional digit votes the TsSecond unit; negative epoch values
-    // exercise the floor-vs-truncate divergence the advisor flagged
+    // pin the reference-parity contract: Rust `ms / 1_000` truncates
+    // toward zero, so pre-1970 fractional seconds round UP a second
     Files.write(f, ("id\tts\n" +
       "1\t1969-12-31 23:59:59.5\n" +
       "2\t1969-06-15 12:00:00.9\n" +
@@ -102,9 +103,9 @@ class GraftSourceSpec extends SparkSpec {
     assert(viaSource.toSeq == viaPipeline.toSeq,
       s"source=${viaSource.toSeq} pipeline=${viaPipeline.toSeq}")
     assert(viaSource(0).getAs[java.time.LocalDateTime]("ts") ==
-      java.time.LocalDateTime.parse("1969-12-31T23:59:59"), "floor, not truncate toward zero")
+      java.time.LocalDateTime.parse("1970-01-01T00:00:00"), "truncate toward zero, not floor")
     assert(viaSource(1).getAs[java.time.LocalDateTime]("ts") ==
-      java.time.LocalDateTime.parse("1969-06-15T12:00:00"))
+      java.time.LocalDateTime.parse("1969-06-15T12:00:01"))
     assert(viaSource(2).getAs[java.time.LocalDateTime]("ts") ==
       java.time.LocalDateTime.parse("2024-01-01T00:00:30"))
   }
