@@ -26,6 +26,20 @@ object Explain {
         .queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode))
     }
+
+    // DSv2 graft source: filters + projection pushed into the reader —
+    // the delimited-text twin of the parquet PushedFilters evidence.
+    println("\n===== graft source filter+column pushdown =====")
+    val dir = java.nio.file.Files.createTempDirectory("graft_explain")
+    val f = dir.resolve("demo.tsv")
+    java.nio.file.Files.write(f, (Seq("id\tname\tscore") ++
+      (0 until 100).map(i => s"$i\tname_$i\t${i * 0.5}"))
+      .mkString("", "\n", "\n").getBytes("UTF-8"))
+    import org.apache.spark.sql.functions.col
+    println(spark.read.format("graft").load(f.toString)
+      .filter(col("id") > 50L && col("score") < 40.0).select("id", "name")
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
     spark.stop()
   }
 }

@@ -11,6 +11,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -81,19 +82,35 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
   }
 
   private class GraftScanBuilder(full: StructType, path: String, delim: Char)
-    extends ScanBuilder with SupportsPushDownRequiredColumns with Scan with Batch {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+      with SupportsPushDownFilters with Scan with Batch {
 
     private var required: StructType = full
+    private var pushed: Array[sources.Filter] = Array.empty
 
     override def pruneColumns(requiredSchema: StructType): Unit =
       // preserve our field metadata (ts unit / unsigned): prune by name
       required = StructType(requiredSchema.fieldNames.flatMap(n =>
         full.fields.find(_.name == n)))
 
+    /** Accept every filter the reader can evaluate exactly (it runs the
+      * same converters, so pushed evaluation ≡ post-scan evaluation);
+      * the rest stay residual for Spark. Accepted filters are REMOVED
+      * from the post-scan plan — their columns may then be pruned away
+      * entirely, which is the point: a filtered graft read parses only
+      * filter + projected columns and materializes only survivors. */
+    override def pushFilters(filters: Array[sources.Filter]): Array[sources.Filter] = {
+      val (ok, residual) = filters.partition(GraftFilterEval.supported(full, _))
+      pushed = ok
+      residual
+    }
+    override def pushedFilters(): Array[sources.Filter] = pushed
+
     override def build(): Scan = this
     override def readSchema(): StructType = required
     override def toBatch: Batch = this
-    override def description(): String = s"graft $path sep='$delim'"
+    override def description(): String =
+      s"graft $path sep='$delim' PushedFilters: ${pushed.mkString("[", ", ", "]")}"
 
     override def planInputPartitions(): Array[InputPartition] = {
       val conf = SparkSession.active.sparkContext.hadoopConfiguration
@@ -105,7 +122,7 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
             .filter(s => s.isFile && GraftDataSource.isDataFile(s.getPath.getName))
             .map(_.getPath.toString).sorted
         else Array(path)
-      files.map(f => GraftFilePartition(f, full, required, delim): InputPartition)
+      files.map(f => GraftFilePartition(f, full, required, delim, pushed): InputPartition)
     }
 
     override def createReaderFactory(): PartitionReaderFactory =
@@ -133,9 +150,11 @@ object GraftDataSource {
 }
 
 /** Serializable per-file split: the FULL inferred schema (for token
-  * positions), the pruned schema to emit, and the delimiter. */
+  * positions), the pruned schema to emit, the delimiter, and the
+  * filters accepted for reader-side evaluation. */
 case class GraftFilePartition(file: String, full: StructType,
-                              required: StructType, delim: Char)
+                              required: StructType, delim: Char,
+                              filters: Array[sources.Filter] = Array.empty)
   extends InputPartition
 
 /** Line reader + per-value conversion through the reference kernels.
@@ -154,11 +173,25 @@ class GraftPartitionReader(p: GraftFilePartition)
     new java.io.InputStreamReader(fs.open(new Path(p.file)), "UTF-8"))
   in.readLine() // header
 
-  // required field -> (position in the full token array, converter)
-  private val fields: Array[(Int, String => Any)] =
+  // Filter-referenced columns convert FIRST (they may not be projected
+  // at all once a pushed filter's column is pruned); projected columns
+  // convert only for rows that survive, so a selective pushed filter
+  // skips most of the parse work — the pushdown's payoff.
+  private val filterRefs: Array[String] =
+    p.filters.flatMap(_.references).distinct
+  private val evalFields: Array[(Int, String => Any)] =
+    filterRefs.map { n =>
+      val f = p.full.fields.find(_.name == n).get
+      (p.full.fieldIndex(n), converter(f))
+    }
+  private val evalPos: Map[String, Int] = filterRefs.zipWithIndex.toMap
+
+  // required field -> Left(position among evalFields: value already
+  // converted for the filter) or Right(token position, converter)
+  private val fields: Array[Either[Int, (Int, String => Any)]] =
     p.required.fields.map { f =>
-      val idx = p.full.fieldIndex(f.name)
-      (idx, converter(f))
+      evalPos.get(f.name).map(i => Left(i): Either[Int, (Int, String => Any)])
+        .getOrElse(Right((p.full.fieldIndex(f.name), converter(f))))
     }
 
   private def tsUnit(f: StructField): ScalarParse.TsUnit =
@@ -208,26 +241,44 @@ class GraftPartitionReader(p: GraftFilePartition)
 
   private var current: InternalRow = _
 
+  private def convertToken(tokens: Array[String], idx: Int,
+                           conv: String => Any): Any = {
+    val v = if (idx < tokens.length) tokens(idx) else null
+    if (v == null || ScalarParse.isNullText(v)) null else conv(v)
+  }
+
   override def next(): Boolean = {
-    val raw = in.readLine()
-    if (raw == null) { current = null; false }
-    else {
+    while (true) {
+      val raw = in.readLine()
+      if (raw == null) { current = null; return false }
       // readLine strips \n but keeps a CRLF file's \r — drop it, like
       // the reference's csv reader (and Spark's CSV source) do
       val line = if (raw.nonEmpty && raw.last == '\r') raw.dropRight(1) else raw
       val tokens = GraftPartitionReader.splitFields(line, p.delim)
-      val row = new GenericInternalRow(fields.length)
+      val evalVals = new Array[Any](evalFields.length)
       var i = 0
-      while (i < fields.length) {
-        val (idx, conv) = fields(i)
-        val v = if (idx < tokens.length) tokens(idx) else null
-        row.update(i,
-          if (v == null || ScalarParse.isNullText(v)) null else conv(v))
+      while (i < evalFields.length) {
+        val (idx, conv) = evalFields(i)
+        evalVals(i) = convertToken(tokens, idx, conv)
         i += 1
       }
-      current = row
-      true
+      val pass = p.filters.forall(f =>
+        GraftFilterEval.eval(f, p.full, n => evalVals(evalPos(n))).contains(true))
+      if (pass) {
+        val row = new GenericInternalRow(fields.length)
+        var j = 0
+        while (j < fields.length) {
+          row.update(j, fields(j) match {
+            case Left(ei) => evalVals(ei)
+            case Right((idx, conv)) => convertToken(tokens, idx, conv)
+          })
+          j += 1
+        }
+        current = row
+        return true
+      }
     }
+    false // unreachable
   }
 
   override def get(): InternalRow = current

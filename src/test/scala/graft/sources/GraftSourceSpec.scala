@@ -55,6 +55,64 @@ class GraftSourceSpec extends SparkSpec {
     assert(!scan.contains("name"), s"unpruned scan: ${scan.take(300)}")
   }
 
+  test("filter pushdown: accepted filters reach the scan and rows match the unpushed plan") {
+    val df = spark.read.format("graft").load(fixture)
+      .filter(col("id") > 1000L && col("flag") === true)
+      .select("id", "score")
+    // 1. the scan advertises the pushed predicates...
+    val scan = df.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PushedFilters: [") && scan.contains("GreaterThan(id,1000)"),
+      s"filters not pushed: ${scan.take(400)}")
+    assert(scan.contains("IsNotNull(id)") || scan.contains("EqualTo(flag,true)"),
+      s"expected conjuncts pushed: ${scan.take(400)}")
+    // 2. ...and the result is identical to the same predicate applied
+    // post-scan by Spark over the unfiltered pipeline output
+    val expected = IngestPipeline.convert(spark, fixture)
+      .filter(col("id") > 1000L && col("flag") === true)
+      .select("id", "score").orderBy("id").collect()
+    val got = df.orderBy("id").collect()
+    assert(got.length == expected.length && got.sameElements(expected),
+      s"pushed=${got.length} rows vs post-scan=${expected.length}")
+    // survivors: ids 1002..1198 even → 99 rows
+    assert(got.length == 99)
+  }
+
+  test("filter pushdown: null-producing casts keep SQL semantics (<> drops nulls)") {
+    // rows 1150+ have n='oops' → null n; `n <> 30` must drop them (UNKNOWN),
+    // and Not(EqualTo) must be pushed, not residual
+    val df = spark.read.format("graft").load(fixture).filter(col("n") =!= 30L)
+    val scan = df.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("Not(EqualTo(n,30))"), s"Not not pushed: ${scan.take(400)}")
+    val expected = IngestPipeline.convert(spark, fixture)
+      .filter(col("n") =!= 30L).count()
+    assert(df.count() == expected)
+    assert(df.count() == 1149) // 1150 parse-ok rows minus id=10 (n=30)
+  }
+
+  test("filter pushdown: unsupported predicates stay residual and still apply") {
+    // length(name) is not a sources.Filter the reader understands —
+    // Catalyst keeps it as a post-scan filter and results stay correct
+    val df = spark.read.format("graft").load(fixture)
+      .filter(length(col("name")) === lit(6) && col("id") < 100L)
+    val scan = df.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("LessThan(id,100)"), s"supported conjunct not pushed: ${scan.take(400)}")
+    // name_0..name_9 → length 6, ids 0..9 under 100
+    assert(df.count() == 10)
+  }
+
+  test("filter pushdown: filter on a pruned-away column still evaluates in the reader") {
+    // flag is neither projected nor post-scan-filtered once pushed; the
+    // reader must parse it for evaluation and emit only id
+    val df = spark.read.format("graft").load(fixture)
+      .filter(col("flag") === false).select("id")
+    val scan = df.queryExecution.executedPlan.collectLeaves().head.toString
+    // Catalyst canonicalizes `flag === false` to Not(EqualTo(flag,true))
+    assert(scan.contains("Not(EqualTo(flag,true))"), s"not pushed: ${scan.take(400)}")
+    assert(!scan.contains("ReadSchema: struct<id: bigint, flag"), "flag should be pruned from output")
+    assert(df.count() == 600) // odd ids
+    assert(df.agg(min("id")).head.getLong(0) == 1L)
+  }
+
   test("CRLF line endings and quoted fields parse like Spark's CSV source") {
     val dir = Files.createTempDirectory("graft_dsv2_crlf")
     val f = dir.resolve("crlf.csv")
