@@ -79,12 +79,29 @@ object ConvertMain {
     else shown
   }
 
+  /** Record count from the parquet footer — metadata-only read. */
+  private[graft] def footerRowCount(spark: SparkSession, path: String): Long =
+    scala.util.Using.resource(
+      org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(path),
+          spark.sparkContext.hadoopConfiguration)))(_.getRecordCount)
+
   /** Run a conversion; returns (outputPath, rowCount, totalErrors).
-    * Factored out of main() so specs can drive it on a test session. */
+    * Factored out of main() so specs can drive it on a test session.
+    * `stdinIsTty` is injectable so the TTY guard is testable. */
   def run(spark: SparkSession, opts: Options,
-          err: String => Unit = Console.err.println(_)): (String, Long, Long) = {
+          err: String => Unit = Console.err.println(_),
+          stdinIsTty: () => Boolean = () => System.console() != null): (String, Long, Long) = {
     val (inputPath, outputPath) = opts.input match {
       case Some("-") =>
+        // main.rs:46-49: refuse '-' at an interactive terminal (help +
+        // error) instead of hanging on a read that will never complete
+        if (stdinIsTty()) {
+          err(usage)
+          throw new IllegalArgumentException(
+            "stdin requested ('-') but no stream is redirected")
+        }
         val buf = System.in.readAllBytes()
         if (buf.isEmpty) throw new IllegalArgumentException("empty stdin")
         val tmp = Files.createTempFile("graft_stdin", ".tsv")
@@ -120,22 +137,46 @@ object ConvertMain {
     val rows = try {
       // input-order single-file parity: tag each raw row with its scan
       // position BEFORE casting, sort on the cheap raw side (Spark
-      // samples a sort's child — sorting before the cast projection
-      // evaluates the kernels once), cast, and collapse to one file.
+      // samples a sort's child, so the cast projection above the sort
+      // is untouched by the sampling pass), cast, collapse to one file.
       //
       // Error accounting rides the SAME job via Dataset.observe — the
       // distributed twin of the reference's inline atomics
-      // (analyse.rs:15-23) — so the input is scanned exactly once. The
-      // CollectMetrics node sits ABOVE the sort: the range partitioner's
-      // sampling pass only evaluates the sort's child, so placing the
-      // counters above it keeps each row counted exactly once.
+      // (analyse.rs:15-23) — so the input is scanned exactly once AND
+      // each cast kernel runs once per row: the projection below the
+      // CollectMetrics node computes raw + cast columns side by side,
+      // the failure counters read the CAST RESULT (null on a non-null
+      // non-token input = genuine failure), and the final select keeps
+      // only the typed columns. No kernel re-evaluation in the metrics
+      // (the r2 double-scan and the r3 double-evaluation are both gone).
       val rawIdx = raw.withColumn("_graft_row", monotonically_increasing_id())
-      val counted = rawIdx.orderBy("_graft_row")
-        .observe(obs, count(lit(1)).as("_rows"), IngestPipeline.errorCountExprs(schema): _*)
-      val typed = IngestPipeline.applySchema(counted, schema)
+      val sorted = rawIdx.orderBy("_graft_row")
+      val castCols = schema.fields.toSeq.zipWithIndex.map { case (f, i) =>
+        graft.ingest.CastKernel.castTo(col(f.name), f.dataType,
+          IngestPipeline.tsUnitOf(f), IngestPipeline.isUnsigned(f)).as(s"_graft_cast_$i")
+      }
+      val projected = sorted.select(schema.fieldNames.map(col).toSeq ++ castCols: _*)
+      val errExprs = schema.fields.toSeq.zipWithIndex.map { case (f, i) =>
+        val failed = !graft.ingest.NullTokens.isNullToken(col(f.name)) &&
+          col(s"_graft_cast_$i").isNull
+        sum(when(failed, 1L).otherwise(0L)).as(s"_err_$i")
+      }
+      val counted = projected.observe(obs, count(lit(1)).as("_rows"), errExprs: _*)
+      val typed = counted.select(schema.fields.toSeq.zipWithIndex.map {
+        case (f, i) => col(s"_graft_cast_$i").as(f.name)
+      }: _*)
       IngestPipeline.writeParquetSingleFile(typed, outputPath)
       obs.get("_rows").asInstanceOf[Long]
     } finally ticker.stop()
+
+    // Output-side integrity check (metadata only, no data scan): the
+    // written file's parquet footer must account for every observed
+    // input row — catches a short or torn write that input-side
+    // observation alone would miss.
+    val written = footerRowCount(spark, outputPath)
+    if (written != rows)
+      throw new IllegalStateException(
+        s"output $outputPath has $written rows in its parquet footer, expected $rows")
 
     val metrics = obs.get
     val errorCounts = schema.fields.zipWithIndex.map { case (f, i) =>

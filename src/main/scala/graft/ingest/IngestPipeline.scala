@@ -117,10 +117,10 @@ object IngestPipeline {
     })
   }
 
-  private def isUnsigned(f: StructField): Boolean =
+  private[graft] def isUnsigned(f: StructField): Boolean =
     f.metadata.contains("graft.unsigned") && f.metadata.getBoolean("graft.unsigned")
 
-  private def tsUnitOf(f: StructField): ScalarParse.TsUnit =
+  private[graft] def tsUnitOf(f: StructField): ScalarParse.TsUnit =
     if (f.metadata.contains("graft.timestampUnit"))
       f.metadata.getString("graft.timestampUnit") match {
         case "TsSecond" => ScalarParse.TsSecond
@@ -205,10 +205,10 @@ object IngestPipeline {
 
   /** The per-column genuine-failure counters as aggregate expressions,
     * aliased positionally (`_err_0`, `_err_1`, …) so they can't collide
-    * with user column names. Shared by the standalone aggregation above
-    * and ConvertMain's inline `Dataset.observe` (which accumulates them
-    * DURING the conversion job — the reference's inline atomics,
-    * analyse.rs:15-23, without a second scan). */
+    * with user column names. Used by the standalone `countErrors`
+    * aggregation above (one dedicated pass). ConvertMain instead derives
+    * the same counters from its single cast projection via
+    * `Dataset.observe`, so the CLI path evaluates each kernel once. */
   def errorCountExprs(schema: StructType): Seq[Column] =
     schema.fields.toSeq.zipWithIndex.map { case (f, i) =>
       val c = col(f.name)

@@ -102,6 +102,25 @@ class ConvertMainSpec extends SparkSpec {
     } finally System.setIn(oldIn)
   }
 
+  test("interactive stdin ('-' at a TTY) refuses with help instead of hanging") {
+    // main.rs:46-49: '-' with stdin attached to a terminal must error
+    // out (help + message), never block on a read that can't complete
+    val msgs = scala.collection.mutable.ArrayBuffer.empty[String]
+    val e = intercept[IllegalArgumentException] {
+      ConvertMain.run(spark, ConvertMain.Options(Some("-"), false),
+        msgs += _, stdinIsTty = () => true)
+    }
+    assert(e.getMessage.contains("no stream is redirected"))
+    assert(msgs.exists(_.contains("Usage: graft-convert")), "help must print first")
+  }
+
+  test("footer row count check: written parquet accounts for every input row") {
+    val fixture = writeFixture(rows = 100, badTail = 0)
+    val (out, rows, _) = ConvertMain.run(spark,
+      ConvertMain.Options(Some(fixture.toString), fullScan = false), _ => ())
+    assert(ConvertMain.footerRowCount(spark, out) == rows)
+  }
+
   // ── writer parity: footer-level evidence (VERDICT #4) ─────────────
 
   private def footerOf(file: String) = {
