@@ -42,7 +42,11 @@ case class ArgmaxDot(child: Expression, matrix: Array[Double], dims: Int)
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     var j = 0
-    while (j < arr.numElements()) { if (arr.isNullAt(j)) return null; j += 1 }
+    // mirror codegen: scan for null elements only when the schema
+    // admits them, so interpreted and codegen paths match exactly
+    if (arrayMayContainNull) {
+      while (j < arr.numElements()) { if (arr.isNullAt(j)) return null; j += 1 }
+    }
     val n = math.min(dims, arr.numElements())
     val k = matrix.length / dims
     var best = Double.NegativeInfinity

@@ -52,7 +52,11 @@ case class LshSignature(child: Expression, dims: Int, bands: Int,
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     var j = 0
-    while (j < arr.numElements()) { if (arr.isNullAt(j)) return null; j += 1 }
+    // mirror codegen: scan for null elements only when the schema
+    // admits them, so interpreted and codegen paths match exactly
+    if (arrayMayContainNull) {
+      while (j < arr.numElements()) { if (arr.isNullAt(j)) return null; j += 1 }
+    }
     val n = math.min(dims, arr.numElements())
     val buckets = new Array[Long](bands)
     var b = 0

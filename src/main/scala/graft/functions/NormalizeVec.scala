@@ -52,7 +52,12 @@ case class NormalizeVec(child: Expression) extends UnaryExpression {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
     var i = 0
-    while (i < n) { if (arr.isNullAt(i)) return null; i += 1 }
+    // mirror the codegen branch: only scan for null elements when the
+    // schema admits them (containsNull), so both paths do the same work
+    // and behave identically on schema-conforming data
+    if (arrayMayContainNull) {
+      while (i < n) { if (arr.isNullAt(i)) return null; i += 1 }
+    }
     val v = new Array[Double](n)
     i = 0
     while (i < n) {
