@@ -7,13 +7,20 @@ import org.apache.spark.sql.functions._
   * travel as opaque `binary` columns with typed metadata; decode /
   * feature-extract runs per-partition in batches over a typed Dataset.
   *
-  * The decode step is a STUB — this container ships no image/audio
-  * codecs, so [[decodeStub]] is a clearly-marked deterministic fake over
-  * the raw bytes. Everything around it is real and tested: the schema
-  * (binary payload + metadata), the Encoder-backed Dataset, the
-  * mapPartitions batch shape (decode amortized per batch, not per row),
-  * and the partitioning (features stay on the partition that holds the
-  * bytes — no shuffle).
+  * IMAGE decode is REAL: `kind = "image/png"` payloads are actual PNG
+  * bytes, decoded executor-side through `javax.imageio` (in the JDK),
+  * and features (mean/std/histogram fractions of the gray channel) come
+  * from the decoded pixels. The synthetic corpus encodes a
+  * closed-form pixel pattern ([[pixelAt]]), so the DuckDB oracle can
+  * recompute the decoded-pixel statistics exactly — the correctness
+  * gate covers the full encode → PNG → decode → features path.
+  *
+  * Kinds with no codec in this container (audio, video) keep the
+  * clearly-marked [[decodeStub]]. Shared plumbing is real and tested
+  * either way: the schema (binary payload + metadata), the
+  * Encoder-backed Dataset, the mapPartitions batch shape (decode
+  * amortized per batch, not per row), and the partitioning (features
+  * stay on the partition that holds the bytes — no shuffle).
   */
 object Multimodal {
 
@@ -32,6 +39,76 @@ object Multimodal {
     f
   }
 
+  // ── real PNG codec path (javax.imageio) ───────────────────────────
+
+  /** Deterministic gray value of pixel `k` (row-major) for document
+    * `docId` — the closed form the oracle mirrors in SQL. */
+  def pixelAt(docId: Long, k: Int): Int = ((docId * 31 + k * 7) % 256).toInt
+
+  /** Small varied dimensions so row groups mix image sizes. */
+  def pngDims(docId: Long): (Int, Int) =
+    ((4 + docId % 5).toInt, (3 + docId % 4).toInt)
+
+  /** REAL encode: the pattern as an actual PNG via the JDK's ImageIO.
+    * PNG is lossless, so decode returns exactly [[pixelAt]] values. */
+  def encodePng(docId: Long): Array[Byte] = {
+    val (w, h) = pngDims(docId)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var k = 0
+    while (k < w * h) { raster.setSample(k % w, k / w, 0, pixelAt(docId, k)); k += 1 }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** REAL decode: PNG bytes → gray samples, row-major. */
+  def decodePngGray(bytes: Array[Byte]): Array[Int] = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    require(img != null, "undecodable image payload")
+    val w = img.getWidth
+    val out = new Array[Int](w * img.getHeight)
+    val raster = img.getRaster
+    var k = 0
+    while (k < out.length) { out(k) = raster.getSample(k % w, k / w, 0); k += 1 }
+    out
+  }
+
+  /** Decoded-pixel features in exact-integer-then-IEEE arithmetic (the
+    * oracle repeats the identical op sequence, so doubles match
+    * bit-for-bit): mean, population std, fraction < 128, fraction ≥ 192. */
+  def grayFeatures(px: Array[Int]): (Double, Double, Double, Double) = {
+    val n = px.length
+    var sum = 0L; var sumSq = 0L; var low = 0L; var high = 0L
+    var i = 0
+    while (i < n) {
+      val p = px(i)
+      sum += p
+      sumSq += p.toLong * p
+      if (p < 128) low += 1
+      if (p >= 192) high += 1
+      i += 1
+    }
+    val nd = n.toDouble
+    val mean = sum.toDouble / nd
+    val variance = (sumSq.toDouble - sum.toDouble * sum.toDouble / nd) / nd
+    (mean, math.sqrt(variance), low.toDouble / nd, high.toDouble / nd)
+  }
+
+  /** Media table of REAL PNGs: bytes are encoded executor-side in the
+    * partition that will carry them — no driver work, no shuffle. */
+  def pngMediaFromDocuments(docs: DataFrame): Dataset[MediaRecord] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val (w, h) = pngDims(id)
+        MediaRecord(id, "image/png", encodePng(id), w, h)
+      }
+    }
+  }
+
   /** Build a media table from `documents`: payload = UTF-8 bytes of the
     * text (stand-in for real image bytes), metadata derived from size. */
   def mediaFromDocuments(docs: DataFrame): Dataset[MediaRecord] = {
@@ -47,8 +124,10 @@ object Multimodal {
   }
 
   /** Per-partition batched feature extraction. The batch loop is where a
-    * real decoder would amortize model/codec setup; rows stream through
-    * without materializing the partition. */
+    * real decoder amortizes codec/model setup; rows stream through
+    * without materializing the partition. `image/png` decodes for real
+    * through ImageIO (byte_len then reports the DECODED buffer size,
+    * w×h gray bytes); other kinds fall back to the labeled stub. */
   def extractFeatures(media: Dataset[MediaRecord], batchSize: Int = 64): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -56,8 +135,14 @@ object Multimodal {
       it.grouped(batchSize).flatMap { batch =>
         // per-batch setup would go here (codec init, model handle, ...)
         batch.iterator.map { r =>
-          val f = decodeStub(r.media)
-          MediaFeatures(r.doc_id, r.kind, r.media.length.toLong, f(0), f(1), f(2), f(3))
+          if (r.kind == "image/png") {
+            val px = decodePngGray(r.media)
+            val (f1, f2, f3, f4) = grayFeatures(px)
+            MediaFeatures(r.doc_id, r.kind, px.length.toLong, f1, f2, f3, f4)
+          } else {
+            val f = decodeStub(r.media)
+            MediaFeatures(r.doc_id, r.kind, r.media.length.toLong, f(0), f(1), f(2), f(3))
+          }
         }
       }
     }

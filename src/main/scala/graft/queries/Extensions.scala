@@ -46,22 +46,39 @@ object Extensions {
       |ORDER BY user_id, start_us""".stripMargin
 
   /** Multimodal feature extraction: binary payload + metadata → typed
-    * per-partition batched decode (stubbed) → scalar features. The
-    * oracle mirrors the stub arithmetic (first 4 bytes as unsigned). */
+    * per-partition batched REAL decode: each document becomes an actual
+    * PNG (encoded executor-side), ImageIO decodes it back to pixels,
+    * and the features are decoded-pixel statistics. The corpus pattern
+    * is closed-form (pixel k of doc d = (d*31 + k*7) mod 256), so the
+    * oracle recomputes the same statistics with the same IEEE op order
+    * — the hash gate certifies the full encode→decode→features path. */
   def qMultimodalFeatures(s: SparkSession, dir: String): DataFrame =
     Multimodal.extractFeatures(
-      Multimodal.mediaFromDocuments(Tables.documents(s, dir)))
+      Multimodal.pngMediaFromDocuments(Tables.documents(s, dir)))
       .toDF()
       .orderBy("doc_id")
 
-  private val qMultimodalFeaturesOracle =
-    """SELECT doc_id, 'image/fake' AS kind,
-      |  CAST(strlen(text) AS BIGINT) AS byte_len,
-      |  CAST(unicode(substring(text, 1, 1)) AS DOUBLE) AS f1,
-      |  CAST(unicode(substring(text, 2, 1)) AS DOUBLE) AS f2,
-      |  CAST(unicode(substring(text, 3, 1)) AS DOUBLE) AS f3,
-      |  CAST(unicode(substring(text, 4, 1)) AS DOUBLE) AS f4
-      |FROM documents ORDER BY doc_id""".stripMargin
+  private val qMultimodalFeaturesOracle = {
+    val p = "(doc_id * 31 + k * 7) % 256" // decoded gray value of pixel k
+    """WITH px AS (
+      |  SELECT doc_id,
+      |    (4 + doc_id % 5) * (3 + doc_id % 4) AS n,
+      |    unnest(range(0, (4 + doc_id % 5) * (3 + doc_id % 4))) AS k
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, (4 + doc_id % 5) * (3 + doc_id % 4) AS n,
+      |    SUM(PX) AS sump, SUM((PX) * (PX)) AS sumsq,
+      |    SUM(CASE WHEN PX < 128 THEN 1 ELSE 0 END) AS nlow,
+      |    SUM(CASE WHEN PX >= 192 THEN 1 ELSE 0 END) AS nhigh
+      |  FROM px GROUP BY doc_id)
+      |SELECT doc_id, 'image/png' AS kind, CAST(n AS BIGINT) AS byte_len,
+      |  CAST(sump AS DOUBLE) / CAST(n AS DOUBLE) AS f1,
+      |  sqrt((CAST(sumsq AS DOUBLE) - CAST(sump AS DOUBLE) * CAST(sump AS DOUBLE)
+      |        / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)) AS f2,
+      |  CAST(nlow AS DOUBLE) / CAST(n AS DOUBLE) AS f3,
+      |  CAST(nhigh AS DOUBLE) / CAST(n AS DOUBLE) AS f4
+      |FROM s ORDER BY doc_id""".stripMargin.replace("PX", s"($p)")
+  }
 
   /** Frame sampling surfaced through the driver contract: every 4th
     * 16-byte "frame" of each payload, one output row per frame — the
