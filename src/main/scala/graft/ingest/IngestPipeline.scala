@@ -151,12 +151,21 @@ object IngestPipeline {
     * the files already present (streams can't be sampled retroactively),
     * then new files arriving in the directory flow through the same cast
     * kernels continuously. Pair with `writeStream.format("parquet")` +
-    * checkpointing for an incremental tabular→parquet ingest service. */
+    * checkpointing for an incremental tabular→parquet ingest service.
+    *
+    * RESTART CONTRACT: pass the first run's `schema` when resuming from
+    * a checkpoint. Re-inferring from the (now larger) directory can
+    * decide different types — e.g. a later file's bad cell demotes a
+    * numeric column to string — and a typed sink written across both
+    * runs would then hold irreconcilable parquet types. A real service
+    * reads the schema back from its own sink (parquet footers) or a
+    * schema registry; StreamingSpec's e2e case pins this behavior. */
   def convertStream(spark: SparkSession, path: String,
-                    delimiter: Option[Char] = None): DataFrame = {
+                    delimiter: Option[Char] = None,
+                    schema: Option[StructType] = None): DataFrame = {
     val d = delimiter.getOrElse(detectDelimiter(spark, path))
-    val schema = inferSchema(readRaw(spark, path, d), fullScan = false)
-    val allString = StructType(schema.fields.map(f =>
+    val pinned = schema.getOrElse(inferSchema(readRaw(spark, path, d), fullScan = false))
+    val allString = StructType(pinned.fields.map(f =>
       StructField(f.name, org.apache.spark.sql.types.StringType, nullable = true)))
     val rawStream = spark.readStream
       .option("header", "true")
@@ -165,7 +174,7 @@ object IngestPipeline {
       .option("escape", "\"")
       .schema(allString)
       .csv(path)
-    applySchema(rawStream, schema)
+    applySchema(rawStream, pinned)
   }
 
   /** O9: the reference's adaptive block sizing (conversion.rs:52-58) —

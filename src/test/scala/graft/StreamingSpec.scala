@@ -128,6 +128,54 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming ingest e2e: parquet sink + checkpoint resume, exactly-once vs batch") {
+    val root = java.nio.file.Files.createTempDirectory("graft_stream_e2e")
+    val inDir = java.nio.file.Files.createDirectory(root.resolve("in"))
+    val outDir = root.resolve("out").toString
+    val ckpt = root.resolve("ckpt").toString
+    java.nio.file.Files.writeString(inDir.resolve("a.tsv"),
+      "id\tscore\td\n1\t1.5\t2024-01-01\n2\t2.5\t2024-01-02\n")
+
+    // the restart contract: infer once, then PIN the schema for every
+    // (re)start — re-inference over the grown directory could demote
+    // score to string (file b's BAD cell) and corrupt the typed sink
+    val delim = graft.ingest.IngestPipeline.detectDelimiter(spark, inDir.toString)
+    val schema = graft.ingest.IngestPipeline.inferSchema(
+      graft.ingest.IngestPipeline.readRaw(spark, inDir.toString, delim), fullScan = false)
+
+    def startQuery() = graft.ingest.IngestPipeline
+      .convertStream(spark, inDir.toString, schema = Some(schema))
+      .writeStream.outputMode("append")
+      .format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .start()
+
+    // first run: file a only
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+
+    // second file lands while no query runs; the restarted query picks it
+    // up from the checkpoint WITHOUT reprocessing file a (exactly-once)
+    java.nio.file.Files.writeString(inDir.resolve("b.tsv"),
+      "id\tscore\td\n3\tBAD\t2024-01-03\n4\t4.5\tnot-a-date\n")
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val streamed = spark.read.parquet(outDir)
+    // batch twin over the SAME pinned schema and the same union of files
+    val batch = graft.ingest.IngestPipeline.applySchema(
+      graft.ingest.IngestPipeline.readRaw(spark, inDir.toString, delim), schema)
+    assert(streamed.schema.map(f => (f.name, f.dataType)) ==
+      batch.schema.map(f => (f.name, f.dataType)))
+    // identical rows: 4 total (no duplicates from the restart), with the
+    // same null-on-failure cells as the batch kernels produce
+    val s = streamed.orderBy("id").collect()
+    val b = batch.orderBy("id").collect()
+    assert(s.length == 4, s"expected 4 rows, got ${s.length} (duplicate reprocessing?)")
+    assert(s.toSeq == b.toSeq, s"stream=${s.toSeq}\nbatch=${b.toSeq}")
+    assert(s.count(_.isNullAt(1)) == 1 && s.count(_.isNullAt(2)) == 1)
+  }
+
   test("streaming curation: stateful dedup + quality filter matches the batch form") {
     import graft.queries.TextAnalysis
     val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)](spark)
