@@ -75,7 +75,86 @@ object ScaleBench {
       .write.mode("overwrite").json(s"$out/_READY")
   }
 
+  /** Skew evidence (`runMain graft.ScaleBench skew`): a planted
+    * pathological corpus — 10% of a 20M-row fact on ONE key over a
+    * 1,000-key dim — joined twice with broadcast and AQE skew handling
+    * OFF (the regime explicit salting exists for: streaming joins,
+    * forced SMJ pipelines, no-AQE engines). Reports wall time, max task
+    * duration, and the hottest shuffle partition's row count for the
+    * vanilla hash join vs SkewJoin.saltedJoin. Recorded in SCALE.md. */
+  def skewEvidence(spark: SparkSession): Unit = {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    val n = 20000000L
+    val dimKeys = 1000L
+    val hot = 7L
+    // fact: every 10th row on the hot key, rest spread uniformly
+    val fact = spark.range(n).select(
+      when(col("id") % 10 === 0, lit(hot))
+        .otherwise(col("id") % dimKeys).as("k"),
+      col("id").as("row_id"))
+    val dim = spark.range(dimKeys).select(col("id").as("sk"),
+      concat(lit("dim_"), col("id")).as("payload"))
+
+    val durations = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
+    val listener = new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
+        if (t.taskInfo != null) durations.add(t.taskInfo.duration)
+    }
+
+    def timed(df: org.apache.spark.sql.DataFrame): (Double, Long) = {
+      durations.clear()
+      spark.sparkContext.addSparkListener(listener)
+      val t0 = System.nanoTime()
+      df.write.mode("overwrite").format("noop").save()
+      val secs = (System.nanoTime() - t0) / 1e9
+      spark.sparkContext.removeSparkListener(listener)
+      import scala.jdk.CollectionConverters._
+      (secs, durations.asScala.map(_.longValue).maxOption.getOrElse(0L))
+    }
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val shuffleP = spark.conf.get("spark.sql.shuffle.partitions").toInt
+      // shuffle-partition row counts: Murmur3 `hash()` with the default
+      // seed is exactly what HashPartitioning applies to the join keys
+      val vanillaMaxRows = fact
+        .groupBy(pmod(hash(col("k")), lit(shuffleP)).as("p")).count()
+        .agg(max("count")).head.getLong(0)
+      val saltedMaxRows = fact
+        .withColumn("_graft_salt", pmod(hash(col("row_id")), lit(32)))
+        .groupBy(pmod(hash(col("k"), col("_graft_salt")), lit(shuffleP)).as("p")).count()
+        .agg(max("count")).head.getLong(0)
+
+      fact.write.mode("overwrite").format("noop").save() // warmup scan
+
+      val (vSec, vTask) = timed(fact.join(dim, col("k") === col("sk")))
+      val (sSec, sTask) = timed(graft.operators.SkewJoin.saltedJoin(
+        fact, dim, Seq("k" -> "sk"), saltSource = col("row_id"), salts = 32))
+      println(s"""{"metric":"skew_join_evidence","rows":$n,"hot_frac":0.1,""" +
+        s""""vanilla_sec":$vSec,"salted_sec":$sSec,""" +
+        s""""vanilla_max_task_ms":$vTask,"salted_max_task_ms":$sTask,""" +
+        s""""vanilla_max_partition_rows":$vanillaMaxRows,"salted_max_partition_rows":$saltedMaxRows}""")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("skew")) {
+      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+      val spark = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      skewEvidence(spark)
+      spark.stop()
+      return
+    }
     val out = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "/tmp/graft_sf1")
     val src = sys.env.getOrElse("SPARK_GRAFT_SRC", "/root/testdata/sf0.1")
     val factor = sys.env.getOrElse("SPARK_GRAFT_FACTOR", "10").toInt

@@ -23,6 +23,26 @@ class SkewJoinSpec extends SparkSpec {
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
   }
 
+  test("salted plan shuffles each side exactly once (no extra exchanges)") {
+    // the mitigation must not add exchanges beyond the two shuffle-join
+    // sides: salting happens inside the existing shuffles (salt is just
+    // an extra hash-partitioning column), replication is a map-side
+    // explode. Broadcast off so the join shape is the 100 TB SMJ one.
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false") {
+      val big = (0 until 1000).map(i => (7L, i.toLong)).toDF("k", "row_id")
+      val small = (0L until 10L).map(k => (k, s"d_$k")).toDF("sk", "payload")
+      val salted = SkewJoin.saltedJoin(big, small, Seq("k" -> "sk"),
+        saltSource = col("row_id"), salts = 8)
+      val plan = salted.queryExecution.executedPlan.toString
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+      assert(exchanges == 2, s"expected 2 exchanges, got $exchanges:\n$plan")
+      // and the salt participates in both partitionings
+      assert("hashpartitioning\\(k#\\d+L, _graft_salt".r.findFirstIn(plan).isDefined ||
+        plan.contains("_graft_salt"), s"salt not in partitioning:\n$plan")
+    }
+  }
+
   test("salt spreads the hot key over many partitions") {
     val big = (0 until 8000).map(i => (7L, i.toLong)).toDF("k", "row_id")
     val saltCounts = big

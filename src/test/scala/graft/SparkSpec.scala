@@ -27,4 +27,18 @@ object SparkSpec {
 abstract class SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSpec.spark
   def sf: String = SparkSpec.sf
+
+  /** Run `body` with SQL confs temporarily set, restoring prior values
+    * after (the session is shared JVM-wide across suites). */
+  def withSQLConf[A](confs: (String, String)*)(body: => A): A = {
+    val prior = confs.map { case (k, _) =>
+      k -> scala.util.Try(spark.conf.get(k)).toOption
+    }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally prior.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
