@@ -79,6 +79,45 @@ object ConvertMain {
     else shown
   }
 
+  /** Progress denominator when exact line-counting isn't cheap (remote
+    * FS, directory of part files): total data bytes ÷ average bytes/row
+    * sampled from the first file's first `sampleLines` lines. One
+    * buffered read of ≤1000 lines; never fails the conversion. */
+  private[graft] def estimateRowsFromBytes(spark: SparkSession, path: String,
+                                           sampleLines: Int = 1000): Option[Long] =
+    try {
+      val hp = new org.apache.hadoop.fs.Path(path)
+      val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val status = fs.getFileStatus(hp)
+      val (files, totalBytes) =
+        if (status.isDirectory) {
+          val fl = fs.listStatus(hp).filter(s => s.isFile &&
+            graft.sources.GraftDataSource.isDataFile(s.getPath.getName))
+          (fl.map(_.getPath), fl.map(_.getLen).sum)
+        } else (Array(hp), status.getLen)
+      if (files.isEmpty || totalBytes == 0L) None
+      else {
+        val in = new java.io.BufferedReader(
+          new java.io.InputStreamReader(fs.open(files.head), "UTF-8"))
+        try {
+          Option(in.readLine()).flatMap { header =>
+            val headerBytes = header.getBytes("UTF-8").length + 1L
+            var n = 0
+            var bytes = 0L
+            var line = in.readLine()
+            while (line != null && n < sampleLines) {
+              bytes += line.getBytes("UTF-8").length + 1L
+              n += 1
+              line = in.readLine()
+            }
+            if (n == 0) Some(0L)
+            else Some(math.max(0L,
+              ((totalBytes - headerBytes * files.length) / (bytes.toDouble / n)).toLong))
+          }
+        } finally in.close()
+      }
+    } catch { case _: Exception => None }
+
   /** Record count from the parquet footer — metadata-only read. */
   private[graft] def footerRowCount(spark: SparkSession, path: String): Long =
     scala.util.Using.resource(
@@ -123,15 +162,18 @@ object ConvertMain {
     err(s"[CONF] row-group block = ${IngestPipeline.rowGroupRows(schema.fields.length)} rows")
 
     // the reference pre-counts lines for its progress bar total
-    // (conversion.rs:66); cheap driver-side count for local files only
-    val totalRows = {
+    // (conversion.rs:66). Local regular file: exact line count. Anything
+    // else (directory of parts, HDFS/S3 object): estimate from input
+    // bytes ÷ sampled bytes-per-row, so the ticker still shows progress
+    // against a denominator everywhere — marked approximate ("/~N").
+    val (totalRows, approxTotal) = {
       val p = Paths.get(inputPath)
       if (Files.isRegularFile(p))
-        Some(scala.util.Using.resource(Files.lines(p))(_.count()) - 1)
-      else None
+        (Some(scala.util.Using.resource(Files.lines(p))(_.count()) - 1), false)
+      else (estimateRowsFromBytes(spark, inputPath), true)
     }
 
-    val ticker = new ProgressTicker(spark, totalRows, err)
+    val ticker = new ProgressTicker(spark, totalRows, err, approxTotal = approxTotal)
     ticker.start()
     val obs = org.apache.spark.sql.Observation("graft_convert")
     val rows = try {
@@ -210,6 +252,7 @@ object ConvertMain {
       .config("spark.sql.shuffle.partitions",
         Runtime.getRuntime.availableProcessors())
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

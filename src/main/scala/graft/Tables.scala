@@ -27,11 +27,11 @@ object Tables {
     * and a µs-truncated `ts_ts` TimestampType column.
     */
   def events(s: SparkSession, dir: String): DataFrame = {
-    // Set at session build in Verify/Bench/tests; this guard only covers
-    // externally-supplied sessions (the driver's entry() contract) and
-    // never mutates a session that is already configured.
-    if (!s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Requires spark.sql.legacy.parquet.nanosAsLong=true, set where every
+    // graft session is BUILT (Bench/Verify/Explain/ScaleBench/ConvertMain
+    // and the test harness) — reading a table must not mutate session
+    // conf. An externally-built session without the conf fails fast with
+    // Spark's PARQUET_TYPE_ILLEGAL, which names the fix.
     // `ts div 1000`, not `/ 1000`: Spark's `/` is double division and
     // ns-magnitude longs (~1e18) exceed double's 2^53 exact range — the
     // rounded quotient can differ ±1 µs from exact truncation.

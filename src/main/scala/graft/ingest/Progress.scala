@@ -19,7 +19,8 @@ import org.apache.spark.sql.SparkSession
   */
 final class ProgressTicker(spark: SparkSession, totalRows: Option[Long],
                            out: String => Unit = Console.err.println(_),
-                           tickMillis: Long = 1000L) {
+                           tickMillis: Long = 1000L,
+                           approxTotal: Boolean = false) {
 
   val rowsRead = new AtomicLong(0L)
 
@@ -54,7 +55,9 @@ final class ProgressTicker(spark: SparkSession, totalRows: Option[Long],
               val dt = (history.last._1 - history.head._1) / 1000.0
               if (dt > 0) f"${(history.last._2 - history.head._2) / dt}%.0f rows/s" else ""
             } else ""
-          val ofTotal = totalRows.map(t => s"/$t").getOrElse("")
+          // "~" marks a bytes-derived estimate (remote FS / directory
+          // inputs, where exact pre-counting would cost a full read)
+          val ofTotal = totalRows.map(t => if (approxTotal) s"/~$t" else s"/$t").getOrElse("")
           out(s"[PROGRESS] $pos$ofTotal rows $rate".trim)
         }
       }

@@ -197,4 +197,31 @@ class ConvertMainSpec extends SparkSpec {
       assert(msgs.peek().startsWith("[PROGRESS]"))
     } finally ticker.stop()
   }
+
+  test("denominator-less sources get a bytes-derived estimate, marked approximate") {
+    // a DIRECTORY of part files takes the no-exact-count path that
+    // remote filesystems hit — the estimate must land near the truth
+    val dir = Files.createTempDirectory("graft_progress_est")
+    def lines(start: Int, n: Int) = (start until start + n)
+      .map(i => s"$i\tname_$i\t${i * 0.25}").mkString("id\tname\tscore\n", "\n", "\n")
+    Files.writeString(dir.resolve("p1.tsv"), lines(0, 3000))
+    Files.writeString(dir.resolve("p2.tsv"), lines(3000, 3000))
+    val est = ConvertMain.estimateRowsFromBytes(spark, dir.toString)
+    assert(est.isDefined, "directory input must produce an estimate")
+    assert(math.abs(est.get - 6000L) < 600L, s"estimate ${est.get} not within 10% of 6000")
+
+    // the ticker renders an estimated denominator as /~N
+    val msgs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val ticker = new ProgressTicker(spark, est, msgs.add(_),
+      tickMillis = 50L, approxTotal = true)
+    ticker.start()
+    try {
+      IngestPipeline.readRaw(spark, dir.toString, '\t').count()
+      val deadline = System.currentTimeMillis() + 5000
+      while (msgs.isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      assert(!msgs.isEmpty && msgs.peek().contains("/~"),
+        s"expected approx denominator, got: ${msgs.peek()}")
+    } finally ticker.stop()
+  }
 }
