@@ -23,6 +23,7 @@ object SparkEntry {
       graft.queries.Dedup.queries ++
       graft.queries.Similarity.queries ++
       graft.queries.Extensions.queries ++
+      graft.queries.Curation.queries ++
       graft.queries.Ingest.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -35,5 +36,6 @@ object SparkEntry {
       graft.queries.Dedup.oracleSql ++
       graft.queries.Similarity.oracleSql ++
       graft.queries.Extensions.oracleSql ++
+      graft.queries.Curation.oracleSql ++
       graft.queries.Ingest.oracleSql
 }

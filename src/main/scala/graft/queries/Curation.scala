@@ -1,0 +1,201 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+import graft.Tables
+
+/** Corpus-curation operators a 100 TB training-data pipeline runs
+  * between raw ingest and tokenization (builder brief §LLM-pipeline):
+  * PII scrubbing, benchmark decontamination, stratified data mixing,
+  * and within-document repetition scoring. Each is oracle-checked
+  * (hash-exact vs DuckDB) like the §2.D inventory.
+  *
+  * Scale notes per query are inline; the common theme: map-side
+  * expression trees where possible, and when a join is unavoidable
+  * (decontamination) the join key is the n-gram itself with the small
+  * eval side broadcast — candidate volume is bounded by the eval set,
+  * never the corpus.
+  */
+object Curation {
+
+  // Spark `split(trim, \s+)` ≡ DuckDB `string_split_regex(trim, '\s+')`
+  private def words(c: Column): Column = split(trim(c), "\\s+")
+
+  // ── PII scrubbing ──────────────────────────────────────────────────
+
+  /** Redact emails and phone numbers. The synthetic corpus has no PII,
+    * so both engines first append a deterministic contact line (one
+    * email + one phone derived from doc_id) and then scrub it — the
+    * regex machinery is exercised for real, and the oracle mirrors the
+    * construction exactly. Pure map-side: one scan, no shuffle beyond
+    * the output sort; at 100 TB this is a projection pipeline.
+    *
+    * Patterns stay in the RE2 ∩ Java-regex dialect intersection so both
+    * engines compile them identically. */
+  def qPiiScrub(s: SparkSession, dir: String): DataFrame = {
+    val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phonePat = "\\+1-555-[0-9]{4}"
+    val tainted = concat(col("text"),
+      lit(" contact user"), col("doc_id"), lit("@example.com or +1-555-"),
+      lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"))
+    val nEmails = size(regexp_extract_all(tainted, lit(emailPat), lit(0))).cast(LongType)
+    val nPhones = size(regexp_extract_all(tainted, lit(phonePat), lit(0))).cast(LongType)
+    val scrubbed = regexp_replace(
+      regexp_replace(tainted, emailPat, "<EMAIL>"), phonePat, "<PHONE>")
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      nEmails.as("n_emails"),
+      nPhones.as("n_phones"),
+      length(scrubbed).cast(LongType).as("scrubbed_len"),
+      substring(scrubbed, -40, 40).as("tail40"))
+      .orderBy("doc_id")
+  }
+
+  private val qPiiScrubOracle = {
+    val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phonePat = "\\+1-555-[0-9]{4}"
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    text || ' contact user' || doc_id || '@example.com or +1-555-' ||
+       |      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS tainted
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(tainted, '$emailPat')) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all(tainted, '$phonePat')) AS BIGINT) AS n_phones,
+       |  CAST(length(regexp_replace(regexp_replace(tainted, '$emailPat', '<EMAIL>', 'g'),
+       |    '$phonePat', '<PHONE>', 'g')) AS BIGINT) AS scrubbed_len,
+       |  right(regexp_replace(regexp_replace(tainted, '$emailPat', '<EMAIL>', 'g'),
+       |    '$phonePat', '<PHONE>', 'g'), 40) AS tail40
+       |FROM t ORDER BY doc_id""".stripMargin
+  }
+
+  // ── benchmark decontamination ──────────────────────────────────────
+
+  /** Train/eval n-gram overlap: the eval set is every 97th document;
+    * a training document is contaminated if it shares any word 5-gram
+    * with any eval document. Output: contaminated train docs with the
+    * count of distinct shared 5-grams.
+    *
+    * Scale: both sides explode to (ngram, doc) pairs; the EVAL side is
+    * corpus/97 docs → its distinct-ngram set is small and broadcast, so
+    * the corpus-side cost is one scan + one broadcast-hash probe, no
+    * all-pairs anything. (On a petabyte corpus the eval set — real
+    * benchmarks — is tiny, exactly this shape.) */
+  def qDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    def ngrams(n: Int): Column = {
+      val w = words(col("text"))
+      // guard: sequence(0, negative) would generate a DESCENDING range;
+      // a doc shorter than n words contributes no grams (explode drops it)
+      when(size(w) >= n,
+        transform(sequence(lit(0), size(w) - n),
+          i => concat_ws(" ", slice(w, i + 1, lit(n)))))
+        .otherwise(array())
+    }
+    val exploded = docs.select(col("doc_id"), explode(ngrams(5)).as("gram"))
+    val evalGrams = exploded.filter(col("doc_id") % 97 === 0)
+      .select(col("gram")).distinct()
+    exploded.filter(col("doc_id") % 97 =!= 0)
+      .join(broadcast(evalGrams), "gram")
+      .groupBy(col("doc_id"))
+      .agg(count_distinct(col("gram")).as("n_shared_grams"))
+      .orderBy("doc_id")
+  }
+
+  private val qDecontaminateOracle =
+    """WITH g AS (
+      |  SELECT doc_id, unnest(list_transform(
+      |    range(1, len(string_split_regex(trim(text), '\s+')) - 3),
+      |    i -> array_to_string(string_split_regex(trim(text), '\s+')[i:i+4], ' '))) AS gram
+      |  FROM documents),
+      |ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0)
+      |SELECT doc_id, CAST(COUNT(DISTINCT gram) AS BIGINT) AS n_shared_grams
+      |FROM g JOIN ev USING (gram)
+      |WHERE doc_id % 97 <> 0
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ── stratified data mixing ─────────────────────────────────────────
+
+  /** Exact-quota stratified sample: the N "best-shuffled" docs per
+    * source, ranked by a deterministic pseudo-random key (a multiplicative
+    * hash both engines compute identically in 64-bit integer math —
+    * cross-engine xxhash is NOT portable, arithmetic is). One window
+    * shuffle on source; at 100 TB each stratum ranks independently, and
+    * rank-≤N short-circuits via the window's running filter. */
+  def qDataMix(s: SparkSession, dir: String, quota: Int = 100): DataFrame = {
+    val key = pmod(col("doc_id") * lit(2654435761L), lit(1000000007L))
+    val rn = row_number().over(
+      Window.partitionBy(col("source")).orderBy(key.asc, col("doc_id").asc))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), key.as("mix_key"),
+        rn.cast(LongType).as("mix_rank"))
+      .filter(col("mix_rank") <= quota)
+      .orderBy("source", "mix_rank")
+  }
+
+  private val qDataMixOracle =
+    """WITH r AS (
+      |  SELECT doc_id, source, (doc_id * 2654435761) % 1000000007 AS mix_key,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY (doc_id * 2654435761) % 1000000007 ASC, doc_id ASC) AS mix_rank
+      |  FROM documents)
+      |SELECT doc_id, source, mix_key, CAST(mix_rank AS BIGINT) AS mix_rank
+      |FROM r WHERE mix_rank <= 100 ORDER BY source, mix_rank""".stripMargin
+
+  // ── within-document repetition ─────────────────────────────────────
+
+  /** Repetition quality signal (the CommonCrawl-style filter): fraction
+    * of repeated words and the most-frequent word's share, per doc.
+    * One explode + one two-key aggregation — the groupBy(doc, word)
+    * combines map-side, so the shuffle carries (doc, word) partial
+    * counts, not raw tokens. All ratios are int-ratio doubles
+    * (cross-engine deterministic). */
+  def qDocRepetition(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    docs.select(col("doc_id"), explode(words(col("text"))).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("c")).cast(LongType).as("n_words"),
+        count(lit(1)).cast(LongType).as("n_distinct"),
+        max(col("c")).cast(LongType).as("top_freq"))
+      .select(
+        col("doc_id"), col("n_words"), col("n_distinct"),
+        round(lit(1.0) - col("n_distinct").cast(DoubleType) /
+          col("n_words").cast(DoubleType), 6).as("rep_ratio"),
+        round(col("top_freq").cast(DoubleType) /
+          col("n_words").cast(DoubleType), 6).as("top_share"))
+      .orderBy("doc_id")
+  }
+
+  private val qDocRepetitionOracle =
+    """WITH w AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
+      |  FROM documents),
+      |c AS (SELECT doc_id, w, COUNT(*) AS c FROM w GROUP BY doc_id, w),
+      |a AS (
+      |  SELECT doc_id, SUM(c) AS n_words, COUNT(*) AS n_distinct, MAX(c) AS top_freq
+      |  FROM c GROUP BY doc_id)
+      |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+      |  CAST(n_distinct AS BIGINT) AS n_distinct,
+      |  round(1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_words AS DOUBLE), 6) AS rep_ratio,
+      |  round(CAST(top_freq AS DOUBLE) / CAST(n_words AS DOUBLE), 6) AS top_share
+      |FROM a ORDER BY doc_id""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pii_scrub" -> (qPiiScrub _),
+    "q_decontaminate" -> (qDecontaminate _),
+    "q_data_mix" -> ((s, d) => qDataMix(s, d)),
+    "q_doc_repetition" -> (qDocRepetition _)
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_pii_scrub" -> qPiiScrubOracle,
+    "q_decontaminate" -> qDecontaminateOracle,
+    "q_data_mix" -> qDataMixOracle,
+    "q_doc_repetition" -> qDocRepetitionOracle
+  )
+}
