@@ -185,17 +185,64 @@ object Curation {
       |  round(CAST(top_freq AS DOUBLE) / CAST(n_words AS DOUBLE), 6) AS top_share
       |FROM a ORDER BY doc_id""".stripMargin
 
+  // ── context-window packing ─────────────────────────────────────────
+
+  /** Sequential-fill packing of documents into fixed token budgets
+    * (context windows): within each source stratum, docs are laid out
+    * in doc_id order and each doc is assigned the bin where its START
+    * offset lands (`bin = floor(start / budget)`), plus its offset in
+    * that bin — the deterministic prefix-sum form of greedy packing
+    * that a tokenizer stage consumes. Token count = whitespace words
+    * (the pipeline's cheap proxy; q_text_tokens holds the BPE-ish
+    * counter).
+    *
+    * Scale: the running sum windows by SOURCE, not globally — each
+    * stratum's prefix sum is an independent partition, so no
+    * single-partition window bottleneck at 100 TB (packing across the
+    * whole corpus would serialize; packing per mix-stream is what the
+    * training pipeline wants anyway). */
+  def qContextPack(s: SparkSession, dir: String, budget: Int = 2048): DataFrame = {
+    val nTokens = size(words(col("text"))).cast(LongType)
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), nTokens.as("n_tokens"))
+      .withColumn("start", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .select(
+        col("doc_id"), col("source"), col("n_tokens"),
+        (col("start") / budget).cast(LongType).as("bin_id"),
+        pmod(col("start"), lit(budget.toLong)).as("bin_offset"))
+      .orderBy("source", "doc_id")
+  }
+
+  private val qContextPackOracle =
+    """WITH t AS (
+      |  SELECT doc_id, source,
+      |    len(string_split_regex(trim(text), '\s+')) AS n_tokens
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, source, n_tokens,
+      |    SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS start
+      |  FROM t)
+      |SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+      |  CAST(start // 2048 AS BIGINT) AS bin_id,
+      |  CAST(start % 2048 AS BIGINT) AS bin_offset
+      |FROM c ORDER BY source, doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pii_scrub" -> (qPiiScrub _),
     "q_decontaminate" -> (qDecontaminate _),
     "q_data_mix" -> ((s, d) => qDataMix(s, d)),
-    "q_doc_repetition" -> (qDocRepetition _)
+    "q_doc_repetition" -> (qDocRepetition _),
+    "q_context_pack" -> ((s, d) => qContextPack(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
     "q_pii_scrub" -> qPiiScrubOracle,
     "q_decontaminate" -> qDecontaminateOracle,
     "q_data_mix" -> qDataMixOracle,
-    "q_doc_repetition" -> qDocRepetitionOracle
+    "q_doc_repetition" -> qDocRepetitionOracle,
+    "q_context_pack" -> qContextPackOracle
   )
 }
