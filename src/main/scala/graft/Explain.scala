@@ -8,7 +8,8 @@ import org.apache.spark.sql.SparkSession
 object Explain {
   val headline = Seq(
     "q_filter_pred", "q_sort_topk", "q_join_multiway", "q_agg_group",
-    "q_skew_join", "q_dedup_minhash", "q_dedup_embed", "q_quality_filter")
+    "q_skew_join", "q_dedup_minhash", "q_dedup_embed", "q_quality_filter",
+    "q_decontaminate", "q_context_pack")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
