@@ -57,6 +57,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(!rs.contains("n_chars"), s"documents scan not pruned: $rs")
   }
 
+  test("curation queries keep their declared shuffle budgets") {
+    def exchanges(plan: String): Int =
+      "Exchange (hashpartitioning|rangepartitioning)".r.findAllIn(plan).length
+    // pii scrub is pure map-side + the output sort
+    val pii = graft.queries.Curation.qPiiScrub(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(exchanges(pii) <= 1, s"q_pii_scrub grew a shuffle:\n${pii.take(1200)}")
+    // data mix / context pack: one per-source window + the output sort
+    Seq(graft.queries.Curation.qDataMix(spark, sf),
+      graft.queries.Curation.qContextPack(spark, sf)).foreach { df =>
+      val p = df.queryExecution.executedPlan.toString
+      assert(exchanges(p) <= 2, s"window query exceeded 2 exchanges:\n${p.take(1200)}")
+    }
+    // doc repetition: (doc,word) agg + (doc) agg + sort
+    val rep = graft.queries.Curation.qDocRepetition(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(exchanges(rep) <= 3, s"q_doc_repetition exceeded 3 exchanges:\n${rep.take(1200)}")
+  }
+
   test("filters push down to the parquet scan") {
     val plan = graft.queries.Relational.qFilterPred(spark, sf)
       .queryExecution.executedPlan.toString
