@@ -24,6 +24,7 @@ object SparkEntry {
       graft.queries.Similarity.queries ++
       graft.queries.Extensions.queries ++
       graft.queries.Curation.queries ++
+      graft.queries.Profiling.queries ++
       graft.queries.Ingest.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -37,5 +38,6 @@ object SparkEntry {
       graft.queries.Similarity.oracleSql ++
       graft.queries.Extensions.oracleSql ++
       graft.queries.Curation.oracleSql ++
+      graft.queries.Profiling.oracleSql ++
       graft.queries.Ingest.oracleSql
 }

@@ -1,0 +1,86 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+import graft.Tables
+
+/** Data-profiling operators — the "what's in this table" pass every
+  * pipeline runs before trusting 100 TB of parquet: per-column
+  * stats and value histograms, both oracle-checked.
+  *
+  * Scale: q_profile_stats is ONE aggregation job over the scan (the
+  * exact distinct counts expand map-side; at petabyte scale you'd swap
+  * approx_count_distinct — the declared-approximate twin pattern used
+  * by q_agg_approx). q_profile_hist is a plain groupBy on a derived
+  * bin key — partial counts combine map-side, the shuffle carries one
+  * row per bin per partition.
+  */
+object Profiling {
+
+  /** Per-column profile of lineitem's money/rate columns: row count,
+    * nulls, exact distinct count, min/max. One pass; the row-per-column
+    * shape comes from exploding an array of structs built on the single
+    * aggregate row (no re-scan per column). */
+  def qProfileStats(s: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val aggs = count(lit(1)).as("n_rows") +:
+      cols.flatMap { c =>
+        Seq(
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+          count_distinct(col(c)).as(s"${c}_distinct"),
+          min(col(c)).as(s"${c}_min"),
+          max(col(c)).as(s"${c}_max"))
+      }
+    Tables.lineitem(s, dir)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(cols.map(c => struct(
+        lit(c).as("col_name"),
+        col("n_rows"),
+        col(s"${c}_nulls").cast(LongType).as("n_nulls"),
+        col(s"${c}_distinct").cast(LongType).as("n_distinct"),
+        col(s"${c}_min").cast(DoubleType).as("min_val"),
+        col(s"${c}_max").cast(DoubleType).as("max_val"))): _*)).as("r"))
+      .select("r.*")
+      .orderBy("col_name")
+  }
+
+  private val qProfileStatsOracle = {
+    def row(c: String) =
+      s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
+         |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+         |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+         |  CAST(MIN($c) AS DOUBLE) AS min_val, CAST(MAX($c) AS DOUBLE) AS max_val
+         |FROM lineitem""".stripMargin
+    Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      .map(row).mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+  }
+
+  /** Equal-width value histogram of l_extendedprice (fixed 10k-wide
+    * bins — fixed bounds keep it one pass; data-driven bounds would be
+    * the standard two-pass variant). The 2-decimal money values divide
+    * a power-of-ten width exactly, so the floor is cross-engine
+    * deterministic. */
+  def qProfileHist(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(floor(col("l_extendedprice") / 10000).cast(LongType).as("bin"))
+      .agg(count(lit(1)).as("n"),
+        QueryUtil.dsum(col("l_extendedprice")).as("sum_price"))
+      .orderBy("bin")
+
+  private val qProfileHistOracle =
+    s"""SELECT CAST(floor(l_extendedprice / 10000) AS BIGINT) AS bin,
+       |  COUNT(*) AS n, ${QueryUtil.dsumSql("l_extendedprice")} AS sum_price
+       |FROM lineitem GROUP BY 1 ORDER BY bin""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_profile_stats" -> (qProfileStats _),
+    "q_profile_hist" -> (qProfileHist _)
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_profile_stats" -> qProfileStatsOracle,
+    "q_profile_hist" -> qProfileHistOracle
+  )
+}
