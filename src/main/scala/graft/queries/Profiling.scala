@@ -74,13 +74,72 @@ object Profiling {
        |  COUNT(*) AS n, ${QueryUtil.dsumSql("l_extendedprice")} AS sum_price
        |FROM lineitem GROUP BY 1 ORDER BY bin""".stripMargin
 
+  /** Winsorized (5–95% trimmed) per-group profile: exact percentile
+    * bounds, outlier counts on each side, and the trimmed decimal sum /
+    * mean. Numeric-outlier clipping is the tabular sibling of text
+    * quality filtering.
+    *
+    * Determinism: the bounds are interpolated doubles that both engines
+    * compute identically (percentile ≡ quantile_cont, proven by
+    * q_agg_percentile); comparisons against them are exact; the trimmed
+    * sum converts to DECIMAL before adding (order-independent), so no
+    * double accumulation anywhere.
+    *
+    * Scale: exact per-group percentiles need a per-group sort (the
+    * documented verification form — the at-scale twin substitutes
+    * approx_percentile's mergeable sketch); the bounds table is one row
+    * per group and broadcasts back onto the scan. */
+  def qWinsorize(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val bounds = li.groupBy(col("l_returnflag")).agg(
+      expr("percentile(l_extendedprice, 0.05)").as("lo"),
+      expr("percentile(l_extendedprice, 0.95)").as("hi"))
+    val price = col("l_extendedprice")
+    li.join(broadcast(bounds), "l_returnflag")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(price < col("lo"), 1L).otherwise(0L)).as("n_below"),
+        sum(when(price > col("hi"), 1L).otherwise(0L)).as("n_above"),
+        min(col("lo")).as("lo"),
+        min(col("hi")).as("hi"),
+        QueryUtil.dsumDec(when(price >= col("lo") && price <= col("hi"),
+          QueryUtil.money(price))).as("trimmed_sum"),
+        round(QueryUtil.dsumDec(when(price >= col("lo") && price <= col("hi"),
+          QueryUtil.money(price))) /
+          sum(when(price >= col("lo") && price <= col("hi"), 1L).otherwise(0L)), 4)
+          .as("trimmed_mean"))
+      .orderBy("l_returnflag")
+  }
+
+  private val qWinsorizeOracle =
+    """WITH b AS (
+      |  SELECT l_returnflag,
+      |    quantile_cont(l_extendedprice, 0.05) AS lo,
+      |    quantile_cont(l_extendedprice, 0.95) AS hi
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l.l_returnflag, COUNT(*) AS n,
+      |  CAST(SUM(CASE WHEN l_extendedprice < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
+      |  CAST(SUM(CASE WHEN l_extendedprice > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+      |  MIN(lo) AS lo, MIN(hi) AS hi,
+      |  CAST(SUM(CASE WHEN l_extendedprice >= lo AND l_extendedprice <= hi
+      |    THEN CAST(l_extendedprice AS DECIMAL(12,2)) END) AS DOUBLE) AS trimmed_sum,
+      |  round(CAST(SUM(CASE WHEN l_extendedprice >= lo AND l_extendedprice <= hi
+      |    THEN CAST(l_extendedprice AS DECIMAL(12,2)) END) AS DOUBLE) /
+      |    SUM(CASE WHEN l_extendedprice >= lo AND l_extendedprice <= hi THEN 1 ELSE 0 END), 4)
+      |    AS trimmed_mean
+      |FROM lineitem l JOIN b USING (l_returnflag)
+      |GROUP BY l.l_returnflag ORDER BY l_returnflag""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_profile_stats" -> (qProfileStats _),
-    "q_profile_hist" -> (qProfileHist _)
+    "q_profile_hist" -> (qProfileHist _),
+    "q_winsorize" -> (qWinsorize _)
   )
 
   def oracleSql: Map[String, String] = Map(
     "q_profile_stats" -> qProfileStatsOracle,
-    "q_profile_hist" -> qProfileHistOracle
+    "q_profile_hist" -> qProfileHistOracle,
+    "q_winsorize" -> qWinsorizeOracle
   )
 }
