@@ -32,7 +32,9 @@ object ScaleBench {
     "q_join_multiway", "q_sort_topk", "q_window_rank", "q_events_sessions",
     "q_dedup_exact", "q_dedup_minhash", "q_dedup_simhash", "q_dedup_embed",
     "q_dedup_clusters", "q_quality_filter", "q_ann_lsh", "q_ann_ivf",
-    "q_skew_join", "q_text_quality", "q_embed_cosine_topk", "q_filter_pred")
+    "q_skew_join", "q_text_quality", "q_embed_cosine_topk", "q_filter_pred",
+    "q_embed_quant", "q_decontaminate", "q_context_pack", "q_doc_repetition",
+    "q_winsorize", "q_profile_hist")
 
   def buildScaledData(spark: SparkSession, src: String, out: String, factor: Int): Unit = {
     val KEY = 100000000L // key shift per copy: far above any sf0.1 key
