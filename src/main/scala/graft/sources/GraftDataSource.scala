@@ -83,7 +83,8 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
 
   private class GraftScanBuilder(full: StructType, path: String, delim: Char)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-      with SupportsPushDownFilters with Scan with Batch {
+      with SupportsPushDownFilters with Scan with Batch
+      with SupportsReportStatistics {
 
     private var required: StructType = full
     private var pushed: Array[sources.Filter] = Array.empty
@@ -123,6 +124,30 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
             .map(_.getPath.toString).sorted
         else Array(path)
       files.map(f => GraftFilePartition(f, full, required, delim, pushed): InputPartition)
+    }
+
+    /** Input-byte statistics from the filesystem (a metadata-only
+      * listing), so Catalyst can pick broadcast joins for small graft
+      * reads the same way it does for parquet. Typed rows are narrower
+      * than their delimited text, so file size is a safe (over-)
+      * estimate of scan size. */
+    override def estimateStatistics(): Statistics = new Statistics {
+      private val bytes: Long =
+        try {
+          val conf = SparkSession.active.sparkContext.hadoopConfiguration
+          val root = new Path(path)
+          val fs = root.getFileSystem(conf)
+          val st = fs.getFileStatus(root)
+          if (st.isDirectory)
+            fs.listStatus(root)
+              .filter(s => s.isFile && GraftDataSource.isDataFile(s.getPath.getName))
+              .map(_.getLen).sum
+          else st.getLen
+        } catch { case _: Exception => Long.MaxValue }
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.empty()
     }
 
     override def createReaderFactory(): PartitionReaderFactory =
@@ -247,10 +272,15 @@ class GraftPartitionReader(p: GraftFilePartition)
     if (v == null || ScalarParse.isNullText(v)) null else conv(v)
   }
 
+  // count(*)-style scans (no projected columns, no filters) need only
+  // the LINE, never its fields — skip the quote-aware split entirely
+  private val needsTokens = fields.nonEmpty || evalFields.nonEmpty
+
   override def next(): Boolean = {
     while (true) {
       val raw = in.readLine()
       if (raw == null) { current = null; return false }
+      if (!needsTokens) { current = GraftPartitionReader.emptyRow; return true }
       // readLine strips \n but keeps a CRLF file's \r — drop it, like
       // the reference's csv reader (and Spark's CSV source) do
       val line = if (raw.nonEmpty && raw.last == '\r') raw.dropRight(1) else raw
@@ -286,6 +316,9 @@ class GraftPartitionReader(p: GraftFilePartition)
 }
 
 object GraftPartitionReader {
+  /** Shared zero-column row for count-only scans. */
+  val emptyRow: InternalRow = new GenericInternalRow(0)
+
   /** RFC-4180-style field split: fields optionally double-quoted, `""`
     * escapes a quote inside a quoted field — the same single-LINE
     * grammar the reference's csv crate applies per block line (embedded

@@ -168,6 +168,26 @@ class GraftSourceSpec extends SparkSpec {
       java.time.LocalDateTime.parse("2024-01-01T00:00:30"))
   }
 
+  test("reported statistics let Catalyst broadcast a small graft read") {
+    // the source reports file bytes via SupportsReportStatistics; a join
+    // against a big parquet side must then plan the graft side broadcast
+    val small = spark.read.format("graft").load(fixture)
+      .select(col("id").as("g_id"), col("name"))
+    val big = spark.range(500000).select(col("id").as("b_id"))
+    val joined = big.join(small, col("b_id") === col("g_id"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"small graft side should broadcast:\n${plan.take(900)}")
+    assert(joined.count() == 1200)
+  }
+
+  test("count(*) over a graft read skips field parsing but counts every line") {
+    val df = spark.read.format("graft").load(fixture)
+    assert(df.count() == 1200) // pruned-to-zero-columns fast path
+    // and with a pushed filter, eval columns still parse
+    assert(df.filter(col("id") < 100L).count() == 100)
+  }
+
   test("dot-prefixed and underscore-prefixed files are skipped as hidden") {
     val dir = Files.createTempDirectory("graft_dsv2_hidden")
     Files.write(dir.resolve("data.tsv"),
