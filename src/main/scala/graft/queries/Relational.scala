@@ -534,14 +534,26 @@ object Relational {
 
   /** HyperLogLog approximate distinct vs the exact count. Approximate
     * values are engine-specific → no value oracle; the driver's
-    * rows-only check applies and AggSpec bounds the relative error. */
-  def qAggApprox(s: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(s, dir)
-      .groupBy(col("l_returnflag"))
+    * rows-only check applies and AggSpec bounds the relative error.
+    *
+    * The exact count runs as its own two-level aggregation (distinct
+    * pairs, then count) joined back to the sketch aggregate: mixing
+    * exact-distinct with other aggregates in ONE agg makes Spark Expand
+    * every input row per aggregate (3× the scan through the first
+    * shuffle); split, the sketches partial-aggregate map-side and the
+    * exact path shuffles distinct pairs only. */
+  def qAggApprox(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val sketches = li.groupBy(col("l_returnflag"))
       .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        countDistinct(col("l_partkey")).as("exact_parts"),
         approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+    val exact = li.select(col("l_returnflag"), col("l_partkey")).distinct()
+      .groupBy(col("l_returnflag")).agg(count(lit(1)).as("exact_parts"))
+    sketches.join(exact, "l_returnflag")
+      .select(col("l_returnflag"), col("approx_parts"),
+        col("exact_parts"), col("approx_orders"))
       .orderBy("l_returnflag")
+  }
 
   // ── sort / limit ──────────────────────────────────────────────────
 
