@@ -198,6 +198,28 @@ class ConvertMainSpec extends SparkSpec {
     } finally ticker.stop()
   }
 
+  test("e2e: a DIRECTORY of part files converts through the CLI path") {
+    // remote-FS shape: input is a directory, so the exact line pre-count
+    // is skipped (estimate path) and all parts union into one output
+    val dir = Files.createTempDirectory("graft_cli_dir")
+    val data = Files.createDirectory(dir.resolve("batch"))
+    def part(name: String, from: Int, n: Int): Unit =
+      Files.writeString(data.resolve(name), (from until from + n)
+        .map(i => s"$i\tv_$i\t${i * 0.5}")
+        .mkString("id\tname\tscore\n", "\n", "\n"))
+    part("a.tsv", 0, 400)
+    part("b.tsv", 400, 400)
+    val msgs = scala.collection.mutable.ArrayBuffer.empty[String]
+    val (out, rows, errs) = ConvertMain.run(spark,
+      ConvertMain.Options(Some(data.toString), fullScan = false), msgs += _)
+    assert(out == dir.resolve("batch.parquet").toString)
+    assert(rows == 800L && errs == 0L)
+    val back = spark.read.parquet(out)
+    assert(back.count() == 800)
+    assert(back.schema.fields.map(_.dataType.typeName).toSeq ==
+      Seq("long", "string", "double"))
+  }
+
   test("denominator-less sources get a bytes-derived estimate, marked approximate") {
     // a DIRECTORY of part files takes the no-exact-count path that
     // remote filesystems hit — the estimate must land near the truth

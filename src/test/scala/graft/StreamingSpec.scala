@@ -176,6 +176,38 @@ class StreamingSpec extends SparkSpec {
     assert(s.count(_.isNullAt(1)) == 1 && s.count(_.isNullAt(2)) == 1)
   }
 
+  test("streaming context packing matches the batch prefix-sum form") {
+    import graft.streaming.PackStream
+    // batch truth from the oracle-checked query
+    val batch = graft.queries.Curation.qContextPack(spark, sf).collect()
+      .map(r => (r.getString(1), r.getLong(0)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+
+    val docs = Tables.documents(spark, sf)
+      .select(col("source"), col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+      .as[PackStream.Doc].collect().sortBy(d => (d.source, d.doc_id))
+
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[PackStream.Doc](spark)
+    val q = PackStream.packStream(input.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("pack_out").start()
+    try {
+      // feed in TWO micro-batches split mid-stream: the carried state
+      // must keep every source's fill line continuous across the split
+      val (first, second) = docs.splitAt(docs.length / 2)
+      input.addData(first); q.processAllAvailable()
+      input.addData(second); q.processAllAvailable()
+      val streamed = spark.table("pack_out").collect()
+        .map(r => (r.getString(0), r.getLong(1)) ->
+          (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+      assert(streamed.size == docs.length)
+      assert(streamed == batch,
+        s"first diff: ${(streamed.toSet -- batch.toSet).take(2)}")
+    } finally q.stop()
+  }
+
   test("streaming curation: stateful dedup + quality filter matches the batch form") {
     import graft.queries.TextAnalysis
     val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)](spark)
