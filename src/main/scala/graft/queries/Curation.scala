@@ -86,15 +86,9 @@ object Curation {
     * benchmarks — is tiny, exactly this shape.) */
   def qDecontaminate(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    def ngrams(n: Int): Column = {
-      val w = words(col("text"))
-      // guard: sequence(0, negative) would generate a DESCENDING range;
-      // a doc shorter than n words contributes no grams (explode drops it)
-      when(size(w) >= n,
-        transform(sequence(lit(0), size(w) - n),
-          i => concat_ws(" ", slice(w, i + 1, lit(n)))))
-        .otherwise(array())
-    }
+    // fused codegen kernel (byte-identical to the transform/slice HOF
+    // form incl. the short-doc empty-array guard — WordNgramsSpec)
+    def ngrams(n: Int): Column = graft.functions.WordNgrams.grams(col("text"), n)
     val exploded = docs.select(col("doc_id"), explode(ngrams(5)).as("gram"))
     val evalGrams = exploded.filter(col("doc_id") % 97 === 0)
       .select(col("gram")).distinct()

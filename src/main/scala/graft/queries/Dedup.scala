@@ -39,13 +39,11 @@ object Dedup {
 
   // ── n-gram Jaccard (oracle baseline for near-dup) ─────────────────
 
-  private def bigrams(text: Column): Column = {
-    val toks = split(trim(text), "\\s+")
-    array_distinct(zip_with(
-      slice(toks, lit(1), size(toks) - 1),
-      slice(toks, lit(2), size(toks) - 1),
-      (a, b) => concat(a, lit(" "), b)))
-  }
+  private def bigrams(text: Column): Column =
+    // fused codegen kernel; byte-identical to the zip_with/slice HOF
+    // formulation in order and content (WordNgramsSpec), so the oracle
+    // hashes are unmoved while the per-element interpretation cost goes
+    array_distinct(graft.functions.WordNgrams.grams(text, 2))
 
   /** Word-bigram Jaccard over doc pairs (same lang) above threshold.
     * This O(n²) form is the EXACTNESS BASELINE the LSH path
