@@ -26,6 +26,9 @@ object GraftFunctions {
       exprs => DateYmdParse(exprs.head))
     FunctionBridge.register(spark, "graft_normalize_vec",
       exprs => NormalizeVec(exprs.head))
+    // graft_word_ngrams(text, n) — n must be a literal
+    FunctionBridge.register(spark, "graft_word_ngrams",
+      exprs => WordNgrams(exprs.head, intArg(exprs(1), "n")))
     // graft_lsh_signature(vec, dims[, bands, bits, seed]) — knob args
     // must be literals (they parameterize the plan-constant plane matrix)
     FunctionBridge.register(spark, "graft_lsh_signature", { exprs =>

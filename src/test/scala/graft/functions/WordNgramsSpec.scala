@@ -48,6 +48,13 @@ class WordNgramsSpec extends SparkSpec {
     }
   }
 
+  test("SQL registration: graft_word_ngrams(text, n)") {
+    GraftFunctions.register(spark)
+    val r = spark.sql("SELECT graft_word_ngrams('a b c', 2) AS g")
+      .head.getSeq[String](0)
+    assert(r == Seq("a b", "b c"))
+  }
+
   test("interpreted and codegen paths agree") {
     // force interpreted eval via direct Expression evaluation
     val e = WordNgrams(org.apache.spark.sql.catalyst.expressions.Literal("a b c d"), 2)
