@@ -208,7 +208,33 @@ object TextAnalysis {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Canonical text normalization — the cleanup stage ahead of dedup
+    * and tokenization: lowercase, strip non-alphanumerics to spaces,
+    * collapse runs, trim. Pure map-side regex pipeline (both engines
+    * run the identical RE2∩Java patterns); before/after lengths and a
+    * prefix make the transform oracle-verifiable without shipping the
+    * whole normalized corpus through the hash. */
+  def qTextNormalize(s: SparkSession, dir: String): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      length(col("text")).cast(LongType).as("n_before"),
+      length(norm).cast(LongType).as("n_after"),
+      substring(norm, 1, 40).as("prefix40"))
+      .orderBy("doc_id")
+  }
+
+  private val qTextNormalizeOracle = {
+    val norm = "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+    s"""SELECT doc_id, CAST(length(text) AS BIGINT) AS n_before,
+       |  CAST(length($norm) AS BIGINT) AS n_after,
+       |  substring($norm, 1, 40) AS prefix40
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_normalize" -> (qTextNormalize _),
     "q_quality_filter" -> (qQualityFilter _),
     "q_text_stats" -> (qTextStats _),
     "q_text_langid" -> (qTextLangid _),
@@ -218,6 +244,7 @@ object TextAnalysis {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_text_normalize" -> qTextNormalizeOracle,
     "q_quality_filter" -> qQualityFilterOracle,
     "q_text_stats" -> qTextStatsOracle,
     "q_text_langid" -> qTextLangidOracle,
