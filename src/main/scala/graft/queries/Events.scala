@@ -139,7 +139,41 @@ object Events {
       |  ON e.user_id = o1.o_custkey AND CAST(e.ts AS TIMESTAMP) >= o1.o_orderdate
       |ORDER BY e.event_id""".stripMargin
 
+  /** Time-series densification: hourly event counts with the gaps
+    * zero-filled — the resample step a metrics/monitoring pipeline
+    * needs before windowed models ("no data" must be an explicit 0,
+    * not a missing row). The hour spine explodes from a 2-value
+    * bounds aggregate and joins back against the (already tiny,
+    * one-row-per-hour) counts — the spine is never proportional to
+    * the raw corpus, so densification costs one count aggregation
+    * regardless of input size. */
+  def qEventsDensify(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.events(s, dir)
+      .groupBy(window(col("ts_ts"), "1 hour").getField("start").as("hour"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+    val spine = counts.agg(min("hour").as("lo"), max("hour").as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"),
+        expr("interval 1 hour"))).as("hour"))
+    spine.join(counts, Seq("hour"), "left")
+      .select(col("hour"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        coalesce(col("sum_value"), lit(0.0)).as("sum_value"))
+      .orderBy("hour")
+  }
+
+  private val qEventsDensifyOracle =
+    s"""WITH c AS (
+       |  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+       |    COUNT(*) AS n_events, ${dsumSql("value")} AS sum_value
+       |  FROM events GROUP BY 1),
+       |b AS (SELECT min(hour) AS lo, max(hour) AS hi FROM c),
+       |s AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM b)
+       |SELECT s.hour, COALESCE(n_events, 0) AS n_events,
+       |  COALESCE(sum_value, 0.0) AS sum_value
+       |FROM s LEFT JOIN c USING (hour) ORDER BY hour""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_events_densify" -> (qEventsDensify _),
     "q_events_tumble" -> (qEventsTumble _),
     "q_events_sliding" -> (qEventsSliding _),
     "q_events_sessions" -> (qEventsSessions _),
@@ -147,6 +181,7 @@ object Events {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_events_densify" -> qEventsDensifyOracle,
     "q_events_tumble" -> qEventsTumbleOracle,
     "q_events_sliding" -> qEventsSlidingOracle,
     "q_events_sessions" -> qEventsSessionsOracle,
