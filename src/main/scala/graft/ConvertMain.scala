@@ -97,24 +97,32 @@ object ConvertMain {
         } else (Array(hp), status.getLen)
       if (files.isEmpty || totalBytes == 0L) None
       else {
-        val in = new java.io.BufferedReader(
-          new java.io.InputStreamReader(fs.open(files.head), "UTF-8"))
-        try {
-          Option(in.readLine()).flatMap { header =>
-            val headerBytes = header.getBytes("UTF-8").length + 1L
-            var n = 0
-            var bytes = 0L
-            var line = in.readLine()
-            while (line != null && n < sampleLines) {
-              bytes += line.getBytes("UTF-8").length + 1L
-              n += 1
-              line = in.readLine()
+        // Sample the first file that actually holds data lines: a
+        // header-only (or empty) leading part file must not turn the
+        // whole conversion's denominator into a misleading '/~0'.
+        def sample(p: org.apache.hadoop.fs.Path): Option[(Long, Double)] = {
+          val in = new java.io.BufferedReader(
+            new java.io.InputStreamReader(fs.open(p), "UTF-8"))
+          try {
+            Option(in.readLine()).flatMap { header =>
+              val headerBytes = header.getBytes("UTF-8").length + 1L
+              var n = 0
+              var bytes = 0L
+              var line = in.readLine()
+              while (line != null && n < sampleLines) {
+                bytes += line.getBytes("UTF-8").length + 1L
+                n += 1
+                line = in.readLine()
+              }
+              if (n == 0) None
+              else Some((headerBytes, bytes.toDouble / n))
             }
-            if (n == 0) Some(0L)
-            else Some(math.max(0L,
-              ((totalBytes - headerBytes * files.length) / (bytes.toDouble / n)).toLong))
-          }
-        } finally in.close()
+          } finally in.close()
+        }
+        files.iterator.flatMap(p => sample(p).iterator).nextOption().map {
+          case (headerBytes, bytesPerRow) => math.max(0L,
+            ((totalBytes - headerBytes * files.length) / bytesPerRow).toLong)
+        }
       }
     } catch { case _: Exception => None }
 

@@ -120,7 +120,11 @@ object Curation {
     * shuffle on source; at 100 TB each stratum ranks independently, and
     * rank-≤N short-circuits via the window's running filter. */
   def qDataMix(s: SparkSession, dir: String, quota: Int = 100): DataFrame = {
-    val key = pmod(col("doc_id") * lit(2654435761L), lit(1000000007L))
+    // Reduce doc_id modulo the prime BEFORE the multiply: the product
+    // then tops out at ~2.65e18 < i64 max, so the key never overflows
+    // (ANSI mode would throw) no matter how large doc_id grows.
+    val key = pmod(pmod(col("doc_id"), lit(1000000007L)) * lit(2654435761L),
+      lit(1000000007L))
     val rn = row_number().over(
       Window.partitionBy(col("source")).orderBy(key.asc, col("doc_id").asc))
     Tables.documents(s, dir)
@@ -132,9 +136,9 @@ object Curation {
 
   private val qDataMixOracle =
     """WITH r AS (
-      |  SELECT doc_id, source, (doc_id * 2654435761) % 1000000007 AS mix_key,
+      |  SELECT doc_id, source, ((doc_id % 1000000007) * 2654435761) % 1000000007 AS mix_key,
       |    row_number() OVER (PARTITION BY source
-      |      ORDER BY (doc_id * 2654435761) % 1000000007 ASC, doc_id ASC) AS mix_rank
+      |      ORDER BY ((doc_id % 1000000007) * 2654435761) % 1000000007 ASC, doc_id ASC) AS mix_rank
       |  FROM documents)
       |SELECT doc_id, source, mix_key, CAST(mix_rank AS BIGINT) AS mix_rank
       |FROM r WHERE mix_rank <= 100 ORDER BY source, mix_rank""".stripMargin

@@ -97,6 +97,12 @@ object GraftFilterEval {
   private def str(cv: Any): Option[String] =
     Option(cv).map(_.toString)
 
+  /** Reader string values are UTF8String; accept plain String defensively. */
+  private def utf8(cv: Any): org.apache.spark.unsafe.types.UTF8String = cv match {
+    case u: org.apache.spark.unsafe.types.UTF8String => u
+    case other => org.apache.spark.unsafe.types.UTF8String.fromString(other.toString)
+  }
+
   /** Compare a converted column value with a filter literal; None when
     * the column value is null (UNKNOWN). */
   private def cmp(schema: StructType, a: String, cv: Any, v: Any): Option[Int] = {
@@ -112,7 +118,13 @@ object GraftFilterEval {
         case _: DecimalType =>
           cv.asInstanceOf[org.apache.spark.sql.types.Decimal].toBigDecimal
             .compare(fv.asInstanceOf[BigDecimal])
-        case StringType => cv.toString.compareTo(fv.asInstanceOf[String])
+        case StringType =>
+          // Binary (code-point) order, same as Spark's UTF8String
+          // comparison above the scan. Java String.compareTo orders by
+          // UTF-16 code unit, which disagrees for supplementary-plane
+          // chars vs [U+E000,U+FFFF] — pushdown must not change results.
+          utf8(cv).compareTo(
+            org.apache.spark.unsafe.types.UTF8String.fromString(fv.asInstanceOf[String]))
         case _ => return None
       }
     }

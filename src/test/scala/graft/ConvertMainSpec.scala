@@ -232,6 +232,21 @@ class ConvertMainSpec extends SparkSpec {
     assert(est.isDefined, "directory input must produce an estimate")
     assert(math.abs(est.get - 6000L) < 600L, s"estimate ${est.get} not within 10% of 6000")
 
+    // a header-only leading part file must not poison the estimate with
+    // '~0' — sampling falls through to the first file with data lines
+    val dir2 = Files.createTempDirectory("graft_progress_est_hdr")
+    Files.writeString(dir2.resolve("a_empty.tsv"), "id\tname\tscore\n")
+    Files.writeString(dir2.resolve("b_data.tsv"), lines(0, 3000))
+    val est2 = ConvertMain.estimateRowsFromBytes(spark, dir2.toString)
+    assert(est2.isDefined, "header-only first file must not drop the estimate")
+    assert(math.abs(est2.get - 3000L) < 300L,
+      s"estimate ${est2.get} not within 10% of 3000")
+
+    // all part files header-only -> no denominator at all, never Some(0)
+    val dir3 = Files.createTempDirectory("graft_progress_est_none")
+    Files.writeString(dir3.resolve("a.tsv"), "id\tname\tscore\n")
+    assert(ConvertMain.estimateRowsFromBytes(spark, dir3.toString).isEmpty)
+
     // the ticker renders an estimated denominator as /~N
     val msgs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     val ticker = new ProgressTicker(spark, est, msgs.add(_),

@@ -87,6 +87,34 @@ class GraftPushdownFuzzSpec extends SparkSpec {
     }
   }
 
+  test("string range pushdown uses binary order for supplementary-plane chars") {
+    // U+10000 (surrogate pair, UTF-16 units 0xD800 0xDC00) sorts BELOW
+    // U+E000 in Java String order but ABOVE it in UTF8String binary
+    // (code-point) order, which is what Spark uses post-scan. A pushed
+    // range filter must agree with the unpushed plan on such data.
+    val dir = Files.createTempDirectory("graft_pushdown_utf8")
+    val supp = new String(Character.toChars(0x10000)) // 𐀀
+    val bmp = "" // private-use BMP char
+    Files.writeString(dir.resolve("d.tsv"),
+      s"id\tname\n1\t$supp\n2\t$bmp\n3\tzz\n4\taa\n")
+    val viaSource = spark.read.format("graft").load(dir.toString)
+    val viaPipeline = IngestPipeline.convert(spark, dir.toString)
+    Seq[(String, Column)](
+      "gt_bmp" -> (col("name") > bmp),
+      "lt_bmp" -> (col("name") < bmp),
+      "ge_supp" -> (col("name") >= supp),
+      "le_supp" -> (col("name") <= supp)
+    ).foreach { case (label, pred) =>
+      val got = viaSource.filter(pred).select("id").orderBy("id").collect().toSeq
+      val want = viaPipeline.filter(pred).select("id").orderBy("id").collect().toSeq
+      assert(got == want, s"[$label] pushed=$got post-scan=$want")
+    }
+    // and the predicate really was pushed, not residual
+    val scan = viaSource.filter(col("name") > bmp)
+      .queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("GreaterThan(name,"), scan.take(500))
+  }
+
   test("every comparison/in/null/string predicate actually reaches the scan") {
     // guard against silently regressing to residual-only: each of these
     // must appear in PushedFilters, not in a post-scan Filter node
