@@ -228,7 +228,62 @@ object Curation {
       |  CAST(start % 2048 AS BIGINT) AS bin_offset
       |FROM c ORDER BY source, doc_id""".stripMargin
 
+  // ── URL parsing ────────────────────────────────────────────────────
+
+  /** URL decomposition (host / path / query param) — the first step of
+    * web-corpus curation (per-domain quotas, URL dedup, blocklists).
+    * The corpus has no URL column, so a deterministic URL is built from
+    * (source, lang, doc_id) and then parsed with Spark's codegen'd
+    * `parse_url`; the oracle reconstructs each component directly from
+    * the same fields, so the parse is verified against ground truth
+    * rather than a second parser. Pure map-side. */
+  def qUrlExtract(s: SparkSession, dir: String): DataFrame = {
+    val url = concat(lit("https://"), col("source"), lit(".example.org/"),
+      col("lang"), lit("/doc/"), col("doc_id"), lit("?ref=r"),
+      pmod(col("doc_id"), lit(7)))
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      parse_url(url, lit("HOST")).as("host"),
+      parse_url(url, lit("PATH")).as("path"),
+      parse_url(url, lit("QUERY"), lit("ref")).as("ref"))
+      .orderBy("doc_id")
+  }
+
+  private val qUrlExtractOracle =
+    """SELECT doc_id,
+      |  source || '.example.org' AS host,
+      |  '/' || lang || '/doc/' || doc_id AS path,
+      |  'r' || (doc_id % 7) AS ref
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ── deterministic corpus sampling ──────────────────────────────────
+
+  /** Hash-Bernoulli sample: keep a document iff its multiplicative-hash
+    * bucket falls under the rate — deterministic (rerun-, repartition-
+    * and scale-stable, unlike `rand()`-based TABLESAMPLE), purely
+    * map-side, and composable (disjoint rates give disjoint strata).
+    * The complement of q_data_mix: no quota, no window, no shuffle —
+    * the right shape when "roughly p%" is enough at 100 TB. */
+  def qSampleHash(s: SparkSession, dir: String, pct: Int = 10): DataFrame = {
+    val key = pmod(pmod(col("doc_id"), lit(1000000007L)) * lit(2654435761L),
+      lit(1000000007L))
+    val bucket = pmod(key, lit(100))
+    Tables.documents(s, dir)
+      .filter(bucket < pct)
+      .select(col("doc_id"), col("source"), bucket.cast(LongType).as("bucket"))
+      .orderBy("doc_id")
+  }
+
+  private val qSampleHashOracle =
+    """SELECT doc_id, source,
+      |  ((doc_id % 1000000007) * 2654435761) % 1000000007 % 100 AS bucket
+      |FROM documents
+      |WHERE ((doc_id % 1000000007) * 2654435761) % 1000000007 % 100 < 10
+      |ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_url_extract" -> (qUrlExtract _),
+    "q_sample_hash" -> ((s, d) => qSampleHash(s, d)),
     "q_pii_scrub" -> (qPiiScrub _),
     "q_decontaminate" -> (qDecontaminate _),
     "q_data_mix" -> ((s, d) => qDataMix(s, d)),
@@ -237,6 +292,8 @@ object Curation {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_url_extract" -> qUrlExtractOracle,
+    "q_sample_hash" -> qSampleHashOracle,
     "q_pii_scrub" -> qPiiScrubOracle,
     "q_decontaminate" -> qDecontaminateOracle,
     "q_data_mix" -> qDataMixOracle,

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType}
 
@@ -131,15 +132,53 @@ object Profiling {
       |FROM lineitem l JOIN b USING (l_returnflag)
       |GROUP BY l.l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Equi-depth histogram: ntile(10) over the total price order splits
+    * the column into equal-count buckets with data-driven bounds — the
+    * twin of q_profile_hist's equal-width bins. ntile's remainder rule
+    * (first `n mod k` buckets get the extra row) is standard SQL, and
+    * the order key is made total with the row's unique id, so bucket
+    * assignment is cross-engine exact.
+    *
+    * Scale: the global ntile window is a single-partition sort — the
+    * exact verification form (same pattern as q_agg_percentile). At
+    * 100 TB substitute approx_percentile bucket BOUNDS (mergeable
+    * sketch, q_agg_percentile_approx) and assign buckets map-side by
+    * comparing against the broadcast bounds. */
+  def qHistEquidepth(s: SparkSession, dir: String, buckets: Int = 10): DataFrame = {
+    val order = Window.orderBy(
+      col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+    Tables.lineitem(s, dir)
+      .select(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+      .withColumn("bucket", ntile(buckets).over(order).cast(LongType))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("l_extendedprice")).as("lo"),
+        max(col("l_extendedprice")).as("hi"),
+        QueryUtil.dsum(col("l_extendedprice")).as("sum_price"))
+      .orderBy("bucket")
+  }
+
+  private val qHistEquidepthOracle =
+    s"""WITH b AS (
+       |  SELECT l_extendedprice,
+       |    ntile(10) OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS bucket
+       |  FROM lineitem)
+       |SELECT CAST(bucket AS BIGINT) AS bucket, COUNT(*) AS n,
+       |  MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi,
+       |  ${QueryUtil.dsumSql("l_extendedprice")} AS sum_price
+       |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_profile_stats" -> (qProfileStats _),
     "q_profile_hist" -> (qProfileHist _),
+    "q_hist_equidepth" -> ((s, d) => qHistEquidepth(s, d)),
     "q_winsorize" -> (qWinsorize _)
   )
 
   def oracleSql: Map[String, String] = Map(
     "q_profile_stats" -> qProfileStatsOracle,
     "q_profile_hist" -> qProfileHistOracle,
+    "q_hist_equidepth" -> qHistEquidepthOracle,
     "q_winsorize" -> qWinsorizeOracle
   )
 }

@@ -676,6 +676,94 @@ object Relational {
       |EXCEPT SELECT o_custkey FROM orders WHERE o_totalprice > 150000.0
       |ORDER BY key""".stripMargin
 
+  // ── round-5 relational additions ──────────────────────────────────
+
+  /** RIGHT OUTER join: every customer row survives, orders aggregate
+    * against it (the mirror of q_join_left — exercises Catalyst's
+    * right-outer plan path, which it rewrites to a left-outer with the
+    * build side swapped). `count(o_orderkey)` counts matches only;
+    * customers without orders show 0 and a NULL revenue. */
+  def qJoinRight(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .join(Tables.customer(s, dir),
+        col("o_custkey") === col("c_custkey"), "right_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"),
+        dsum(col("o_totalprice")).as("revenue"))
+      .orderBy("c_custkey")
+
+  private val qJoinRightOracle =
+    s"""SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+       |  ${dsumSql("o_totalprice")} AS revenue
+       |FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+       |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin
+
+  /** Bounded CROSS JOIN: the dimension-scaffold pattern — the full
+    * (status × priority) matrix left-joined with observed aggregates so
+    * empty combinations surface explicitly (a coverage report needs the
+    * zero rows a plain groupBy can't produce). Both distinct sides are
+    * tiny (3 × 5); the cross join broadcasts, never a shuffled
+    * cartesian — the only legitimate cross-join shape at 100 TB. */
+  def qJoinCross(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(s, dir)
+    val st = orders.select(col("o_orderstatus")).distinct()
+    val pr = orders.select(col("o_orderpriority")).distinct()
+    val observed = orders.groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("revenue"))
+    st.crossJoin(broadcast(pr))
+      .join(observed, Seq("o_orderstatus", "o_orderpriority"), "left_outer")
+      .select(col("o_orderstatus"), col("o_orderpriority"),
+        coalesce(col("n"), lit(0L)).as("n_orders"), col("revenue"))
+      .orderBy("o_orderstatus", "o_orderpriority")
+  }
+
+  private val qJoinCrossOracle =
+    s"""WITH st AS (SELECT DISTINCT o_orderstatus FROM orders),
+       |pr AS (SELECT DISTINCT o_orderpriority FROM orders),
+       |obs AS (
+       |  SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+       |    ${dsumSql("o_totalprice")} AS revenue
+       |  FROM orders GROUP BY 1, 2)
+       |SELECT st.o_orderstatus, pr.o_orderpriority,
+       |  COALESCE(n, 0) AS n_orders, revenue
+       |FROM st CROSS JOIN pr
+       |LEFT JOIN obs ON st.o_orderstatus = obs.o_orderstatus
+       |  AND pr.o_orderpriority = obs.o_orderpriority
+       |ORDER BY st.o_orderstatus, pr.o_orderpriority""".stripMargin
+
+  /** Arg-max / arg-min aggregates (`max_by`/`min_by`): the order key
+    * holding each priority class's price extreme, tie-broken to the
+    * smallest key via lexicographic struct ordering — one partial+final
+    * aggregation instead of the rank-window detour (no per-group sort,
+    * combines map-side; at 100 TB this is the shape to prefer over
+    * row_number()=1 whenever only the extreme row is needed). */
+  def qAggArgmax(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        max(col("o_totalprice")).as("max_price"),
+        max_by(col("o_orderkey"),
+          struct(col("o_totalprice"), (-col("o_orderkey")).as("nk"))).as("max_order"),
+        min(col("o_totalprice")).as("min_price"),
+        min_by(col("o_orderkey"),
+          struct(col("o_totalprice"), col("o_orderkey"))).as("min_order"))
+      .orderBy("o_orderpriority")
+
+  private val qAggArgmaxOracle =
+    """WITH rk AS (
+      |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_orderpriority
+      |      ORDER BY o_totalprice DESC, o_orderkey) AS rmax,
+      |    row_number() OVER (PARTITION BY o_orderpriority
+      |      ORDER BY o_totalprice, o_orderkey) AS rmin
+      |  FROM orders)
+      |SELECT o_orderpriority,
+      |  MAX(CASE WHEN rmax = 1 THEN o_totalprice END) AS max_price,
+      |  MAX(CASE WHEN rmax = 1 THEN o_orderkey END) AS max_order,
+      |  MAX(CASE WHEN rmin = 1 THEN o_totalprice END) AS min_price,
+      |  MAX(CASE WHEN rmin = 1 THEN o_orderkey END) AS min_order
+      |FROM rk GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   // ── registry ──────────────────────────────────────────────────────
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -694,6 +782,9 @@ object Relational {
     "q_join_anti" -> (qJoinAnti _),
     "q_join_full" -> (qJoinFull _),
     "q_join_multiway" -> (qJoinMultiway _),
+    "q_join_right" -> (qJoinRight _),
+    "q_join_cross" -> (qJoinCross _),
+    "q_agg_argmax" -> (qAggArgmax _),
     "q_sql_q3" -> (qSqlQ3 _),
     "q_pivot" -> (qPivot _),
     "q_unpivot" -> (qUnpivot _),
@@ -727,6 +818,9 @@ object Relational {
     "q_join_anti" -> qJoinAntiOracle,
     "q_join_full" -> qJoinFullOracle,
     "q_join_multiway" -> qJoinMultiwayOracle,
+    "q_join_right" -> qJoinRightOracle,
+    "q_join_cross" -> qJoinCrossOracle,
+    "q_agg_argmax" -> qAggArgmaxOracle,
     "q_sql_q3" -> qSqlQ3Oracle,
     "q_pivot" -> qPivotOracle,
     "q_unpivot" -> qUnpivotOracle,

@@ -218,7 +218,46 @@ object Similarity {
        |FROM embeddings ORDER BY vec_id""".stripMargin
   }
 
+  /** Per-label embedding centroids (the distributed mean-vector pass
+    * behind cluster monitoring / IVF seeding / class-prototype checks).
+    * posexplode flattens (label, pos, value); one groupBy(label, pos)
+    * with map-side combine computes every component — no per-vector
+    * state, no driver collect, scales to any corpus × dims.
+    *
+    * Determinism: float→double is exact, and ×1e6 stays exact (24-bit
+    * float mantissa × 2^20 < 2^53), so the rounded scaled value is an
+    * exact integer both engines agree on; the cross-row SUM is then
+    * integer (order-independent — the decimal-sum discipline, integer
+    * flavored), and the final mean is two IEEE divisions. Output keeps
+    * the first 8 components per label (the spot-check slice; the
+    * aggregation itself runs over all dims). */
+  def qEmbedCentroid(s: SparkSession, dir: String, maxPos: Int = 8): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("label"), col("pos"),
+        round(col("v").cast(DoubleType) * 1000000.0, 0).cast(LongType).as("sv"))
+      .groupBy(col("label"), col("pos"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("sv")).as("ssum"))
+      .filter(col("pos") < maxPos)
+      .select(col("label").cast(LongType).as("label"),
+        col("pos").cast(LongType).as("pos"), col("n_vecs"),
+        round(col("ssum").cast(DoubleType) / col("n_vecs") / 1000000.0, 6)
+          .as("centroid"))
+      .orderBy("label", "pos")
+
+  private val qEmbedCentroidOracle =
+    """WITH e AS (
+      |  SELECT label, i - 1 AS pos,
+      |    CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS sv
+      |  FROM embeddings CROSS JOIN range(1, 9) t(i))
+      |SELECT CAST(label AS BIGINT) AS label, CAST(pos AS BIGINT) AS pos,
+      |  COUNT(*) AS n_vecs,
+      |  round(CAST(SUM(sv) AS DOUBLE) / COUNT(*) / 1000000.0, 6) AS centroid
+      |FROM e WHERE pos < 8
+      |GROUP BY label, pos ORDER BY label, pos""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_embed_centroid" -> ((s, d) => qEmbedCentroid(s, d)),
     "q_embed_quant" -> (qEmbedQuant _),
     "q_embed_cosine_topk" -> (qEmbedCosineTopk _),
     "q_ann_lsh" -> (qAnnLsh _),
@@ -226,6 +265,7 @@ object Similarity {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_embed_centroid" -> qEmbedCentroidOracle,
     "q_embed_quant" -> qEmbedQuantOracle,
     "q_embed_cosine_topk" -> qEmbedCosineTopkOracle
   )

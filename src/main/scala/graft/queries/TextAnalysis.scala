@@ -233,7 +233,56 @@ object TextAnalysis {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  /** TF-IDF keyword extraction: top-k terms per document scored by
+    * `tf * N / df` (the rank-equivalent rational IDF — `ln` is avoided
+    * deliberately: transcendental libm results are not bit-identical
+    * across engines, while integer multiply + one IEEE double division
+    * are). Ties break on the term itself, so top-k is total-ordered.
+    *
+    * Scale: tf is a (doc,term) aggregation with map-side combine; df
+    * reduces the tf relation again on term only; N arrives as a
+    * broadcast 1-row aggregate (the scalar-subquery shape). The only
+    * per-doc sort is the top-k window over each doc's distinct terms —
+    * bounded by vocabulary per doc, not corpus size. */
+  def qTfidf(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val tf = docs
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    // tf rows are unique per (doc, term), so counting them per term = df
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(df, "term").crossJoin(broadcast(n))
+      .withColumn("score",
+        round((col("tf") * col("n_docs")).cast(DoubleType) / col("df"), 6))
+    scored
+      .withColumn("rk", row_number().over(Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("term").asc)).cast(LongType))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("rk"), col("term"), col("tf"), col("df"), col("score"))
+      .orderBy("doc_id", "rk")
+  }
+
+  private val qTfidfOracle =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+      |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+      |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+      |s AS (
+      |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+      |    round(CAST(tf.tf * n.n_docs AS DOUBLE) / df.df, 6) AS score,
+      |    row_number() OVER (PARTITION BY tf.doc_id
+      |      ORDER BY round(CAST(tf.tf * n.n_docs AS DOUBLE) / df.df, 6) DESC,
+      |        tf.term ASC) AS rk
+      |  FROM tf JOIN df USING (term) CROSS JOIN n)
+      |SELECT doc_id, CAST(rk AS BIGINT) AS rk, term,
+      |  CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, score
+      |FROM s WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tfidf" -> ((s, d) => qTfidf(s, d)),
     "q_text_normalize" -> (qTextNormalize _),
     "q_quality_filter" -> (qQualityFilter _),
     "q_text_stats" -> (qTextStats _),
@@ -244,6 +293,7 @@ object TextAnalysis {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_tfidf" -> qTfidfOracle,
     "q_text_normalize" -> qTextNormalizeOracle,
     "q_quality_filter" -> qQualityFilterOracle,
     "q_text_stats" -> qTextStatsOracle,

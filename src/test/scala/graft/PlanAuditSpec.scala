@@ -76,6 +76,29 @@ class PlanAuditSpec extends SparkSpec {
     assert(exchanges(rep) <= 3, s"q_doc_repetition exceeded 3 exchanges:\n${rep.take(1200)}")
   }
 
+  test("round-5 queries keep their declared plan shapes") {
+    // the dimension-scaffold cross join broadcasts (never a shuffled cartesian)
+    val cross = graft.queries.Relational.qJoinCross(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(cross.contains("BroadcastNestedLoopJoin"),
+      s"q_join_cross should broadcast its tiny side:\n${cross.take(1200)}")
+    // tfidf's corpus-size scalar arrives via a broadcast 1-row aggregate
+    val tfidf = graft.queries.TextAnalysis.qTfidf(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(tfidf.contains("BroadcastNestedLoopJoin") || tfidf.contains("BroadcastExchange"),
+      s"q_tfidf should broadcast the n_docs scalar:\n${tfidf.take(1200)}")
+    // hash sampling is pure map-side: no hash-shuffle at all, just the output sort
+    val samp = graft.queries.Curation.qSampleHash(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!"Exchange hashpartitioning".r.findFirstIn(samp).isDefined,
+      s"q_sample_hash grew a shuffle:\n${samp.take(1200)}")
+    // centroid aggregation combines map-side: one hash shuffle on (label,pos) + sort
+    val cent = graft.queries.Similarity.qEmbedCentroid(spark, sf)
+      .queryExecution.executedPlan.toString
+    val centEx = "Exchange hashpartitioning".r.findAllIn(cent).length
+    assert(centEx <= 1, s"q_embed_centroid exceeded 1 hash exchange:\n${cent.take(1200)}")
+  }
+
   test("filters push down to the parquet scan") {
     val plan = graft.queries.Relational.qFilterPred(spark, sf)
       .queryExecution.executedPlan.toString
