@@ -34,7 +34,13 @@ object ScaleBench {
     "q_dedup_clusters", "q_quality_filter", "q_ann_lsh", "q_ann_ivf",
     "q_skew_join", "q_text_quality", "q_embed_cosine_topk", "q_filter_pred",
     "q_embed_quant", "q_decontaminate", "q_context_pack", "q_doc_repetition",
-    "q_winsorize", "q_profile_hist")
+    "q_winsorize", "q_profile_hist",
+    // round-5 additions (q_hist_equidepth is deliberately absent: its
+    // global ntile is the exact-verification form whose scale twin is
+    // approx_percentile bounds — timing it at 10x would only measure
+    // the single-partition sort it documents as the non-scale path)
+    "q_tfidf", "q_bloom_decontaminate", "q_embed_centroid",
+    "q_agg_collect", "q_join_lateral")
 
   def buildScaledData(spark: SparkSession, src: String, out: String, factor: Int): Unit = {
     val KEY = 100000000L // key shift per copy: far above any sf0.1 key

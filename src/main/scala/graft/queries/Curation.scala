@@ -111,6 +111,49 @@ object Curation {
       |WHERE doc_id % 97 <> 0
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Bloom-filter decontamination — the 100 TB twin of
+    * [[qDecontaminate]]. Broadcasting the eval set's distinct n-grams
+    * scales with the EVAL corpus; a Bloom filter does not: the eval
+    * grams aggregate into a fixed m-bit array (m/64 longs, built with
+    * one bit_or aggregation over k probe positions per gram) and only
+    * THAT broadcasts. Corpus grams probe their k positions against the
+    * broadcast words and survive only if every bit is set.
+    *
+    * Guarantees: no false negatives (every truly shared gram hits all k
+    * bits), false-positive grams at rate ≈ (1 - e^(-kn/m))^k — candidates
+    * then flow to the same exact verification join q_decontaminate runs,
+    * so FPs cost work, never correctness. Rows-only by declared design
+    * (the bit array is engine-internal); BloomDecontaminateSpec pins the
+    * superset property and the FP bound against the exact query. */
+  def qBloomDecontaminate(s: SparkSession, dir: String,
+                          mBits: Long = 1L << 20, k: Int = 3): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val exploded = docs.select(col("doc_id"),
+      explode(graft.functions.WordNgrams.grams(col("text"), 5)).as("gram"))
+    def pos(i: Int): Column = pmod(xxhash64(col("gram"), lit(i)), lit(mBits))
+    def word(p: Column): Column = p.divide(64).cast(LongType)
+    def mask(p: Column): Column =
+      call_function("shiftleft", lit(1L), pmod(p, lit(64L)).cast("int"))
+    val probes = array((0 until k).map(pos): _*)
+
+    val bits = exploded.filter(col("doc_id") % 97 === 0)
+      .select(explode(probes).as("p"))
+      .select(word(col("p")).as("w"), mask(col("p")).as("m"))
+      .groupBy(col("w")).agg(expr("bit_or(m)").as("bits"))
+
+    exploded.filter(col("doc_id") % 97 =!= 0)
+      .select(col("doc_id"), col("gram"), explode(probes).as("p"))
+      .select(col("doc_id"), col("gram"), word(col("p")).as("w"), mask(col("p")).as("m"))
+      .join(broadcast(bits), "w")
+      .filter(col("bits").bitwiseAND(col("m")) =!= 0L)
+      .groupBy(col("doc_id"), col("gram"))
+      .agg(count(lit(1)).as("n_bits_hit"))
+      .filter(col("n_bits_hit") === k)
+      .groupBy(col("doc_id"))
+      .agg(count_distinct(col("gram")).as("n_candidate_grams"))
+      .orderBy("doc_id")
+  }
+
   // ── stratified data mixing ─────────────────────────────────────────
 
   /** Exact-quota stratified sample: the N "best-shuffled" docs per
@@ -286,6 +329,7 @@ object Curation {
     "q_sample_hash" -> ((s, d) => qSampleHash(s, d)),
     "q_pii_scrub" -> (qPiiScrub _),
     "q_decontaminate" -> (qDecontaminate _),
+    "q_bloom_decontaminate" -> ((s, d) => qBloomDecontaminate(s, d)),
     "q_data_mix" -> ((s, d) => qDataMix(s, d)),
     "q_doc_repetition" -> (qDocRepetition _),
     "q_context_pack" -> ((s, d) => qContextPack(s, d))

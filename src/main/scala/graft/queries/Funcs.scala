@@ -283,9 +283,70 @@ object Funcs {
       |    x -> CAST(CAST(round(CAST(x AS DOUBLE), 4) + 0.0 AS DECIMAL(10,4)) AS VARCHAR)), ',') AS head3
       |FROM embeddings ORDER BY vec_id""".stripMargin
 
+  /** Map-typed column surface: parse the JSON props into a real
+    * MapType, then exercise the map function family (keys, lookup,
+    * membership, concat) — typed maps are how a pipeline carries
+    * per-record metadata (decode params, provenance tags) without
+    * schema churn. Map-side only. The oracle mirrors through DuckDB's
+    * JSON functions, so Spark's map semantics are checked against an
+    * independent representation. */
+  def qMapFuncs(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{MapType, StringType}
+    val m = from_json(col("props"), MapType(StringType, LongType))
+    val enriched = map_concat(m, map(lit("bonus"), pmod(col("event_id"), lit(5))))
+    Tables.events(s, dir).select(
+      col("event_id"),
+      size(map_keys(m)).cast(LongType).as("n_keys"),
+      element_at(m, "k").as("k_val"),
+      map_contains_key(m, "k").as("has_k"),
+      element_at(enriched, "bonus").as("bonus"),
+      concat_ws(",", sort_array(map_keys(enriched))).as("keys_sorted"))
+      .orderBy("event_id")
+  }
+
+  private val qMapFuncsOracle =
+    """SELECT event_id,
+      |  CAST(len(json_keys(props)) AS BIGINT) AS n_keys,
+      |  TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+      |  json_extract(props, '$.k') IS NOT NULL AS has_k,
+      |  event_id % 5 AS bonus,
+      |  array_to_string(list_sort(list_append(json_keys(props), 'bonus')), ',') AS keys_sorted
+      |FROM events ORDER BY event_id""".stripMargin
+
+  /** Order-deterministic array aggregation: collect_list carries no
+    * ordering guarantee under parallel merge, so the struct-sort idiom
+    * (collect structs keyed by the order column, sort_array once per
+    * group, project) replaces the nondeterminism with an O(k log k)
+    * per-group sort — k here is lines-per-order (≤ 7), never corpus
+    * size. This is the shape for "sequence of items per key" features
+    * (user event traces, doc token windows) at 100 TB: one combine-
+    * friendly aggregation, no window shuffle. */
+  def qAggCollect(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_list(
+        struct(col("l_linenumber"), col("l_quantity")))).as("pairs"))
+      .select(col("l_orderkey"),
+        size(col("pairs")).cast(LongType).as("n_items"),
+        concat_ws(",", transform(col("pairs"),
+          p => p.getField("l_quantity").cast(LongType).cast("string")))
+          .as("quantities"))
+      .orderBy("l_orderkey")
+
+  private val qAggCollectOracle =
+    """WITH p AS (
+      |  SELECT l_orderkey,
+      |    list(CAST(l_quantity AS BIGINT) ORDER BY l_linenumber, l_quantity) AS qs
+      |  FROM lineitem GROUP BY l_orderkey)
+      |SELECT l_orderkey, CAST(len(qs) AS BIGINT) AS n_items,
+      |  array_to_string(qs, ',') AS quantities
+      |FROM p ORDER BY l_orderkey""".stripMargin
+
   // ── registry ──────────────────────────────────────────────────────
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_map_funcs" -> (qMapFuncs _),
+    "q_agg_collect" -> (qAggCollect _),
     "q_string_funcs" -> (qStringFuncs _),
     "q_date_funcs" -> (qDateFuncs _),
     "q_math_funcs" -> (qMathFuncs _),
@@ -299,6 +360,8 @@ object Funcs {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_map_funcs" -> qMapFuncsOracle,
+    "q_agg_collect" -> qAggCollectOracle,
     "q_string_funcs" -> qStringFuncsOracle,
     "q_date_funcs" -> qDateFuncsOracle,
     "q_math_funcs" -> qMathFuncsOracle,

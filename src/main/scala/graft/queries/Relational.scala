@@ -764,9 +764,36 @@ object Relational {
       |  MAX(CASE WHEN rmin = 1 THEN o_orderkey END) AS min_order
       |FROM rk GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** LATERAL correlated subquery — top-2 orders per customer as a
+    * lateral table reference (the SQL form of "per-row top-k probe").
+    * Catalyst decorrelates the LIMIT-bearing lateral into a ranked
+    * window join (DecorrelateInnerQuery), so the executed plan is the
+    * same one shuffle q_window_rank runs — no per-customer re-scan of
+    * orders, which is what a naive nested-loop would do at 100 TB. */
+  def qJoinLateral(s: SparkSession, dir: String): DataFrame = {
+    Tables.customer(s, dir).createOrReplaceTempView("lat_customer")
+    Tables.orders(s, dir).createOrReplaceTempView("lat_orders")
+    s.sql("""
+      SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+      FROM lat_customer c,
+      LATERAL (SELECT o_orderkey, o_totalprice FROM lat_orders o
+               WHERE o.o_custkey = c.c_custkey
+               ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+      ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""")
+  }
+
+  private val qJoinLateralOracle =
+    """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+      |FROM customer c,
+      |LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+      |         WHERE o.o_custkey = c.c_custkey
+      |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+      |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin
+
   // ── registry ──────────────────────────────────────────────────────
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_join_lateral" -> (qJoinLateral _),
     "q_scan_project" -> (qScanProject _),
     "q_filter_pred" -> (qFilterPred _),
     "q_agg_group" -> (qAggGroup _),
@@ -803,6 +830,7 @@ object Relational {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_join_lateral" -> qJoinLateralOracle,
     "q_scan_project" -> qScanProjectOracle,
     "q_filter_pred" -> qFilterPredOracle,
     "q_agg_group" -> qAggGroupOracle,

@@ -83,11 +83,20 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
 
   private class GraftScanBuilder(full: StructType, path: String, delim: Char)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-      with SupportsPushDownFilters with Scan with Batch
+      with SupportsPushDownFilters with SupportsPushDownLimit
+      with Scan with Batch
       with SupportsReportStatistics {
 
     private var required: StructType = full
     private var pushed: Array[sources.Filter] = Array.empty
+    private var limit: Int = -1
+
+    /** LIMIT reaches the reader: each partition stops parsing after
+      * `limit` surviving rows instead of scanning its file to EOF —
+      * `df.limit(n)` over a huge delimited file reads ~n lines per
+      * partition, not the corpus. Partial pushdown (the default): Spark
+      * keeps the global limit above, the source just stops early. */
+    override def pushLimit(l: Int): Boolean = { limit = l; true }
 
     override def pruneColumns(requiredSchema: StructType): Unit =
       // preserve our field metadata (ts unit / unsigned): prune by name
@@ -111,7 +120,8 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
     override def readSchema(): StructType = required
     override def toBatch: Batch = this
     override def description(): String =
-      s"graft $path sep='$delim' PushedFilters: ${pushed.mkString("[", ", ", "]")}"
+      s"graft $path sep='$delim' PushedFilters: ${pushed.mkString("[", ", ", "]")}" +
+        (if (limit >= 0) s" PushedLimit: $limit" else "")
 
     override def planInputPartitions(): Array[InputPartition] = {
       val conf = SparkSession.active.sparkContext.hadoopConfiguration
@@ -123,7 +133,8 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
             .filter(s => s.isFile && GraftDataSource.isDataFile(s.getPath.getName))
             .map(_.getPath.toString).sorted
         else Array(path)
-      files.map(f => GraftFilePartition(f, full, required, delim, pushed): InputPartition)
+      files.map(f =>
+        GraftFilePartition(f, full, required, delim, pushed, limit): InputPartition)
     }
 
     /** Input-byte statistics from the filesystem (a metadata-only
@@ -179,7 +190,8 @@ object GraftDataSource {
   * filters accepted for reader-side evaluation. */
 case class GraftFilePartition(file: String, full: StructType,
                               required: StructType, delim: Char,
-                              filters: Array[sources.Filter] = Array.empty)
+                              filters: Array[sources.Filter] = Array.empty,
+                              limit: Int = -1)
   extends InputPartition
 
 /** Line reader + per-value conversion through the reference kernels.
@@ -265,6 +277,7 @@ class GraftPartitionReader(p: GraftFilePartition)
   }
 
   private var current: InternalRow = _
+  private var emitted: Long = 0L
 
   private def convertToken(tokens: Array[String], idx: Int,
                            conv: String => Any): Any = {
@@ -277,10 +290,15 @@ class GraftPartitionReader(p: GraftFilePartition)
   private val needsTokens = fields.nonEmpty || evalFields.nonEmpty
 
   override def next(): Boolean = {
+    // pushed limit: stop reading the file once this partition has
+    // produced enough surviving rows (Spark's global limit sits above)
+    if (p.limit >= 0 && emitted >= p.limit) { current = null; return false }
     while (true) {
       val raw = in.readLine()
       if (raw == null) { current = null; return false }
-      if (!needsTokens) { current = GraftPartitionReader.emptyRow; return true }
+      if (!needsTokens) {
+        current = GraftPartitionReader.emptyRow; emitted += 1; return true
+      }
       // readLine strips \n but keeps a CRLF file's \r — drop it, like
       // the reference's csv reader (and Spark's CSV source) do
       val line = if (raw.nonEmpty && raw.last == '\r') raw.dropRight(1) else raw
@@ -305,6 +323,7 @@ class GraftPartitionReader(p: GraftFilePartition)
           j += 1
         }
         current = row
+        emitted += 1
         return true
       }
     }

@@ -113,6 +113,24 @@ class GraftSourceSpec extends SparkSpec {
     assert(df.agg(min("id")).head.getLong(0) == 1L)
   }
 
+  test("limit pushdown: the scan stops early and reports the pushed limit") {
+    val df = spark.read.format("graft").load(fixture).limit(7)
+    val scan = df.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PushedLimit: 7"), s"limit not pushed: ${scan.take(300)}")
+    assert(df.count() == 7)
+    // values match the unpushed plan's head (single file => input order)
+    val ids = df.select("id").collect().map(_.getLong(0)).sorted
+    assert(ids.sameElements(0L until 7L), s"got ${ids.mkString(",")}")
+    // limit composes with a pushed filter: limit counts SURVIVING rows
+    val filtered = spark.read.format("graft").load(fixture)
+      .filter(col("flag") === true).limit(5)
+    val fscan = filtered.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(fscan.contains("PushedLimit: 5") && fscan.contains("EqualTo(flag,true)"),
+      s"filter+limit not both pushed: ${fscan.take(300)}")
+    val fids = filtered.select("id").collect().map(_.getLong(0)).sorted
+    assert(fids.sameElements(Array(0L, 2L, 4L, 6L, 8L)), s"got ${fids.mkString(",")}")
+  }
+
   test("CRLF line endings and quoted fields parse like Spark's CSV source") {
     val dir = Files.createTempDirectory("graft_dsv2_crlf")
     val f = dir.resolve("crlf.csv")
