@@ -9,7 +9,10 @@ object Explain {
   val headline = Seq(
     "q_filter_pred", "q_sort_topk", "q_join_multiway", "q_agg_group",
     "q_skew_join", "q_dedup_minhash", "q_dedup_embed", "q_quality_filter",
-    "q_decontaminate", "q_context_pack")
+    "q_decontaminate", "q_context_pack",
+    // round 5: lateral decorrelation, broadcast Bloom probe, scalar
+    // broadcast + top-k window, combine-friendly centroid aggregation
+    "q_join_lateral", "q_bloom_decontaminate", "q_tfidf", "q_embed_centroid")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -364,7 +364,51 @@ object Dedup {
        |ORDER BY a_id, b_id""".stripMargin
   }
 
+  /** Asymmetric containment — |A∩B| / |A| per direction — the signal
+    * Jaccard misses: a short doc wholly embedded in a long one scores
+    * low Jaccard (union is large) but containment ≈ 1 from the short
+    * side. This is how quote/boilerplate/subset duplication is actually
+    * caught in corpus curation. Same bounded verification sample and
+    * candidate shape as q_dedup_ngram; the scale path for candidates
+    * stays MinHash banding (containment then computed only on
+    * candidate pairs). */
+  def qDedupContainment(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .filter(col("doc_id") < 500)
+      .select(col("doc_id"), col("lang"), bigrams(col("text")).as("grams"))
+    val a = d.select(col("doc_id").as("a_id"), col("lang"), col("grams").as("a_grams"))
+    val b = d.select(col("doc_id").as("b_id"), col("lang"), col("grams").as("b_grams"))
+    val inter = size(array_intersect(col("a_grams"), col("b_grams"))).cast(DoubleType)
+    a.join(b, Seq("lang"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        round(inter / size(col("a_grams")).cast(DoubleType), 6).as("cont_a"),
+        round(inter / size(col("b_grams")).cast(DoubleType), 6).as("cont_b"))
+      .filter(greatest(col("cont_a"), col("cont_b")) >= 0.5)
+      .orderBy("a_id", "b_id")
+  }
+
+  private val qDedupContainmentOracle = {
+    val grams =
+      """list_distinct(list_transform(
+        |  range(1, len(string_split_regex(trim(text), '\s+'))),
+        |  i -> string_split_regex(trim(text), '\s+')[i] || ' ' ||
+        |       string_split_regex(trim(text), '\s+')[i+1]))""".stripMargin
+    s"""WITH d AS (SELECT doc_id, lang, $grams AS grams FROM documents WHERE doc_id < 500),
+       |p AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |    round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+       |          CAST(len(a.grams) AS DOUBLE), 6) AS cont_a,
+       |    round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+       |          CAST(len(b.grams) AS DOUBLE), 6) AS cont_b
+       |  FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+       |SELECT a_id, b_id, cont_a, cont_b FROM p
+       |WHERE greatest(cont_a, cont_b) >= 0.5
+       |ORDER BY a_id, b_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_containment" -> (qDedupContainment _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_ngram" -> (qDedupNgram _),
     "q_dedup_minhash" -> (qDedupMinhash _),
@@ -374,6 +418,7 @@ object Dedup {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_dedup_containment" -> qDedupContainmentOracle,
     "q_dedup_exact" -> qDedupExactOracle,
     "q_dedup_ngram" -> qDedupNgramOracle,
     "q_dedup_clusters" -> qDedupClustersOracle,

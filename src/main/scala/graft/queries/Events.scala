@@ -172,7 +172,50 @@ object Events {
        |  COALESCE(sum_value, 0.0) AS sum_value
        |FROM s LEFT JOIN c USING (hour) ORDER BY hour""".stripMargin
 
+  /** Ordered conversion funnel: view → click → purchase, each step's
+    * timestamp strictly AFTER the previous step's first occurrence per
+    * user (the sequential-pattern semantics a naive per-type count gets
+    * wrong). Three filtered aggregations chained by equi-joins on
+    * user_id — each step's survivor set only shrinks, and all
+    * comparisons run on the raw nanosecond longs (integer-exact).
+    *
+    * Scale: step tables are one groupBy each over a type-filtered scan
+    * (filter pushed to parquet); the user-id joins shuffle only
+    * distinct users, not events. */
+  def qEventsFunnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    def firstAfter(eventType: String, prev: DataFrame, prevTs: String, outTs: String) =
+      ev.filter(col("event_type") === eventType)
+        .join(prev, "user_id")
+        .filter(col("ts") > col(prevTs))
+        .groupBy(col("user_id")).agg(min(col("ts")).as(outTs))
+    val s1 = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val s2 = firstAfter("click", s1, "t1", "t2")
+    val s3 = firstAfter("purchase", s2, "t2", "t3")
+    def step(name: String, df: DataFrame) =
+      df.agg(count(lit(1)).as("n_users")).select(lit(name).as("step"), col("n_users"))
+    step("1_view", s1).unionAll(step("2_click", s2)).unionAll(step("3_purchase", s3))
+      .orderBy("step")
+  }
+
+  private val qEventsFunnelOracle =
+    """WITH s1 AS (
+      |  SELECT user_id, MIN(ts) AS t1 FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |s2 AS (
+      |  SELECT e.user_id, MIN(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+      |  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id),
+      |s3 AS (
+      |  SELECT e.user_id, MIN(e.ts) AS t3 FROM events e JOIN s2 USING (user_id)
+      |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id)
+      |SELECT '1_view' AS step, COUNT(*) AS n_users FROM s1
+      |UNION ALL SELECT '2_click', COUNT(*) FROM s2
+      |UNION ALL SELECT '3_purchase', COUNT(*) FROM s3
+      |ORDER BY step""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_events_funnel" -> (qEventsFunnel _),
     "q_events_densify" -> (qEventsDensify _),
     "q_events_tumble" -> (qEventsTumble _),
     "q_events_sliding" -> (qEventsSliding _),
@@ -181,6 +224,7 @@ object Events {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_events_funnel" -> qEventsFunnelOracle,
     "q_events_densify" -> qEventsDensifyOracle,
     "q_events_tumble" -> qEventsTumbleOracle,
     "q_events_sliding" -> qEventsSlidingOracle,

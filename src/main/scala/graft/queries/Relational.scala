@@ -790,9 +790,44 @@ object Relational {
       |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
       |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin
 
+  /** RANGE window frame — the VALUE-based sibling of q_window_frame's
+    * ROWS frame: each order sees the trailing 7 calendar DAYS of its
+    * priority class, however many rows that spans (gaps and duplicate
+    * dates behave correctly, which a ROWS frame gets wrong). Epoch-day
+    * integers keep the frame arithmetic exact on both engines. One
+    * window shuffle on the partition key. */
+  def qWindowRange(s: SparkSession, dir: String): DataFrame = {
+    val d = datediff(col("o_orderdate").cast("date"),
+      lit("1970-01-01").cast("date")).cast("long")
+    val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("d"))
+      .rangeBetween(-6, Window.currentRow)
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"), d.as("d"),
+        col("o_totalprice"))
+      .select(col("o_orderkey"), col("o_orderpriority"), col("d"),
+        count(lit(1)).over(w).as("n_7d"),
+        sum(money(col("o_totalprice"))).over(w).cast(DoubleType).as("rev_7d"))
+      .orderBy("o_orderkey")
+  }
+
+  private val qWindowRangeOracle =
+    s"""WITH t AS (
+       |  SELECT o_orderkey, o_orderpriority,
+       |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+       |    o_totalprice
+       |  FROM orders)
+       |SELECT o_orderkey, o_orderpriority, d,
+       |  COUNT(*) OVER w AS n_7d,
+       |  CAST(SUM(${moneySql("o_totalprice")}) OVER w AS DOUBLE) AS rev_7d
+       |FROM t
+       |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY d
+       |  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+       |ORDER BY o_orderkey""".stripMargin
+
   // ── registry ──────────────────────────────────────────────────────
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_window_range" -> (qWindowRange _),
     "q_join_lateral" -> (qJoinLateral _),
     "q_scan_project" -> (qScanProject _),
     "q_filter_pred" -> (qFilterPred _),
@@ -830,6 +865,7 @@ object Relational {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_window_range" -> qWindowRangeOracle,
     "q_join_lateral" -> qJoinLateralOracle,
     "q_scan_project" -> qScanProjectOracle,
     "q_filter_pred" -> qFilterPredOracle,
