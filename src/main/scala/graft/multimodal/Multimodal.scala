@@ -15,7 +15,13 @@ import org.apache.spark.sql.functions._
   * recompute the decoded-pixel statistics exactly — the correctness
   * gate covers the full encode → PNG → decode → features path.
   *
-  * Kinds with no codec in this container (audio, video) keep the
+  * AUDIO decode is REAL too: `kind = "audio/wav"` payloads are actual
+  * RIFF/WAVE files (16-bit mono PCM) built and decoded through
+  * `javax.sound.sampled` (in the JDK); features are mean/RMS/zero-
+  * crossing-rate/peak of the decoded samples, oracle-checked the same
+  * way ([[sampleAt]] closed form).
+  *
+  * Kinds with no codec in this container (video) keep the
   * clearly-marked [[decodeStub]]. Shared plumbing is real and tested
   * either way: the schema (binary payload + metadata), the
   * Encoder-backed Dataset, the mapPartitions batch shape (decode
@@ -96,6 +102,87 @@ object Multimodal {
     (mean, math.sqrt(variance), low.toDouble / nd, high.toDouble / nd)
   }
 
+  // ── real WAV codec path (javax.sound.sampled) ─────────────────────
+
+  /** Deterministic signed 16-bit PCM sample `k` for document `docId` —
+    * the closed form the oracle mirrors in SQL. */
+  def sampleAt(docId: Long, k: Int): Int =
+    (((docId * 37 + k * 11) % 65536) - 32768).toInt
+
+  /** Varied clip lengths (200–299 samples) so batches mix sizes. */
+  def wavSamples(docId: Long): Int = (200 + docId % 100).toInt
+
+  /** REAL encode: the PCM pattern as an actual RIFF/WAVE file via the
+    * JDK's javax.sound.sampled (16-bit mono little-endian, 8 kHz).
+    * WAV PCM is lossless, so decode returns exactly [[sampleAt]]. */
+  def encodeWav(docId: Long): Array[Byte] = {
+    val n = wavSamples(docId)
+    val pcm = new Array[Byte](n * 2)
+    var k = 0
+    while (k < n) {
+      val s = sampleAt(docId, k)
+      pcm(2 * k) = (s & 0xff).toByte
+      pcm(2 * k + 1) = ((s >> 8) & 0xff).toByte
+      k += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** REAL decode: WAV bytes → signed 16-bit samples. */
+  def decodeWavPcm(bytes: Array[Byte]): Array[Int] = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val fmt = ais.getFormat
+    require(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian && fmt.getChannels == 1,
+      s"unexpected wav format: $fmt")
+    val raw = ais.readAllBytes()
+    val out = new Array[Int](raw.length / 2)
+    var i = 0
+    while (i < out.length) {
+      out(i) = (raw(2 * i + 1) << 8) | (raw(2 * i) & 0xff)
+      i += 1
+    }
+    out
+  }
+
+  /** Decoded-sample features, exact-integer sums then IEEE ops (the
+    * oracle repeats the identical sequence): mean, RMS, zero-crossing
+    * rate, normalized peak. */
+  def pcmFeatures(ss: Array[Int]): (Double, Double, Double, Double) = {
+    val n = ss.length
+    var sum = 0L; var sumSq = 0L; var cross = 0L; var peak = 0L
+    var i = 0
+    while (i < n) {
+      val s = ss(i)
+      sum += s
+      sumSq += s.toLong * s
+      val a = math.abs(s.toLong); if (a > peak) peak = a
+      if (i > 0 && ((ss(i - 1) < 0) != (s < 0))) cross += 1
+      i += 1
+    }
+    val nd = n.toDouble
+    (sum.toDouble / nd, math.sqrt(sumSq.toDouble / nd),
+      cross.toDouble / (n - 1).toDouble, peak.toDouble / 32768.0)
+  }
+
+  /** Media table of REAL WAV clips, encoded executor-side like the PNG
+    * table. width carries the sample count, height the channel count. */
+  def wavMediaFromDocuments(docs: DataFrame): Dataset[MediaRecord] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        MediaRecord(id, "audio/wav", encodeWav(id), wavSamples(id), 1)
+      }
+    }
+  }
+
   /** Media table of REAL PNGs: bytes are encoded executor-side in the
     * partition that will carry them — no driver work, no shuffle. */
   def pngMediaFromDocuments(docs: DataFrame): Dataset[MediaRecord] = {
@@ -139,6 +226,10 @@ object Multimodal {
             val px = decodePngGray(r.media)
             val (f1, f2, f3, f4) = grayFeatures(px)
             MediaFeatures(r.doc_id, r.kind, px.length.toLong, f1, f2, f3, f4)
+          } else if (r.kind == "audio/wav") {
+            val ss = decodeWavPcm(r.media)
+            val (f1, f2, f3, f4) = pcmFeatures(ss)
+            MediaFeatures(r.doc_id, r.kind, ss.length.toLong, f1, f2, f3, f4)
           } else {
             val f = decodeStub(r.media)
             MediaFeatures(r.doc_id, r.kind, r.media.length.toLong, f(0), f(1), f(2), f(3))

@@ -214,7 +214,46 @@ object Events {
       |UNION ALL SELECT '3_purchase', COUNT(*) FROM s3
       |ORDER BY step""".stripMargin
 
+  /** Hour-over-hour cohort retention: of the users active in hour h,
+    * how many return in hour h+1. Hours are raw-nanosecond integer
+    * divisions (exact both engines); the (user, hour) activity set is
+    * deduped once, then self-joined with the hour shifted — the join
+    * carries distinct (user, hour) pairs, not events.
+    *
+    * Scale: the activity set is the corpus' distinct (user, hour)
+    * pairs — already the compact form retention dashboards materialize;
+    * both the dedup and the shifted self-join shuffle on user_id. */
+  def qEventsRetention(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val ua = ev.select(col("user_id"),
+      expr("ts div 3600000000000").as("hr")).distinct()
+    val counts = ua.groupBy(col("hr")).agg(count(lit(1)).as("n_users"))
+    val retained = ua.join(
+        ua.select(col("user_id"), (col("hr") - 1).as("hr")), Seq("user_id", "hr"))
+      .groupBy(col("hr")).agg(count(lit(1)).as("n_retained"))
+    counts.join(retained, Seq("hr"), "left_outer")
+      .select(col("hr").cast(LongType).as("hr"), col("n_users"),
+        coalesce(col("n_retained"), lit(0L)).as("n_retained"),
+        round(coalesce(col("n_retained"), lit(0L)).cast("double") /
+          col("n_users"), 6).as("retention"))
+      .orderBy("hr")
+  }
+
+  private val qEventsRetentionOracle =
+    """WITH ua AS (
+      |  SELECT DISTINCT user_id, epoch_ns(ts) // 3600000000000 AS hr
+      |  FROM events),
+      |c AS (SELECT hr, COUNT(*) AS n_users FROM ua GROUP BY hr),
+      |r AS (
+      |  SELECT a.hr, COUNT(*) AS n_retained
+      |  FROM ua a JOIN ua b ON a.user_id = b.user_id AND b.hr = a.hr + 1
+      |  GROUP BY a.hr)
+      |SELECT c.hr AS hr, n_users, COALESCE(n_retained, 0) AS n_retained,
+      |  round(CAST(COALESCE(n_retained, 0) AS DOUBLE) / n_users, 6) AS retention
+      |FROM c LEFT JOIN r USING (hr) ORDER BY hr""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_events_retention" -> (qEventsRetention _),
     "q_events_funnel" -> (qEventsFunnel _),
     "q_events_densify" -> (qEventsDensify _),
     "q_events_tumble" -> (qEventsTumble _),
@@ -224,6 +263,7 @@ object Events {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_events_retention" -> qEventsRetentionOracle,
     "q_events_funnel" -> qEventsFunnelOracle,
     "q_events_densify" -> qEventsDensifyOracle,
     "q_events_tumble" -> qEventsTumbleOracle,

@@ -127,17 +127,57 @@ object Extensions {
        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
        |GROUP BY s_name ORDER BY s_name""".stripMargin
 
+  /** Audio features through the full encode → WAV → decode path: the
+    * payloads are real RIFF/WAVE files decoded with the JDK's
+    * javax.sound.sampled inside the batched mapPartitions; features are
+    * decoded-sample statistics. The closed-form PCM pattern lets the
+    * oracle recompute them exactly, so the gate covers the codec path
+    * end-to-end (same contract as q_multimodal_features for PNGs). */
+  def qMultimodalAudio(s: SparkSession, dir: String): DataFrame =
+    Multimodal.extractFeatures(
+      Multimodal.wavMediaFromDocuments(Tables.documents(s, dir)))
+      .toDF()
+      .orderBy("doc_id")
+
+  private val qMultimodalAudioOracle =
+    """WITH sm AS (
+      |  SELECT doc_id, 200 + doc_id % 100 AS n,
+      |    unnest(range(0, 200 + doc_id % 100)) AS k
+      |  FROM documents),
+      |v AS (
+      |  SELECT doc_id, n, k,
+      |    ((doc_id * 37 + k * 11) % 65536) - 32768 AS s
+      |  FROM sm),
+      |w AS (
+      |  SELECT doc_id, n, s,
+      |    lag(s) OVER (PARTITION BY doc_id ORDER BY k) AS prev
+      |  FROM v),
+      |a AS (
+      |  SELECT doc_id, n, SUM(s) AS sums, SUM(s * s) AS sumsq,
+      |    SUM(CASE WHEN prev IS NOT NULL AND ((prev < 0) <> (s < 0))
+      |      THEN 1 ELSE 0 END) AS cross_n,
+      |    MAX(abs(s)) AS peak
+      |  FROM w GROUP BY doc_id, n)
+      |SELECT doc_id, 'audio/wav' AS kind, CAST(n AS BIGINT) AS byte_len,
+      |  CAST(sums AS DOUBLE) / CAST(n AS DOUBLE) AS f1,
+      |  sqrt(CAST(sumsq AS DOUBLE) / CAST(n AS DOUBLE)) AS f2,
+      |  CAST(cross_n AS DOUBLE) / CAST(n - 1 AS DOUBLE) AS f3,
+      |  CAST(peak AS DOUBLE) / 32768.0 AS f4
+      |FROM a ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_events_session_state" -> (qEventsSessionState _),
     "q_skew_join" -> (qSkewJoin _),
     "q_multimodal_features" -> (qMultimodalFeatures _),
-    "q_multimodal_frames" -> (qMultimodalFrames _)
+    "q_multimodal_frames" -> (qMultimodalFrames _),
+    "q_multimodal_audio" -> (qMultimodalAudio _)
   )
 
   def oracleSql: Map[String, String] = Map(
     "q_events_session_state" -> qEventsSessionStateOracle,
     "q_skew_join" -> qSkewJoinOracle,
     "q_multimodal_features" -> qMultimodalFeaturesOracle,
-    "q_multimodal_frames" -> qMultimodalFramesOracle
+    "q_multimodal_frames" -> qMultimodalFramesOracle,
+    "q_multimodal_audio" -> qMultimodalAudioOracle
   )
 }

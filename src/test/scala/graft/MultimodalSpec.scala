@@ -60,6 +60,35 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.grayFeatures(px0)._1 == px0.sum.toDouble / 12)
   }
 
+  test("WAV roundtrip: javax.sound decode returns exactly the encoded PCM pattern") {
+    Seq(0L, 1L, 7L, 123L, 9999L).foreach { id =>
+      val wav = Multimodal.encodeWav(id)
+      // real RIFF/WAVE container: magic bytes
+      assert(wav(0) == 'R' && wav(1) == 'I' && wav(2) == 'F' && wav(3) == 'F')
+      assert(wav(8) == 'W' && wav(9) == 'A' && wav(10) == 'V' && wav(11) == 'E')
+      val ss = Multimodal.decodeWavPcm(wav)
+      assert(ss.length == Multimodal.wavSamples(id))
+      ss.zipWithIndex.foreach { case (s, k) =>
+        assert(s == Multimodal.sampleAt(id, k), s"doc $id sample $k")
+      }
+    }
+  }
+
+  test("WAV feature extraction computes stats from actually-decoded samples") {
+    val feats = Multimodal.extractFeatures(
+      Multimodal.wavMediaFromDocuments(Tables.documents(spark, sf)))
+      .collect().map(f => f.doc_id -> f).toMap
+    feats.keys.take(20).foreach { id =>
+      val ss = Multimodal.decodeWavPcm(Multimodal.encodeWav(id))
+      val (f1, f2, f3, f4) = Multimodal.pcmFeatures(ss)
+      val f = feats(id)
+      assert(f.kind == "audio/wav" && f.byte_len == ss.length.toLong)
+      assert(f.f1 == f1 && f.f2 == f2 && f.f3 == f3 && f.f4 == f4)
+      // the normalized peak is a genuine amplitude in (0, 1]
+      assert(f.f4 > 0.0 && f.f4 <= 1.0)
+    }
+  }
+
   test("PNG encode/decode happens on executors without a shuffle") {
     val feats = Multimodal.extractFeatures(
       Multimodal.pngMediaFromDocuments(Tables.documents(spark, sf)))
