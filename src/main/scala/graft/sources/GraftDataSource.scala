@@ -84,12 +84,14 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
   private class GraftScanBuilder(full: StructType, path: String, delim: Char)
     extends ScanBuilder with SupportsPushDownRequiredColumns
       with SupportsPushDownFilters with SupportsPushDownLimit
+      with SupportsPushDownTopN
       with Scan with Batch
       with SupportsReportStatistics {
 
     private var required: StructType = full
     private var pushed: Array[sources.Filter] = Array.empty
     private var limit: Int = -1
+    private var topN: Array[GraftSortKey] = Array.empty
 
     /** LIMIT reaches the reader: each partition stops parsing after
       * `limit` surviving rows instead of scanning its file to EOF —
@@ -97,6 +99,37 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
       * partition, not the corpus. Partial pushdown (the default): Spark
       * keeps the global limit above, the source just stops early. */
     override def pushLimit(l: Int): Boolean = { limit = l; true }
+
+    /** Both pushdowns are PARTIAL: the source trims per partition,
+      * Spark's global limit / TakeOrderedAndProject still runs above.
+      * (Explicit override required: both parent traits default it.) */
+    override def isPartiallyPushed(): Boolean = true
+
+    /** ORDER BY ... LIMIT n reaches the reader as a bounded heap: each
+      * partition returns only its own top-n rows (memory O(n), full
+      * scan but no full materialization), and Spark's global
+      * TakeOrderedAndProject merges partitions — `orderBy(x).limit(n)`
+      * over a huge delimited corpus ships n rows per file, not the
+      * corpus. Only direct single-column keys are pushed; anything
+      * else stays with Spark (partial pushdown keeps it correct). */
+    override def pushTopN(orders: Array[
+        org.apache.spark.sql.connector.expressions.SortOrder],
+        l: Int): Boolean = {
+      import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection, NullOrdering}
+      val keys = orders.flatMap { o =>
+        o.expression() match {
+          case nr: NamedReference if nr.fieldNames.length == 1 &&
+              full.fieldNames.contains(nr.fieldNames.head) =>
+            Some(GraftSortKey(nr.fieldNames.head,
+              o.direction() == SortDirection.ASCENDING,
+              o.nullOrdering() == NullOrdering.NULLS_FIRST))
+          case _ => None
+        }
+      }
+      if (keys.length == orders.length && keys.nonEmpty) {
+        topN = keys; limit = l; true
+      } else false
+    }
 
     override def pruneColumns(requiredSchema: StructType): Unit =
       // preserve our field metadata (ts unit / unsigned): prune by name
@@ -121,7 +154,10 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
     override def toBatch: Batch = this
     override def description(): String =
       s"graft $path sep='$delim' PushedFilters: ${pushed.mkString("[", ", ", "]")}" +
-        (if (limit >= 0) s" PushedLimit: $limit" else "")
+        (if (topN.nonEmpty)
+          s" PushedTopN: ORDER BY ${topN.map(_.describe).mkString(", ")} LIMIT $limit"
+        else if (limit >= 0) s" PushedLimit: $limit"
+        else "")
 
     override def planInputPartitions(): Array[InputPartition] = {
       val conf = SparkSession.active.sparkContext.hadoopConfiguration
@@ -134,7 +170,7 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
             .map(_.getPath.toString).sorted
         else Array(path)
       files.map(f =>
-        GraftFilePartition(f, full, required, delim, pushed, limit): InputPartition)
+        GraftFilePartition(f, full, required, delim, pushed, limit, topN): InputPartition)
     }
 
     /** Input-byte statistics from the filesystem (a metadata-only
@@ -188,10 +224,17 @@ object GraftDataSource {
 /** Serializable per-file split: the FULL inferred schema (for token
   * positions), the pruned schema to emit, the delimiter, and the
   * filters accepted for reader-side evaluation. */
+/** One pushed sort key: column, direction, null placement. */
+case class GraftSortKey(col: String, asc: Boolean, nullsFirst: Boolean) {
+  def describe: String =
+    s"$col ${if (asc) "ASC" else "DESC"} ${if (nullsFirst) "NULLS FIRST" else "NULLS LAST"}"
+}
+
 case class GraftFilePartition(file: String, full: StructType,
                               required: StructType, delim: Char,
                               filters: Array[sources.Filter] = Array.empty,
-                              limit: Int = -1)
+                              limit: Int = -1,
+                              topN: Array[GraftSortKey] = Array.empty)
   extends InputPartition
 
 /** Line reader + per-value conversion through the reference kernels.
@@ -278,6 +321,15 @@ class GraftPartitionReader(p: GraftFilePartition)
 
   private var current: InternalRow = _
   private var emitted: Long = 0L
+  private var topIter: Iterator[InternalRow] = _
+
+  // pushed topN: converters for the sort-key columns
+  private val sortFields: Array[(Int, String => Any)] =
+    p.topN.map { k =>
+      val f = p.full.fields.find(_.name == k.col).get
+      (p.full.fieldIndex(k.col), converter(f))
+    }
+  private val topNMode = sortFields.nonEmpty && p.limit >= 0
 
   private def convertToken(tokens: Array[String], idx: Int,
                            conv: String => Any): Any = {
@@ -287,18 +339,16 @@ class GraftPartitionReader(p: GraftFilePartition)
 
   // count(*)-style scans (no projected columns, no filters) need only
   // the LINE, never its fields — skip the quote-aware split entirely
-  private val needsTokens = fields.nonEmpty || evalFields.nonEmpty
+  private val needsTokens =
+    fields.nonEmpty || evalFields.nonEmpty || sortFields.nonEmpty
 
-  override def next(): Boolean = {
-    // pushed limit: stop reading the file once this partition has
-    // produced enough surviving rows (Spark's global limit sits above)
-    if (p.limit >= 0 && emitted >= p.limit) { current = null; return false }
+  /** Advance to the next filter-surviving line: (projected row, sort
+    * key or null). Null at EOF. */
+  private def readSurviving(): (InternalRow, Array[Any]) = {
     while (true) {
       val raw = in.readLine()
-      if (raw == null) { current = null; return false }
-      if (!needsTokens) {
-        current = GraftPartitionReader.emptyRow; emitted += 1; return true
-      }
+      if (raw == null) return null
+      if (!needsTokens) return (GraftPartitionReader.emptyRow, null)
       // readLine strips \n but keeps a CRLF file's \r — drop it, like
       // the reference's csv reader (and Spark's CSV source) do
       val line = if (raw.nonEmpty && raw.last == '\r') raw.dropRight(1) else raw
@@ -322,12 +372,73 @@ class GraftPartitionReader(p: GraftFilePartition)
           })
           j += 1
         }
-        current = row
-        emitted += 1
-        return true
+        val key =
+          if (sortFields.isEmpty) null
+          else sortFields.map { case (idx, conv) => convertToken(tokens, idx, conv) }
+        return (row, key)
       }
     }
-    false // unreachable
+    null // unreachable
+  }
+
+  /** Result-order comparison of two sort keys per the pushed spec.
+    * Null placement is already absolute in Spark's SortOrder (NULLS
+    * FIRST = first in the result), so only the non-null comparison
+    * flips with direction. */
+  private def cmpKey(a: Array[Any], b: Array[Any]): Int = {
+    var i = 0
+    while (i < p.topN.length) {
+      val k = p.topN(i)
+      val x = a(i); val y = b(i)
+      val c =
+        if (x == null && y == null) 0
+        else if (x == null) { if (k.nullsFirst) -1 else 1 }
+        else if (y == null) { if (k.nullsFirst) 1 else -1 }
+        else {
+          val base = x.asInstanceOf[Comparable[Any]].compareTo(y)
+          if (k.asc) base else -base
+        }
+      if (c != 0) return c
+      i += 1
+    }
+    0
+  }
+
+  /** Bounded-heap top-n over the surviving rows: O(limit) memory, one
+    * pass over the file; rows emit in result order (Spark's global
+    * TakeOrderedAndProject merges partitions above). */
+  private def buildTopN(): Iterator[InternalRow] = {
+    val pq = new java.util.PriorityQueue[(Array[Any], InternalRow)](
+      math.max(1, p.limit),
+      // reversed: the heap head is the WORST kept row, evicted first
+      (u, v) => cmpKey(v._1, u._1))
+    var rec = readSurviving()
+    while (rec != null) {
+      val (row, key) = rec
+      if (pq.size < p.limit) pq.add((key, row))
+      else if (p.limit > 0 && cmpKey(key, pq.peek()._1) < 0) {
+        pq.poll(); pq.add((key, row))
+      }
+      rec = readSurviving()
+    }
+    val out = new Array[InternalRow](pq.size)
+    var i = out.length - 1
+    while (i >= 0) { out(i) = pq.poll()._2; i -= 1 }
+    out.iterator
+  }
+
+  override def next(): Boolean = {
+    if (topNMode) {
+      if (topIter == null) topIter = buildTopN()
+      if (topIter.hasNext) { current = topIter.next(); return true }
+      current = null; return false
+    }
+    // pushed limit: stop reading the file once this partition has
+    // produced enough surviving rows (Spark's global limit sits above)
+    if (p.limit >= 0 && emitted >= p.limit) { current = null; return false }
+    val rec = readSurviving()
+    if (rec == null) { current = null; false }
+    else { current = rec._1; emitted += 1; true }
   }
 
   override def get(): InternalRow = current

@@ -131,6 +131,31 @@ class GraftSourceSpec extends SparkSpec {
     assert(fids.sameElements(Array(0L, 2L, 4L, 6L, 8L)), s"got ${fids.mkString(",")}")
   }
 
+  test("topN pushdown: bounded heap returns the global top rows, nulls placed per spec") {
+    val df = spark.read.format("graft").load(fixture)
+      .orderBy(col("id").desc).limit(3)
+    val scan = df.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PushedTopN: ORDER BY id DESC"),
+      s"topN not pushed: ${scan.take(300)}")
+    assert(df.select("id").collect().map(_.getLong(0)).toSeq ==
+      Seq(1199L, 1198L, 1197L))
+    // multi-key with nulls: n is null for the post-sample failure rows,
+    // so NULLS FIRST surfaces exactly those, tie-broken by id
+    val nf = spark.read.format("graft").load(fixture)
+      .orderBy(col("n").asc_nulls_first, col("id").asc).limit(5)
+    val nscan = nf.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(nscan.contains("PushedTopN: ORDER BY n ASC NULLS FIRST, id ASC"),
+      s"multi-key topN not pushed: ${nscan.take(300)}")
+    val rows = nf.select("id", "n").collect()
+    assert(rows.map(_.getLong(0)).toSeq == (1150L to 1154L).toSeq &&
+      rows.forall(_.isNullAt(1)),
+      s"got ${rows.mkString(", ")}")
+    // parity with the unpushed plan (descending score over doubles)
+    val pushedVals = spark.read.format("graft").load(fixture)
+      .orderBy(col("score").desc).limit(7).select("id").collect().map(_.getLong(0)).toSeq
+    assert(pushedVals == (1193L to 1199L).reverse.toSeq, s"got $pushedVals")
+  }
+
   test("CRLF line endings and quoted fields parse like Spark's CSV source") {
     val dir = Files.createTempDirectory("graft_dsv2_crlf")
     val f = dir.resolve("crlf.csv")
