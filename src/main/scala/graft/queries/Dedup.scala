@@ -407,7 +407,59 @@ object Dedup {
        |ORDER BY a_id, b_id""".stripMargin
   }
 
+  /** Chunk-level boilerplate detection (the C4-style filter): texts
+    * split into fixed 8-word chunks; a chunk seen in MORE THAN ONE
+    * document is boilerplate (headers, footers, license blocks), and
+    * each doc reports its boilerplate fraction. Two combine-friendly
+    * aggregations — (chunk → distinct docs), then (doc → chunk counts)
+    * — so the shuffle carries distinct chunks, never O(n²) pairs;
+    * this is the whole-corpus sibling of the pairwise dedup family. */
+  def qDedupParagraph(s: SparkSession, dir: String, chunkWords: Int = 8): DataFrame = {
+    val words = split(trim(col("text")), "\\s+")
+    val nChunks = (size(words) / chunkWords).cast("int")
+    val chunks = transform(sequence(lit(0), nChunks - 1),
+      i => concat_ws(" ", slice(words, i * chunkWords + 1, lit(chunkWords))))
+    val chunkRows = Tables.documents(s, dir)
+      .filter(size(words) >= chunkWords)
+      .select(col("doc_id"), explode(chunks).as("chunk"))
+    val shared = chunkRows.groupBy(col("chunk"))
+      .agg(count_distinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") > 1)
+      .select(col("chunk"))
+    chunkRows
+      .join(shared, Seq("chunk"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_boiler"))
+      .join(chunkRows.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks")), Seq("doc_id"), "right_outer")
+      .select(col("doc_id"), col("n_chunks"),
+        coalesce(col("n_boiler"), lit(0L)).as("n_boiler"),
+        round(coalesce(col("n_boiler"), lit(0L)).cast(DoubleType) /
+          col("n_chunks"), 6).as("boiler_frac"))
+      .orderBy("doc_id")
+  }
+
+  private val qDedupParagraphOracle =
+    """WITH w AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, unnest(list_transform(
+      |    range(0, CAST(len(ws) // 8 AS BIGINT)),
+      |    i -> array_to_string(ws[i * 8 + 1 : i * 8 + 8], ' '))) AS chunk
+      |  FROM w WHERE len(ws) >= 8),
+      |shared AS (
+      |  SELECT chunk FROM c GROUP BY chunk HAVING COUNT(DISTINCT doc_id) > 1),
+      |tot AS (SELECT doc_id, COUNT(*) AS n_chunks FROM c GROUP BY doc_id),
+      |boil AS (
+      |  SELECT doc_id, COUNT(*) AS n_boiler
+      |  FROM c WHERE chunk IN (SELECT chunk FROM shared) GROUP BY doc_id)
+      |SELECT tot.doc_id, n_chunks, COALESCE(n_boiler, 0) AS n_boiler,
+      |  round(CAST(COALESCE(n_boiler, 0) AS DOUBLE) / n_chunks, 6) AS boiler_frac
+      |FROM tot LEFT JOIN boil USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_paragraph" -> ((s, d) => qDedupParagraph(s, d)),
     "q_dedup_containment" -> (qDedupContainment _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_ngram" -> (qDedupNgram _),
@@ -418,6 +470,7 @@ object Dedup {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_dedup_paragraph" -> qDedupParagraphOracle,
     "q_dedup_containment" -> qDedupContainmentOracle,
     "q_dedup_exact" -> qDedupExactOracle,
     "q_dedup_ngram" -> qDedupNgramOracle,
