@@ -458,7 +458,43 @@ object Dedup {
       |FROM tot LEFT JOIN boil USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  /** Edit-distance near-dup over the bounded verification sample:
+    * classic Levenshtein on the 48-char document prefix (both engines
+    * implement the same integer DP, so the distances — and the
+    * normalized similarity — are exact). Prefix comparison is the
+    * standard cheap pre-filter before full-text alignment; the scale
+    * path for candidate generation stays MinHash banding, with edit
+    * distance as the verify metric on candidates only. */
+  def qDedupEdit(s: SparkSession, dir: String, prefixLen: Int = 48,
+                 maxDist: Int = 20): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .filter(col("doc_id") < 500)
+      .select(col("doc_id"), col("lang"),
+        substring(col("text"), 1, prefixLen).as("pfx"))
+    val a = d.select(col("doc_id").as("a_id"), col("lang"), col("pfx").as("a_pfx"))
+    val b = d.select(col("doc_id").as("b_id"), col("lang"), col("pfx").as("b_pfx"))
+    val dist = levenshtein(col("a_pfx"), col("b_pfx"))
+    a.join(b, Seq("lang"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), dist.cast(LongType).as("edit_dist"),
+        round(lit(1.0) - dist.cast(DoubleType) / prefixLen, 6).as("prefix_sim"))
+      .filter(col("edit_dist") <= maxDist)
+      .orderBy("a_id", "b_id")
+  }
+
+  private val qDedupEditOracle =
+    """WITH d AS (
+      |  SELECT doc_id, lang, substring(text, 1, 48) AS pfx
+      |  FROM documents WHERE doc_id < 500)
+      |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |  CAST(levenshtein(a.pfx, b.pfx) AS BIGINT) AS edit_dist,
+      |  round(1.0 - CAST(levenshtein(a.pfx, b.pfx) AS DOUBLE) / 48, 6) AS prefix_sim
+      |FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      |WHERE levenshtein(a.pfx, b.pfx) <= 20
+      |ORDER BY a_id, b_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_edit" -> ((s, d) => qDedupEdit(s, d)),
     "q_dedup_paragraph" -> ((s, d) => qDedupParagraph(s, d)),
     "q_dedup_containment" -> (qDedupContainment _),
     "q_dedup_exact" -> (qDedupExact _),
@@ -470,6 +506,7 @@ object Dedup {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_dedup_edit" -> qDedupEditOracle,
     "q_dedup_paragraph" -> qDedupParagraphOracle,
     "q_dedup_containment" -> qDedupContainmentOracle,
     "q_dedup_exact" -> qDedupExactOracle,

@@ -281,7 +281,41 @@ object TextAnalysis {
       |  CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, score
       |FROM s WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
 
+  /** Lexical diversity via the Gini–Simpson index: 1 − Σ(c_i/N)² over
+    * the doc's word counts — the entropy-family quality signal that
+    * needs NO logarithm, so it stays cross-engine bit-exact (integer
+    * sums, then two IEEE divisions). Low diversity flags keyword-stuffed
+    * or template documents; the repetition twin (q_doc_repetition)
+    * reports the max-share form. One (doc, word) aggregation with
+    * map-side combine, then one per-doc reduce. */
+  def qTextDiversity(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).cast(LongType).as("n_words"),
+        sum(col("c") * col("c")).cast(LongType).as("sum_sq"))
+      .select(col("doc_id"), col("n_words"),
+        round(lit(1.0) - col("sum_sq").cast(DoubleType) /
+          (col("n_words") * col("n_words")).cast(DoubleType), 6)
+          .as("gini_simpson"))
+      .orderBy("doc_id")
+
+  private val qTextDiversityOracle =
+    """WITH c AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
+      |  FROM documents),
+      |g AS (SELECT doc_id, w, COUNT(*) AS c FROM c GROUP BY doc_id, w),
+      |a AS (
+      |  SELECT doc_id, SUM(c) AS n_words, SUM(c * c) AS sum_sq
+      |  FROM g GROUP BY doc_id)
+      |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+      |  round(1.0 - CAST(sum_sq AS DOUBLE) /
+      |    CAST(n_words * n_words AS DOUBLE), 6) AS gini_simpson
+      |FROM a ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_diversity" -> (qTextDiversity _),
     "q_tfidf" -> ((s, d) => qTfidf(s, d)),
     "q_text_normalize" -> (qTextNormalize _),
     "q_quality_filter" -> (qQualityFilter _),
@@ -293,6 +327,7 @@ object TextAnalysis {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_text_diversity" -> qTextDiversityOracle,
     "q_tfidf" -> qTfidfOracle,
     "q_text_normalize" -> qTextNormalizeOracle,
     "q_quality_filter" -> qQualityFilterOracle,

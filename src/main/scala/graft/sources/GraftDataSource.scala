@@ -86,7 +86,8 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
       with SupportsPushDownFilters with SupportsPushDownLimit
       with SupportsPushDownTopN
       with Scan with Batch
-      with SupportsReportStatistics {
+      with SupportsReportStatistics
+      with SupportsRuntimeFiltering {
 
     private var required: StructType = full
     private var pushed: Array[sources.Filter] = Array.empty
@@ -148,6 +149,30 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
       residual
     }
     override def pushedFilters(): Array[sources.Filter] = pushed
+
+    /** Runtime (dynamic-pruning) filters: a broadcast join above this
+      * scan may deliver its build-side key set at execution time; rows
+      * failing it are dropped during the parse, before projection —
+      * the delimited-text analogue of parquet's dynamic partition
+      * pruning. Any column can receive one (per-file split means no
+      * file-level pruning, so the win is parse/materialize avoidance).
+      * Evaluation reuses the same kernels as planning-time pushdown,
+      * so semantics are identical; unsupported predicates are ignored
+      * (runtime filters are redundant with the join above). Plain-limit
+      * scans skip the merge — a pushed LIMIT means no join sits
+      * directly above, so a late filter must not change what the first
+      * n surviving rows are. */
+    override def filterAttributes():
+        Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+      // only the scan's OUTPUT columns — Spark resolves these against
+      // the pruned projection (a runtime join key is always projected)
+      required.fieldNames.map(
+        org.apache.spark.sql.connector.expressions.Expressions.column)
+
+    override def filter(filters: Array[sources.Filter]): Unit = {
+      val ok = filters.filter(GraftFilterEval.supported(full, _))
+      if (limit < 0 || topN.nonEmpty) pushed = pushed ++ ok
+    }
 
     override def build(): Scan = this
     override def readSchema(): StructType = required

@@ -156,6 +156,24 @@ class GraftSourceSpec extends SparkSpec {
     assert(pushedVals == (1193L to 1199L).reverse.toSeq, s"got $pushedVals")
   }
 
+  test("runtime filtering: a broadcast join's key set prunes rows inside the reader") {
+    import org.apache.spark.sql.functions.broadcast
+    val fact = spark.read.format("graft").load(fixture)
+    // small dim holding 3 ids; the filter makes the build side
+    // "selective", which is what the pruning rule requires
+    val dim = spark.range(100).filter("id < 3").selectExpr("id * 7 AS k")
+    withSQLConf("spark.sql.optimizer.dynamicPartitionPruning.useStats" -> "false",
+      "spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio" -> "10.0") {
+      val joined = fact.join(broadcast(dim), fact("id") === dim("k"))
+      val rows = joined.select("id").collect().map(_.getLong(0)).sorted
+      assert(rows.sameElements(Array(0L, 7L, 14L)), s"got ${rows.mkString(",")}")
+      // the executed plan's scan carries a runtime (dynamic pruning) filter
+      val scan = joined.queryExecution.executedPlan.toString
+      assert(scan.contains("RuntimeFilters: [") && scan.contains("dynamicpruning"),
+        s"no runtime filter on the graft scan:\n${scan.take(1500)}")
+    }
+  }
+
   test("CRLF line endings and quoted fields parse like Spark's CSV source") {
     val dir = Files.createTempDirectory("graft_dsv2_crlf")
     val f = dir.resolve("crlf.csv")
