@@ -40,7 +40,12 @@ object ScaleBench {
     // approx_percentile bounds — timing it at 10x would only measure
     // the single-partition sort it documents as the non-scale path)
     "q_tfidf", "q_bloom_decontaminate", "q_embed_centroid",
-    "q_agg_collect", "q_join_lateral")
+    "q_agg_collect", "q_join_lateral",
+    // corpus-wide round-5 late additions (q_dedup_edit stays out: its
+    // bounded sample is the verification form; candidates at scale
+    // come from minhash banding)
+    "q_dedup_paragraph", "q_text_diversity", "q_events_funnel",
+    "q_events_retention")
 
   def buildScaledData(spark: SparkSession, src: String, out: String, factor: Int): Unit = {
     val KEY = 100000000L // key shift per copy: far above any sf0.1 key
