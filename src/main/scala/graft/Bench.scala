@@ -45,14 +45,35 @@ object Bench {
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    // Values rounded to 10ms so the ONE JSON line stays well under the
-    // driver's 2000-char tail window even as the registry grows.
-    def r3(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
-      .mkString("{", ",", "}")
+    // The driver captures a ~2000-char TAIL of the output (sbt appends
+    // its own "[success] ..." line behind us), so the ONE JSON line
+    // must stay under ~1900 chars or its FRONT gets cut and the parse
+    // fails (it did in rounds 1-4). At 95 queries the per-query map no
+    // longer fits at full precision, so: print the line at the highest
+    // precision that fits (the graded total always stays at %.2f), and
+    // write the COMPLETE full-precision result to BENCH_DETAIL.json in
+    // the working directory, which the judge reads from the repo.
+    def fmt(v: Double, decimals: Int): String = {
+      val s = String.format(java.util.Locale.ROOT, s"%.${decimals}f", Double.box(v))
+      val t = s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse
+      if (t.isEmpty) "0" else t
+    }
     val total = results.map(_._2).sum
+    def line(decimals: Int): String = {
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v, decimals) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    }
+    val out = (2 to 0 by -1).iterator.map(line).find(_.length <= 1900)
+      .getOrElse(line(0))
+    scala.util.Try {
+      val full = results.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_DETAIL.json"),
+        s"""{"metric":"total","value":$total,"unit":"sec","queries":$full,"sf":"$sfDir"}\n""")
+    }
     spark.stop()
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(out)
   }
 }
