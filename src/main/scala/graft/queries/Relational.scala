@@ -824,9 +824,65 @@ object Relational {
        |  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
        |ORDER BY o_orderkey""".stripMargin
 
+  /** Boolean aggregate surface: every/some (bool_and/bool_or) and
+    * count_if per group — the predicate-rollup shape data-quality
+    * dashboards aggregate ("did every row pass", "how many failed").
+    * Partial+final like any other agg. */
+  def qAggBool(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        every(col("o_totalprice") > 1000.0).as("all_over_1k"),
+        some(col("o_totalprice") > 400000.0).as("any_over_400k"),
+        count_if(col("o_orderpriority").startsWith("1")).as("n_urgent"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderstatus")
+
+  private val qAggBoolOracle =
+    """SELECT o_orderstatus,
+      |  bool_and(o_totalprice > 1000.0) AS all_over_1k,
+      |  bool_or(o_totalprice > 400000.0) AS any_over_400k,
+      |  CAST(count_if(o_orderpriority LIKE '1%') AS BIGINT) AS n_urgent,
+      |  COUNT(*) AS n
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  /** Null-semantics surface: null-safe equality (`<=>` / IS NOT
+    * DISTINCT FROM), nullif, nvl2, and coalesce chains — the operators
+    * that make three-valued logic explicit. The probe column is
+    * deterministically nulled from the key so both engines build the
+    * same nulls. Map-side only. */
+  def qNullSemantics(s: SparkSession, dir: String): DataFrame = {
+    val probe = when(col("o_orderkey") % 7 === 0, lit(null).cast("string"))
+      .otherwise(col("o_orderstatus"))
+    Tables.orders(s, dir).select(
+      col("o_orderkey"),
+      probe.as("probe"),
+      (probe <=> col("o_orderstatus")).as("nsafe_eq"),
+      (probe <=> lit(null).cast("string")).as("nsafe_is_null"),
+      nullif(col("o_orderstatus"), lit("O")).as("status_nz"),
+      nvl2(probe, lit("present"), lit("absent")).as("presence"),
+      coalesce(probe, col("o_orderpriority"), lit("?")).as("first_present"))
+      .orderBy("o_orderkey")
+  }
+
+  private val qNullSemanticsOracle =
+    """WITH t AS (
+      |  SELECT o_orderkey, o_orderstatus, o_orderpriority,
+      |    CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_orderstatus END AS probe
+      |  FROM orders)
+      |SELECT o_orderkey, probe,
+      |  probe IS NOT DISTINCT FROM o_orderstatus AS nsafe_eq,
+      |  probe IS NOT DISTINCT FROM NULL AS nsafe_is_null,
+      |  nullif(o_orderstatus, 'O') AS status_nz,
+      |  CASE WHEN probe IS NOT NULL THEN 'present' ELSE 'absent' END AS presence,
+      |  COALESCE(probe, o_orderpriority, '?') AS first_present
+      |FROM t ORDER BY o_orderkey""".stripMargin
+
   // ── registry ──────────────────────────────────────────────────────
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_bool" -> (qAggBool _),
+    "q_null_semantics" -> (qNullSemantics _),
     "q_window_range" -> (qWindowRange _),
     "q_join_lateral" -> (qJoinLateral _),
     "q_scan_project" -> (qScanProject _),
@@ -865,6 +921,8 @@ object Relational {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_agg_bool" -> qAggBoolOracle,
+    "q_null_semantics" -> qNullSemanticsOracle,
     "q_window_range" -> qWindowRangeOracle,
     "q_join_lateral" -> qJoinLateralOracle,
     "q_scan_project" -> qScanProjectOracle,

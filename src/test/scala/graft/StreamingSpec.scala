@@ -46,6 +46,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming funnel (keyed state) matches the batch step counts across batches") {
+    import graft.streaming.Funnel
+    val dir = java.nio.file.Files.createTempDirectory("graft_funnel").toString
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .as[Funnel.FEv].collect().sortBy(_.ts)
+    val (b1, b2) = ev.splitAt(ev.length / 2)
+    spark.createDataset(b1.toSeq).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream
+      .schema("user_id LONG, ts LONG, event_type STRING")
+      .parquet(dir).as[Funnel.FEv]
+    val q = Funnel.funnelStream(stream).writeStream.outputMode("update")
+      .format("memory").queryName("funnel_out").start()
+    try {
+      q.processAllAvailable()
+      // second ts-ordered half arrives later — state carries progress over
+      spark.createDataset(b2.toSeq).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      val stages = spark.table("funnel_out").as[Funnel.StageUpdate].collect()
+        .groupBy(_.user_id).map { case (u, us) => u -> us.map(_.stage).max }
+      val streamCounts = Map(
+        "1_view" -> stages.count(_._2 >= 1).toLong,
+        "2_click" -> stages.count(_._2 >= 2).toLong,
+        "3_purchase" -> stages.count(_._2 >= 3).toLong)
+      val batch = graft.queries.Events.qEventsFunnel(spark, sf).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(streamCounts == batch, s"stream $streamCounts vs batch $batch")
+    } finally q.stop()
+  }
+
   test("watermarked tumbling-window stream agrees with the batch twin") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream2").toString
     val evs = Tables.events(spark, sf).select(col("ts_ts").as("ts"),
