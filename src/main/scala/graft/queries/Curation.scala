@@ -324,7 +324,97 @@ object Curation {
       |WHERE ((doc_id % 1000000007) * 2654435761) % 1000000007 % 100 < 10
       |ORDER BY doc_id""".stripMargin
 
+  // ── deterministic output sharding ──────────────────────────────────
+
+  /** Shard assignment for the output-writing stage: every document maps
+    * to one of `shards` output shards by the portable multiplicative
+    * hash (rerun-, repartition- and scale-stable — the property that
+    * makes incremental re-runs append to the SAME shard). The result is
+    * the shard manifest: per-shard doc count, byte load, and key range —
+    * what a writer job consults to size its tasks and what a balance
+    * monitor alerts on.
+    *
+    * Scale: the hash is map-side; the manifest is one combine-friendly
+    * groupBy with `shards` groups, so the shuffle carries `shards` rows
+    * per task no matter the corpus size. The actual write is then
+    * `df.repartition(shards, shard_col).write` — same key, co-located. */
+  def qShardAssign(s: SparkSession, dir: String, shards: Int = 16): DataFrame = {
+    val shard = pmod(
+      pmod(col("doc_id"), lit(1000000007L)) * lit(2654435761L), lit(shards.toLong))
+    Tables.documents(s, dir)
+      .withColumn("shard", shard)
+      .groupBy(col("shard"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+      .orderBy("shard")
+  }
+
+  private val qShardAssignOracle =
+    """SELECT ((doc_id % 1000000007) * 2654435761) % 16 AS shard,
+      |  COUNT(*) AS n_docs,
+      |  SUM(n_chars) AS total_chars,
+      |  MIN(doc_id) AS min_doc,
+      |  MAX(doc_id) AS max_doc
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ── URL canonicalization + dedup ───────────────────────────────────
+
+  /** URL-level dedup: crawl frontiers see the same page under many
+    * spellings — host casing, explicit default port, fragments, trailing
+    * slashes. Canonicalize (lowercase host, drop `:443`, strip
+    * `#fragment`, strip one trailing slash) then group: one row per
+    * canonical URL with the variant count and the first doc that carried
+    * it. Raw variants are synthesized deterministically from doc_id so
+    * both engines build the identical messy corpus (~5 docs per target
+    * URL at sf0.01 — real duplication, not 1:1).
+    *
+    * Scale: canonicalization is map-side string work; the dedup is one
+    * shuffle on the canonical key — exactly q_dedup_exact's shape. */
+  def qDedupUrl(s: SparkSession, dir: String): DataFrame = {
+    val target = pmod(col("doc_id"), lit(100))
+    val host = when(pmod(col("doc_id"), lit(3)) === 0,
+      concat(lit("WWW.Site"), target, lit(".Example.ORG")))
+      .otherwise(concat(lit("www.site"), target, lit(".example.org")))
+    val port = when(pmod(col("doc_id"), lit(5)) === 0, lit(":443")).otherwise(lit(""))
+    val slash = when(pmod(col("doc_id"), lit(2)) === 0, lit("/")).otherwise(lit(""))
+    val frag = when(pmod(col("doc_id"), lit(4)) === 0, lit("#sec")).otherwise(lit(""))
+    val raw = concat(lit("https://"), host, port, lit("/page/"), target, slash, frag)
+    val canon = regexp_replace(
+      regexp_replace(
+        regexp_replace(lower(raw), "#.*$", ""), // fragment off (host already lowered)
+        ":443/", "/"),                          // default port
+      "/$", "")                                 // one trailing slash
+    Tables.documents(s, dir)
+      .select(col("doc_id"), canon.as("canonical_url"))
+      .groupBy(col("canonical_url"))
+      .agg(count(lit(1)).as("n_variants"), min(col("doc_id")).as("keep_doc"))
+      .orderBy("canonical_url")
+  }
+
+  private val qDedupUrlOracle =
+    """WITH raw AS (
+      |  SELECT doc_id,
+      |    'https://' ||
+      |    CASE WHEN doc_id % 3 = 0
+      |      THEN 'WWW.Site' || (doc_id % 100) || '.Example.ORG'
+      |      ELSE 'www.site' || (doc_id % 100) || '.example.org' END ||
+      |    CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END ||
+      |    '/page/' || (doc_id % 100) ||
+      |    CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END ||
+      |    CASE WHEN doc_id % 4 = 0 THEN '#sec' ELSE '' END AS url
+      |  FROM documents)
+      |SELECT regexp_replace(regexp_replace(regexp_replace(
+      |    lower(url), '#.*$', ''), ':443/', '/'), '/$', '') AS canonical_url,
+      |  COUNT(*) AS n_variants,
+      |  MIN(doc_id) AS keep_doc
+      |FROM raw GROUP BY 1 ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_shard_assign" -> ((s, d) => qShardAssign(s, d)),
+    "q_dedup_url" -> (qDedupUrl _),
     "q_url_extract" -> (qUrlExtract _),
     "q_sample_hash" -> ((s, d) => qSampleHash(s, d)),
     "q_pii_scrub" -> (qPiiScrub _),
@@ -336,6 +426,8 @@ object Curation {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_shard_assign" -> qShardAssignOracle,
+    "q_dedup_url" -> qDedupUrlOracle,
     "q_url_extract" -> qUrlExtractOracle,
     "q_sample_hash" -> qSampleHashOracle,
     "q_pii_scrub" -> qPiiScrubOracle,

@@ -342,9 +342,129 @@ object Funcs {
       |  array_to_string(qs, ',') AS quantities
       |FROM p ORDER BY l_orderkey""".stripMargin
 
+  // ── regexp suite ──────────────────────────────────────────────────
+
+  /** Regexp surface beyond the basic extract/replace in q_string_funcs:
+    * match predicate, match counting, first-match substring, regex
+    * split, and capture-group backreference replacement. All codegen'd
+    * Catalyst expressions (Java regex) mirrored against DuckDB's RE2
+    * forms — the patterns stay in the POSIX-compatible intersection so
+    * both engines agree. */
+  def qRegexpFuncs(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir).select(
+      col("p_partkey"),
+      col("p_name").rlike("a.*i").as("has_a_then_i"),
+      regexp_count(col("p_name"), lit("[aeiou]")).cast(LongType).as("n_vowels"),
+      regexp_extract(col("p_name"), "([a-z]+)$", 1).as("last_word"),
+      size(split(col("p_name"), "\\s+")).cast(LongType).as("n_words"),
+      regexp_replace(col("p_name"), "([aeiou])", "<$1>").as("marked"))
+      .orderBy("p_partkey")
+
+  private val qRegexpFuncsOracle =
+    """SELECT p_partkey,
+      |  regexp_matches(p_name, 'a.*i') AS has_a_then_i,
+      |  CAST(len(regexp_extract_all(p_name, '[aeiou]')) AS BIGINT) AS n_vowels,
+      |  regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
+      |  CAST(len(regexp_split_to_array(p_name, '\s+')) AS BIGINT) AS n_words,
+      |  regexp_replace(p_name, '([aeiou])', '<\1>', 'g') AS marked
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  // ── bitwise suite ─────────────────────────────────────────────────
+
+  /** Bitwise operator surface — AND/OR/XOR, shifts, popcount. The
+    * operators partition-hash and bucket at the storage layer, so their
+    * cross-engine bit-exactness is what makes hash-partitioned layouts
+    * portable. Map-side only. */
+  def qBitwiseFuncs(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir).select(
+      col("o_orderkey"),
+      col("o_orderkey").bitwiseAND(lit(255L)).as("low_byte"),
+      col("o_orderkey").bitwiseOR(lit(4096L)).as("with_flag"),
+      col("o_orderkey").bitwiseXOR(col("o_custkey")).as("key_mix"),
+      shiftleft(pmod(col("o_orderkey"), lit(1024L)), 4).as("shl4"),
+      shiftright(col("o_orderkey"), 3).as("shr3"),
+      bit_count(col("o_orderkey")).cast(LongType).as("popcount"))
+      .orderBy("o_orderkey")
+
+  private val qBitwiseFuncsOracle =
+    """SELECT o_orderkey,
+      |  o_orderkey & 255 AS low_byte,
+      |  o_orderkey | 4096 AS with_flag,
+      |  xor(o_orderkey, o_custkey) AS key_mix,
+      |  (o_orderkey % 1024) << 4 AS shl4,
+      |  o_orderkey >> 3 AS shr3,
+      |  CAST(bit_count(o_orderkey) AS BIGINT) AS popcount
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  // ── struct / JSON round-trip ──────────────────────────────────────
+
+  /** Struct construction and JSON round-trip fidelity: named_struct →
+    * to_json (compact text, asserted cross-engine byte-equal) →
+    * from_json → field extraction returns the original values. The
+    * serialize/reparse loop is the lineage-preservation shape pipeline
+    * checkpoints rely on. Map-side only. */
+  def qStructFuncs(s: SparkSession, dir: String): DataFrame = {
+    val st = named_struct(
+      lit("id"), col("doc_id"),
+      lit("lang"), col("lang"),
+      lit("n"), col("n_chars"))
+    val js = to_json(st)
+    val back = from_json(js,
+      org.apache.spark.sql.types.StructType.fromDDL("id BIGINT, lang STRING, n BIGINT"))
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      js.as("json_text"),
+      back.getField("id").as("rt_id"),
+      back.getField("lang").as("rt_lang"),
+      back.getField("n").as("rt_n"))
+      .orderBy("doc_id")
+  }
+
+  private val qStructFuncsOracle =
+    """SELECT doc_id,
+      |  to_json(struct_pack(id := doc_id, lang := lang, n := n_chars)) AS json_text,
+      |  doc_id AS rt_id, lang AS rt_lang, n_chars AS rt_n
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ── calendar arithmetic suite ─────────────────────────────────────
+
+  /** Calendar arithmetic beyond q_date_funcs' extraction: month math
+    * with end-of-month clamping (Jan 31 + 1 month = Feb 28 in BOTH
+    * engines), last-day-of-month, ISO week / day-of-year / day-of-week
+    * (Spark is 1=Sunday, DuckDB 0=Sunday — oracle shifts), date
+    * construction, and format rendering. Map-side only. */
+  def qCalendarFuncs(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir).select(
+      col("o_orderkey"),
+      add_months(col("o_orderdate"), 1).as("plus_1mo"),
+      last_day(col("o_orderdate")).as("month_end"),
+      dayofweek(col("o_orderdate")).cast(LongType).as("dow"),
+      dayofyear(col("o_orderdate")).cast(LongType).as("doy"),
+      weekofyear(col("o_orderdate")).cast(LongType).as("iso_week"),
+      make_date(year(col("o_orderdate")) + 1, month(col("o_orderdate")), lit(1))
+        .as("next_year_month_start"),
+      date_format(col("o_orderdate"), "yyyy-MM").as("ym"))
+      .orderBy("o_orderkey")
+
+  private val qCalendarFuncsOracle =
+    """SELECT o_orderkey,
+      |  CAST(o_orderdate + INTERVAL 1 MONTH AS DATE) AS plus_1mo,
+      |  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+      |  dayofweek(o_orderdate) + 1 AS dow,
+      |  dayofyear(o_orderdate) AS doy,
+      |  weekofyear(o_orderdate) AS iso_week,
+      |  make_date(CAST(year(o_orderdate) AS INT) + 1,
+      |            CAST(month(o_orderdate) AS INT), 1) AS next_year_month_start,
+      |  strftime(o_orderdate, '%Y-%m') AS ym
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
   // ── registry ──────────────────────────────────────────────────────
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_regexp_funcs" -> (qRegexpFuncs _),
+    "q_bitwise_funcs" -> (qBitwiseFuncs _),
+    "q_struct_funcs" -> (qStructFuncs _),
+    "q_calendar_funcs" -> (qCalendarFuncs _),
     "q_map_funcs" -> (qMapFuncs _),
     "q_agg_collect" -> (qAggCollect _),
     "q_string_funcs" -> (qStringFuncs _),
@@ -360,6 +480,10 @@ object Funcs {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_regexp_funcs" -> qRegexpFuncsOracle,
+    "q_bitwise_funcs" -> qBitwiseFuncsOracle,
+    "q_struct_funcs" -> qStructFuncsOracle,
+    "q_calendar_funcs" -> qCalendarFuncsOracle,
     "q_map_funcs" -> qMapFuncsOracle,
     "q_agg_collect" -> qAggCollectOracle,
     "q_string_funcs" -> qStringFuncsOracle,
