@@ -105,6 +105,62 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches the batch twin across batches") {
+    import graft.streaming.Correlate
+    val dir = java.nio.file.Files.createTempDirectory("graft_ssj").toString
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("ts_ts"), col("event_type"))
+      .filter(col("event_type").isin("click", "purchase"))
+    // two ts-ordered file batches: matches spanning the split must form
+    // from click-state carried across micro-batches
+    val rows = ev.orderBy("ts_ts").collect()
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    val schema = ev.schema
+    spark.createDataFrame(java.util.Arrays.asList(b1: _*), schema)
+      .write.mode("overwrite").parquet(dir)
+
+    def split(df: org.apache.spark.sql.DataFrame) =
+      (df.filter(col("event_type") === "click"),
+        df.filter(col("event_type") === "purchase"))
+
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val (sc, sp) = split(stream)
+    val q = Correlate.clickPurchase(sc, sp).writeStream
+      .outputMode("append").format("memory").queryName("ssj_out").start()
+    try {
+      q.processAllAvailable()
+      spark.createDataFrame(java.util.Arrays.asList(b2: _*), schema)
+        .write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      val streamed = spark.table("ssj_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      val (bc, bp) = split(ev)
+      val batch = Correlate.clickPurchase(bc, bp).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(batch.nonEmpty, "batch twin produced no click→purchase pairs")
+      assert(streamed == batch,
+        s"missing=${(batch -- streamed).take(3)} extra=${(streamed -- batch).take(3)}")
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark dedups with bounded state") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_wmdedup").toString
+    val ev = Tables.events(spark, sf).select(col("event_id"), col("ts_ts"))
+    ev.union(ev).write.mode("overwrite").parquet(dir) // every event doubled
+    val q = spark.readStream.schema(ev.schema).parquet(dir)
+      .withWatermark("ts_ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("wmdedup_out").start()
+    try {
+      q.processAllAvailable()
+      // duplicates arrive in the same micro-batch — well inside the
+      // watermark window — so the dedup is exact here, with state that
+      // (unlike plain dropDuplicates) evicts once the watermark passes
+      assert(spark.table("wmdedup_out").count() == ev.count())
+    } finally q.stop()
+  }
+
   test("streaming dedup and stream-static dim join") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream3").toString
     // duplicate every event once → dropDuplicates must halve it
