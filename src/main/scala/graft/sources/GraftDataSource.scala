@@ -10,6 +10,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.DataSourceRegister
@@ -85,6 +86,7 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
     extends ScanBuilder with SupportsPushDownRequiredColumns
       with SupportsPushDownFilters with SupportsPushDownLimit
       with SupportsPushDownTopN
+      with SupportsPushDownAggregates
       with Scan with Batch
       with SupportsReportStatistics
       with SupportsRuntimeFiltering {
@@ -93,6 +95,60 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
     private var pushed: Array[sources.Filter] = Array.empty
     private var limit: Int = -1
     private var topN: Array[GraftSortKey] = Array.empty
+    private var agg: Option[GraftAggSpec] = None
+    private var aggSchema: StructType = _
+
+    /** Aggregate pushdown, PARTIAL (supportCompletePushDown stays
+      * false): each partition folds its file into per-group partial
+      * states during the parse and emits those instead of rows; Spark's
+      * final aggregate merges partitions above. `count(*)` over a huge
+      * delimited corpus ships one row per (partition × group) and never
+      * materializes a single record row; min/max/sum parse only the
+      * aggregated column. Grouping states flush to the output every 64k
+      * distinct keys — partials are mergeable, so bounded memory costs
+      * nothing but a few extra rows into the final agg (the same
+      * contract as Spark's own partial-aggregation fallback). AVG
+      * arrives pre-rewritten as SUM+COUNT by Spark, and COUNT(DISTINCT)
+      * is rejected (not partial-mergeable). */
+    override def pushAggregation(aggregation: Aggregation): Boolean = {
+      import org.apache.spark.sql.connector.expressions.NamedReference
+      import org.apache.spark.sql.connector.expressions.aggregate._
+      def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[StructField] =
+        e match {
+          case nr: NamedReference if nr.fieldNames.length == 1 =>
+            full.fields.find(_.name == nr.fieldNames.head)
+          case _ => None
+        }
+      val groupFields = aggregation.groupByExpressions.map(colOf)
+      if (groupFields.exists(_.isEmpty)) return false
+      val funcs = aggregation.aggregateExpressions.map {
+        case _: CountStar =>
+          Some((GraftAggFunc("count_star", ""), StructField("count(*)", LongType)))
+        case c: Count if !c.isDistinct =>
+          colOf(c.column).map(f =>
+            (GraftAggFunc("count", f.name), StructField(s"count(${f.name})", LongType)))
+        case m: Min =>
+          colOf(m.column).map(f =>
+            (GraftAggFunc("min", f.name), StructField(s"min(${f.name})", f.dataType)))
+        case m: Max =>
+          colOf(m.column).map(f =>
+            (GraftAggFunc("max", f.name), StructField(s"max(${f.name})", f.dataType)))
+        case s: Sum if !s.isDistinct =>
+          colOf(s.column).collect {
+            case f if f.dataType == LongType =>
+              (GraftAggFunc("sum_long", f.name), StructField(s"sum(${f.name})", LongType))
+            case f if f.dataType == DoubleType =>
+              (GraftAggFunc("sum_double", f.name), StructField(s"sum(${f.name})", DoubleType))
+          }
+        case _ => None
+      }
+      if (funcs.exists(_.isEmpty) || funcs.isEmpty) return false
+      val gf = groupFields.map(_.get)
+      agg = Some(GraftAggSpec(gf.map(_.name), funcs.map(_.get._1)))
+      // scan output contract: group-by columns first, then aggregates
+      aggSchema = StructType(gf ++ funcs.map(_.get._2))
+      true
+    }
 
     /** LIMIT reaches the reader: each partition stops parsing after
       * `limit` surviving rows instead of scanning its file to EOF —
@@ -165,8 +221,11 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
     override def filterAttributes():
         Array[org.apache.spark.sql.connector.expressions.NamedReference] =
       // only the scan's OUTPUT columns — Spark resolves these against
-      // the pruned projection (a runtime join key is always projected)
-      required.fieldNames.map(
+      // the pruned projection (a runtime join key is always projected).
+      // An aggregated scan emits partial states, not rows: no runtime
+      // filtering (no join sits between the scan and its final agg).
+      if (agg.isDefined) Array.empty
+      else required.fieldNames.map(
         org.apache.spark.sql.connector.expressions.Expressions.column)
 
     override def filter(filters: Array[sources.Filter]): Unit = {
@@ -175,14 +234,20 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
     }
 
     override def build(): Scan = this
-    override def readSchema(): StructType = required
+    override def readSchema(): StructType =
+      if (agg.isDefined) aggSchema else required
     override def toBatch: Batch = this
     override def description(): String =
       s"graft $path sep='$delim' PushedFilters: ${pushed.mkString("[", ", ", "]")}" +
         (if (topN.nonEmpty)
           s" PushedTopN: ORDER BY ${topN.map(_.describe).mkString(", ")} LIMIT $limit"
         else if (limit >= 0) s" PushedLimit: $limit"
-        else "")
+        else "") +
+        agg.map(a =>
+          s" PushedAggregates: ${a.funcs.map(_.describe).mkString("[", ", ", "]")}" +
+            (if (a.groupBy.nonEmpty)
+              s" GroupBy: ${a.groupBy.mkString("[", ", ", "]")}"
+            else "")).getOrElse("")
 
     override def planInputPartitions(): Array[InputPartition] = {
       val conf = SparkSession.active.sparkContext.hadoopConfiguration
@@ -195,7 +260,7 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
             .map(_.getPath.toString).sorted
         else Array(path)
       files.map(f =>
-        GraftFilePartition(f, full, required, delim, pushed, limit, topN): InputPartition)
+        GraftFilePartition(f, full, required, delim, pushed, limit, topN, agg): InputPartition)
     }
 
     /** Input-byte statistics from the filesystem (a metadata-only
@@ -255,11 +320,27 @@ case class GraftSortKey(col: String, asc: Boolean, nullsFirst: Boolean) {
     s"$col ${if (asc) "ASC" else "DESC"} ${if (nullsFirst) "NULLS FIRST" else "NULLS LAST"}"
 }
 
+/** One pushed aggregate function over one column ("" = count(*)). */
+case class GraftAggFunc(kind: String, col: String) {
+  def describe: String = kind match {
+    case "count_star" => "COUNT(*)"
+    case "count" => s"COUNT($col)"
+    case "min" => s"MIN($col)"
+    case "max" => s"MAX($col)"
+    case _ => s"SUM($col)"
+  }
+}
+
+/** A pushed partial aggregation: group-by columns + functions, in the
+  * scan-output order Spark expects (groups first, then aggregates). */
+case class GraftAggSpec(groupBy: Array[String], funcs: Array[GraftAggFunc])
+
 case class GraftFilePartition(file: String, full: StructType,
                               required: StructType, delim: Char,
                               filters: Array[sources.Filter] = Array.empty,
                               limit: Int = -1,
-                              topN: Array[GraftSortKey] = Array.empty)
+                              topN: Array[GraftSortKey] = Array.empty,
+                              agg: Option[GraftAggSpec] = None)
   extends InputPartition
 
 /** Line reader + per-value conversion through the reference kernels.
@@ -292,12 +373,30 @@ class GraftPartitionReader(p: GraftFilePartition)
   private val evalPos: Map[String, Int] = filterRefs.zipWithIndex.toMap
 
   // required field -> Left(position among evalFields: value already
-  // converted for the filter) or Right(token position, converter)
+  // converted for the filter) or Right(token position, converter).
+  // In aggregate mode `required` holds the agg OUTPUT schema, not file
+  // columns — the row path is bypassed entirely.
   private val fields: Array[Either[Int, (Int, String => Any)]] =
-    p.required.fields.map { f =>
+    if (p.agg.isDefined) Array.empty
+    else p.required.fields.map { f =>
       evalPos.get(f.name).map(i => Left(i): Either[Int, (Int, String => Any)])
         .getOrElse(Right((p.full.fieldIndex(f.name), converter(f))))
     }
+
+  // pushed aggregation: converters for group-by and aggregated columns
+  private val aggGroupFields: Array[(Int, String => Any)] =
+    p.agg.map(_.groupBy.map { n =>
+      val f = p.full.fields.find(_.name == n).get
+      (p.full.fieldIndex(n), converter(f))
+    }).getOrElse(Array.empty)
+  private val aggInputFields: Array[(Int, String => Any)] =
+    p.agg.map(_.funcs.map { fn =>
+      if (fn.col.isEmpty) null
+      else {
+        val f = p.full.fields.find(_.name == fn.col).get
+        (p.full.fieldIndex(fn.col), converter(f))
+      }
+    }).getOrElse(Array.empty)
 
   private def tsUnit(f: StructField): ScalarParse.TsUnit =
     if (f.metadata.contains("graft.timestampUnit"))
@@ -365,7 +464,8 @@ class GraftPartitionReader(p: GraftFilePartition)
   // count(*)-style scans (no projected columns, no filters) need only
   // the LINE, never its fields — skip the quote-aware split entirely
   private val needsTokens =
-    fields.nonEmpty || evalFields.nonEmpty || sortFields.nonEmpty
+    fields.nonEmpty || evalFields.nonEmpty || sortFields.nonEmpty ||
+      aggGroupFields.nonEmpty || aggInputFields.exists(_ != null)
 
   /** Advance to the next filter-surviving line: (projected row, sort
     * key or null). Null at EOF. */
@@ -452,7 +552,109 @@ class GraftPartitionReader(p: GraftFilePartition)
     out.iterator
   }
 
+  // ── pushed partial aggregation ─────────────────────────────────────
+  // Fold the file into per-group states during the parse; emit states,
+  // not rows. Group maps flush every 64k distinct keys — partials are
+  // mergeable, so bounded memory just hands Spark's final aggregate a
+  // few extra rows. A global (no-group) aggregate always emits exactly
+  // one partial row, even over an empty / fully-filtered file, so the
+  // final SUM-of-partials sees SQL's one-row-per-partition contract.
+  private val AggFlushGroups = 1 << 16
+  private var aggDone = false
+  private var aggPending: Iterator[InternalRow] = Iterator.empty
+
+  private def aggStateNew(): Array[Any] =
+    p.agg.get.funcs.map(f =>
+      if (f.kind.startsWith("count")) Long.box(0L) else (null: Any))
+
+  private def aggRender(acc: collection.Map[List[Any], Array[Any]]): Iterator[InternalRow] =
+    acc.iterator.map { case (key, st) =>
+      val row = new GenericInternalRow(key.length + st.length)
+      var i = 0
+      key.foreach { v => row.update(i, v); i += 1 }
+      st.foreach { v => row.update(i, v); i += 1 }
+      row
+    }
+
+  /** Read (a chunk of) the file into group states; sets aggPending.
+    * Returns early on a full group map; resumes from the same stream
+    * position on the next call. */
+  private def aggFill(): Unit = {
+    val spec = p.agg.get
+    val acc = scala.collection.mutable.LinkedHashMap.empty[List[Any], Array[Any]]
+    var raw = in.readLine()
+    while (raw != null) {
+      val line = if (raw.nonEmpty && raw.last == '\r') raw.dropRight(1) else raw
+      val tokens =
+        if (needsTokens) GraftPartitionReader.splitFields(line, p.delim) else null
+      val evalVals = new Array[Any](evalFields.length)
+      var i = 0
+      while (i < evalFields.length) {
+        val (idx, conv) = evalFields(i)
+        evalVals(i) = convertToken(tokens, idx, conv)
+        i += 1
+      }
+      val pass = p.filters.forall(f =>
+        GraftFilterEval.eval(f, p.full, n => evalVals(evalPos(n))).contains(true))
+      if (pass) {
+        val key = aggGroupFields.map { case (idx, conv) =>
+          convertToken(tokens, idx, conv)
+        }.toList
+        val st = acc.getOrElseUpdate(key, aggStateNew())
+        var j = 0
+        while (j < spec.funcs.length) {
+          spec.funcs(j).kind match {
+            case "count_star" =>
+              st(j) = Long.box(st(j).asInstanceOf[Long] + 1L)
+            case "count" =>
+              val (idx, conv) = aggInputFields(j)
+              if (convertToken(tokens, idx, conv) != null)
+                st(j) = Long.box(st(j).asInstanceOf[Long] + 1L)
+            case "min" =>
+              val (idx, conv) = aggInputFields(j)
+              val v = convertToken(tokens, idx, conv)
+              if (v != null && (st(j) == null ||
+                  v.asInstanceOf[Comparable[Any]].compareTo(st(j)) < 0)) st(j) = v
+            case "max" =>
+              val (idx, conv) = aggInputFields(j)
+              val v = convertToken(tokens, idx, conv)
+              if (v != null && (st(j) == null ||
+                  v.asInstanceOf[Comparable[Any]].compareTo(st(j)) > 0)) st(j) = v
+            case "sum_long" =>
+              val (idx, conv) = aggInputFields(j)
+              val v = convertToken(tokens, idx, conv)
+              if (v != null) {
+                val base = if (st(j) == null) 0L else st(j).asInstanceOf[Long]
+                st(j) = Long.box(base + v.asInstanceOf[Long])
+              }
+            case "sum_double" =>
+              val (idx, conv) = aggInputFields(j)
+              val v = convertToken(tokens, idx, conv)
+              if (v != null) {
+                val base = if (st(j) == null) 0.0 else st(j).asInstanceOf[Double]
+                st(j) = Double.box(base + v.asInstanceOf[Double])
+              }
+          }
+          j += 1
+        }
+        if (spec.groupBy.nonEmpty && acc.size >= AggFlushGroups) {
+          aggPending = aggRender(acc)
+          return
+        }
+      }
+      raw = in.readLine()
+    }
+    aggDone = true
+    if (spec.groupBy.isEmpty && acc.isEmpty) acc.put(Nil, aggStateNew())
+    aggPending = aggRender(acc)
+  }
+
   override def next(): Boolean = {
+    if (p.agg.isDefined) {
+      while (!aggPending.hasNext && !aggDone) aggFill()
+      if (aggPending.hasNext) { current = aggPending.next(); return true }
+      current = null; return false
+    }
     if (topNMode) {
       if (topIter == null) topIter = buildTopN()
       if (topIter.hasNext) { current = topIter.next(); return true }
