@@ -66,7 +66,9 @@ object Bench {
     }
     val out = (2 to 0 by -1).iterator.map(line).find(_.length <= 1900)
       .getOrElse(line(0))
-    scala.util.Try {
+    // Only a FULL-registry run (the driver contract) may write the
+    // detail file — a filtered local iteration must not clobber it.
+    if (wanted.isEmpty) scala.util.Try {
       val full = results.map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")
       java.nio.file.Files.writeString(

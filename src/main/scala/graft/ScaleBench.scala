@@ -45,7 +45,10 @@ object ScaleBench {
     // bounded sample is the verification form; candidates at scale
     // come from minhash banding)
     "q_dedup_paragraph", "q_text_diversity", "q_events_funnel",
-    "q_events_retention")
+    "q_events_retention",
+    // output-stage pipeline ops (this session's additions; the pure
+    // map-side function suites are not scale-interesting)
+    "q_shard_assign", "q_dedup_url")
 
   def buildScaledData(spark: SparkSession, src: String, out: String, factor: Int): Unit = {
     val KEY = 100000000L // key shift per copy: far above any sf0.1 key
