@@ -44,6 +44,16 @@ object Explain {
       .filter(col("id") > 50L && col("score") < 40.0).select("id", "name")
       .queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))
+
+    // DSv2 graft source: partial aggregate pushdown — the scan emits
+    // per-group partial states (PushedAggregates/GroupBy), the final
+    // HashAggregate above merges partitions.
+    println("\n===== graft source aggregate pushdown =====")
+    import org.apache.spark.sql.functions.{avg, count, lit, max}
+    println(spark.read.format("graft").load(f.toString)
+      .groupBy(col("name")).agg(count(lit(1)), max(col("id")), avg(col("score")))
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
     spark.stop()
   }
 }
