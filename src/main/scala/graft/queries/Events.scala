@@ -252,7 +252,40 @@ object Events {
       |  round(CAST(COALESCE(n_retained, 0) AS DOUBLE) / n_users, 6) AS retention
       |FROM c LEFT JOIN r USING (hr) ORDER BY hr""".stripMargin
 
+  /** Event-transition matrix: per user in time order, count each
+    * (event_type → next event_type) step — the Markov-chain view of
+    * user journeys (what follows a click? how often does a view lead
+    * nowhere?). `lead` over the per-user time order, then one
+    * combine-friendly count per (from, to) pair; transitions out of a
+    * user's LAST event go to the 'end' absorbing state so rows sum to
+    * the event count exactly.
+    *
+    * Scale: the same single user-partitioned window shuffle as
+    * sessionization; the final count's key space is |event types|²,
+    * constant in corpus size. */
+  def qEventsTransitions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(expr("ts div 1000"), col("event_id"))
+    Tables.events(s, dir)
+      .withColumn("next_type",
+        coalesce(lead(col("event_type"), 1).over(w), lit("end")))
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("from_type", "to_type")
+  }
+
+  private val qEventsTransitionsOracle =
+    """WITH t AS (
+      |  SELECT event_type AS from_type,
+      |    COALESCE(lead(event_type, 1) OVER (
+      |      PARTITION BY user_id
+      |      ORDER BY epoch_us(ts), event_id), 'end') AS to_type
+      |  FROM events)
+      |SELECT from_type, to_type, COUNT(*) AS n
+      |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_events_transitions" -> (qEventsTransitions _),
     "q_events_retention" -> (qEventsRetention _),
     "q_events_funnel" -> (qEventsFunnel _),
     "q_events_densify" -> (qEventsDensify _),
@@ -263,6 +296,7 @@ object Events {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_events_transitions" -> qEventsTransitionsOracle,
     "q_events_retention" -> qEventsRetentionOracle,
     "q_events_funnel" -> qEventsFunnelOracle,
     "q_events_densify" -> qEventsDensifyOracle,

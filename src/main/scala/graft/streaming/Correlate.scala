@@ -23,9 +23,15 @@ import org.apache.spark.sql.functions._
   * state store), exactly like the keyed sessionization path.
   */
 object Correlate {
+  /** `joinType` "inner" (default) or "left_outer": the outer variant
+    * also emits never-converted clicks with a null purchase — but only
+    * once the watermark proves no match can still arrive (click_ts +
+    * window + delay has passed), which is what makes streaming outer
+    * joins need watermarks at all. */
   def clickPurchase(clicks: DataFrame, purchases: DataFrame,
                     windowSec: Int = 3600,
-                    watermarkSec: Int = 10): DataFrame = {
+                    watermarkSec: Int = 10,
+                    joinType: String = "inner"): DataFrame = {
     val c = clicks
       .select(col("user_id").as("c_user"), col("ts_ts").as("c_ts"),
         col("event_id").as("click_id"))
@@ -37,7 +43,8 @@ object Correlate {
     c.join(p,
       col("c_user") === col("p_user") &&
         col("p_ts") > col("c_ts") &&
-        col("p_ts") <= col("c_ts") + expr(s"INTERVAL $windowSec SECONDS"))
+        col("p_ts") <= col("c_ts") + expr(s"INTERVAL $windowSec SECONDS"),
+      joinType)
       .select(col("c_user").as("user_id"), col("click_id"), col("purchase_id"),
         (unix_timestamp(col("p_ts")) - unix_timestamp(col("c_ts")))
           .as("delta_sec"))

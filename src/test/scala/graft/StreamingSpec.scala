@@ -143,6 +143,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("left-outer stream-stream join: unmatched clicks emit once the watermark proves them") {
+    import graft.streaming.Correlate
+    val dir = java.nio.file.Files.createTempDirectory("graft_ssj_outer").toString
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("ts_ts"), col("event_type"))
+      .filter(col("event_type").isin("click", "purchase"))
+    ev.write.mode("overwrite").parquet(dir)
+
+    def split(df: org.apache.spark.sql.DataFrame) =
+      (df.filter(col("event_type") === "click"),
+        df.filter(col("event_type") === "purchase"))
+
+    val (sc, sp) = split(spark.readStream.schema(ev.schema).parquet(dir))
+    val q = Correlate.clickPurchase(sc, sp, joinType = "left_outer").writeStream
+      .outputMode("append").format("memory").queryName("ssj_outer_out").start()
+    try {
+      q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2))
+      val streamed = spark.table("ssj_outer_out").collect().map(key).toSet
+      val (bc, bp) = split(ev)
+      val batchOuter = Correlate.clickPurchase(bc, bp, joinType = "left_outer")
+        .collect().map(key).toSet
+      val batchInner = Correlate.clickPurchase(bc, bp).collect().map(key).toSet
+      // matched rows: exactly the batch inner result (inner matches
+      // emit immediately; nothing spurious)
+      assert(streamed.filter(_._3 >= 0L) == batchInner)
+      // null-extended rows: a subset of the batch outer's unmatched
+      // clicks (only watermark-proven ones emit; the stream tail's
+      // clicks stay in state), and at least SOME must have emitted
+      val streamedNulls = streamed.filter(_._3 < 0L)
+      val batchNulls = batchOuter.filter(_._3 < 0L)
+      assert(streamedNulls.subsetOf(batchNulls),
+        s"spurious null-extensions: ${(streamedNulls -- batchNulls).take(3)}")
+      assert(streamedNulls.nonEmpty,
+        "watermark never proved any unmatched click — outer semantics unexercised")
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark dedups with bounded state") {
     val dir = java.nio.file.Files.createTempDirectory("graft_wmdedup").toString
     val ev = Tables.events(spark, sf).select(col("event_id"), col("ts_ts"))
