@@ -41,7 +41,8 @@ object IngestPipeline {
         .filter(s => s.isFile && graft.sources.GraftDataSource.isDataFile(s.getPath.getName))
         .map(_.getPath).minBy(_.getName.toString)
     else p0
-    val in = fs.open(p)
+    val in = graft.sources.GraftPartitionReader.maybeDecompress(
+      p.getName, fs.open(p))
     try {
       val reader = new java.io.BufferedReader(new java.io.InputStreamReader(in, "UTF-8"))
       ScalarParse.detectDelimiter(Option(reader.readLine()).getOrElse(""))

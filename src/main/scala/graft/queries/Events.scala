@@ -284,7 +284,46 @@ object Events {
       |SELECT from_type, to_type, COUNT(*) AS n
       |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Spark's NATIVE session-window operator (session_window groupBy) —
+    * the built-in twin of q_events_sessions' hand-rolled lag/running-sum
+    * form. Semantics differ at the exact-gap boundary: session_window
+    * starts a new session when the next event lands AT the previous
+    * window's end (diff >= gap), the manual form only when diff > gap —
+    * the oracle mirrors the native rule so both engines pin it.
+    * Window end = last event + gap (the operator's definition).
+    *
+    * Scale: one shuffle on user_id, then per-key in-order merging —
+    * the same distribution as the manual form, without the window
+    * function's full sort-frame machinery. */
+  def qEventsSessionWindow(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id"), session_window(col("ts_ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("start_us"),
+        unix_micros(col("session_window.end")).as("end_us"),
+        col("n_events"))
+      .orderBy("user_id", "start_us")
+
+  private val qEventsSessionWindowOracle =
+    """WITH t AS (
+      |  SELECT user_id, epoch_us(ts) AS tus,
+      |    CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+      |      OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w >= 1800000000
+      |    THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))),
+      |s AS (
+      |  SELECT user_id, tus,
+      |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY tus
+      |      ROWS UNBOUNDED PRECEDING) AS seq
+      |  FROM t)
+      |SELECT user_id, MIN(tus) AS start_us,
+      |  MAX(tus) + 1800000000 AS end_us, COUNT(*) AS n_events
+      |FROM s GROUP BY user_id, seq ORDER BY user_id, start_us""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_events_session_window" -> (qEventsSessionWindow _),
     "q_events_transitions" -> (qEventsTransitions _),
     "q_events_retention" -> (qEventsRetention _),
     "q_events_funnel" -> (qEventsFunnel _),
@@ -296,6 +335,7 @@ object Events {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_events_session_window" -> qEventsSessionWindowOracle,
     "q_events_transitions" -> qEventsTransitionsOracle,
     "q_events_retention" -> qEventsRetentionOracle,
     "q_events_funnel" -> qEventsFunnelOracle,

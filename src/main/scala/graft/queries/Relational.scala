@@ -878,9 +878,29 @@ object Relational {
       |  COALESCE(probe, o_orderpriority, '?') AS first_present
       |FROM t ORDER BY o_orderkey""".stripMargin
 
+  /** HAVING surface: a post-aggregation predicate (here: repeat
+    * customers with big spend). Catalyst plans it as Filter ABOVE the
+    * final HashAggregate — groups are pruned after the merge, so the
+    * map-side partials are untouched and no second shuffle appears. */
+  def qAggHaving(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("spend"))
+      .filter(col("n_orders") >= 3 && col("spend") > 500000.0)
+      .orderBy("o_custkey")
+
+  private val qAggHavingOracle =
+    """SELECT o_custkey, COUNT(*) AS n_orders,
+      |  round(SUM(o_totalprice), 2) AS spend
+      |FROM orders GROUP BY o_custkey
+      |HAVING COUNT(*) >= 3 AND round(SUM(o_totalprice), 2) > 500000.0
+      |ORDER BY o_custkey""".stripMargin
+
   // ── registry ──────────────────────────────────────────────────────
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_having" -> (qAggHaving _),
     "q_agg_bool" -> (qAggBool _),
     "q_null_semantics" -> (qNullSemantics _),
     "q_window_range" -> (qWindowRange _),
@@ -921,6 +941,7 @@ object Relational {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_agg_having" -> qAggHavingOracle,
     "q_agg_bool" -> qAggBoolOracle,
     "q_null_semantics" -> qNullSemanticsOracle,
     "q_window_range" -> qWindowRangeOracle,

@@ -356,7 +356,9 @@ class GraftPartitionReader(p: GraftFilePartition)
   private val conf = new org.apache.hadoop.conf.Configuration()
   private val fs = new Path(p.file).getFileSystem(conf)
   private val in = new java.io.BufferedReader(
-    new java.io.InputStreamReader(fs.open(new Path(p.file)), "UTF-8"))
+    new java.io.InputStreamReader(
+      GraftPartitionReader.maybeDecompress(p.file, fs.open(new Path(p.file))),
+      "UTF-8"))
   in.readLine() // header
 
   // Filter-referenced columns convert FIRST (they may not be projected
@@ -675,6 +677,15 @@ class GraftPartitionReader(p: GraftFilePartition)
 object GraftPartitionReader {
   /** Shared zero-column row for count-only scans. */
   val emptyRow: InternalRow = new GenericInternalRow(0)
+
+  /** Compressed delimited input, by extension (how Spark's own text
+    * sources pick a codec). gzip is the one big-corpus staple with a
+    * JDK-native codec; a gzip member is one undividable stream, so the
+    * existing file-per-partition split stays the honest unit — exactly
+    * why Spark too treats .gz as unsplittable. */
+  def maybeDecompress(file: String, raw: java.io.InputStream): java.io.InputStream =
+    if (file.endsWith(".gz")) new java.util.zip.GZIPInputStream(raw, 1 << 16)
+    else raw
 
   /** RFC-4180-style field split: fields optionally double-quoted, `""`
     * escapes a quote inside a quoted field — the same single-LINE

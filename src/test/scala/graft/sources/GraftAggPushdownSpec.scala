@@ -89,6 +89,29 @@ class GraftAggPushdownSpec extends SparkSpec {
     assert(!row.isNullAt(0) && row.getLong(0) == 0L, s"empty count must be 0, got $row")
   }
 
+  test("gzip input: same rows, same inference, same pushdowns as the plain file") {
+    val dir = Files.createTempDirectory("graft_gz")
+    val rows = ("id\tgrp\tscore" +:
+      (0 until 500).map(i => s"$i\tg${i % 3}\t${i * 0.5}")).mkString("", "\n", "\n")
+    Files.write(dir.resolve("plain.tsv"), rows.getBytes("UTF-8"))
+    val gz = new java.util.zip.GZIPOutputStream(
+      java.nio.file.Files.newOutputStream(dir.resolve("data.tsv.gz")))
+    gz.write(rows.getBytes("UTF-8")); gz.close()
+
+    val plain = spark.read.format("graft").load(dir.resolve("plain.tsv").toString)
+    val gzDf = spark.read.format("graft").load(dir.resolve("data.tsv.gz").toString)
+    assert(gzDf.schema == plain.schema, "inference must see through gzip")
+    assert(gzDf.orderBy("id").collect().sameElements(plain.orderBy("id").collect()))
+
+    // pushdowns ride the decompressed stream unchanged
+    val agg = gzDf.filter(col("id") < 100L).groupBy(col("grp"))
+      .agg(sum(col("id")).as("s")).orderBy("grp")
+    assert(scanDesc(agg).contains("PushedAggregates: [SUM(id)]"))
+    val expected = plain.filter(col("id") < 100L).groupBy(col("grp"))
+      .agg(sum(col("id")).as("s")).orderBy("grp").collect()
+    assert(agg.collect().sameElements(expected))
+  }
+
   test("count(distinct) and unsupported shapes stay with Spark, results still correct") {
     val src = spark.read.format("graft").load(fixture)
     val distinct = src.agg(countDistinct(col("grp")).as("n"))
