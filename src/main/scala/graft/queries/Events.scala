@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 import graft.Tables
 import graft.queries.QueryUtil._
@@ -322,7 +322,53 @@ object Events {
       |  MAX(tus) + 1800000000 AS end_us, COUNT(*) AS n_events
       |FROM s GROUP BY user_id, seq ORDER BY user_id, start_us""".stripMargin
 
+  /** Volume-anomaly detection: z-score each (event_type, hour) count
+    * against that type's overall hourly distribution. The mean/variance
+    * come from EXACT integer power sums (n, Σc, Σc²) via a window over
+    * the hourly-count relation — the same nondeterminism-free moment
+    * trick as q_agg_stats — so the z-scores are cross-engine
+    * bit-identical doubles. |z| > 2 flags the spike/outage hours.
+    *
+    * Scale: one groupBy over the scan reduces events to |types|×|hours|
+    * rows; the stats window partitions on event_type over that already
+    * tiny relation. Nothing downstream of the first aggregate is
+    * proportional to corpus size. */
+  def qEventsAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(s, dir)
+      .groupBy(col("event_type"), expr("ts div 3600000000000").as("hr"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("event_type"))
+    val n = count(lit(1)).over(w).cast(DoubleType)
+    val sc = sum(col("c")).over(w).cast(DoubleType)
+    val scc = sum(col("c") * col("c")).over(w).cast(DoubleType)
+    val mean = sc / n
+    val variance = (scc - sc * sc / n) / (n - lit(1.0))
+    val z = (col("c").cast(DoubleType) - mean) / sqrt(variance)
+    hourly
+      .select(col("event_type"), col("hr").cast(LongType).as("hr"), col("c"),
+        round(z, 6).as("z"), (abs(z) > 2.0).as("is_anomaly"))
+      .orderBy("event_type", "hr")
+  }
+
+  private val qEventsAnomalyOracle = {
+    val n = "CAST(COUNT(*) OVER w AS DOUBLE)"
+    val sc = "CAST(SUM(c) OVER w AS DOUBLE)"
+    val scc = "CAST(SUM(c * c) OVER w AS DOUBLE)"
+    val z = s"(CAST(c AS DOUBLE) - $sc / $n) / " +
+      s"sqrt(($scc - $sc * $sc / $n) / ($n - 1.0))"
+    s"""WITH h AS (
+       |  SELECT event_type, epoch_ns(ts) // 3600000000000 AS hr,
+       |    COUNT(*) AS c
+       |  FROM events GROUP BY event_type, hr)
+       |SELECT event_type, CAST(hr AS BIGINT) AS hr, c,
+       |  round($z, 6) AS z, abs($z) > 2.0 AS is_anomaly
+       |FROM h
+       |WINDOW w AS (PARTITION BY event_type)
+       |ORDER BY event_type, hr""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_events_anomaly" -> (qEventsAnomaly _),
     "q_events_session_window" -> (qEventsSessionWindow _),
     "q_events_transitions" -> (qEventsTransitions _),
     "q_events_retention" -> (qEventsRetention _),
@@ -335,6 +381,7 @@ object Events {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_events_anomaly" -> qEventsAnomalyOracle,
     "q_events_session_window" -> qEventsSessionWindowOracle,
     "q_events_transitions" -> qEventsTransitionsOracle,
     "q_events_retention" -> qEventsRetentionOracle,

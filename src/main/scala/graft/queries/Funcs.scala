@@ -396,6 +396,69 @@ object Funcs {
       |  CAST(bit_count(o_orderkey) AS BIGINT) AS popcount
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
+  // ── cryptographic hash fingerprints ───────────────────────────────
+
+  /** Content-addressable fingerprints — the portable dedup/shard keys a
+    * cross-system pipeline exchanges: MD5 and SHA-256 of the document
+    * text, plus a composite-key hash binding the id to the content
+    * (re-ingest detection). Both engines hash UTF-8 bytes to lowercase
+    * hex, so fingerprints computed here equal fingerprints computed by
+    * any other stack — unlike engine-private hashes (xxhash64 seeds,
+    * Java hashCode) these survive system boundaries. Pure map-side
+    * codegen expressions over the scan. */
+  def qHashFuncs(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      md5(col("text")).as("text_md5"),
+      sha2(col("text"), 256).as("text_sha256"),
+      md5(concat(col("doc_id").cast("string"), lit(":"), col("text")))
+        .as("row_key"),
+      substring(sha2(col("text"), 256), 1, 8).as("shard_prefix"))
+      .orderBy("doc_id")
+
+  private val qHashFuncsOracle =
+    """SELECT doc_id,
+      |  md5(text) AS text_md5,
+      |  sha256(text) AS text_sha256,
+      |  md5(concat(CAST(doc_id AS VARCHAR), ':', text)) AS row_key,
+      |  substring(sha256(text), 1, 8) AS shard_prefix
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ── advanced string surface ───────────────────────────────────────
+
+  /** String surface beyond q_string_funcs' basics: character-class
+    * translation, 1-based field splitting, substring position, edge
+    * slicing, reversal, repetition, and the ascii/chr round trip — the
+    * remainder of the portable string toolkit (initcap/overlay are
+    * deliberately absent: no DuckDB equivalent to mirror). Map-side
+    * codegen only. */
+  def qStringAdvanced(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir).select(
+      col("p_partkey"),
+      translate(col("p_name"), "aeiou", "12345").as("digits_for_vowels"),
+      expr("split_part(p_type, ' ', 2)").as("type_second"),
+      instr(col("p_name"), "a").cast(LongType).as("first_a"),
+      expr("left(p_name, 5)").as("head5"),
+      expr("right(p_name, 5)").as("tail5"),
+      reverse(col("p_brand")).as("brand_rev"),
+      repeat(lit("*"), pmod(col("p_size"), lit(5)).cast("int")).as("stars"),
+      ascii(col("p_name")).cast(LongType).as("first_code"),
+      expr("chr(65 + pmod(p_size, 26))").as("size_letter"))
+      .orderBy("p_partkey")
+
+  private val qStringAdvancedOracle =
+    """SELECT p_partkey,
+      |  translate(p_name, 'aeiou', '12345') AS digits_for_vowels,
+      |  split_part(p_type, ' ', 2) AS type_second,
+      |  CAST(strpos(p_name, 'a') AS BIGINT) AS first_a,
+      |  left(p_name, 5) AS head5,
+      |  right(p_name, 5) AS tail5,
+      |  reverse(p_brand) AS brand_rev,
+      |  repeat('*', CAST(p_size % 5 AS INTEGER)) AS stars,
+      |  CAST(ascii(p_name) AS BIGINT) AS first_code,
+      |  chr(65 + CAST(p_size % 26 AS INTEGER)) AS size_letter
+      |FROM part ORDER BY p_partkey""".stripMargin
+
   // ── struct / JSON round-trip ──────────────────────────────────────
 
   /** Struct construction and JSON round-trip fidelity: named_struct →
@@ -462,6 +525,8 @@ object Funcs {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_regexp_funcs" -> (qRegexpFuncs _),
+    "q_hash_funcs" -> (qHashFuncs _),
+    "q_string_advanced" -> (qStringAdvanced _),
     "q_bitwise_funcs" -> (qBitwiseFuncs _),
     "q_struct_funcs" -> (qStructFuncs _),
     "q_calendar_funcs" -> (qCalendarFuncs _),
@@ -481,6 +546,8 @@ object Funcs {
 
   def oracleSql: Map[String, String] = Map(
     "q_regexp_funcs" -> qRegexpFuncsOracle,
+    "q_hash_funcs" -> qHashFuncsOracle,
+    "q_string_advanced" -> qStringAdvancedOracle,
     "q_bitwise_funcs" -> qBitwiseFuncsOracle,
     "q_struct_funcs" -> qStructFuncsOracle,
     "q_calendar_funcs" -> qCalendarFuncsOracle,

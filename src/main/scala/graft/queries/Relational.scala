@@ -439,6 +439,39 @@ object Relational {
       |FROM customer
       |ORDER BY c_custkey""".stripMargin
 
+  /** Correlated scalar subqueries in the WHERE clause: orders strictly
+    * above their own customer's average order value. The comparison is
+    * phrased multiplicatively (`price * n > sum`) so everything stays in
+    * exact decimal/integer arithmetic — no double average whose rounding
+    * could disagree between engines at the boundary.
+    *
+    * Scale: Catalyst decorrelates both subqueries into ONE per-customer
+    * aggregate joined back to orders (RewriteCorrelatedScalarSubquery) —
+    * no per-row re-execution; the plan is the same aggregate-join shape
+    * at any corpus size. */
+  def qSubqueryCorrelated(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("v_orders_corr")
+    s.sql(
+      """SELECT o_custkey, o_orderkey, o_totalprice
+        |FROM v_orders_corr o
+        |WHERE CAST(o_totalprice AS DECIMAL(12,2)) *
+        |    (SELECT COUNT(*) FROM v_orders_corr i
+        |     WHERE i.o_custkey = o.o_custkey)
+        |  > (SELECT SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+        |     FROM v_orders_corr i WHERE i.o_custkey = o.o_custkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin)
+  }
+
+  private val qSubqueryCorrelatedOracle =
+    """SELECT o_custkey, o_orderkey, o_totalprice
+      |FROM orders o
+      |WHERE CAST(o_totalprice AS DECIMAL(12,2)) *
+      |    (SELECT COUNT(*) FROM orders i
+      |     WHERE i.o_custkey = o.o_custkey)
+      |  > (SELECT SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+      |     FROM orders i WHERE i.o_custkey = o.o_custkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
   // ── window family ─────────────────────────────────────────────────
 
   /** Top-3 orders per customer by price (unique tiebreak on orderkey). */
@@ -928,6 +961,7 @@ object Relational {
     "q_unpivot" -> (qUnpivot _),
     "q_range_join" -> (qRangeJoin _),
     "q_subquery_scalar" -> (qSubqueryScalar _),
+    "q_subquery_correlated" -> (qSubqueryCorrelated _),
     "q_window_rank" -> (qWindowRank _),
     "q_window_frame" -> (qWindowFrame _),
     "q_window_lag" -> (qWindowLag _),
@@ -969,6 +1003,7 @@ object Relational {
     "q_unpivot" -> qUnpivotOracle,
     "q_range_join" -> qRangeJoinOracle,
     "q_subquery_scalar" -> qSubqueryScalarOracle,
+    "q_subquery_correlated" -> qSubqueryCorrelatedOracle,
     "q_window_rank" -> qWindowRankOracle,
     "q_window_frame" -> qWindowFrameOracle,
     "q_window_lag" -> qWindowLagOracle,

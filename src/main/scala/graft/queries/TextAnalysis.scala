@@ -314,7 +314,45 @@ object TextAnalysis {
       |    CAST(n_words * n_words AS DOUBLE), 6) AS gini_simpson
       |FROM a ORDER BY doc_id""".stripMargin
 
+  /** Inverted index (posting lists): per term, the document frequency,
+    * total term frequency, and the first 8 documents (sorted ids,
+    * comma-joined) — the IR structure behind corpus search and
+    * contamination lookups. Two combine-friendly aggregations: (term,
+    * doc) pairs dedup in the first shuffle, per-term stats + the
+    * bounded posting sample in the second. The posting string is capped
+    * at 8 ids, so agg state stays O(1) per term — the full posting list
+    * at 100 TB would instead stay exploded as (term → doc) rows,
+    * bucketed by term for point lookup. */
+  def qTextPostings(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(split(trim(col("text")), "\\s+")).as("term"))
+    val perDoc = tok.groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf_doc"))
+    perDoc.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"),
+        sum(col("tf_doc")).cast(LongType).as("tf_total"),
+        concat_ws(",",
+          transform(slice(sort_array(collect_list(col("doc_id"))), 1, 8),
+            d => d.cast("string"))).as("postings8"))
+      .orderBy("term")
+  }
+
+  private val qTextPostingsOracle =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+      |  FROM documents),
+      |pd AS (
+      |  SELECT term, doc_id, COUNT(*) AS tf_doc
+      |  FROM tok GROUP BY term, doc_id)
+      |SELECT term, COUNT(*) AS df,
+      |  CAST(SUM(tf_doc) AS BIGINT) AS tf_total,
+      |  array_to_string(
+      |    list_slice(list(doc_id ORDER BY doc_id), 1, 8), ',') AS postings8
+      |FROM pd GROUP BY term ORDER BY term""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_postings" -> (qTextPostings _),
     "q_text_diversity" -> (qTextDiversity _),
     "q_tfidf" -> ((s, d) => qTfidf(s, d)),
     "q_text_normalize" -> (qTextNormalize _),
@@ -327,6 +365,7 @@ object TextAnalysis {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_text_postings" -> qTextPostingsOracle,
     "q_text_diversity" -> qTextDiversityOracle,
     "q_tfidf" -> qTfidfOracle,
     "q_text_normalize" -> qTextNormalizeOracle,
