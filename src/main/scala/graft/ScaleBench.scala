@@ -48,7 +48,11 @@ object ScaleBench {
     "q_events_retention",
     // output-stage pipeline ops (this session's additions; the pure
     // map-side function suites are not scale-interesting)
-    "q_shard_assign", "q_dedup_url")
+    "q_shard_assign", "q_dedup_url",
+    // this session's additions (q_hash_funcs / q_string_advanced are
+    // pure map-side function suites — not scale-interesting)
+    "q_sql_q10", "q_events_ohlc", "q_events_anomaly", "q_text_postings",
+    "q_subquery_correlated")
 
   def buildScaledData(spark: SparkSession, src: String, out: String, factor: Int): Unit = {
     val KEY = 100000000L // key shift per copy: far above any sf0.1 key

@@ -367,7 +367,55 @@ object Events {
        |ORDER BY event_type, hr""".stripMargin
   }
 
+  /** OHLC downsampling: 5-minute bars per event_type — open/close are
+    * the first/last value in each bar under the total (ts, event_id)
+    * order, high/low/sum complete the candle. The time-series
+    * compaction every metrics store runs; open/close are picked via
+    * row_number flags folded into ONE aggregation (no self-join), so
+    * the whole query is a window + groupBy on the same (type, bar)
+    * partitioning — a single shuffle, and the picks are deterministic
+    * even with duplicate timestamps (event_id tiebreak).
+    *
+    * Scale: the window and the aggregate share partitioning keys, so
+    * Catalyst reuses one exchange; output is |types|×|bars| rows,
+    * constant in corpus size per unit time. */
+  def qEventsOhlc(s: SparkSession, dir: String): DataFrame = {
+    val bar = expr("ts div 300000000000").as("bar")
+    val w = Window.partitionBy(col("event_type"), col("bar"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("event_type"), bar, col("ts"), col("event_id"), col("value"))
+      .withColumn("rn_a", row_number().over(w))
+      .withColumn("n_in", count(lit(1)).over(
+        Window.partitionBy(col("event_type"), col("bar"))))
+      .groupBy(col("event_type"), col("bar").cast(LongType).as("bar"))
+      .agg(
+        max(when(col("rn_a") === 1, col("value"))).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max(when(col("rn_a") === col("n_in"), col("value"))).as("close"),
+        count(lit(1)).as("n_events"),
+        dsum(col("value")).as("sum_value"))
+      .orderBy("event_type", "bar")
+  }
+
+  private val qEventsOhlcOracle =
+    s"""WITH t AS (
+       |  SELECT event_type, epoch_ns(ts) // 300000000000 AS bar, value,
+       |    row_number() OVER (PARTITION BY event_type, epoch_ns(ts) // 300000000000
+       |      ORDER BY ts, event_id) AS rn_a,
+       |    COUNT(*) OVER (PARTITION BY event_type, epoch_ns(ts) // 300000000000)
+       |      AS n_in
+       |  FROM events)
+       |SELECT event_type, CAST(bar AS BIGINT) AS bar,
+       |  MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+       |  MAX(value) AS high, MIN(value) AS low,
+       |  MAX(CASE WHEN rn_a = n_in THEN value END) AS close,
+       |  COUNT(*) AS n_events, ${dsumSql("value")} AS sum_value
+       |FROM t GROUP BY event_type, bar ORDER BY event_type, bar""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_events_ohlc" -> (qEventsOhlc _),
     "q_events_anomaly" -> (qEventsAnomaly _),
     "q_events_session_window" -> (qEventsSessionWindow _),
     "q_events_transitions" -> (qEventsTransitions _),
@@ -381,6 +429,7 @@ object Events {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_events_ohlc" -> qEventsOhlcOracle,
     "q_events_anomaly" -> qEventsAnomalyOracle,
     "q_events_session_window" -> qEventsSessionWindowOracle,
     "q_events_transitions" -> qEventsTransitionsOracle,

@@ -439,6 +439,51 @@ object Relational {
       |FROM customer
       |ORDER BY c_custkey""".stripMargin
 
+  /** TPC-H Q10-like returned-items report: revenue lost to returns per
+    * customer over a quarter, top 20. The canonical 4-way star join +
+    * aggregate + top-k: dims broadcast, the orders⋈lineitem shuffle
+    * carries only the date/flag-filtered rows (both predicates push to
+    * the scans), and the final top-k is TakeOrderedAndProject — no
+    * global sort. Exact-decimal revenue; c_custkey breaks ties. */
+  def qSqlQ10(s: SparkSession, dir: String): DataFrame = {
+    Tables.customer(s, dir).createOrReplaceTempView("q10_customer")
+    Tables.orders(s, dir).createOrReplaceTempView("q10_orders")
+    Tables.lineitem(s, dir).createOrReplaceTempView("q10_lineitem")
+    Tables.nation(s, dir).createOrReplaceTempView("q10_nation")
+    s.sql(
+      """SELECT c_custkey, c_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |           (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+        |    AS revenue,
+        |  c_acctbal, n_name, COUNT(*) AS n_items
+        |FROM q10_customer
+        |JOIN q10_orders ON c_custkey = o_custkey
+        |JOIN q10_lineitem ON l_orderkey = o_orderkey
+        |JOIN q10_nation ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-07-01'
+        |  AND l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin)
+  }
+
+  private val qSqlQ10Oracle =
+    """SELECT c_custkey, c_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |           (1.00 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+      |  c_acctbal, n_name, COUNT(*) AS n_items
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1996-07-01'
+      |  AND l_returnflag = 'R'
+      |GROUP BY c_custkey, c_name, c_acctbal, n_name
+      |ORDER BY revenue DESC, c_custkey
+      |LIMIT 20""".stripMargin
+
   /** Correlated scalar subqueries in the WHERE clause: orders strictly
     * above their own customer's average order value. The comparison is
     * phrased multiplicatively (`price * n > sum`) so everything stays in
@@ -957,6 +1002,7 @@ object Relational {
     "q_join_cross" -> (qJoinCross _),
     "q_agg_argmax" -> (qAggArgmax _),
     "q_sql_q3" -> (qSqlQ3 _),
+    "q_sql_q10" -> (qSqlQ10 _),
     "q_pivot" -> (qPivot _),
     "q_unpivot" -> (qUnpivot _),
     "q_range_join" -> (qRangeJoin _),
@@ -999,6 +1045,7 @@ object Relational {
     "q_join_cross" -> qJoinCrossOracle,
     "q_agg_argmax" -> qAggArgmaxOracle,
     "q_sql_q3" -> qSqlQ3Oracle,
+    "q_sql_q10" -> qSqlQ10Oracle,
     "q_pivot" -> qPivotOracle,
     "q_unpivot" -> qUnpivotOracle,
     "q_range_join" -> qRangeJoinOracle,
