@@ -43,7 +43,15 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val t = (System.nanoTime() - t0) / 1e9
+      // Drop state a query may have pinned (checkpointed edge lists,
+      // cached relations): leaked executor memory otherwise inflates
+      // every LATER query's time through GC pressure — at 100+ queries
+      // the drift approaches 2x. Cleanup runs OUTSIDE the timed span.
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      name -> t
     }
     // The driver captures a ~2000-char TAIL of the output (sbt appends
     // its own "[success] ..." line behind us), so the ONE JSON line

@@ -12,7 +12,10 @@ object Explain {
     "q_decontaminate", "q_context_pack",
     // round 5: lateral decorrelation, broadcast Bloom probe, scalar
     // broadcast + top-k window, combine-friendly centroid aggregation
-    "q_join_lateral", "q_bloom_decontaminate", "q_tfidf", "q_embed_centroid")
+    "q_join_lateral", "q_bloom_decontaminate", "q_tfidf", "q_embed_centroid",
+    // this session: correlated-subquery decorrelation, star-join top-k,
+    // shared-partitioning window+agg (one shuffle)
+    "q_subquery_correlated", "q_sql_q10", "q_events_ohlc")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 import graft.Tables
 import graft.queries.QueryUtil._
@@ -252,6 +252,37 @@ object Relational {
        |FROM lineitem
        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
        |ORDER BY rf, ls""".stripMargin
+
+  /** The GROUPING()/grouping_id() surface: distinguishes a real NULL
+    * group key from a rollup ALL row — the disambiguation every
+    * warehouse report needs once group columns are nullable (COALESCE
+    * labeling, as in q_grouping_sets, silently conflates the two).
+    * Same partial+final aggregate as any rollup; the grouping id is
+    * computed from the grouping-set bitmask, no extra pass. */
+  def qGroupingId(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        grouping(col("o_orderstatus")).cast(LongType).as("g_st"),
+        grouping(col("o_orderpriority")).cast(LongType).as("g_pri"),
+        grouping_id(col("o_orderstatus"), col("o_orderpriority"))
+          .cast(LongType).as("gid"),
+        dsum(col("o_totalprice")).as("sum_price"), count(lit(1)).as("n"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("-")).as("st"),
+        coalesce(col("o_orderpriority"), lit("-")).as("pri"),
+        col("g_st"), col("g_pri"), col("gid"), col("sum_price"), col("n"))
+      .orderBy(col("gid"), col("st"), col("pri"))
+
+  private val qGroupingIdOracle =
+    s"""SELECT COALESCE(o_orderstatus, '-') AS st,
+       |  COALESCE(o_orderpriority, '-') AS pri,
+       |  CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_st,
+       |  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_pri,
+       |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+       |  ${dsumSql("o_totalprice")} AS sum_price, COUNT(*) AS n
+       |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+       |ORDER BY gid, st, pri""".stripMargin
 
   // ── join family ───────────────────────────────────────────────────
 
@@ -577,6 +608,39 @@ object Relational {
        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
        |ORDER BY o_custkey, o_orderkey""".stripMargin
   }
+
+  /** Window navigation beyond q_window_analytic: nth_value over the
+    * full frame (the "second/third order ever" report column) and
+    * lag/lead with DEFAULTS (edge rows get a sentinel instead of null —
+    * the form running-delta pipelines actually use). Same single
+    * per-customer sort as every window query; explicit full frame so
+    * both engines agree on what nth_value sees. */
+  def qWindowNav(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(s, dir)
+      .withColumn("order2", nth_value(col("o_orderkey"), 2).over(wFull))
+      .withColumn("order3", nth_value(col("o_orderkey"), 3).over(wFull))
+      .withColumn("prev2_price", lag(col("o_totalprice"), 2, -1.0).over(w))
+      .withColumn("next2_price", lead(col("o_totalprice"), 2, -1.0).over(w))
+      .select("o_custkey", "o_orderkey", "order2", "order3",
+        "prev2_price", "next2_price")
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  private val qWindowNavOracle =
+    """SELECT o_custkey, o_orderkey,
+      |  nth_value(o_orderkey, 2) OVER wf AS order2,
+      |  nth_value(o_orderkey, 3) OVER wf AS order3,
+      |  lag(o_totalprice, 2, -1.0) OVER w AS prev2_price,
+      |  lead(o_totalprice, 2, -1.0) OVER w AS next2_price
+      |FROM orders
+      |WINDOW
+      |  w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+      |  wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
 
   /** Analytic window suite: ntile / percent_rank / cume_dist /
     * first+last over the same per-customer frame. percent_rank and
@@ -992,6 +1056,8 @@ object Relational {
     "q_agg_percentile" -> (qAggPercentile _),
     "q_agg_cube" -> (qAggCube _),
     "q_grouping_sets" -> (qGroupingSets _),
+    "q_grouping_id" -> (qGroupingId _),
+    "q_window_nav" -> (qWindowNav _),
     "q_join_inner" -> (qJoinInner _),
     "q_join_left" -> (qJoinLeft _),
     "q_join_semi" -> (qJoinSemi _),
@@ -1035,6 +1101,8 @@ object Relational {
     "q_agg_percentile" -> qAggPercentileOracle,
     "q_agg_cube" -> qAggCubeOracle,
     "q_grouping_sets" -> qGroupingSetsOracle,
+    "q_grouping_id" -> qGroupingIdOracle,
+    "q_window_nav" -> qWindowNavOracle,
     "q_join_inner" -> qJoinInnerOracle,
     "q_join_left" -> qJoinLeftOracle,
     "q_join_semi" -> qJoinSemiOracle,

@@ -8,10 +8,11 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
 import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
@@ -68,17 +69,33 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
   override def supportsExternalMetadata(): Boolean = true
 
   private class GraftTable(schema: StructType, options: CaseInsensitiveStringMap)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite {
     override def name(): String = s"graft(${pathOf(options)})"
     override def schema(): StructType = schema
     override def capabilities(): util.Set[TableCapability] =
-      Set(TableCapability.BATCH_READ).asJava
+      Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+        TableCapability.TRUNCATE).asJava
     override def newScanBuilder(scanOptions: CaseInsensitiveStringMap): ScanBuilder = {
       val spark = SparkSession.active
       val path = pathOf(options)
       val delim = GraftDataSource.sepOption(options)
         .getOrElse(IngestPipeline.detectDelimiter(spark, path))
       new GraftScanBuilder(schema, path, delim)
+    }
+    /** `df.write.format("graft")` — the reader's inverse (GraftWriter).
+      * The write schema comes from the QUERY (supportsExternalMetadata
+      * routes df.schema here), so a fresh output path never runs
+      * read-side inference. `sep` defaults to tab — the reference's
+      * canonical delimiter; `compression=gzip` emits .gz files. */
+    override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+      val sep = GraftDataSource.sepOption(options).getOrElse('\t')
+      val gzip = Option(options.get("compression")).exists {
+        case c if c.equalsIgnoreCase("gzip") => true
+        case c if c.equalsIgnoreCase("none") => false
+        case c => throw new IllegalArgumentException(
+          s"graft option 'compression' must be gzip or none, got '$c'")
+      }
+      new GraftWriteBuilder(pathOf(options), sep, info.schema(), gzip)
     }
   }
 

@@ -105,6 +105,51 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming OHLC downsampling matches the batch bars") {
+    // The batch query picks open/close via row_number flags; streams
+    // can't rank, but min_by/max_by over the (ts, event_id) struct is
+    // the same total order expressed as a mergeable aggregate — so ONE
+    // semantic definition has both a batch and a streaming plan.
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_ohlc").toString
+    val evs = Tables.events(spark, sf)
+      .select(col("ts_ts").as("tsc"), col("ts"), col("event_id"),
+        col("event_type"), col("value"))
+    evs.write.mode("overwrite").parquet(dir)
+
+    val batch = graft.queries.Events.qEventsOhlc(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getLong(6))).toSet
+
+    val q = spark.readStream
+      .schema("tsc TIMESTAMP, ts LONG, event_id LONG, event_type STRING, value DOUBLE")
+      .parquet(dir)
+      .withWatermark("tsc", "10 minutes")
+      .groupBy(window(col("tsc"), "5 minutes").getField("start").as("ws"),
+        col("event_type"))
+      .agg(
+        min_by(col("value"), struct(col("ts"), col("event_id"))).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"),
+        count(lit(1)).as("n_events"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("ohlc_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("ohlc_out").collect().map { r =>
+        val bar = r.getTimestamp(0).toInstant.getEpochSecond / 300
+        (r.getString(1), bar, r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5), r.getLong(6))
+      }.toSet
+      // compare everything except sum_value (decimal-sum column in the
+      // batch form; the pick/extreme/count columns are the OHLC core)
+      val batchCore = batch.map(t => (t._1, t._2, t._3, t._4, t._5, t._6, t._7))
+      assert(streamed == batchCore,
+        s"missing=${(batchCore -- streamed).take(3)} extra=${(streamed -- batchCore).take(3)}")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join matches the batch twin across batches") {
     import graft.streaming.Correlate
     val dir = java.nio.file.Files.createTempDirectory("graft_ssj").toString
