@@ -72,6 +72,86 @@ object TextAnalysis {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  /** Character-trigram language ID — the production upgrade of
+    * q_text_langid's marker words, still oracle-exact: per-language
+    * trigram PROFILES are trained on the labeled corpus (top-30
+    * trigrams by count, ties on the trigram itself), then every doc is
+    * scored by how many of its trigram tokens hit each profile and
+    * classified by deterministic argmax (hits desc, lang asc). Integer
+    * counts end-to-end — no floats anywhere.
+    *
+    * Scale: the trigram relation is ~n_chars rows but reduces through
+    * two combine-friendly aggregations with BOUNDED key spaces
+    * (|langs|·26³ for profiles, |docs|·|langs| for scores); profiles
+    * broadcast (30·|langs| rows) so the scoring pass is map-side until
+    * the per-doc count. No pairwise work, no driver loops. */
+  def qLangidTrigram(s: SparkSession, dir: String, k: Int = 30): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val tri = docs
+      .select(col("doc_id"), col("lang"),
+        regexp_replace(lower(col("text")), "[^a-z]+", " ").as("t"))
+      .select(col("doc_id"), col("lang"),
+        explode(expr(
+          """case when length(t) >= 3
+            |  then transform(sequence(1, length(t) - 2), i -> substring(t, i, 3))
+            |  else cast(array() as array<string>) end""".stripMargin)).as("tri"))
+    val profile = tri.groupBy(col("lang"), col("tri"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("rk", row_number().over(Window.partitionBy(col("lang"))
+        .orderBy(col("c").desc, col("tri").asc)))
+      .filter(col("rk") <= k)
+      .select(col("lang").as("p_lang"), col("tri"))
+    val hits = tri.join(broadcast(profile), "tri")
+      .groupBy(col("doc_id"), col("p_lang"))
+      .agg(count(lit(1)).as("hits"))
+    val pred = hits
+      .withColumn("rn", row_number().over(Window.partitionBy(col("doc_id"))
+        .orderBy(col("hits").desc, col("p_lang").asc)))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("p_lang").as("pred_lang"), col("hits"))
+    docs.select(col("doc_id"), col("lang"))
+      .join(pred, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("pred_lang"), lit("unknown")).as("pred_lang"),
+        coalesce(col("hits"), lit(0L)).as("hits"))
+      .orderBy("doc_id")
+  }
+
+  private val qLangidTrigramOracle =
+    """WITH d AS (
+      |  SELECT doc_id, lang,
+      |    regexp_replace(lower(text), '[^a-z]+', ' ', 'g') AS t
+      |  FROM documents),
+      |tri0 AS (
+      |  SELECT doc_id, lang, t,
+      |    unnest(generate_series(1, length(t) - 2)) AS i
+      |  FROM d WHERE length(t) >= 3),
+      |tri AS (
+      |  SELECT doc_id, lang, substr(t, CAST(i AS INTEGER), 3) AS tri
+      |  FROM tri0),
+      |prof AS (
+      |  SELECT lang AS p_lang, tri FROM (
+      |    SELECT lang, tri, COUNT(*) AS c,
+      |      row_number() OVER (PARTITION BY lang
+      |        ORDER BY COUNT(*) DESC, tri ASC) AS rk
+      |    FROM tri GROUP BY lang, tri) x
+      |  WHERE rk <= 30),
+      |hits AS (
+      |  SELECT t.doc_id, p.p_lang, COUNT(*) AS hits
+      |  FROM tri t JOIN prof p USING (tri)
+      |  GROUP BY t.doc_id, p.p_lang),
+      |pred AS (
+      |  SELECT doc_id, p_lang, hits FROM (
+      |    SELECT doc_id, p_lang, hits,
+      |      row_number() OVER (PARTITION BY doc_id
+      |        ORDER BY hits DESC, p_lang ASC) AS rn
+      |    FROM hits) y WHERE rn = 1)
+      |SELECT d2.doc_id, d2.lang,
+      |  COALESCE(p.p_lang, 'unknown') AS pred_lang,
+      |  CAST(COALESCE(p.hits, 0) AS BIGINT) AS hits
+      |FROM documents d2 LEFT JOIN pred p USING (doc_id)
+      |ORDER BY d2.doc_id""".stripMargin
+
   /** Quality scoring: length/punctuation/stopword ratios + a composite
     * score; all integer-derived double arithmetic (deterministic). */
   def qTextQuality(s: SparkSession, dir: String): DataFrame = {
@@ -353,6 +433,7 @@ object TextAnalysis {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_postings" -> (qTextPostings _),
+    "q_langid_trigram" -> ((s, d) => qLangidTrigram(s, d)),
     "q_text_diversity" -> (qTextDiversity _),
     "q_tfidf" -> ((s, d) => qTfidf(s, d)),
     "q_text_normalize" -> (qTextNormalize _),
@@ -366,6 +447,7 @@ object TextAnalysis {
 
   def oracleSql: Map[String, String] = Map(
     "q_text_postings" -> qTextPostingsOracle,
+    "q_langid_trigram" -> qLangidTrigramOracle,
     "q_text_diversity" -> qTextDiversityOracle,
     "q_tfidf" -> qTfidfOracle,
     "q_text_normalize" -> qTextNormalizeOracle,
