@@ -139,6 +139,90 @@ object Events {
       |  ON e.user_id = o1.o_custkey AND CAST(e.ts AS TIMESTAMP) >= o1.o_orderdate
       |ORDER BY e.event_id""".stripMargin
 
+  /** NEAREST as-of join: each event matches the temporally closest
+    * order of its user, looking BOTH directions (sensor-fusion
+    * semantics — q_asof_join's backward-only rule is wrong when the
+    * closest reading is just ahead). Same union trick, but ONE
+    * partition sort serves two frames: the backward match is
+    * last-non-null over (unbounded, current], the forward match is
+    * first-non-null over [current, unbounded) — equal-time orders sort
+    * before the event (side desc), so they land in the backward frame
+    * only. The winner is min |Δt|, ties to backward; all comparisons
+    * on integer microseconds.
+    *
+    * Scale: one shuffle on the join key, one sort, two window frames
+    * over it — no self-join, no range blow-up, same cost profile as
+    * the backward-only form. */
+  def qAsofNearest(s: SparkSession, dir: String): DataFrame = {
+    val orders1 = Tables.orders(s, dir)
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max(col("o_orderkey")).as("o_orderkey"))
+    val oTagged = orders1.select(
+      col("o_custkey").as("key"), col("o_orderdate").cast("timestamp").as("t"),
+      lit(null).cast(LongType).as("event_id"),
+      col("o_orderkey").as("ord_key"), lit(1).as("side"))
+    val eTagged = Tables.events(s, dir).select(
+      col("user_id").as("key"), col("ts_ts").as("t"),
+      col("event_id"), lit(null).cast(LongType).as("ord_key"), lit(0).as("side"))
+    val w = Window.partitionBy(col("key")).orderBy(col("t"), col("side").desc)
+    val wBk = w.rowsBetween(Window.unboundedPreceding, 0)
+    val wFw = w.rowsBetween(0, Window.unboundedFollowing)
+    val ordT = when(col("side") === 1, col("t"))
+    val dBk = unix_micros(col("t")) - unix_micros(col("bk_t"))
+    val dFw = unix_micros(col("fw_t")) - unix_micros(col("t"))
+    oTagged.unionByName(eTagged)
+      .withColumn("bk_key", last(col("ord_key"), ignoreNulls = true).over(wBk))
+      .withColumn("bk_t", last(ordT, ignoreNulls = true).over(wBk))
+      .withColumn("fw_key", first(col("ord_key"), ignoreNulls = true).over(wFw))
+      .withColumn("fw_t", first(ordT, ignoreNulls = true).over(wFw))
+      .filter(col("side") === 0)
+      .select(col("event_id"), col("key").as("user_id"),
+        when(col("bk_key").isNull, col("fw_key"))
+          .when(col("fw_key").isNull, col("bk_key"))
+          .when(dBk <= dFw, col("bk_key"))
+          .otherwise(col("fw_key")).as("matched_orderkey"),
+        when(col("bk_key").isNull && col("fw_key").isNull, lit("none"))
+          .when(col("fw_key").isNull, lit("bk"))
+          .when(col("bk_key").isNull, lit("fw"))
+          .when(dBk <= dFw, lit("bk")).otherwise(lit("fw")).as("dir"))
+      .orderBy("event_id")
+  }
+
+  private val qAsofNearestOracle =
+    """WITH o1 AS (
+      |  SELECT o_custkey AS key, CAST(o_orderdate AS TIMESTAMP) AS t,
+      |    CAST(NULL AS BIGINT) AS event_id, max(o_orderkey) AS ord_key,
+      |    1 AS side
+      |  FROM orders GROUP BY o_custkey, o_orderdate),
+      |e AS (
+      |  SELECT user_id AS key, CAST(ts AS TIMESTAMP) AS t, event_id,
+      |    CAST(NULL AS BIGINT) AS ord_key, 0 AS side
+      |  FROM events),
+      |u AS (SELECT * FROM o1 UNION ALL SELECT * FROM e),
+      |m AS (
+      |  SELECT *,
+      |    last_value(ord_key IGNORE NULLS) OVER wbk AS bk_key,
+      |    last_value(CASE WHEN side = 1 THEN t END IGNORE NULLS) OVER wbk AS bk_t,
+      |    first_value(ord_key IGNORE NULLS) OVER wfw AS fw_key,
+      |    first_value(CASE WHEN side = 1 THEN t END IGNORE NULLS) OVER wfw AS fw_t
+      |  FROM u
+      |  WINDOW
+      |    wbk AS (PARTITION BY key ORDER BY t, side DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |    wfw AS (PARTITION BY key ORDER BY t, side DESC
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+      |SELECT event_id, key AS user_id,
+      |  CASE WHEN bk_key IS NULL THEN fw_key
+      |       WHEN fw_key IS NULL THEN bk_key
+      |       WHEN epoch_us(t) - epoch_us(bk_t) <= epoch_us(fw_t) - epoch_us(t)
+      |         THEN bk_key ELSE fw_key END AS matched_orderkey,
+      |  CASE WHEN bk_key IS NULL AND fw_key IS NULL THEN 'none'
+      |       WHEN fw_key IS NULL THEN 'bk'
+      |       WHEN bk_key IS NULL THEN 'fw'
+      |       WHEN epoch_us(t) - epoch_us(bk_t) <= epoch_us(fw_t) - epoch_us(t)
+      |         THEN 'bk' ELSE 'fw' END AS dir
+      |FROM m WHERE side = 0 ORDER BY event_id""".stripMargin
+
   /** Time-series densification: hourly event counts with the gaps
     * zero-filled — the resample step a metrics/monitoring pipeline
     * needs before windowed models ("no data" must be an explicit 0,
@@ -425,7 +509,8 @@ object Events {
     "q_events_tumble" -> (qEventsTumble _),
     "q_events_sliding" -> (qEventsSliding _),
     "q_events_sessions" -> (qEventsSessions _),
-    "q_asof_join" -> (qAsofJoin _)
+    "q_asof_join" -> (qAsofJoin _),
+    "q_asof_nearest" -> (qAsofNearest _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -439,6 +524,7 @@ object Events {
     "q_events_tumble" -> qEventsTumbleOracle,
     "q_events_sliding" -> qEventsSlidingOracle,
     "q_events_sessions" -> qEventsSessionsOracle,
-    "q_asof_join" -> qAsofJoinOracle
+    "q_asof_join" -> qAsofJoinOracle,
+    "q_asof_nearest" -> qAsofNearestOracle
   )
 }
