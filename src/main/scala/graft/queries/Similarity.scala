@@ -256,7 +256,57 @@ object Similarity {
       |FROM e WHERE pos < 8
       |GROUP BY label, pos ORDER BY label, pos""".stripMargin
 
+  /** Embedding covariance matrix (upper triangle of the first 8 dims)
+    * — the gram/covariance pass PCA, whitening, and drift monitors run
+    * over an embedding corpus. Exact despite float inputs: values
+    * scale to integers (q_embed_centroid's trick), so the power sums
+    * Σxᵢ, Σxⱼ, Σxᵢxⱼ are order-independent longs and the closed-form
+    * covariance is a deterministic double in both engines.
+    *
+    * Scale: the within-row pair explosion is dims² rows per vector —
+    * fine for a dims² that fits a shuffle (8²=64 here); for full 64²
+    * at corpus scale the same sums come from one treeAggregate over a
+    * per-partition dims×dims accumulator (no explosion), with THIS
+    * query as its verification form. */
+  def qEmbedCovariance(s: SparkSession, dir: String, dims: Int = 8): DataFrame = {
+    val sv = Tables.embeddings(s, dir)
+      .select(col("vec_id"),
+        posexplode(slice(col("embedding"), 1, dims)).as(Seq("pos", "v")))
+      .select(col("vec_id"), col("pos"),
+        round(col("v").cast(DoubleType) * 1000000.0, 0).cast(LongType).as("x"))
+    val pairs = sv.select(col("vec_id"), col("pos").as("i"), col("x").as("xi"))
+      .join(sv.select(col("vec_id"), col("pos").as("j"), col("x").as("xj")),
+        "vec_id")
+      .filter(col("i") <= col("j"))
+    val n = count(lit(1)).cast(DoubleType)
+    val sxy = sum(col("xi") * col("xj")).cast(DoubleType)
+    val sx = sum(col("xi")).cast(DoubleType)
+    val sy = sum(col("xj")).cast(DoubleType)
+    pairs.groupBy(col("i").cast(LongType).as("i"), col("j").cast(LongType).as("j"))
+      .agg(count(lit(1)).as("n"),
+        round(((sxy - sx * sy / n) / (n - lit(1.0))) / 1e12, 8).as("cov"))
+      .orderBy("i", "j")
+  }
+
+  private val qEmbedCovarianceOracle =
+    """WITH sv AS (
+      |  SELECT vec_id, i - 1 AS pos,
+      |    CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS x
+      |  FROM embeddings CROSS JOIN range(1, 9) t(i)),
+      |p AS (
+      |  SELECT a.pos AS i, b.pos AS j, a.x AS xi, b.x AS xj
+      |  FROM sv a JOIN sv b USING (vec_id)
+      |  WHERE a.pos <= b.pos)
+      |SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+      |  COUNT(*) AS n,
+      |  round(((CAST(SUM(xi * xj) AS DOUBLE)
+      |      - CAST(SUM(xi) AS DOUBLE) * CAST(SUM(xj) AS DOUBLE)
+      |        / CAST(COUNT(*) AS DOUBLE))
+      |    / (CAST(COUNT(*) AS DOUBLE) - 1.0)) / 1e12, 8) AS cov
+      |FROM p GROUP BY i, j ORDER BY i, j""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_embed_covariance" -> ((s, d) => qEmbedCovariance(s, d)),
     "q_embed_centroid" -> ((s, d) => qEmbedCentroid(s, d)),
     "q_embed_quant" -> (qEmbedQuant _),
     "q_embed_cosine_topk" -> (qEmbedCosineTopk _),
@@ -265,6 +315,7 @@ object Similarity {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_embed_covariance" -> qEmbedCovarianceOracle,
     "q_embed_centroid" -> qEmbedCentroidOracle,
     "q_embed_quant" -> qEmbedQuantOracle,
     "q_embed_cosine_topk" -> qEmbedCosineTopkOracle
