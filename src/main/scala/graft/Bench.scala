@@ -51,6 +51,12 @@ object Bench {
       spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
+      // GC between queries, not during them: collection debt otherwise
+      // lands inside a LATER query's timed span, which is what made
+      // long-registry runs drift ~2x over isolated runs of the same
+      // queries. The reported total is the sum of timed spans, so this
+      // costs wall-clock, not metric.
+      System.gc()
       name -> t
     }
     // The driver captures a ~2000-char TAIL of the output (sbt appends
