@@ -32,6 +32,9 @@ object GraftFunctions {
     // graft_word_ngrams(text, n) — n must be a literal
     "graft_word_ngrams" -> (exprs =>
       WordNgrams(exprs.head, intArg(exprs(1), "n"))),
+    // graft_char_ngrams(text, n) — n must be a literal
+    "graft_char_ngrams" -> (exprs =>
+      CharNgrams(exprs.head, intArg(exprs(1), "n"))),
     // graft_lsh_signature(vec, dims[, bands, bits, seed]) — knob args
     // must be literals (they parameterize the plan-constant plane matrix)
     "graft_lsh_signature" -> { exprs =>

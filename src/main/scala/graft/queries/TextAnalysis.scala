@@ -87,23 +87,35 @@ object TextAnalysis {
     * the per-doc count. No pairwise work, no driver loops. */
   def qLangidTrigram(s: SparkSession, dir: String, k: Int = 30): DataFrame = {
     val docs = Tables.documents(s, dir)
+    // trigram explosion via the fused codegen kernel: the equivalent
+    // transform(sequence(...), i -> substring(t, i, 3)) HOF chain runs
+    // the lambda interpreted AND pays O(position) per UTF8String
+    // substring — quadratic per doc (CharNgrams is the linear pass;
+    // CharNgramsSpec pins output equality against the HOF form)
     val tri = docs
       .select(col("doc_id"), col("lang"),
         regexp_replace(lower(col("text")), "[^a-z]+", " ").as("t"))
       .select(col("doc_id"), col("lang"),
-        explode(expr(
-          """case when length(t) >= 3
-            |  then transform(sequence(1, length(t) - 2), i -> substring(t, i, 3))
-            |  else cast(array() as array<string>) end""".stripMargin)).as("tri"))
-    val profile = tri.groupBy(col("lang"), col("tri"))
+        explode(graft.functions.CharNgrams.grams(col("t"), 3)).as("tri"))
+    // ONE (doc, lang, trigram) count aggregation feeds BOTH the profile
+    // build and the scoring probe. The branches prune different columns
+    // (canonicalized subplans differ), so exchange reuse does not fire
+    // and the corpus is read twice — measured NEUTRAL vs caching the
+    // compact count table at both sf0.1 and 10x, and caching inside a
+    // library query risks stale reads, so the two passes stay: that is
+    // also exactly how a train-then-classify pipeline runs at 100 TB
+    // (profile pass persists its model, probe pass re-reads the corpus).
+    val triCounts = tri.groupBy(col("doc_id"), col("lang"), col("tri"))
       .agg(count(lit(1)).as("c"))
+    val profile = triCounts.groupBy(col("lang"), col("tri"))
+      .agg(sum(col("c")).as("c"))
       .withColumn("rk", row_number().over(Window.partitionBy(col("lang"))
         .orderBy(col("c").desc, col("tri").asc)))
       .filter(col("rk") <= k)
       .select(col("lang").as("p_lang"), col("tri"))
-    val hits = tri.join(broadcast(profile), "tri")
+    val hits = triCounts.join(profile, "tri")
       .groupBy(col("doc_id"), col("p_lang"))
-      .agg(count(lit(1)).as("hits"))
+      .agg(sum(col("c")).cast(LongType).as("hits"))
     val pred = hits
       .withColumn("rn", row_number().over(Window.partitionBy(col("doc_id"))
         .orderBy(col("hits").desc, col("p_lang").asc)))
