@@ -52,7 +52,8 @@ object ScaleBench {
     // this session's additions (q_hash_funcs / q_string_advanced are
     // pure map-side function suites — not scale-interesting)
     "q_sql_q10", "q_events_ohlc", "q_events_anomaly", "q_text_postings",
-    "q_subquery_correlated", "q_langid_trigram")
+    "q_subquery_correlated", "q_langid_trigram", "q_asof_nearest",
+    "q_embed_covariance")
 
   def buildScaledData(spark: SparkSession, src: String, out: String, factor: Int): Unit = {
     val KEY = 100000000L // key shift per copy: far above any sf0.1 key
