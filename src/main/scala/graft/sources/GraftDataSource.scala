@@ -95,7 +95,17 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
         case c => throw new IllegalArgumentException(
           s"graft option 'compression' must be gzip or none, got '$c'")
       }
-      new GraftWriteBuilder(pathOf(options), sep, info.schema(), gzip)
+      // embedded CR/LF can't ride a line-oriented format: default is
+      // fail-fast; "strip" replaces runs with one space (lossy, for
+      // corpora whose documents legitimately contain newlines)
+      val stripNewlines = Option(options.get("newline")).exists {
+        case c if c.equalsIgnoreCase("strip") => true
+        case c if c.equalsIgnoreCase("error") => false
+        case c => throw new IllegalArgumentException(
+          s"graft option 'newline' must be error or strip, got '$c'")
+      }
+      new GraftWriteBuilder(pathOf(options), sep, info.schema(), gzip,
+        stripNewlines)
     }
   }
 

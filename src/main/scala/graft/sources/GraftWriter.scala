@@ -35,7 +35,7 @@ import org.apache.spark.sql.types._
   * render at millisecond precision — the reference's native unit.
   */
 class GraftWriteBuilder(path: String, sep: Char, schema: StructType,
-                        gzip: Boolean)
+                        gzip: Boolean, stripNewlines: Boolean)
   extends WriteBuilder with SupportsTruncate {
 
   private var truncateOnCommit = false
@@ -43,12 +43,13 @@ class GraftWriteBuilder(path: String, sep: Char, schema: StructType,
 
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = new GraftBatchWrite(
-      path, sep, schema, gzip, truncateOnCommit)
+      path, sep, schema, gzip, stripNewlines, truncateOnCommit)
   }
 }
 
 private class GraftBatchWrite(path: String, sep: Char, schema: StructType,
-                              gzip: Boolean, truncate: Boolean)
+                              gzip: Boolean, stripNewlines: Boolean,
+                              truncate: Boolean)
   extends BatchWrite {
 
   GraftWriter.validateSchema(schema)
@@ -66,7 +67,7 @@ private class GraftBatchWrite(path: String, sep: Char, schema: StructType,
         .filter(s => s.isFile && GraftDataSource.isDataFile(s.getPath.getName))
         .foreach(s => fs.delete(s.getPath, false))
     }
-    new GraftWriterFactory(path, sep, schema, gzip)
+    new GraftWriterFactory(path, sep, schema, gzip, stripNewlines)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
@@ -76,14 +77,15 @@ private class GraftBatchWrite(path: String, sep: Char, schema: StructType,
 private case class GraftCommitMessage(file: String) extends WriterCommitMessage
 
 private class GraftWriterFactory(path: String, sep: Char, schema: StructType,
-                                 gzip: Boolean)
+                                 gzip: Boolean, stripNewlines: Boolean)
   extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new GraftDataWriter(path, sep, schema, gzip, partitionId, taskId)
+    new GraftDataWriter(path, sep, schema, gzip, stripNewlines, partitionId, taskId)
 }
 
 private class GraftDataWriter(path: String, sep: Char, schema: StructType,
-                              gzip: Boolean, partitionId: Int, taskId: Long)
+                              gzip: Boolean, stripNewlines: Boolean,
+                              partitionId: Int, taskId: Long)
   extends DataWriter[InternalRow] {
 
   private val ext =
@@ -103,7 +105,7 @@ private class GraftDataWriter(path: String, sep: Char, schema: StructType,
 
   private val renderers: Array[InternalRow => String] =
     schema.fields.zipWithIndex.map { case (f, i) =>
-      GraftWriter.renderer(f, i, sep)
+      GraftWriter.renderer(f, i, sep, stripNewlines)
     }
 
   out.write(schema.fieldNames.map(GraftWriter.quote(_, sep)).mkString(sep.toString))
@@ -154,19 +156,31 @@ object GraftWriter {
       }
     }
 
-  /** Quote a rendered field iff it contains the delimiter, a quote, or
-    * a CR (the reader's line grammar: `""` escapes a quote; embedded
-    * LF is out of scope for both sides — line-oriented format). */
+  /** Quote a rendered field iff it contains the delimiter or a quote
+    * (the reader's line grammar: `""` escapes a quote). Line
+    * terminators are NOT quotable — the line-oriented reader splits on
+    * any of \r, \n before the quote grammar ever sees the field — so
+    * they are handled (error or strip) before this point. */
   def quote(v: String, sep: Char): String =
-    if (v.indexOf(sep) >= 0 || v.indexOf('"') >= 0 || v.indexOf('\r') >= 0)
+    if (v.indexOf(sep) >= 0 || v.indexOf('"') >= 0)
       "\"" + v.replace("\"", "\"\"") + "\""
     else v
 
   /** Per-field renderer from Catalyst internal values to the reference
     * value grammar, quoted against the live separator. Null → empty
     * field (the reference's primary null token, which the reader maps
-    * back to null). */
-  def renderer(f: StructField, i: Int, sep: Char): InternalRow => String = {
+    * back to null).
+    *
+    * Embedded line terminators in string values are unrepresentable in
+    * a line-oriented format (quoting does not help: the reader's
+    * readLine splits on \r or \n BEFORE the quote grammar runs — the
+    * same reason the reference's line-block pipeline can't carry
+    * them). `stripNewlines=false` (default) fails fast with the column
+    * name; true replaces runs of [\r\n] with one space — explicitly
+    * lossy, for corpora where documents legitimately contain
+    * newlines. */
+  def renderer(f: StructField, i: Int, sep: Char,
+               stripNewlines: Boolean): InternalRow => String = {
     // narrower Spark types render widened (the reference grammar has
     // only i64/f64): a read-back sees equal VALUES at the wider type
     val render: InternalRow => String = f.dataType match {
@@ -192,7 +206,16 @@ object GraftWriter {
           Math.floorDiv(r.getLong(i), 1000000L),
           (Math.floorMod(r.getLong(i), 1000000L) * 1000L).toInt,
           java.time.ZoneOffset.UTC).format(tsFmt)
-      case _ => r => r.getUTF8String(i).toString
+      case _ => r => {
+        val s = r.getUTF8String(i).toString
+        if (s.indexOf('\n') < 0 && s.indexOf('\r') < 0) s
+        else if (stripNewlines) s.replaceAll("[\r\n]+", " ")
+        else throw new IllegalArgumentException(
+          s"graft writer: column '${f.name}' contains a line terminator, " +
+            "which a line-oriented format cannot carry; write with " +
+            "option(\"newline\", \"strip\") to replace runs of CR/LF " +
+            "with a space (lossy), or clean the column first")
+      }
     }
     r => if (r.isNullAt(i)) "" else quote(render(r), sep)
   }

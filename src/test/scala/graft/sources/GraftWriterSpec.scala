@@ -102,6 +102,25 @@ class GraftWriterSpec extends SparkSpec {
       sampleDf.orderBy("id").collect().toSeq)
   }
 
+  test("embedded line terminators: default fails with the column name, strip mode round-trips") {
+    val dir = Files.createTempDirectory("graft_w_nl").toString
+    val df = spark.createDataFrame(Seq(
+      Row(1L, "one\nline\rbreaks\r\nhere"), Row(2L, "clean")).asJava,
+      StructType(Seq(StructField("id", LongType), StructField("s", StringType))))
+    val e = intercept[Exception] {
+      df.write.format("graft").mode("overwrite").save(dir)
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(m => m.contains("'s'") && m.contains("line terminator")),
+      e.toString)
+    df.write.format("graft").option("newline", "strip")
+      .mode("overwrite").save(dir)
+    val back = spark.read.format("graft").load(dir).orderBy("id").collect()
+    assert(back(0).getString(1) == "one line breaks here")
+    assert(back(1).getString(1) == "clean")
+  }
+
   test("unsupported column types fail fast with a named column") {
     val dir = Files.createTempDirectory("graft_w_badtype").toString
     val df = spark.range(3).select(col("id"), array(col("id")).as("arr"))
