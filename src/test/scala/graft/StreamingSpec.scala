@@ -76,6 +76,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming transitions (keyed last-event state) match the batch matrix across batches") {
+    import graft.streaming.Transitions
+    val dir = java.nio.file.Files.createTempDirectory("graft_trans").toString
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), expr("ts div 1000").as("ts"),
+        col("event_id"), col("event_type"))
+      .as[Transitions.TEv].collect().sortBy(e => (e.ts, e.event_id))
+    val (b1, b2) = ev.splitAt(ev.length / 2)
+    spark.createDataset(b1.toSeq).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream
+      .schema("user_id LONG, ts LONG, event_id LONG, event_type STRING")
+      .parquet(dir).as[Transitions.TEv]
+    val q = Transitions.transitionStream(stream).writeStream
+      .outputMode("append").format("memory").queryName("trans_out").start()
+    try {
+      q.processAllAvailable()
+      // the second ts-ordered half arrives later: the carried last-event
+      // state must stitch the cross-batch transitions seamlessly
+      spark.createDataset(b2.toSeq).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      val streamed = spark.table("trans_out").as[Transitions.Step].collect()
+        .groupBy(identity).map { case (s, xs) =>
+          (s.from_type, s.to_type) -> xs.length.toLong }
+      // batch matrix minus the 'end' absorbing rows (a stream cannot
+      // know an open sequence's last event)
+      val batch = graft.queries.Events.qEventsTransitions(spark, sf).collect()
+        .filter(_.getString(1) != "end")
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(streamed == batch,
+        s"missing=${(batch.toSet -- streamed.toSet).take(3)} extra=${(streamed.toSet -- batch.toSet).take(3)}")
+    } finally q.stop()
+  }
+
   test("watermarked tumbling-window stream agrees with the batch twin") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream2").toString
     val evs = Tables.events(spark, sf).select(col("ts_ts").as("ts"),
