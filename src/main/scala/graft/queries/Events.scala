@@ -223,6 +223,64 @@ object Events {
       |         THEN 'bk' ELSE 'fw' END AS dir
       |FROM m WHERE side = 0 ORDER BY event_id""".stripMargin
 
+  /** Event-type co-occurrence (market-basket over user-hours): which
+    * event types happen TOGETHER in the same user's hour, scored by
+    * lift = P(a,b)/(P(a)·P(b)) — computed as the exact rational
+    * n_ab·N/(n_a·n_b), so no probability ever exists as a float until
+    * the final division. The association-mining complement of
+    * q_events_transitions' sequential view.
+    *
+    * Scale: baskets are the deduped (user, hr, type) set — corpus
+    * reduces in one combine-friendly distinct; the self-join on
+    * (user, hr) produces at most |types|² rows per basket (types is a
+    * small fixed vocabulary), and the final relation is |types|²
+    * rows. The marginals relation is |types| rows and broadcasts. */
+  def qEventsCooccurrence(s: SparkSession, dir: String): DataFrame = {
+    val ua = Tables.events(s, dir)
+      .select(col("user_id"), expr("ts div 3600000000000").as("hr"),
+        col("event_type")).distinct()
+    // N arrives as a broadcast 1-row aggregate (the scalar-subquery
+    // shape q_tfidf uses) — no driver action in query construction
+    val nDf = ua.select(col("user_id"), col("hr")).distinct()
+      .agg(count(lit(1)).as("n_tot"))
+    val marg = ua.groupBy(col("event_type").as("t")).agg(count(lit(1)).as("m"))
+    val pairs = ua.select(col("user_id"), col("hr"), col("event_type").as("a"))
+      .join(ua.select(col("user_id"), col("hr"), col("event_type").as("b")),
+        Seq("user_id", "hr"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(broadcast(marg.select(col("t").as("a"), col("m").as("n_a"))), "a")
+      .join(broadcast(marg.select(col("t").as("b"), col("m").as("n_b"))), "b")
+      .crossJoin(broadcast(nDf))
+      .select(col("a"), col("b"), col("n_ab"), col("n_a"), col("n_b"),
+        round((col("n_ab") * col("n_tot")).cast(DoubleType) /
+          (col("n_a") * col("n_b")).cast(DoubleType), 6).as("lift"))
+      .orderBy("a", "b")
+  }
+
+  private val qEventsCooccurrenceOracle =
+    """WITH ua AS (
+      |  SELECT DISTINCT user_id, epoch_ns(ts) // 3600000000000 AS hr,
+      |    event_type
+      |  FROM events),
+      |n AS (SELECT COUNT(*) AS n FROM (
+      |  SELECT DISTINCT user_id, hr FROM ua)),
+      |marg AS (SELECT event_type AS t, COUNT(*) AS m FROM ua GROUP BY 1),
+      |p AS (
+      |  SELECT x.event_type AS a, y.event_type AS b, COUNT(*) AS n_ab
+      |  FROM ua x JOIN ua y ON x.user_id = y.user_id AND x.hr = y.hr
+      |  WHERE x.event_type < y.event_type
+      |  GROUP BY 1, 2)
+      |SELECT a, b, n_ab, ma.m AS n_a, mb.m AS n_b,
+      |  round(CAST(n_ab * n.n AS DOUBLE) / CAST(ma.m * mb.m AS DOUBLE), 6)
+      |    AS lift
+      |FROM p
+      |JOIN marg ma ON ma.t = a
+      |JOIN marg mb ON mb.t = b
+      |CROSS JOIN n
+      |ORDER BY a, b""".stripMargin
+
   /** Time-series densification: hourly event counts with the gaps
     * zero-filled — the resample step a metrics/monitoring pipeline
     * needs before windowed models ("no data" must be an explicit 0,
@@ -510,7 +568,8 @@ object Events {
     "q_events_sliding" -> (qEventsSliding _),
     "q_events_sessions" -> (qEventsSessions _),
     "q_asof_join" -> (qAsofJoin _),
-    "q_asof_nearest" -> (qAsofNearest _)
+    "q_asof_nearest" -> (qAsofNearest _),
+    "q_events_cooccurrence" -> (qEventsCooccurrence _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -525,6 +584,7 @@ object Events {
     "q_events_sliding" -> qEventsSlidingOracle,
     "q_events_sessions" -> qEventsSessionsOracle,
     "q_asof_join" -> qAsofJoinOracle,
-    "q_asof_nearest" -> qAsofNearestOracle
+    "q_asof_nearest" -> qAsofNearestOracle,
+    "q_events_cooccurrence" -> qEventsCooccurrenceOracle
   )
 }
