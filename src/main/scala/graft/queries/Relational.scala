@@ -548,6 +548,92 @@ object Relational {
       |     FROM orders i WHERE i.o_custkey = o.o_custkey)
       |ORDER BY o_custkey, o_orderkey""".stripMargin
 
+  /** Null-safe equality join (`<=>`): NULL keys MATCH each other
+    * instead of vanishing — the join semantics deduplication and SCD
+    * pipelines need when the business key is nullable. Catalyst plans
+    * this as a hash join on a coalesced key (EqualNullSafe is
+    * hashable), NOT a cartesian: same shuffle shape as q_join_inner.
+    * The nullable key is synthesized deterministically (every 7th
+    * customer) so both engines see identical NULL populations. */
+  def qJoinNullSafe(s: SparkSession, dir: String): DataFrame = {
+    def keyed(df: DataFrame, keyCol: String, out: String) =
+      df.withColumn(out,
+        when(col(keyCol) % 7 === 0, lit(null)).otherwise(col(keyCol) % 100))
+    val c = keyed(Tables.customer(s, dir), "c_custkey", "ck")
+    val o = keyed(Tables.orders(s, dir), "o_custkey", "ok")
+      .groupBy(col("ok")).agg(count(lit(1)).as("n_orders"))
+    c.join(o, col("ck") <=> col("ok"), "inner")
+      .groupBy(col("ck").cast(LongType).as("bucket"))
+      .agg(count(lit(1)).as("n_cust"), sum(col("n_orders")).as("n_orders"))
+      .orderBy(col("bucket").asc_nulls_first)
+  }
+
+  private val qJoinNullSafeOracle =
+    """WITH c AS (
+      |  SELECT CASE WHEN c_custkey % 7 = 0 THEN NULL
+      |    ELSE c_custkey % 100 END AS ck
+      |  FROM customer),
+      |o AS (
+      |  SELECT ok, COUNT(*) AS n_orders FROM (
+      |    SELECT CASE WHEN o_custkey % 7 = 0 THEN NULL
+      |      ELSE o_custkey % 100 END AS ok
+      |    FROM orders) GROUP BY ok)
+      |SELECT CAST(ck AS BIGINT) AS bucket, COUNT(*) AS n_cust,
+      |  SUM(n_orders) AS n_orders
+      |FROM c JOIN o ON ck IS NOT DISTINCT FROM ok
+      |GROUP BY ck ORDER BY bucket NULLS FIRST""".stripMargin
+
+  /** Several COUNT(DISTINCT x) over DIFFERENT columns in one
+    * aggregation — Catalyst rewrites this through an Expand node (one
+    * row replica per distinct group), the plan shape that makes
+    * multi-distinct a single pass instead of N self-joins. */
+  def qAggMultiDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("d_parts"),
+        countDistinct(col("l_suppkey")).as("d_supps"),
+        countDistinct(col("l_quantity")).as("d_qtys"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
+  private val qAggMultiDistinctOracle =
+    """SELECT l_returnflag,
+      |  COUNT(DISTINCT l_partkey) AS d_parts,
+      |  COUNT(DISTINCT l_suppkey) AS d_supps,
+      |  COUNT(DISTINCT l_quantity) AS d_qtys,
+      |  COUNT(*) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Schema-evolution union: two projections with different column
+    * sets combine BY NAME with missing columns null-filled — how a
+    * pipeline appends a v2 corpus (extra columns) to a v1 corpus
+    * without positional breakage. Pure map-side (no shuffle until the
+    * final sort). */
+  def qUnionByName(s: SparkSession, dir: String): DataFrame = {
+    val v1 = Tables.orders(s, dir)
+      .filter(col("o_orderkey") % 3 === 0)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val v2 = Tables.orders(s, dir)
+      .filter(col("o_orderkey") % 3 === 1)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+    v1.unionByName(v2, allowMissingColumns = true)
+      .select(col("o_orderkey"), col("o_totalprice"),
+        coalesce(col("o_orderstatus"), lit("(v1)")).as("status"))
+      .orderBy("o_orderkey")
+  }
+
+  private val qUnionByNameOracle =
+    """SELECT o_orderkey, o_totalprice,
+      |  COALESCE(o_orderstatus, '(v1)') AS status
+      |FROM (
+      |  SELECT o_orderkey, o_totalprice, NULL AS o_orderstatus
+      |  FROM orders WHERE o_orderkey % 3 = 0
+      |  UNION ALL BY NAME
+      |  SELECT o_orderkey, o_totalprice, o_orderstatus
+      |  FROM orders WHERE o_orderkey % 3 = 1)
+      |ORDER BY o_orderkey""".stripMargin
+
   // ── window family ─────────────────────────────────────────────────
 
   /** Top-3 orders per customer by price (unique tiebreak on orderkey). */
@@ -1058,6 +1144,9 @@ object Relational {
     "q_grouping_sets" -> (qGroupingSets _),
     "q_grouping_id" -> (qGroupingId _),
     "q_window_nav" -> (qWindowNav _),
+    "q_join_null_safe" -> (qJoinNullSafe _),
+    "q_agg_multi_distinct" -> (qAggMultiDistinct _),
+    "q_union_by_name" -> (qUnionByName _),
     "q_join_inner" -> (qJoinInner _),
     "q_join_left" -> (qJoinLeft _),
     "q_join_semi" -> (qJoinSemi _),
@@ -1103,6 +1192,9 @@ object Relational {
     "q_grouping_sets" -> qGroupingSetsOracle,
     "q_grouping_id" -> qGroupingIdOracle,
     "q_window_nav" -> qWindowNavOracle,
+    "q_join_null_safe" -> qJoinNullSafeOracle,
+    "q_agg_multi_distinct" -> qAggMultiDistinctOracle,
+    "q_union_by_name" -> qUnionByNameOracle,
     "q_join_inner" -> qJoinInnerOracle,
     "q_join_left" -> qJoinLeftOracle,
     "q_join_semi" -> qJoinSemiOracle,
