@@ -164,6 +164,61 @@ object TextAnalysis {
       |FROM documents d2 LEFT JOIN pred p USING (doc_id)
       |ORDER BY d2.doc_id""".stripMargin
 
+  /** Overlapping document chunking — the RAG/embedding ingestion
+    * primitive (fixed window of 64 words, stride 48, so consecutive
+    * chunks share 16 words of context). Chunk COUNT comes from exact
+    * integer arithmetic ((n-64+47) div 48 + 1), chunk identity is the
+    * MD5 of the joined words (portable across systems, the same
+    * content-address idea as q_hash_funcs) — so both engines agree
+    * bit-for-bit without shipping the chunk text itself.
+    *
+    * Scale: pure map-side explode — each doc expands to ~n_words/48
+    * rows with no shuffle until the final sort; at 100 TB this is the
+    * embarrassingly parallel stage before embedding. */
+  def qTextChunks(s: SparkSession, dir: String,
+                  size: Int = 64, stride: Int = 48): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+      .withColumn("nw", org.apache.spark.sql.functions.size(col("w")).cast(LongType))
+      .withColumn("nc",
+        when(col("nw") <= size, lit(1L))
+          // `div`, not `/`: Spark's `/` is double division on longs
+          .otherwise(expr(s"((nw - $size + ${stride - 1}) div $stride) + 1")))
+    docs
+      .select(col("doc_id"), col("nw"), col("w"),
+        posexplode(expr(s"sequence(0, nc - 1)")).as(Seq("chunk_idx", "ci")))
+      .withColumn("start_word", col("ci") * stride)
+      .withColumn("chunk",
+        slice(col("w"), (col("start_word") + 1).cast("int"), lit(size)))
+      .select(col("doc_id"), col("chunk_idx").cast(LongType).as("chunk_idx"),
+        col("start_word").cast(LongType).as("start_word"),
+        org.apache.spark.sql.functions.size(col("chunk")).cast(LongType)
+          .as("chunk_words"),
+        md5(concat_ws(" ", col("chunk"))).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  private val qTextChunksOracle =
+    """WITH d AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+      |  FROM documents),
+      |n AS (
+      |  SELECT doc_id, w, len(w) AS nw,
+      |    CASE WHEN len(w) <= 64 THEN 1
+      |      ELSE (len(w) - 64 + 47) // 48 + 1 END AS nc
+      |  FROM d),
+      |c AS (
+      |  SELECT doc_id, nw, w,
+      |    unnest(generate_series(0, nc - 1)) AS ci
+      |  FROM n)
+      |SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,
+      |  CAST(ci * 48 AS BIGINT) AS start_word,
+      |  CAST(len(list_slice(w, ci * 48 + 1, ci * 48 + 64)) AS BIGINT)
+      |    AS chunk_words,
+      |  md5(array_to_string(list_slice(w, ci * 48 + 1, ci * 48 + 64), ' '))
+      |    AS chunk_md5
+      |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+
   /** Quality scoring: length/punctuation/stopword ratios + a composite
     * score; all integer-derived double arithmetic (deterministic). */
   def qTextQuality(s: SparkSession, dir: String): DataFrame = {
@@ -445,6 +500,7 @@ object TextAnalysis {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_postings" -> (qTextPostings _),
+    "q_text_chunks" -> ((s, d) => qTextChunks(s, d)),
     "q_langid_trigram" -> ((s, d) => qLangidTrigram(s, d)),
     "q_text_diversity" -> (qTextDiversity _),
     "q_tfidf" -> ((s, d) => qTfidf(s, d)),
@@ -459,6 +515,7 @@ object TextAnalysis {
 
   def oracleSql: Map[String, String] = Map(
     "q_text_postings" -> qTextPostingsOracle,
+    "q_text_chunks" -> qTextChunksOracle,
     "q_langid_trigram" -> qLangidTrigramOracle,
     "q_text_diversity" -> qTextDiversityOracle,
     "q_tfidf" -> qTfidfOracle,
