@@ -548,6 +548,44 @@ object Relational {
       |     FROM orders i WHERE i.o_custkey = o.o_custkey)
       |ORDER BY o_custkey, o_orderkey""".stripMargin
 
+  /** TPC-H Q18-like large-volume-customer report: orders whose total
+    * line quantity exceeds a threshold, found via IN over an
+    * AGGREGATED subquery — Catalyst turns the IN into a left-semi join
+    * against the HAVING-filtered aggregate (no correlated
+    * re-execution). Exact-decimal quantity sums on both sides. */
+  def qSqlQ18(s: SparkSession, dir: String): DataFrame = {
+    Tables.customer(s, dir).createOrReplaceTempView("q18_customer")
+    Tables.orders(s, dir).createOrReplaceTempView("q18_orders")
+    Tables.lineitem(s, dir).createOrReplaceTempView("q18_lineitem")
+    s.sql(
+      """SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        |FROM q18_customer
+        |JOIN q18_orders ON c_custkey = o_custkey
+        |JOIN q18_lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderkey IN (
+        |  SELECT l_orderkey FROM q18_lineitem
+        |  GROUP BY l_orderkey
+        |  HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 180)
+        |GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 100""".stripMargin)
+  }
+
+  private val qSqlQ18Oracle =
+    """SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE o_orderkey IN (
+      |  SELECT l_orderkey FROM lineitem
+      |  GROUP BY l_orderkey
+      |  HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 180)
+      |GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+      |ORDER BY o_totalprice DESC, o_orderkey
+      |LIMIT 100""".stripMargin
+
   /** Null-safe equality join (`<=>`): NULL keys MATCH each other
     * instead of vanishing — the join semantics deduplication and SCD
     * pipelines need when the business key is nullable. Catalyst plans
@@ -1158,6 +1196,7 @@ object Relational {
     "q_agg_argmax" -> (qAggArgmax _),
     "q_sql_q3" -> (qSqlQ3 _),
     "q_sql_q10" -> (qSqlQ10 _),
+    "q_sql_q18" -> (qSqlQ18 _),
     "q_pivot" -> (qPivot _),
     "q_unpivot" -> (qUnpivot _),
     "q_range_join" -> (qRangeJoin _),
@@ -1206,6 +1245,7 @@ object Relational {
     "q_agg_argmax" -> qAggArgmaxOracle,
     "q_sql_q3" -> qSqlQ3Oracle,
     "q_sql_q10" -> qSqlQ10Oracle,
+    "q_sql_q18" -> qSqlQ18Oracle,
     "q_pivot" -> qPivotOracle,
     "q_unpivot" -> qUnpivotOracle,
     "q_range_join" -> qRangeJoinOracle,
