@@ -441,6 +441,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming sink through the graft writer: foreachBatch append, read-back parity") {
+    // the writer is a batch DSv2 surface; foreachBatch is the standard
+    // bridge that gives a stream access to ANY batch sink — each
+    // micro-batch appends its partition files, and the reader sees
+    // only committed files (dot-prefixed temps are hidden)
+    val src = java.nio.file.Files.createTempDirectory("graft_sink_src").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_sink_out").toString
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    val (b1, b2) = {
+      val all = ev.orderBy("event_id").collect()
+      all.splitAt(all.length / 2)
+    }
+    val schema = ev.schema
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(b1.toSeq.asJava, schema).write.mode("overwrite").parquet(src)
+    val q = spark.readStream.schema(schema).parquet(src)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.write.format("graft").mode("append").save(out)
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      spark.createDataFrame(b2.toSeq.asJava, schema).write.mode("append").parquet(src)
+      q.processAllAvailable()
+      val back = spark.read.format("graft").load(out)
+      assert(back.count() == ev.count())
+      val a = ev.orderBy("event_id").collect()
+      val b = back.select(ev.columns.map(col): _*).orderBy("event_id").collect()
+      a.zip(b).foreach { case (x, y) => assert(x == y, s"\n  src: $x\n  rt:  $y") }
+    } finally q.stop()
+  }
+
   test("session split core handles gaps and singletons") {
     val gap = Sessionize.DefaultGapUs
     val out = Sessionize.split(1L, Seq(0L, 10L, gap + 20L, gap + 30L, 3 * gap + 100L), gap)
