@@ -15,7 +15,9 @@ object Explain {
     "q_join_lateral", "q_bloom_decontaminate", "q_tfidf", "q_embed_centroid",
     // this session: correlated-subquery decorrelation, star-join top-k,
     // shared-partitioning window+agg (one shuffle)
-    "q_subquery_correlated", "q_sql_q10", "q_events_ohlc")
+    "q_subquery_correlated", "q_sql_q10", "q_events_ohlc",
+    // IN-subquery semi join, null-safe hash join, Expand multi-distinct
+    "q_sql_q18", "q_join_null_safe", "q_agg_multi_distinct")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
