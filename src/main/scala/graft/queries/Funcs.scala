@@ -342,6 +342,43 @@ object Funcs {
       |  array_to_string(qs, ',') AS quantities
       |FROM p ORDER BY l_orderkey""".stripMargin
 
+  /** Higher-order array surface: per-order quantity arrays pushed
+    * through distinct / filter / transform / exists / aggregate —
+    * Spark's lambda functions mirrored against DuckDB's list_*
+    * equivalents. All-integer element values, so every derived scalar
+    * is cross-engine exact; the fold keeps its accumulator integral. */
+  def qArrayAdvanced(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_list(col("l_quantity").cast(LongType))).as("qs"))
+      .select(col("l_orderkey"),
+        size(col("qs")).cast(LongType).as("n"),
+        size(array_distinct(col("qs"))).cast(LongType).as("n_distinct"),
+        size(filter(col("qs"), q => q > 25L)).cast(LongType).as("n_big"),
+        exists(col("qs"), q => q === 50L).as("has_50"),
+        forall(col("qs"), q => q > 0L).as("all_positive"),
+        concat_ws(",", transform(col("qs"),
+          q => (q * 2).cast("string"))).as("doubled"),
+        aggregate(col("qs"), lit(0L), (acc, q) => acc + q).as("total"))
+      .orderBy("l_orderkey")
+
+  private val qArrayAdvancedOracle =
+    """WITH p AS (
+      |  SELECT l_orderkey,
+      |    list(CAST(l_quantity AS BIGINT)
+      |      ORDER BY CAST(l_quantity AS BIGINT)) AS qs
+      |  FROM lineitem GROUP BY l_orderkey)
+      |SELECT l_orderkey,
+      |  CAST(len(qs) AS BIGINT) AS n,
+      |  CAST(len(list_distinct(qs)) AS BIGINT) AS n_distinct,
+      |  CAST(len(list_filter(qs, q -> q > 25)) AS BIGINT) AS n_big,
+      |  len(list_filter(qs, q -> q = 50)) > 0 AS has_50,
+      |  len(list_filter(qs, q -> q <= 0)) = 0 AS all_positive,
+      |  array_to_string(list_transform(qs, q -> CAST(q * 2 AS VARCHAR)), ',')
+      |    AS doubled,
+      |  CAST(list_sum(qs) AS BIGINT) AS total
+      |FROM p ORDER BY l_orderkey""".stripMargin
+
   // ── regexp suite ──────────────────────────────────────────────────
 
   /** Regexp surface beyond the basic extract/replace in q_string_funcs:
@@ -541,7 +578,8 @@ object Funcs {
     "q_parse_date_multi" -> (qParseDateMulti _),
     "q_parse_ts_multi" -> (qParseTsMulti _),
     "q_json_extract" -> (qJsonExtract _),
-    "q_array_funcs" -> (qArrayFuncs _)
+    "q_array_funcs" -> (qArrayFuncs _),
+    "q_array_advanced" -> (qArrayAdvanced _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -562,6 +600,7 @@ object Funcs {
     "q_parse_date_multi" -> qParseDateMultiOracle,
     "q_parse_ts_multi" -> qParseTsMultiOracle,
     "q_json_extract" -> qJsonExtractOracle,
-    "q_array_funcs" -> qArrayFuncsOracle
+    "q_array_funcs" -> qArrayFuncsOracle,
+    "q_array_advanced" -> qArrayAdvancedOracle
   )
 }
