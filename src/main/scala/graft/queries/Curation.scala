@@ -355,7 +355,7 @@ object Curation {
   private val qShardAssignOracle =
     """SELECT ((doc_id % 1000000007) * 2654435761) % 16 AS shard,
       |  COUNT(*) AS n_docs,
-      |  SUM(n_chars) AS total_chars,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
       |  MIN(doc_id) AS min_doc,
       |  MAX(doc_id) AS max_doc
       |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin

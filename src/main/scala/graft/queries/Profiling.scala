@@ -168,11 +168,85 @@ object Profiling {
        |  ${QueryUtil.dsumSql("l_extendedprice")} AS sum_price
        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
 
+  /** Scale-safe equi-depth histogram — the 100 TB form of
+    * [[qHistEquidepth]]. The global-ntile twin is the exact verification
+    * form but funnels the whole table through ONE task (a single-
+    * partition window sort); this form never materializes a global
+    * order:
+    *
+    *  1. ONE aggregation computes the k-1 interior split points with
+    *     `approx_percentile` — a mergeable KLL-style sketch, combined
+    *     map-side like any partial aggregate;
+    *  2. the 1-row bounds frame broadcasts back onto the scan and each
+    *     row bins itself map-side against the (tiny) splits array;
+    *  3. one combine-friendly groupBy over k groups.
+    *
+    * Shuffle volume: k-1 doubles for the sketch merge + k rows per
+    * partition for the final groupBy — independent of corpus size.
+    * Bucket depths are approximate within the sketch's rank error
+    * (≤ n/accuracy per bound; ProfilingApproxSpec bounds the realized
+    * skew vs the exact ntile twin); declared rows-only per the driver
+    * contract, like q_agg_percentile_approx. */
+  def qHistEquidepthApprox(s: SparkSession, dir: String, buckets: Int = 10,
+                           accuracy: Int = 10000): DataFrame = {
+    val li = Tables.lineitem(s, dir).select(col("l_extendedprice"))
+    val probs = (1 until buckets).map(i => i.toDouble / buckets)
+    val bounds = li.agg(expr(
+      s"approx_percentile(l_extendedprice, array(${probs.mkString(",")}), $accuracy)")
+      .as("splits"))
+    li.join(broadcast(bounds))
+      .withColumn("bucket",
+        (size(filter(col("splits"), b => col("l_extendedprice") > b)) + 1)
+          .cast(LongType))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("l_extendedprice")).as("lo"),
+        max(col("l_extendedprice")).as("hi"),
+        QueryUtil.dsum(col("l_extendedprice")).as("sum_price"))
+      .orderBy("bucket")
+  }
+
+  /** Scale-safe winsorized profile — the 100 TB form of [[qWinsorize]]:
+    * identical output shape, but the per-group 5/95% bounds come from
+    * `approx_percentile`'s mergeable sketch instead of the exact
+    * `percentile` aggregate (which buffers a per-group value map). The
+    * bounds stage becomes an ordinary partial-aggregating groupBy; the
+    * rest (broadcast bounds back, one trim pass) is unchanged.
+    * Approximate bounds move only rows within the sketch's rank error
+    * of the cut points, so the trimmed sum differs from the exact twin
+    * by a bounded sliver (ProfilingApproxSpec pins it); declared
+    * rows-only per the driver contract. */
+  def qWinsorizeApprox(s: SparkSession, dir: String,
+                       accuracy: Int = 10000): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val bounds = li.groupBy(col("l_returnflag")).agg(
+      expr(s"approx_percentile(l_extendedprice, 0.05, $accuracy)").as("lo"),
+      expr(s"approx_percentile(l_extendedprice, 0.95, $accuracy)").as("hi"))
+    val price = col("l_extendedprice")
+    li.join(broadcast(bounds), "l_returnflag")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(price < col("lo"), 1L).otherwise(0L)).as("n_below"),
+        sum(when(price > col("hi"), 1L).otherwise(0L)).as("n_above"),
+        min(col("lo")).cast(DoubleType).as("lo"),
+        min(col("hi")).cast(DoubleType).as("hi"),
+        QueryUtil.dsumDec(when(price >= col("lo") && price <= col("hi"),
+          QueryUtil.money(price))).as("trimmed_sum"),
+        round(QueryUtil.dsumDec(when(price >= col("lo") && price <= col("hi"),
+          QueryUtil.money(price))) /
+          sum(when(price >= col("lo") && price <= col("hi"), 1L).otherwise(0L)), 4)
+          .as("trimmed_mean"))
+      .orderBy("l_returnflag")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_profile_stats" -> (qProfileStats _),
     "q_profile_hist" -> (qProfileHist _),
     "q_hist_equidepth" -> ((s, d) => qHistEquidepth(s, d)),
-    "q_winsorize" -> (qWinsorize _)
+    "q_hist_equidepth_approx" -> ((s, d) => qHistEquidepthApprox(s, d)),
+    "q_winsorize" -> (qWinsorize _),
+    "q_winsorize_approx" -> ((s, d) => qWinsorizeApprox(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(

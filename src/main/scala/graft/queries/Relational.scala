@@ -617,7 +617,7 @@ object Relational {
       |      ELSE o_custkey % 100 END AS ok
       |    FROM orders) GROUP BY ok)
       |SELECT CAST(ck AS BIGINT) AS bucket, COUNT(*) AS n_cust,
-      |  SUM(n_orders) AS n_orders
+      |  CAST(SUM(n_orders) AS BIGINT) AS n_orders
       |FROM c JOIN o ON ck IS NOT DISTINCT FROM ok
       |GROUP BY ck ORDER BY bucket NULLS FIRST""".stripMargin
 
