@@ -132,6 +132,41 @@ object Dedup {
       .orderBy("a_id", "b_id")
   }
 
+  /** Oracle-checked verify stage of the MinHash pipeline: candidates
+    * from [[qDedupMinhash]]'s band buckets, kept when the EXACT bigram
+    * Jaccard clears the dedup threshold. Because the verify metric is
+    * exact, the output equals brute-force all-pairs Jaccard ≥ t
+    * whenever banding recall at t is 1 — so the DuckDB all-pairs oracle
+    * is a genuine end-to-end gate on the LSH path: a band-bucket scheme
+    * that dropped a true pair would hash-mismatch. At 8 bands × 4 rows
+    * a t = 0.5 pair collides with prob 1-(1-t⁴)⁸ ≥ 0.42 per pair and
+    * the planted near-dups sit at ≥ 0.9 (miss prob ≈ 5e-5); the
+    * candidate generation is deterministic (fixed permutation
+    * constants), so the gate is stable, not a coin flip. The oracle's
+    * O(n²) join is the verification form only — the engine side stays
+    * banded. */
+  def qDedupMinhashVerified(s: SparkSession, dir: String,
+                            threshold: Double = 0.5): DataFrame =
+    qDedupMinhash(s, dir)
+      .filter(col("jaccard") >= threshold)
+      .orderBy("a_id", "b_id")
+
+  private val qDedupMinhashVerifiedOracle = {
+    val grams =
+      """list_distinct(list_transform(
+        |  range(1, len(string_split_regex(trim(text), '\s+'))),
+        |  i -> string_split_regex(trim(text), '\s+')[i] || ' ' ||
+        |       string_split_regex(trim(text), '\s+')[i+1]))""".stripMargin
+    s"""WITH d AS (SELECT doc_id, $grams AS grams FROM documents)
+       |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |  round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+       |        CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE), 6) AS jaccard
+       |FROM d a JOIN d b ON a.doc_id < b.doc_id
+       |WHERE round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+       |        CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE), 6) >= 0.5
+       |ORDER BY a_id, b_id""".stripMargin
+  }
+
   // ── SimHash (scale path, no oracle) ───────────────────────────────
 
   /** 64-bit SimHash per doc: sign of per-bit ±1 sums over word hashes
@@ -500,6 +535,7 @@ object Dedup {
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_ngram" -> (qDedupNgram _),
     "q_dedup_minhash" -> (qDedupMinhash _),
+    "q_dedup_minhash_verified" -> ((s, d) => qDedupMinhashVerified(s, d)),
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_dedup_embed" -> (qDedupEmbed _)
@@ -511,6 +547,7 @@ object Dedup {
     "q_dedup_containment" -> qDedupContainmentOracle,
     "q_dedup_exact" -> qDedupExactOracle,
     "q_dedup_ngram" -> qDedupNgramOracle,
+    "q_dedup_minhash_verified" -> qDedupMinhashVerifiedOracle,
     "q_dedup_clusters" -> qDedupClustersOracle,
     "q_dedup_embed" -> qDedupEmbedOracle
   )

@@ -50,6 +50,32 @@ class DedupRecallSpec extends SparkSpec {
     assert(got.size < 2500, s"candidate set not bounded: ${got.size} pairs surfaced")
   }
 
+  test("minhash verified stage equals brute-force Jaccard>=0.5 exactly") {
+    // the oracle-checked form: LSH candidates + exact verify must equal
+    // the all-pairs ground truth at the dedup threshold — equality, not
+    // just recall, because the exact verify removes false candidates
+    // and the banding must not drop a true pair
+    val docs = Tables.documents(spark, sf01)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0),
+        r.getString(1).trim.split("\\s+").toSeq.sliding(2)
+          .collect { case Seq(a, b) => s"$a $b" }.toSet))
+    val truth = (for {
+      i <- docs.indices.iterator
+      j <- (i + 1) until docs.length
+      inter = (docs(i)._2 & docs(j)._2).size.toDouble
+      uni = (docs(i)._2 | docs(j)._2).size.toDouble
+      if uni > 0 && inter / uni >= 0.5
+    } yield {
+      val (a, b) = (docs(i)._1, docs(j)._1)
+      (math.min(a, b), math.max(a, b))
+    }).toSet
+    val got = Dedup.qDedupMinhashVerified(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == truth,
+      s"missed=${(truth -- got).take(5)} extra=${(got -- truth).take(5)}")
+  }
+
   test("min-label propagation finds exact components on a chain + island graph") {
     import spark.implicits._
     // path 1-2-3-4-5 (diameter 4) + triangle 10-11-12 + isolated pair 20-21
