@@ -105,7 +105,7 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
           s"graft option 'newline' must be error or strip, got '$c'")
       }
       new GraftWriteBuilder(pathOf(options), sep, info.schema(), gzip,
-        stripNewlines)
+        stripNewlines, info.queryId())
     }
   }
 

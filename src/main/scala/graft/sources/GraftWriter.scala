@@ -4,10 +4,12 @@ import java.io.{BufferedWriter, OutputStreamWriter}
 import java.time.LocalDate
 import java.time.format.DateTimeFormatter
 
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.types._
+import org.apache.spark.util.SerializableConfiguration
 
 /** Batch write support for the `graft` source: typed rows → delimited
   * text with a header line, quoted per the same single-line RFC-4180
@@ -20,14 +22,37 @@ import org.apache.spark.sql.types._
   * bools, ISO dates, ms-precision timestamps) so the reference's OWN
   * converter re-ingests the output losslessly.
   *
+  * Round-trip caveats (inherent to the reference grammar, not bugs in
+  * the writer): string VALUES that collide with the reference null
+  * grammar — "null", "none", "nan", "n/a", "na", the empty string, or
+  * whitespace-only text — read back as SQL NULL, and quoting cannot
+  * protect them (the reader normalizes null tokens AFTER unquoting,
+  * exactly like the reference); Double.NaN renders as "NaN" which is
+  * itself a null token; and timestamps render at the reference's
+  * native millisecond precision, so sub-ms fractions truncate. Frames
+  * that avoid those values (most tabular data) round-trip exactly.
+  *
   * Scale: one output file per input partition, written executor-side
   * with no driver involvement and no shuffle; each task streams rows
   * through a fixed-size buffer (optionally gzip) and renames its
   * dot-prefixed temp file into place on task commit — the rename is
   * atomic per file, and uncommitted temps stay invisible to readers
-  * (the reader's hidden-file rule skips dot files). Overwrite mode
-  * deletes prior DATA files only (markers/sidecars untouched) on the
-  * driver before tasks launch.
+  * (the reader's hidden-file rule skips dot files).
+  *
+  * Durability: file names embed the write's queryId
+  * (part-NNNNN-<queryId>), like Spark's own file sources embed a job
+  * UUID — names are unique ACROSS applications, so a later append can
+  * never regenerate (and the commit-time rename never replace) a file
+  * a previous application committed. Overwrite (truncate) defers the
+  * deletion of prior data files to BatchWrite.commit(): a write job
+  * that fails leaves the previous dataset intact; only after every
+  * task has committed are the old files (identified against the
+  * committed-file list) removed. Driver-side commit/abort also sweep
+  * any `.part-*-<queryId>*.inprogress` temps this write's dead
+  * executors left behind. All filesystem access goes through the
+  * session's Hadoop configuration (serialized to tasks), so
+  * `spark.hadoop.*` settings — object-store credentials, custom
+  * filesystems — apply to the write.
   *
   * Types: exactly the reader's surface (bool / i64 / u64-decimal / f64
   * / date / ms-or-s-unit timestamp / string). Doubles render via
@@ -35,7 +60,8 @@ import org.apache.spark.sql.types._
   * render at millisecond precision — the reference's native unit.
   */
 class GraftWriteBuilder(path: String, sep: Char, schema: StructType,
-                        gzip: Boolean, stripNewlines: Boolean)
+                        gzip: Boolean, stripNewlines: Boolean,
+                        queryId: String)
   extends WriteBuilder with SupportsTruncate {
 
   private var truncateOnCommit = false
@@ -43,59 +69,87 @@ class GraftWriteBuilder(path: String, sep: Char, schema: StructType,
 
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = new GraftBatchWrite(
-      path, sep, schema, gzip, stripNewlines, truncateOnCommit)
+      path, sep, schema, gzip, stripNewlines, truncateOnCommit, queryId)
   }
 }
 
 private class GraftBatchWrite(path: String, sep: Char, schema: StructType,
                               gzip: Boolean, stripNewlines: Boolean,
-                              truncate: Boolean)
+                              truncate: Boolean, queryId: String)
   extends BatchWrite {
 
   GraftWriter.validateSchema(schema)
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
-    // Driver-side, before any task runs: create the directory; in
-    // truncate (overwrite) mode drop prior data files — hidden files
-    // (markers, in-flight temps of OTHER queries) are left alone.
-    val conf = new org.apache.hadoop.conf.Configuration()
+    // Driver-side, before any task runs: create the directory. Prior
+    // data files are NOT deleted here even in truncate mode — the
+    // delete is deferred to commit() so a failed job leaves the
+    // previous dataset intact (delete-then-write would leave an EMPTY
+    // directory behind a failed overwrite).
+    val conf = new SerializableConfiguration(
+      SparkSession.active.sessionState.newHadoopConf())
     val dir = new Path(path)
-    val fs = dir.getFileSystem(conf)
-    fs.mkdirs(dir)
-    if (truncate) {
-      fs.listStatus(dir)
-        .filter(s => s.isFile && GraftDataSource.isDataFile(s.getPath.getName))
-        .foreach(s => fs.delete(s.getPath, false))
-    }
-    new GraftWriterFactory(path, sep, schema, gzip, stripNewlines)
+    dir.getFileSystem(conf.value).mkdirs(dir)
+    new GraftWriterFactory(path, sep, schema, gzip, stripNewlines, queryId, conf)
   }
 
-  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
-  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(SparkSession.active.sessionState.newHadoopConf())
+    if (truncate) {
+      // every task committed: replace the old dataset now. The new
+      // files are identified by the commit messages (their names also
+      // carry this write's queryId); everything else that looks like
+      // data goes.
+      val committed = messages.collect {
+        case GraftCommitMessage(f) => new Path(f).getName
+      }.toSet
+      fs.listStatus(dir)
+        .filter(s => s.isFile && GraftDataSource.isDataFile(s.getPath.getName) &&
+          !committed(s.getPath.getName))
+        .foreach(s => fs.delete(s.getPath, false))
+    }
+    GraftWriter.sweepTemps(fs, dir, queryId)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    // tasks that died without running abort() left dot-temps behind;
+    // they carry this write's queryId, so they are safe to remove
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(SparkSession.active.sessionState.newHadoopConf())
+    GraftWriter.sweepTemps(fs, dir, queryId)
+  }
 }
 
 private case class GraftCommitMessage(file: String) extends WriterCommitMessage
 
 private class GraftWriterFactory(path: String, sep: Char, schema: StructType,
-                                 gzip: Boolean, stripNewlines: Boolean)
+                                 gzip: Boolean, stripNewlines: Boolean,
+                                 queryId: String, conf: SerializableConfiguration)
   extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new GraftDataWriter(path, sep, schema, gzip, stripNewlines, partitionId, taskId)
+    new GraftDataWriter(path, sep, schema, gzip, stripNewlines,
+      partitionId, taskId, queryId, conf)
 }
 
 private class GraftDataWriter(path: String, sep: Char, schema: StructType,
                               gzip: Boolean, stripNewlines: Boolean,
-                              partitionId: Int, taskId: Long)
+                              partitionId: Int, taskId: Long,
+                              queryId: String, conf: SerializableConfiguration)
   extends DataWriter[InternalRow] {
 
   private val ext =
     (sep match { case '\t' => ".tsv"; case ',' => ".csv"; case _ => ".txt" }) +
       (if (gzip) ".gz" else "")
-  private val finalName = f"part-$partitionId%05d-$taskId$ext"
-  // dot prefix: invisible to the reader until the commit-time rename
-  private val tempPath = new Path(path, s".$finalName.inprogress")
-  private val conf = new org.apache.hadoop.conf.Configuration()
-  private val fs = tempPath.getFileSystem(conf)
+  // queryId (not taskId) makes the name unique across applications;
+  // every attempt of this partition renames to the SAME final name,
+  // and Spark's commit coordinator admits one attempt's commit
+  private val finalName = f"part-$partitionId%05d-$queryId$ext"
+  // dot prefix: invisible to the reader until the commit-time rename.
+  // taskId keeps CONCURRENT attempts (speculation, zombie retries) of
+  // one partition on separate temp files.
+  private val tempPath = new Path(path, s".part-$partitionId%05d-$queryId-$taskId$ext.inprogress")
+  private val fs = tempPath.getFileSystem(conf.value)
   private val out = {
     val raw = fs.create(tempPath, true)
     val s: java.io.OutputStream =
@@ -124,7 +178,10 @@ private class GraftDataWriter(path: String, sep: Char, schema: StructType,
   override def commit(): WriterCommitMessage = {
     out.close()
     val dest = new Path(path, finalName)
-    fs.delete(dest, false) // task retry may have left a half-renamed file
+    // dest can only be a leftover of THIS write (the name carries our
+    // queryId): a prior attempt that renamed but died before reporting.
+    // Files of other applications have other queryIds and are never hit.
+    fs.delete(dest, false)
     if (!fs.rename(tempPath, dest))
       throw new java.io.IOException(s"graft writer: rename to $dest failed")
     GraftCommitMessage(dest.toString)
@@ -141,6 +198,20 @@ private class GraftDataWriter(path: String, sep: Char, schema: StructType,
 object GraftWriter {
   private val dateFmt = DateTimeFormatter.ISO_LOCAL_DATE
   private val tsFmt = DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+
+  /** Remove in-progress temps belonging to `queryId`'s write — run by
+    * the driver at commit/abort, where a task that died without
+    * abort() (executor loss) can no longer clean up after itself. The
+    * queryId scoping means a concurrent write's live temps are never
+    * touched. */
+  private[sources] def sweepTemps(fs: FileSystem, dir: Path, queryId: String): Unit =
+    fs.listStatus(dir)
+      .filter { s =>
+        val n = s.getPath.getName
+        s.isFile && n.startsWith(".part-") && n.contains(s"-$queryId") &&
+          n.endsWith(".inprogress")
+      }
+      .foreach(s => fs.delete(s.getPath, false))
 
   def validateSchema(schema: StructType): Unit =
     schema.fields.foreach { f =>
@@ -169,7 +240,10 @@ object GraftWriter {
   /** Per-field renderer from Catalyst internal values to the reference
     * value grammar, quoted against the live separator. Null → empty
     * field (the reference's primary null token, which the reader maps
-    * back to null).
+    * back to null). String values that EQUAL a null token read back as
+    * null — see the class scaladoc; quoting cannot protect them
+    * because null-normalization runs after unquoting (reference
+    * parity).
     *
     * Embedded line terminators in string values are unrepresentable in
     * a line-oriented format (quoting does not help: the reader's

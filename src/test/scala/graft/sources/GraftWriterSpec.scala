@@ -88,6 +88,51 @@ class GraftWriterSpec extends SparkSpec {
     assert(spark.read.format("graft").load(dir).count() == 4)
   }
 
+  test("a FAILED overwrite leaves the previous dataset intact") {
+    // truncate defers old-file deletion to commit(): a job that dies in
+    // a task must not have emptied the directory (delete-then-write
+    // would leave readers zero rows)
+    val dir = Files.createTempDirectory("graft_w_failsafe").toString
+    sampleDf.write.format("graft").mode("append").save(dir)
+    val bad = spark.createDataFrame(Seq(
+      Row(9L, "breaks\nhere")).asJava,
+      StructType(Seq(StructField("id", LongType), StructField("s", StringType))))
+    intercept[Exception] {
+      bad.write.format("graft").mode("overwrite").save(dir)
+    }
+    val back = spark.read.format("graft").load(dir)
+    assert(back.count() == 4, "failed overwrite destroyed prior data")
+    // and the failed write's temps were swept (driver abort + task abort)
+    val leftovers = Files.list(java.nio.file.Paths.get(dir)).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".inprogress")).toSeq
+    assert(leftovers.isEmpty, s"stale temps: $leftovers")
+  }
+
+  test("file names embed the write's queryId: appends never collide, temps sweep by id") {
+    val dir = Files.createTempDirectory("graft_w_names")
+    sampleDf.coalesce(1).write.format("graft").mode("append").save(dir.toString)
+    sampleDf.coalesce(1).write.format("graft").mode("append").save(dir.toString)
+    val names = Files.list(dir).iterator().asScala.map(_.getFileName.toString)
+      .filter(GraftDataSource.isDataFile).toSeq
+    // same partitionId (00000) in both writes — the queryId component
+    // must keep the names distinct (a fresh application restarts
+    // taskIds near 0, so taskId-based names can silently overwrite)
+    assert(names.size == 2 && names.distinct.size == 2, names.toString)
+    assert(names.forall(_.matches("part-00000-[0-9a-f-]+\\.tsv")), names.toString)
+    assert(spark.read.format("graft").load(dir.toString).count() == 8)
+    // driver-side sweep removes only the given write's orphaned temps
+    val qid = names.head.stripPrefix("part-00000-").stripSuffix(".tsv")
+    val mine = dir.resolve(s".part-00007-$qid-99.tsv.inprogress")
+    val other = dir.resolve(".part-00007-deadbeef-99.tsv.inprogress")
+    Files.writeString(mine, "x"); Files.writeString(other, "x")
+    val p = new org.apache.hadoop.fs.Path(dir.toString)
+    GraftWriter.sweepTemps(
+      p.getFileSystem(spark.sessionState.newHadoopConf()), p, qid)
+    assert(!Files.exists(mine), "this write's orphan survived the sweep")
+    assert(Files.exists(other), "another write's temp was wrongly swept")
+    Files.delete(other)
+  }
+
   test("gzip output round-trips and is actually gzipped") {
     val dir = Files.createTempDirectory("graft_w_gz")
     sampleDf.write.format("graft").option("compression", "gzip")
