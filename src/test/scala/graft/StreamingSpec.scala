@@ -221,6 +221,67 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("watermarked interval join: late rows drop deterministically, parquet read-back parity") {
+    import graft.streaming.Correlate
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_ssj_late_src").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_ssj_late_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ssj_late_ck").toString
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("ts_ts"), col("event_type"))
+      .filter(col("event_type").isin("click", "purchase"))
+    val rows = ev.orderBy("ts_ts").collect()
+    val (b1, b2) = rows.splitAt(rows.length * 2 / 3)
+    val schema = ev.schema
+    // late injections: purchases stamped 60 s after five of batch 1's
+    // EARLIEST clicks (same user → guaranteed in-window matches), but
+    // delivered in batch 2 — by then the watermark sits 10 s below
+    // batch 1's max event time, ~days above these, so the join must
+    // drop them on arrival
+    val lateIds = (0 until 5).map(i => 900000L + i)
+    val earlyClicks = b1.filter(_.getString(3) == "click").take(5)
+    assert(earlyClicks.length == 5)
+    val late = earlyClicks.zip(lateIds).map { case (r, id) =>
+      org.apache.spark.sql.Row(id, r.getLong(1),
+        new java.sql.Timestamp(r.getTimestamp(2).getTime + 60000L), "purchase")
+    }
+    def split(df: org.apache.spark.sql.DataFrame) =
+      (df.filter(col("event_type") === "click"),
+        df.filter(col("event_type") === "purchase"))
+    spark.createDataFrame(java.util.Arrays.asList(b1: _*), schema)
+      .write.mode("overwrite").parquet(srcDir)
+    val (sc, sp) = split(spark.readStream.schema(schema).parquet(srcDir))
+    // real sink + read-back, not a memory table: the parity must hold
+    // through the exactly-once file-sink commit protocol too
+    val q = Correlate.clickPurchase(sc, sp).writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").format("parquet").option("path", outDir).start()
+    try {
+      q.processAllAvailable()
+      spark.createDataFrame(java.util.Arrays.asList((b2 ++ late): _*), schema)
+        .write.mode("append").parquet(srcDir)
+      q.processAllAvailable()
+    } finally q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(r.fieldIndex("user_id")), r.getLong(r.fieldIndex("click_id")),
+        r.getLong(r.fieldIndex("purchase_id")), r.getLong(r.fieldIndex("delta_sec")))
+    val got = spark.read.parquet(outDir).collect().map(key).toSet
+    // dropped-row accounting, side 1: the late purchases WOULD have
+    // matched had they been on time (the drop assertion is not vacuous)
+    val lateDf = spark.createDataFrame(java.util.Arrays.asList(late: _*), schema)
+    val (bc, bp) = split(ev)
+    val wouldMatch = Correlate.clickPurchase(bc, split(lateDf)._2).collect()
+    assert(wouldMatch.length == 5,
+      s"late fixtures must pair in batch; got ${wouldMatch.length}")
+    // side 2: none of them reached the streamed output
+    assert(!got.exists(p => lateIds.contains(p._3)),
+      s"watermark failed to drop late purchases: ${got.filter(p => lateIds.contains(p._3)).take(3)}")
+    // side 3: everything else matches the batch twin over the on-time rows exactly
+    val batch = Correlate.clickPurchase(bc, bp).collect().map(key).toSet
+    assert(batch.nonEmpty)
+    assert(got == batch,
+      s"missing=${(batch -- got).take(3)} extra=${(got -- batch).take(3)}")
+  }
+
   test("left-outer stream-stream join: unmatched clicks emit once the watermark proves them") {
     import graft.streaming.Correlate
     val dir = java.nio.file.Files.createTempDirectory("graft_ssj_outer").toString
