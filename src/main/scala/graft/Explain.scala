@@ -17,7 +17,11 @@ object Explain {
     // shared-partitioning window+agg (one shuffle)
     "q_subquery_correlated", "q_sql_q10", "q_events_ohlc",
     // IN-subquery semi join, null-safe hash join, Expand multi-distinct
-    "q_sql_q18", "q_join_null_safe", "q_agg_multi_distinct")
+    "q_sql_q18", "q_join_null_safe", "q_agg_multi_distinct",
+    // round 6: the scale-safe equi-depth histogram (sketch bounds
+    // broadcast + map-side binning — NO single-task window, contrast
+    // with q_hist_equidepth's global ntile) and its winsorize sibling
+    "q_hist_equidepth_approx", "q_winsorize_approx")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

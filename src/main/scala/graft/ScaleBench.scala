@@ -200,7 +200,12 @@ object ScaleBench {
     spark.read.parquet(s"$out/lineitem.parquet").limit(1).write
       .mode("overwrite").format("noop").save() // warmup
 
-    val results = headline.map { name =>
+    // Optional args = run only these queries: the 100x decade run
+    // (SPARK_GRAFT_FACTOR=100) targets the joins/windows headline
+    // family rather than re-timing all fifty at 10x the 10x cost.
+    val wanted = args.toSet
+    val selected = if (wanted.isEmpty) headline else headline.filter(wanted)
+    val results = selected.map { name =>
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, out).write.mode("overwrite").format("noop").save()
       catch { case e: Throwable =>

@@ -104,17 +104,16 @@ object Profiling {
         sum(when(price > col("hi"), 1L).otherwise(0L)).as("n_above"),
         min(col("lo")).as("lo"),
         min(col("hi")).as("hi"),
-        QueryUtil.dsumDec(when(price >= col("lo") && price <= col("hi"),
-          QueryUtil.money(price))).as("trimmed_sum"),
-        round(QueryUtil.dsumDec(when(price >= col("lo") && price <= col("hi"),
-          QueryUtil.money(price))) /
+        QueryUtil.dsumIf(price >= col("lo") && price <= col("hi"), price)
+          .as("trimmed_sum"),
+        round(QueryUtil.dsumIf(price >= col("lo") && price <= col("hi"), price) /
           sum(when(price >= col("lo") && price <= col("hi"), 1L).otherwise(0L)), 4)
           .as("trimmed_mean"))
       .orderBy("l_returnflag")
   }
 
   private val qWinsorizeOracle =
-    """WITH b AS (
+    s"""WITH b AS (
       |  SELECT l_returnflag,
       |    quantile_cont(l_extendedprice, 0.05) AS lo,
       |    quantile_cont(l_extendedprice, 0.95) AS hi
@@ -123,10 +122,10 @@ object Profiling {
       |  CAST(SUM(CASE WHEN l_extendedprice < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
       |  CAST(SUM(CASE WHEN l_extendedprice > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
       |  MIN(lo) AS lo, MIN(hi) AS hi,
-      |  CAST(SUM(CASE WHEN l_extendedprice >= lo AND l_extendedprice <= hi
-      |    THEN CAST(l_extendedprice AS DECIMAL(12,2)) END) AS DOUBLE) AS trimmed_sum,
-      |  round(CAST(SUM(CASE WHEN l_extendedprice >= lo AND l_extendedprice <= hi
-      |    THEN CAST(l_extendedprice AS DECIMAL(12,2)) END) AS DOUBLE) /
+      |  ${QueryUtil.dsumIfSql("l_extendedprice >= lo AND l_extendedprice <= hi",
+           "l_extendedprice")} AS trimmed_sum,
+      |  round(${QueryUtil.dsumIfSql("l_extendedprice >= lo AND l_extendedprice <= hi",
+           "l_extendedprice")} /
       |    SUM(CASE WHEN l_extendedprice >= lo AND l_extendedprice <= hi THEN 1 ELSE 0 END), 4)
       |    AS trimmed_mean
       |FROM lineitem l JOIN b USING (l_returnflag)
@@ -231,10 +230,9 @@ object Profiling {
         sum(when(price > col("hi"), 1L).otherwise(0L)).as("n_above"),
         min(col("lo")).cast(DoubleType).as("lo"),
         min(col("hi")).cast(DoubleType).as("hi"),
-        QueryUtil.dsumDec(when(price >= col("lo") && price <= col("hi"),
-          QueryUtil.money(price))).as("trimmed_sum"),
-        round(QueryUtil.dsumDec(when(price >= col("lo") && price <= col("hi"),
-          QueryUtil.money(price))) /
+        QueryUtil.dsumIf(price >= col("lo") && price <= col("hi"), price)
+          .as("trimmed_sum"),
+        round(QueryUtil.dsumIf(price >= col("lo") && price <= col("hi"), price) /
           sum(when(price >= col("lo") && price <= col("hi"), 1L).otherwise(0L)), 4)
           .as("trimmed_mean"))
       .orderBy("l_returnflag")

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
 import graft.Tables
 import graft.queries.QueryUtil._
@@ -26,19 +26,16 @@ object Relational {
   // ── scan / project ────────────────────────────────────────────────
 
   /** Projection + arithmetic; pushes a 6-column ReadSchema to parquet. */
-  def qScanProject(s: SparkSession, dir: String): DataFrame = {
-    val price = money(col("l_extendedprice"))
-    val disc = rate(col("l_discount"))
+  def qScanProject(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .orderBy(col("l_orderkey"), col("l_linenumber"))
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
         col("l_extendedprice"), col("l_discount"),
-        (price * (one - disc)).cast(DoubleType).as("disc_price"))
-  }
+        discPrice(col("l_extendedprice"), col("l_discount")).as("disc_price"))
 
   private val qScanProjectOracle =
     s"""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount,
-       |  CAST(${moneySql("l_extendedprice")} * (1.00 - ${rateSql("l_discount")}) AS DOUBLE) AS disc_price
+       |  ${discPriceSql("l_extendedprice", "l_discount")} AS disc_price
        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
 
   /** AND/OR/IN/BETWEEN/LIKE predicate mix; all pushable to the scan. */
@@ -64,17 +61,17 @@ object Relational {
 
   /** TPC-H Q1-like pricing summary: one hash aggregate, map-side partial. */
   def qAggGroup(s: SparkSession, dir: String): DataFrame = {
-    val price = money(col("l_extendedprice"))
-    val disc = rate(col("l_discount"))
-    val tax = rate(col("l_tax"))
+    val price = col("l_extendedprice")
+    val disc = col("l_discount")
+    val tax = col("l_tax")
     Tables.lineitem(s, dir)
       .filter(col("l_shipdate") <= lit("2000-09-02").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         dsum(col("l_quantity")).as("sum_qty"),
         dsum(col("l_extendedprice")).as("sum_base_price"),
-        dsumDec(price * (one - disc)).as("sum_disc_price"),
-        dsumDec(price * (one - disc) * (one + tax)).as("sum_charge"),
+        dsumDisc(price, disc).as("sum_disc_price"),
+        dsumDiscTax(price, disc, tax).as("sum_charge"),
         davg(col("l_quantity")).as("avg_qty"),
         davg(col("l_extendedprice")).as("avg_price"),
         davg(col("l_discount")).as("avg_disc"),
@@ -83,14 +80,11 @@ object Relational {
   }
 
   private val qAggGroupOracle = {
-    val price = moneySql("l_extendedprice")
-    val disc = rateSql("l_discount")
-    val tax = rateSql("l_tax")
     s"""SELECT l_returnflag, l_linestatus,
        |  ${dsumSql("l_quantity")} AS sum_qty,
        |  ${dsumSql("l_extendedprice")} AS sum_base_price,
-       |  ${dsumDecSql(s"$price * (1.00 - $disc)")} AS sum_disc_price,
-       |  ${dsumDecSql(s"$price * (1.00 - $disc) * (1.00 + $tax)")} AS sum_charge,
+       |  ${dsumDiscSql("l_extendedprice", "l_discount")} AS sum_disc_price,
+       |  ${dsumDiscTaxSql("l_extendedprice", "l_discount", "l_tax")} AS sum_charge,
        |  ${davgSql("l_quantity")} AS avg_qty,
        |  ${davgSql("l_extendedprice")} AS avg_price,
        |  ${davgSql("l_discount")} AS avg_disc,
@@ -158,14 +152,19 @@ object Relational {
     * bit-for-bit. (Built-in stddev/corr use Welford-style merges whose
     * float error depends on partitioning — unusable for hash compare.) */
   def qAggStats(s: SparkSession, dir: String): DataFrame = {
-    val q = money(col("l_quantity"))
-    val p = money(col("l_extendedprice"))
+    // integer-cents power sums: the per-row squares are LONG products
+    // (a decimal q*q would BigDecimal-multiply every row — QueryUtil),
+    // the sums are exact integers, the closed forms then run in double
+    val cq = cents(col("l_quantity"))
+    val cp = cents(col("l_extendedprice"))
+    // decimal(20,0) input → (30,0) buffer: compact adds (QueryUtil.isum)
+    def isumD(c: Column) = sum(c.cast(DecimalType(20, 0))).cast(DoubleType)
     val n = count(lit(1)).cast(DoubleType)
-    val sq = sum(q).cast(DoubleType)
-    val sp = sum(p).cast(DoubleType)
-    val sqq = sum(q * q).cast(DoubleType)
-    val spp = sum(p * p).cast(DoubleType)
-    val sqp = sum(q * p).cast(DoubleType)
+    val sq = isumD(cq) / 100.0
+    val sp = isumD(cp) / 100.0
+    val sqq = isumD(cq * cq) / 10000.0
+    val spp = isumD(cp * cp) / 10000.0
+    val sqp = isumD(cq * cp) / 10000.0
     val varQ = (sqq - sq * sq / n) / (n - 1)
     val varP = (spp - sp * sp / n) / (n - 1)
     val covQP = (sqp - sq * sp / n) / (n - 1)
@@ -179,14 +178,14 @@ object Relational {
   }
 
   private val qAggStatsOracle = {
-    val q = moneySql("l_quantity")
-    val p = moneySql("l_extendedprice")
+    val cq = centsSql("l_quantity")
+    val cp = centsSql("l_extendedprice")
     val n = "CAST(COUNT(*) AS DOUBLE)"
-    val sq = s"CAST(SUM($q) AS DOUBLE)"
-    val sp = s"CAST(SUM($p) AS DOUBLE)"
-    val sqq = s"CAST(SUM($q * $q) AS DOUBLE)"
-    val spp = s"CAST(SUM($p * $p) AS DOUBLE)"
-    val sqp = s"CAST(SUM($q * $p) AS DOUBLE)"
+    val sq = s"(CAST(SUM($cq) AS DOUBLE) / 100.0)"
+    val sp = s"(CAST(SUM($cp) AS DOUBLE) / 100.0)"
+    val sqq = s"(CAST(SUM($cq * $cq) AS DOUBLE) / 10000.0)"
+    val spp = s"(CAST(SUM($cp * $cp) AS DOUBLE) / 10000.0)"
+    val sqp = s"(CAST(SUM($cq * $cp) AS DOUBLE) / 10000.0)"
     val varQ = s"(($sqq - $sq * $sq / $n) / ($n - 1))"
     val varP = s"(($spp - $sp * $sp / $n) / ($n - 1))"
     val covQP = s"(($sqp - $sq * $sp / $n) / ($n - 1))"
@@ -380,8 +379,6 @@ object Relational {
     * (dim tables stay tiny at any fact scale); customer⋈orders⋈lineitem
     * shuffle on their keys. */
   def qJoinMultiway(s: SparkSession, dir: String): DataFrame = {
-    val price = money(col("l_extendedprice"))
-    val disc = rate(col("l_discount"))
     Tables.lineitem(s, dir)
       .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
       .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
@@ -390,15 +387,14 @@ object Relational {
       .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
         col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
       .groupBy(col("r_name"), col("n_name"))
-      .agg(dsumDec(price * (one - disc)).as("revenue"), count(lit(1)).as("n_items"))
+      .agg(dsumDisc(col("l_extendedprice"), col("l_discount")).as("revenue"),
+        count(lit(1)).as("n_items"))
       .orderBy(col("r_name"), col("n_name"))
   }
 
   private val qJoinMultiwayOracle = {
-    val price = moneySql("l_extendedprice")
-    val disc = rateSql("l_discount")
     s"""SELECT r_name, n_name,
-       |  ${dsumDecSql(s"$price * (1.00 - $disc)")} AS revenue, COUNT(*) AS n_items
+       |  ${dsumDiscSql("l_extendedprice", "l_discount")} AS revenue, COUNT(*) AS n_items
        |FROM lineitem
        |JOIN orders ON l_orderkey = o_orderkey
        |JOIN customer ON o_custkey = c_custkey
@@ -419,9 +415,8 @@ object Relational {
     Tables.orders(s, dir).createOrReplaceTempView("v_orders")
     Tables.lineitem(s, dir).createOrReplaceTempView("v_lineitem")
     s.sql(
-      """SELECT l_orderkey,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
-        |           (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+      s"""SELECT l_orderkey,
+        |  ${dsumDiscSql("l_extendedprice", "l_discount")} AS revenue,
         |  o_orderdate, o_orderpriority
         |FROM v_customer JOIN v_orders ON c_custkey = o_custkey
         |JOIN v_lineitem ON l_orderkey = o_orderkey
@@ -434,9 +429,8 @@ object Relational {
   }
 
   private val qSqlQ3Oracle =
-    """SELECT l_orderkey,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
-      |           (1.00 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+    s"""SELECT l_orderkey,
+      |  ${dsumDiscSql("l_extendedprice", "l_discount")} AS revenue,
       |  o_orderdate, o_orderpriority
       |FROM customer JOIN orders ON c_custkey = o_custkey
       |JOIN lineitem ON l_orderkey = o_orderkey

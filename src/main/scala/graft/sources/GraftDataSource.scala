@@ -277,7 +277,7 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
             else "")).getOrElse("")
 
     override def planInputPartitions(): Array[InputPartition] = {
-      val conf = SparkSession.active.sparkContext.hadoopConfiguration
+      val conf = SparkSession.active.sessionState.newHadoopConf()
       val root = new Path(path)
       val fs = root.getFileSystem(conf)
       val files =
@@ -298,7 +298,7 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
     override def estimateStatistics(): Statistics = new Statistics {
       private val bytes: Long =
         try {
-          val conf = SparkSession.active.sparkContext.hadoopConfiguration
+          val conf = SparkSession.active.sessionState.newHadoopConf()
           val root = new Path(path)
           val fs = root.getFileSystem(conf)
           val st = fs.getFileStatus(root)
@@ -315,11 +315,19 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
     }
 
     override def createReaderFactory(): PartitionReaderFactory =
-      new PartitionReaderFactory {
-        override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-          new GraftPartitionReader(partition.asInstanceOf[GraftFilePartition])
-      }
+      // built on the driver: capture the SESSION Hadoop configuration
+      // (spark.hadoop.* + session overrides) and ship it to executors,
+      // like Spark's own file sources — object-store credentials and
+      // custom filesystems then apply to graft reads
+      new GraftReaderFactory(new org.apache.spark.util.SerializableConfiguration(
+        SparkSession.active.sessionState.newHadoopConf()))
   }
+}
+
+private class GraftReaderFactory(conf: org.apache.spark.util.SerializableConfiguration)
+  extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new GraftPartitionReader(partition.asInstanceOf[GraftFilePartition], conf.value)
 }
 
 object GraftDataSource {
@@ -373,15 +381,19 @@ case class GraftFilePartition(file: String, full: StructType,
 /** Line reader + per-value conversion through the reference kernels.
   * Only required columns are parsed.
   *
-  * The reader builds a default Hadoop Configuration executor-side
-  * (Configuration isn't serializable): local/HDFS paths resolve from
-  * defaults; object-store schemes needing session-specific conf keys
-  * would pass them through the partition as a string map. */
-class GraftPartitionReader(p: GraftFilePartition)
+  * `hadoopConf` arrives from the driver via the reader factory's
+  * SerializableConfiguration (Configuration itself isn't
+  * serializable), so session `spark.hadoop.*` settings — object-store
+  * credentials, custom filesystems — apply executor-side. The no-conf
+  * constructor (defaults only) remains for direct library use. */
+class GraftPartitionReader(p: GraftFilePartition,
+                           hadoopConf: org.apache.hadoop.conf.Configuration)
   extends PartitionReader[InternalRow] {
 
-  private val conf = new org.apache.hadoop.conf.Configuration()
-  private val fs = new Path(p.file).getFileSystem(conf)
+  def this(p: GraftFilePartition) =
+    this(p, new org.apache.hadoop.conf.Configuration())
+
+  private val fs = new Path(p.file).getFileSystem(hadoopConf)
   private val in = new java.io.BufferedReader(
     new java.io.InputStreamReader(
       GraftPartitionReader.maybeDecompress(p.file, fs.open(new Path(p.file))),
