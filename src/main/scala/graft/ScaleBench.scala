@@ -54,7 +54,11 @@ object ScaleBench {
     "q_sql_q10", "q_events_ohlc", "q_events_anomaly", "q_text_postings",
     "q_subquery_correlated", "q_langid_trigram", "q_asof_nearest",
     "q_embed_covariance", "q_events_cooccurrence", "q_text_chunks",
-    "q_sql_q18", "q_join_null_safe", "q_agg_multi_distinct")
+    "q_sql_q18", "q_join_null_safe", "q_agg_multi_distinct",
+    // round 6: the scale twins themselves (sketch-bounds histogram,
+    // approx winsorize) and the oracle-gated minhash verify stage
+    "q_hist_equidepth_approx", "q_winsorize_approx",
+    "q_dedup_minhash_verified")
 
   def buildScaledData(spark: SparkSession, src: String, out: String, factor: Int): Unit = {
     val KEY = 100000000L // key shift per copy: far above any sf0.1 key
