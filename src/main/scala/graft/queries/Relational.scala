@@ -476,10 +476,8 @@ object Relational {
     Tables.lineitem(s, dir).createOrReplaceTempView("q10_lineitem")
     Tables.nation(s, dir).createOrReplaceTempView("q10_nation")
     s.sql(
-      """SELECT c_custkey, c_name,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
-        |           (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
-        |    AS revenue,
+      s"""SELECT c_custkey, c_name,
+        |  ${dsumDiscSql("l_extendedprice", "l_discount")} AS revenue,
         |  c_acctbal, n_name, COUNT(*) AS n_items
         |FROM q10_customer
         |JOIN q10_orders ON c_custkey = o_custkey
@@ -494,9 +492,8 @@ object Relational {
   }
 
   private val qSqlQ10Oracle =
-    """SELECT c_custkey, c_name,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
-      |           (1.00 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+    s"""SELECT c_custkey, c_name,
+      |  ${dsumDiscSql("l_extendedprice", "l_discount")} AS revenue,
       |  c_acctbal, n_name, COUNT(*) AS n_items
       |FROM customer
       |JOIN orders ON c_custkey = o_custkey
@@ -511,9 +508,10 @@ object Relational {
 
   /** Correlated scalar subqueries in the WHERE clause: orders strictly
     * above their own customer's average order value. The comparison is
-    * phrased multiplicatively (`price * n > sum`) so everything stays in
-    * exact decimal/integer arithmetic — no double average whose rounding
-    * could disagree between engines at the boundary.
+    * phrased multiplicatively (`price_cents * n > sum_cents`) so
+    * everything stays in exact integer arithmetic — no double average
+    * whose rounding could disagree between engines at the boundary, and
+    * no per-row decimal multiply (QueryUtil).
     *
     * Scale: Catalyst decorrelates both subqueries into ONE per-customer
     * aggregate joined back to orders (RewriteCorrelatedScalarSubquery) —
@@ -522,23 +520,23 @@ object Relational {
   def qSubqueryCorrelated(s: SparkSession, dir: String): DataFrame = {
     Tables.orders(s, dir).createOrReplaceTempView("v_orders_corr")
     s.sql(
-      """SELECT o_custkey, o_orderkey, o_totalprice
+      s"""SELECT o_custkey, o_orderkey, o_totalprice
         |FROM v_orders_corr o
-        |WHERE CAST(o_totalprice AS DECIMAL(12,2)) *
+        |WHERE ${centsSql("o_totalprice")} *
         |    (SELECT COUNT(*) FROM v_orders_corr i
         |     WHERE i.o_custkey = o.o_custkey)
-        |  > (SELECT SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+        |  > (SELECT SUM(${centsSql("o_totalprice")})
         |     FROM v_orders_corr i WHERE i.o_custkey = o.o_custkey)
         |ORDER BY o_custkey, o_orderkey""".stripMargin)
   }
 
   private val qSubqueryCorrelatedOracle =
-    """SELECT o_custkey, o_orderkey, o_totalprice
+    s"""SELECT o_custkey, o_orderkey, o_totalprice
       |FROM orders o
-      |WHERE CAST(o_totalprice AS DECIMAL(12,2)) *
+      |WHERE ${centsSql("o_totalprice")} *
       |    (SELECT COUNT(*) FROM orders i
       |     WHERE i.o_custkey = o.o_custkey)
-      |  > (SELECT SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+      |  > (SELECT SUM(${centsSql("o_totalprice")})
       |     FROM orders i WHERE i.o_custkey = o.o_custkey)
       |ORDER BY o_custkey, o_orderkey""".stripMargin
 
@@ -551,31 +549,34 @@ object Relational {
     Tables.customer(s, dir).createOrReplaceTempView("q18_customer")
     Tables.orders(s, dir).createOrReplaceTempView("q18_orders")
     Tables.lineitem(s, dir).createOrReplaceTempView("q18_lineitem")
+    // integer-cents sums (QueryUtil): the decimal form costs a
+    // BigDecimal.valueOf+setScale per ROW over both lineitem passes —
+    // the HAVING threshold becomes an exact integer compare
     s.sql(
-      """SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+      s"""SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+        |  ${dsumSql("l_quantity")} AS sum_qty
         |FROM q18_customer
         |JOIN q18_orders ON c_custkey = o_custkey
         |JOIN q18_lineitem ON o_orderkey = l_orderkey
         |WHERE o_orderkey IN (
         |  SELECT l_orderkey FROM q18_lineitem
         |  GROUP BY l_orderkey
-        |  HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 180)
+        |  HAVING SUM(${centsSql("l_quantity")}) > 18000)
         |GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
         |ORDER BY o_totalprice DESC, o_orderkey
         |LIMIT 100""".stripMargin)
   }
 
   private val qSqlQ18Oracle =
-    """SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+    s"""SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+      |  ${dsumSql("l_quantity")} AS sum_qty
       |FROM customer
       |JOIN orders ON c_custkey = o_custkey
       |JOIN lineitem ON o_orderkey = l_orderkey
       |WHERE o_orderkey IN (
       |  SELECT l_orderkey FROM lineitem
       |  GROUP BY l_orderkey
-      |  HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 180)
+      |  HAVING SUM(${centsSql("l_quantity")}) > 18000)
       |GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
       |ORDER BY o_totalprice DESC, o_orderkey
       |LIMIT 100""".stripMargin
@@ -693,35 +694,38 @@ object Relational {
       .orderBy(col("o_orderdate"), col("o_orderkey"))
       .rowsBetween(-2, Window.currentRow)
     Tables.orders(s, dir)
-      .withColumn("moving_spend", sum(money(col("o_totalprice"))).over(w).cast(DoubleType))
+      .withColumn("moving_spend",
+        sum(cents(col("o_totalprice"))).over(w).cast(DoubleType) / 100.0)
       .select("o_custkey", "o_orderkey", "o_totalprice", "moving_spend")
       .orderBy("o_custkey", "o_orderkey")
   }
 
   private val qWindowFrameOracle =
     s"""SELECT o_custkey, o_orderkey, o_totalprice,
-       |  CAST(SUM(${moneySql("o_totalprice")}) OVER (PARTITION BY o_custkey
+       |  CAST(SUM(${centsSql("o_totalprice")}) OVER (PARTITION BY o_custkey
        |    ORDER BY o_orderdate, o_orderkey
-       |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_spend
+       |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0 AS moving_spend
        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin
 
   /** Order-over-order delta per customer with lag/lead. */
   def qWindowLag(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_orderdate"), col("o_orderkey"))
-    val tp = money(col("o_totalprice"))
+    val tp = cents(col("o_totalprice"))
     Tables.orders(s, dir)
-      .withColumn("delta_prev", (tp - lag(tp, 1).over(w)).cast(DoubleType))
-      .withColumn("delta_next", (lead(tp, 1).over(w) - tp).cast(DoubleType))
+      .withColumn("delta_prev",
+        (tp - lag(tp, 1).over(w)).cast(DoubleType) / 100.0)
+      .withColumn("delta_next",
+        (lead(tp, 1).over(w) - tp).cast(DoubleType) / 100.0)
       .select("o_custkey", "o_orderkey", "o_totalprice", "delta_prev", "delta_next")
       .orderBy("o_custkey", "o_orderkey")
   }
 
   private val qWindowLagOracle = {
-    val tp = moneySql("o_totalprice")
+    val tp = centsSql("o_totalprice")
     s"""SELECT o_custkey, o_orderkey, o_totalprice,
-       |  CAST($tp - LAG($tp, 1) OVER w AS DOUBLE) AS delta_prev,
-       |  CAST(LEAD($tp, 1) OVER w - $tp AS DOUBLE) AS delta_next
+       |  CAST($tp - LAG($tp, 1) OVER w AS DOUBLE) / 100.0 AS delta_prev,
+       |  CAST(LEAD($tp, 1) OVER w - $tp AS DOUBLE) / 100.0 AS delta_next
        |FROM orders
        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
        |ORDER BY o_custkey, o_orderkey""".stripMargin
@@ -1066,7 +1070,8 @@ object Relational {
         col("o_totalprice"))
       .select(col("o_orderkey"), col("o_orderpriority"), col("d"),
         count(lit(1)).over(w).as("n_7d"),
-        sum(money(col("o_totalprice"))).over(w).cast(DoubleType).as("rev_7d"))
+        (sum(cents(col("o_totalprice"))).over(w).cast(DoubleType) / 100.0)
+          .as("rev_7d"))
       .orderBy("o_orderkey")
   }
 
@@ -1078,7 +1083,7 @@ object Relational {
        |  FROM orders)
        |SELECT o_orderkey, o_orderpriority, d,
        |  COUNT(*) OVER w AS n_7d,
-       |  CAST(SUM(${moneySql("o_totalprice")}) OVER w AS DOUBLE) AS rev_7d
+       |  CAST(SUM(${centsSql("o_totalprice")}) OVER w AS DOUBLE) / 100.0 AS rev_7d
        |FROM t
        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY d
        |  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
