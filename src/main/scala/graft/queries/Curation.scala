@@ -324,6 +324,97 @@ object Curation {
       |WHERE ((doc_id % 1000000007) * 2654435761) % 1000000007 % 100 < 10
       |ORDER BY doc_id""".stripMargin
 
+  /** Stratified hash sample: each language stratum keeps a DIFFERENT
+    * rate — the knob a training-mix pipeline turns to rebalance a
+    * web-skewed corpus (downsample the dominant language, keep the
+    * long tail). Same deterministic multiplicative-hash Bernoulli
+    * trial as q_sample_hash, so strata are rerun- and scale-stable and
+    * the per-language rates compose into one map-side predicate. The
+    * output is the sampling MANIFEST (per-stratum kept/total counts,
+    * kept bytes, kept-key checksum) — what the mix designer audits
+    * before launching the real multi-day write.
+    *
+    * Scale: the trial is map-side arithmetic on each row; the manifest
+    * is one combine-friendly groupBy with `|langs|` groups. No second
+    * pass, no window, no per-stratum job. */
+  def qSampleStratified(s: SparkSession, dir: String): DataFrame = {
+    val bucket = pmod(
+      pmod(col("doc_id"), lit(1000000007L)) * lit(2654435761L),
+      lit(100L))
+    // en is the over-represented stratum: keep 20 %; mid-resource zh
+    // keeps 60 %; the long tail (de/es/fr) keeps everything.
+    val rate = when(col("lang") === "en", 20)
+      .when(col("lang") === "zh", 60)
+      .otherwise(100)
+    val kept = (bucket < rate).cast(LongType)
+    Tables.documents(s, dir)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(kept).cast(LongType).as("n_kept"),
+        sum(kept * col("n_chars")).cast(LongType).as("kept_chars"),
+        sum(kept * col("doc_id")).cast(LongType).as("kept_key_sum"))
+      .orderBy("lang")
+  }
+
+  private val qSampleStratifiedOracle =
+    """SELECT lang, COUNT(*) AS n_total,
+      |  CAST(SUM(kept) AS BIGINT) AS n_kept,
+      |  CAST(SUM(kept * n_chars) AS BIGINT) AS kept_chars,
+      |  CAST(SUM(kept * doc_id) AS BIGINT) AS kept_key_sum
+      |FROM (
+      |  SELECT lang, n_chars, doc_id,
+      |    CASE WHEN ((doc_id % 1000000007) * 2654435761) % 100 <
+      |      (CASE WHEN lang = 'en' THEN 20
+      |            WHEN lang = 'zh' THEN 60 ELSE 100 END)
+      |    THEN 1 ELSE 0 END AS kept
+      |  FROM documents)
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** Deterministic train/validation/test holdout split — the
+    * contamination firewall every training corpus needs: membership is
+    * a pure function of the stable document key (never `rand()`, which
+    * re-deals the split on every rerun/retry and leaks eval docs into
+    * training). Hash bucket 0-89 → train, 90-94 → val, 95-99 → test.
+    * The output is the split manifest (counts, bytes, key checksum and
+    * range per split) — the audit artifact recorded next to the run.
+    *
+    * Scale: map-side bucket arithmetic + one 3-group aggregation; the
+    * actual split write is then three disjoint filters over the same
+    * scan (or one partitioned write on split_name). */
+  def qSplitHoldout(s: SparkSession, dir: String): DataFrame = {
+    val bucket = pmod(
+      pmod(col("doc_id"), lit(1000000007L)) * lit(2654435761L),
+      lit(100L))
+    val split = when(bucket < 90, "train")
+      .when(bucket < 95, "val")
+      .otherwise("test")
+    Tables.documents(s, dir)
+      .withColumn("split_name", split)
+      .groupBy(col("split_name"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast(LongType).as("total_chars"),
+        sum(col("doc_id")).cast(LongType).as("key_sum"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+      .orderBy("split_name")
+  }
+
+  private val qSplitHoldoutOracle =
+    """SELECT CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val'
+      |  ELSE 'test' END AS split_name,
+      |  COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      |  CAST(SUM(doc_id) AS BIGINT) AS key_sum,
+      |  MIN(doc_id) AS min_doc,
+      |  MAX(doc_id) AS max_doc
+      |FROM (
+      |  SELECT doc_id, n_chars,
+      |    ((doc_id % 1000000007) * 2654435761) % 100 AS b
+      |  FROM documents)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ── deterministic output sharding ──────────────────────────────────
 
   /** Shard assignment for the output-writing stage: every document maps
@@ -417,6 +508,8 @@ object Curation {
     "q_dedup_url" -> (qDedupUrl _),
     "q_url_extract" -> (qUrlExtract _),
     "q_sample_hash" -> ((s, d) => qSampleHash(s, d)),
+    "q_sample_stratified" -> (qSampleStratified _),
+    "q_split_holdout" -> (qSplitHoldout _),
     "q_pii_scrub" -> (qPiiScrub _),
     "q_decontaminate" -> (qDecontaminate _),
     "q_bloom_decontaminate" -> ((s, d) => qBloomDecontaminate(s, d)),
@@ -430,6 +523,8 @@ object Curation {
     "q_dedup_url" -> qDedupUrlOracle,
     "q_url_extract" -> qUrlExtractOracle,
     "q_sample_hash" -> qSampleHashOracle,
+    "q_sample_stratified" -> qSampleStratifiedOracle,
+    "q_split_holdout" -> qSplitHoldoutOracle,
     "q_pii_scrub" -> qPiiScrubOracle,
     "q_decontaminate" -> qDecontaminateOracle,
     "q_data_mix" -> qDataMixOracle,

@@ -42,6 +42,40 @@ class CurationSpec extends SparkSpec {
     assert(out.map(_.getLong(0)).toSeq == again.map(_.getLong(0)).toSeq)
   }
 
+  test("stratified sample respects per-stratum rates and is deterministic") {
+    val out = Curation.qSampleStratified(spark, sf).collect()
+    assert(out.nonEmpty)
+    val byLang = out.map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2))).toMap
+    byLang.foreach { case (lang, (total, kept)) =>
+      assert(kept <= total, s"$lang kept > total")
+      assert(kept >= 0)
+    }
+    // the downsampled stratum keeps a strictly smaller share than the
+    // keep-everything tail (rates 20 % vs 100 %)
+    byLang.get("en").zip(byLang.get("fr")).foreach {
+      case ((enT, enK), (frT, frK)) =>
+        assert(frK == frT, "tail stratum keeps everything")
+        assert(enK.toDouble / enT < 0.5, s"en keep share too high: $enK/$enT")
+    }
+    val again = Curation.qSampleStratified(spark, sf).collect()
+    assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
+  test("holdout split partitions the corpus with stable membership") {
+    val out = Curation.qSplitHoldout(spark, sf).collect()
+    val names = out.map(_.getString(0)).toSet
+    assert(names == Set("train", "val", "test"))
+    val total = out.map(_.getLong(1)).sum
+    val corpus = graft.Tables.documents(spark, sf).count()
+    assert(total == corpus, "splits must partition the corpus exactly")
+    val train = out.find(_.getString(0) == "train").get.getLong(1)
+    assert(train.toDouble / total > 0.75, "train must dominate (≈90 %)")
+    // membership is a pure function of the key: rerun manifests match
+    val again = Curation.qSplitHoldout(spark, sf).collect()
+    assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
   test("doc repetition ratios are consistent (distinct <= total, shares in (0,1])") {
     Curation.qDocRepetition(spark, sf).collect().foreach { r =>
       val (n, d) = (r.getLong(1), r.getLong(2))
