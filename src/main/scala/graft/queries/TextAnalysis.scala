@@ -498,7 +498,105 @@ object TextAnalysis {
       |    list_slice(list(doc_id ORDER BY doc_id), 1, 8), ',') AS postings8
       |FROM pd GROUP BY term ORDER BY term""".stripMargin
 
+  /** Corpus n-gram frequency table, the language-model counting job:
+    * every word bigram in every document, counted by occurrence AND by
+    * document frequency, top-k by count. The tokenizer is the same
+    * codegen `WordNgrams` kernel the dedup family uses (one linear pass
+    * per row, no HOF chain), so the gram universe is identical across
+    * the dedup/minhash/count surfaces.
+    *
+    * Scale: explode → groupBy is the canonical partial+final count
+    * (map-side combine collapses each partition's repeats before the
+    * shuffle; the shuffle carries one row per distinct gram per
+    * partition); the top-k is TakeOrderedAndProject (per-partition
+    * bounded heap, never a global sort). The doc-frequency column adds
+    * one Expand pass, same plan family as q_agg_multi_distinct. At
+    * 100 TB this runs exactly as written — n-gram counting is the
+    * textbook map-reduce job and this IS its Spark plan. */
+  def qNgramCounts(s: SparkSession, dir: String, k: Int = 100): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(graft.functions.WordNgrams.grams(col("text"), 2)).as("gram"))
+      .groupBy(col("gram"))
+      .agg(
+        count(lit(1)).as("n_occurrences"),
+        count_distinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n_occurrences").desc, col("gram"))
+      .limit(k)
+
+  private val qNgramCountsOracle =
+    """WITH g AS (
+      |  SELECT doc_id, unnest(list_transform(
+      |    range(1, len(string_split_regex(trim(text), '\s+'))),
+      |    i -> string_split_regex(trim(text), '\s+')[i] || ' ' ||
+      |         string_split_regex(trim(text), '\s+')[i+1])) AS gram
+      |  FROM documents)
+      |SELECT gram, COUNT(*) AS n_occurrences,
+      |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+      |FROM g GROUP BY gram
+      |ORDER BY n_occurrences DESC, gram LIMIT 100""".stripMargin
+
+  /** Heavy hitters with BOUNDED memory: per-partition Misra-Gries
+    * summaries (≤ m counters, the decrement-all step on overflow) name
+    * the candidate grams, then one exact rescan counts ONLY the
+    * candidates (broadcast semi-join — the same candidate+verify shape
+    * as the minhash family). The Misra-Gries guarantee makes the
+    * output provably EXACT, not heuristic: any gram with global count
+    * > N/m survives in at least one partition's summary (a gram missed
+    * everywhere was decremented away against ≤ Nₚ/m distinct batches
+    * per partition, ≤ N/m total), so whenever the true k-th count
+    * exceeds N/m — asserted with wide margin at every test SF — the
+    * candidate set contains the whole top-k and the rescan returns the
+    * exact answer. HeavyHittersSpec pins the ε-regime property on a
+    * skewed fixture with m far below the vocabulary.
+    *
+    * Scale: this is THE bounded-memory answer to "top-k over 100 TB
+    * where the exact groupBy state would blow the executors" — stage 1
+    * is embarrassingly parallel with O(m) state per task and emits ≤ m
+    * rows per partition (mapPartitions is justified: a decrementing
+    * counter summary has no Catalyst equivalent); stage 2's shuffle
+    * carries only candidate grams. Two scans, O(m·partitions) shuffle
+    * bytes, never a wide aggregation over the full gram universe. */
+  def qHeavyHitters(s: SparkSession, dir: String, k: Int = 20,
+                    m: Int = 1024): DataFrame = {
+    import s.implicits._
+    val grams = Tables.documents(s, dir)
+      .select(explode(graft.functions.WordNgrams.grams(col("text"), 2))
+        .as("gram"))
+    val candidates = grams.as[String].mapPartitions { it =>
+      val counters = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { g =>
+        counters.get(g) match {
+          case Some(c) => counters(g) = c + 1
+          case None if counters.size < m => counters(g) = 1L
+          case None =>
+            counters.mapValuesInPlace((_, v) => v - 1)
+            counters.filterInPlace((_, v) => v > 0)
+        }
+      }
+      counters.keysIterator
+    }.toDF("gram").distinct()
+    grams.join(broadcast(candidates), Seq("gram"), "left_semi")
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("gram"))
+      .limit(k)
+  }
+
+  private val qHeavyHittersOracle =
+    """WITH g AS (
+      |  SELECT unnest(list_transform(
+      |    range(1, len(string_split_regex(trim(text), '\s+'))),
+      |    i -> string_split_regex(trim(text), '\s+')[i] || ' ' ||
+      |         string_split_regex(trim(text), '\s+')[i+1])) AS gram
+      |  FROM documents)
+      |SELECT gram, COUNT(*) AS n_occurrences
+      |FROM g GROUP BY gram
+      |ORDER BY n_occurrences DESC, gram LIMIT 20""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ngram_counts" -> ((s, d) => qNgramCounts(s, d)),
+    "q_heavy_hitters" -> ((s, d) => qHeavyHitters(s, d)),
     "q_text_postings" -> (qTextPostings _),
     "q_text_chunks" -> ((s, d) => qTextChunks(s, d)),
     "q_langid_trigram" -> ((s, d) => qLangidTrigram(s, d)),
@@ -514,6 +612,8 @@ object TextAnalysis {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_ngram_counts" -> qNgramCountsOracle,
+    "q_heavy_hitters" -> qHeavyHittersOracle,
     "q_text_postings" -> qTextPostingsOracle,
     "q_text_chunks" -> qTextChunksOracle,
     "q_langid_trigram" -> qLangidTrigramOracle,
