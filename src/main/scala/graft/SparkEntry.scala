@@ -25,6 +25,7 @@ object SparkEntry {
       graft.queries.Extensions.queries ++
       graft.queries.Curation.queries ++
       graft.queries.Profiling.queries ++
+      graft.queries.Graph.queries ++
       graft.queries.Ingest.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -39,5 +40,6 @@ object SparkEntry {
       graft.queries.Extensions.oracleSql ++
       graft.queries.Curation.oracleSql ++
       graft.queries.Profiling.oracleSql ++
+      graft.queries.Graph.oracleSql ++
       graft.queries.Ingest.oracleSql
 }
