@@ -556,7 +556,75 @@ object Events {
        |  COUNT(*) AS n_events, ${dsumSql("value")} AS sum_value
        |FROM t GROUP BY event_type, bar ORDER BY event_type, bar""".stripMargin
 
+  /** SCD Type-2 interval build — the change-data-capture versioning job:
+    * collapse each user's consecutive runs of the same event_type into
+    * [valid_from, valid_to) versions with an is_current flag on the open
+    * run. This is the "gaps and islands" shape every warehouse dimension
+    * load runs: a change flag via lag, a running sum of flags numbering
+    * the islands, one aggregate per island, and a lead stitching each
+    * version's end to the next version's start.
+    *
+    * Scale: all three window passes share ONE partitioning (user_id), so
+    * Catalyst plans a single exchange + sort; the island aggregate is a
+    * combine-friendly groupBy on (user, version). Nothing global — the
+    * 100 TB form is identical with user_id as the distribution key. */
+  def qScd2Build(s: SparkSession, dir: String): DataFrame = {
+    val wOrd = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wVer = Window.partitionBy(col("user_id")).orderBy(col("version"))
+    val changed = when(
+      lag(col("event_type"), 1).over(
+        Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_us"), col("event_id")))
+        =!= col("event_type"), 1L)
+      .otherwise(lit(0L)) // first row per user: lag is NULL -> =!= is NULL -> otherwise(0)
+    Tables.events(s, dir)
+      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("chg", changed)
+      .withColumn("version", sum(col("chg")).over(wOrd))
+      .groupBy(col("user_id"), col("version"))
+      .agg(
+        min(col("event_type")).as("attr_value"),
+        min(col("ts_us")).as("valid_from"),
+        count(lit(1)).as("n_events"))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(wVer))
+      .select(col("user_id"), col("version"), col("attr_value"),
+        col("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"), col("n_events"))
+      .orderBy("user_id", "version")
+  }
+
+  private val qScd2BuildOracle =
+    """WITH flagged AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
+      |    CASE WHEN lag(event_type, 1) OVER w IS NOT NULL
+      |           AND lag(event_type, 1) OVER w <> event_type
+      |      THEN 1 ELSE 0 END AS chg
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+      |versioned AS (
+      |  SELECT user_id, event_type, ts_us,
+      |    SUM(chg) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS version
+      |  FROM flagged),
+      |islands AS (
+      |  SELECT user_id, version,
+      |    MIN(event_type) AS attr_value,
+      |    MIN(ts_us) AS valid_from,
+      |    COUNT(*) AS n_events
+      |  FROM versioned GROUP BY user_id, version)
+      |SELECT user_id, CAST(version AS BIGINT) AS version, attr_value,
+      |  valid_from,
+      |  lead(valid_from, 1) OVER (PARTITION BY user_id ORDER BY version)
+      |    AS valid_to,
+      |  lead(valid_from, 1) OVER (PARTITION BY user_id ORDER BY version)
+      |    IS NULL AS is_current,
+      |  n_events
+      |FROM islands ORDER BY user_id, version""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_scd2_build" -> (qScd2Build _),
     "q_events_ohlc" -> (qEventsOhlc _),
     "q_events_anomaly" -> (qEventsAnomaly _),
     "q_events_session_window" -> (qEventsSessionWindow _),
@@ -573,6 +641,7 @@ object Events {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_scd2_build" -> qScd2BuildOracle,
     "q_events_ohlc" -> qEventsOhlcOracle,
     "q_events_anomaly" -> qEventsAnomalyOracle,
     "q_events_session_window" -> qEventsSessionWindowOracle,

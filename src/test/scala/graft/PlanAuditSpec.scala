@@ -99,6 +99,28 @@ class PlanAuditSpec extends SparkSpec {
     assert(centEx <= 1, s"q_embed_centroid exceeded 1 hash exchange:\n${cent.take(1200)}")
   }
 
+  test("round-6 queries keep their declared plan shapes") {
+    def hashEx(plan: String): Int =
+      "Exchange hashpartitioning".r.findAllIn(plan).length
+    // SCD2: lag + running-sum + island-agg + lead all share the user_id
+    // partitioning — ONE hash exchange plus the output sort
+    val scd2 = graft.queries.Events.qScd2Build(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(hashEx(scd2) <= 2, s"q_scd2_build exceeded 2 hash exchanges:\n${scd2.take(1500)}")
+    // stratified sample and holdout split: map-side trial + one manifest agg
+    Seq(graft.queries.Curation.qSampleStratified(spark, sf),
+      graft.queries.Curation.qSplitHoldout(spark, sf)).foreach { df =>
+      val p = df.queryExecution.executedPlan.toString
+      assert(hashEx(p) <= 1, s"manifest query grew a shuffle:\n${p.take(1200)}")
+    }
+    // ngram counts: explode + partial/final count + Expand for the doc
+    // frequency, topped by TakeOrderedAndProject (never a global sort)
+    val ng = graft.queries.TextAnalysis.qNgramCounts(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(ng.contains("TakeOrderedAndProject"),
+      s"q_ngram_counts top-k must be TakeOrderedAndProject:\n${ng.take(1200)}")
+  }
+
   test("filters push down to the parquet scan") {
     val plan = graft.queries.Relational.qFilterPred(spark, sf)
       .queryExecution.executedPlan.toString
