@@ -536,6 +536,66 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming exact dedup: in-watermark replays drop, batch-distinct parity, late replays accounted") {
+    // The streaming twin of q_dedup_exact's at-least-once delivery
+    // problem: upstream replays re-deliver rows; the stream must emit
+    // each key once while bounding state by the watermark. Semantics
+    // pinned here: (a) replays whose original is WITHIN the watermark
+    // window dedup exactly like batch DISTINCT; (b) replays older than
+    // the watermark are accounted explicitly rather than assumed away.
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_sdd_src").toString
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("ts_ts"), col("event_type"))
+    val rows = ev.orderBy("ts_ts").collect()
+    val (b1, b2) = rows.splitAt(rows.length * 2 / 3)
+    val schema = ev.schema
+    // batch 1 carries IN-BATCH duplicates of its own last five rows
+    val inBatchDups = b1.takeRight(5)
+    // batch 2 carries (i) fresh duplicates of batch-1 rows stamped in the
+    // last 24 h of batch 1 (inside the 2-day watermark at delivery time)
+    // and (ii) replays of batch 1's five EARLIEST rows (days below it)
+    val maxB1 = b1.last.getTimestamp(2).getTime
+    val recentDups = b1.filter(_.getTimestamp(2).getTime > maxB1 - 24 * 3600 * 1000L).take(5)
+    assert(recentDups.length == 5, "fixture needs rows near batch 1's max event time")
+    val lateReplays = b1.take(5)
+    spark.createDataFrame(java.util.Arrays.asList((b1 ++ inBatchDups): _*), schema)
+      .write.mode("overwrite").parquet(srcDir)
+    val deduped = spark.readStream.schema(schema).parquet(srcDir)
+      .withWatermark("ts_ts", "2 days")
+      .dropDuplicatesWithinWatermark("event_id")
+    val q = deduped.writeStream
+      .outputMode("append").format("memory").queryName("sdd_out").start()
+    try {
+      q.processAllAvailable()
+      spark.createDataFrame(
+        java.util.Arrays.asList((b2 ++ recentDups ++ lateReplays): _*), schema)
+        .write.mode("append").parquet(srcDir)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("sdd_out").collect()
+      .map(_.getLong(0)).groupBy(identity).view.mapValues(_.length).toMap
+    val onTimeKeys = rows.map(_.getLong(0)).toSet
+    val lateKeys = lateReplays.map(_.getLong(0)).toSet
+    // (a) every on-time key emits; in-batch and in-watermark replays
+    // collapse to ONE emission per key — exactly batch DISTINCT
+    onTimeKeys.diff(lateKeys).foreach { k =>
+      assert(got.getOrElse(k, 0) == 1, s"key $k emitted ${got.getOrElse(k, 0)}x, want 1")
+    }
+    // (b) replays below the watermark: their keys' state is already
+    // evicted, so the outcome is version-defined — this Spark FILTERS
+    // input older than the watermark (replay vanishes, count stays 1);
+    // a re-emission (count 2) is the other legal outcome a downstream
+    // idempotent sink must absorb. Pinned so an upgrade surfaces any
+    // semantic change.
+    val lateCounts = lateKeys.map(k => got.getOrElse(k, 0))
+    assert(lateCounts.forall(c => c == 1 || c == 2),
+      s"late replay emission counts out of range: $lateCounts")
+    val reEmitted = lateCounts.count(_ == 2)
+    info(s"late replays re-emitted: $reEmitted of ${lateKeys.size}")
+    // batch-distinct parity over the on-time universe
+    assert(got.keySet == onTimeKeys, "emitted key set must equal the distinct batch keys")
+  }
+
   test("session split core handles gaps and singletons") {
     val gap = Sessionize.DefaultGapUs
     val out = Sessionize.split(1L, Seq(0L, 10L, gap + 20L, gap + 30L, 3 * gap + 100L), gap)
