@@ -21,7 +21,11 @@ object Explain {
     // round 6: the scale-safe equi-depth histogram (sketch bounds
     // broadcast + map-side binning — NO single-task window, contrast
     // with q_hist_equidepth's global ntile) and its winsorize sibling
-    "q_hist_equidepth_approx", "q_winsorize_approx")
+    "q_hist_equidepth_approx", "q_winsorize_approx",
+    // round-6 second wave: iterated integer PageRank join rounds,
+    // single-exchange SCD2 windows, Misra-Gries candidate semi-join,
+    // map-side split manifest
+    "q_pagerank", "q_scd2_build", "q_heavy_hitters", "q_split_holdout")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -58,7 +58,12 @@ object ScaleBench {
     // round 6: the scale twins themselves (sketch-bounds histogram,
     // approx winsorize) and the oracle-gated minhash verify stage
     "q_hist_equidepth_approx", "q_winsorize_approx",
-    "q_dedup_minhash_verified")
+    "q_dedup_minhash_verified",
+    // round-6 second wave: iterated integer PageRank, single-exchange
+    // SCD2 windows, bounded-memory heavy hitters, the n-gram count job,
+    // and the map-side sampling/split manifests
+    "q_pagerank", "q_scd2_build", "q_heavy_hitters", "q_ngram_counts",
+    "q_sample_stratified", "q_split_holdout")
 
   def buildScaledData(spark: SparkSession, src: String, out: String, factor: Int): Unit = {
     val KEY = 100000000L // key shift per copy: far above any sf0.1 key
