@@ -528,7 +528,69 @@ object Dedup {
       |WHERE levenshtein(a.pfx, b.pfx) <= 20
       |ORDER BY a_id, b_id""".stripMargin
 
+  /** Incremental (new-batch-vs-corpus) dedup — the shape every
+    * continuously-ingesting corpus runs nightly: an incoming batch is
+    * screened against the EXISTING corpus and only unseen content is
+    * admitted. The incoming batch here is the genuinely-new tail
+    * (doc_id ≥ thr) plus deterministic re-crawl replays (every 5th
+    * corpus doc re-submitted under a fresh id — the at-least-once
+    * crawler reality), so the screen provably fires. Output is the
+    * admission manifest per source: batch size, admitted, rejected,
+    * admitted-key checksum.
+    *
+    * Scale: one left join of the batch against the corpus's DISTINCT
+    * text keys + one manifest groupBy. At 100 TB the join key becomes
+    * xxhash64(text) (collision-safe at 2⁻⁶⁴ per pair) so the shuffle
+    * carries 8-byte keys instead of documents, and the corpus side is
+    * a pre-bucketed hash index the nightly job co-locates with — the
+    * join is then shuffle-free on the corpus side. Near-dup screening
+    * composes on top as a minhash band-key anti-join (q_dedup_minhash's
+    * candidate stage with the corpus's precomputed band table). */
+  def qDedupIncremental(s: SparkSession, dir: String, thr: Long = 300): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val corpus = docs.filter(col("doc_id") < thr)
+    val replays = corpus.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + lit(100000L)).as("doc_id"), col("text"),
+        col("lang"), col("source"), col("n_chars"))
+    val batch = docs.filter(col("doc_id") >= thr)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+      .unionByName(replays)
+    val seen = corpus.select(col("text")).distinct()
+      .withColumn("dup", lit(1L))
+    batch.join(seen, Seq("text"), "left")
+      .withColumn("rejected", coalesce(col("dup"), lit(0L)))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_batch"),
+        sum(lit(1L) - col("rejected")).cast(LongType).as("n_admitted"),
+        sum(col("rejected")).cast(LongType).as("n_rejected"),
+        sum(when(col("rejected") === 0, col("doc_id")).otherwise(lit(0L)))
+          .cast(LongType).as("admitted_key_sum"))
+      .orderBy("source")
+  }
+
+  private val qDedupIncrementalOracle =
+    """WITH corpus AS (SELECT * FROM documents WHERE doc_id < 300),
+      |batch AS (
+      |  SELECT doc_id, text, lang, source, n_chars FROM documents
+      |  WHERE doc_id >= 300
+      |  UNION ALL
+      |  SELECT doc_id + 100000, text, lang, source, n_chars FROM corpus
+      |  WHERE doc_id % 5 = 0),
+      |marked AS (
+      |  SELECT b.doc_id, b.source,
+      |    CASE WHEN EXISTS (SELECT 1 FROM corpus c WHERE c.text = b.text)
+      |      THEN 1 ELSE 0 END AS rejected
+      |  FROM batch b)
+      |SELECT source, COUNT(*) AS n_batch,
+      |  CAST(SUM(1 - rejected) AS BIGINT) AS n_admitted,
+      |  CAST(SUM(rejected) AS BIGINT) AS n_rejected,
+      |  CAST(SUM(CASE WHEN rejected = 0 THEN doc_id ELSE 0 END) AS BIGINT)
+      |    AS admitted_key_sum
+      |FROM marked GROUP BY source ORDER BY source""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_incremental" -> ((s, d) => qDedupIncremental(s, d)),
     "q_dedup_edit" -> ((s, d) => qDedupEdit(s, d)),
     "q_dedup_paragraph" -> ((s, d) => qDedupParagraph(s, d)),
     "q_dedup_containment" -> (qDedupContainment _),
@@ -542,6 +604,7 @@ object Dedup {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_dedup_incremental" -> qDedupIncrementalOracle,
     "q_dedup_edit" -> qDedupEditOracle,
     "q_dedup_paragraph" -> qDedupParagraphOracle,
     "q_dedup_containment" -> qDedupContainmentOracle,

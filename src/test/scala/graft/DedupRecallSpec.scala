@@ -148,4 +148,20 @@ class DedupRecallSpec extends SparkSpec {
     assert((ham3 -- got).isEmpty,
       s"banding lost ${(ham3 -- got).size} of ${ham3.size} Hamming<=3 pairs")
   }
+
+  test("incremental dedup admits every new doc and rejects every replay") {
+    val rows = Dedup.qDedupIncremental(spark, sf01).collect()
+    val (batch, admitted, rejected) =
+      (rows.map(_.getLong(1)).sum, rows.map(_.getLong(2)).sum,
+        rows.map(_.getLong(3)).sum)
+    assert(batch == admitted + rejected, "manifest must partition the batch")
+    // replays are byte-identical corpus texts: all must be screened out
+    val nReplays = Tables.documents(spark, sf01)
+      .filter(org.apache.spark.sql.functions.col("doc_id") < 300)
+      .filter(org.apache.spark.sql.functions.expr("doc_id % 5 = 0")).count()
+    assert(nReplays > 0 && rejected >= nReplays,
+      s"screen must fire on all $nReplays replays, rejected only $rejected")
+    // the genuinely-new tail survives unless it collides with corpus text
+    assert(admitted > 0)
+  }
 }
