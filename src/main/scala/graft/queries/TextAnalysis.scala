@@ -594,7 +594,98 @@ object TextAnalysis {
       |FROM g GROUP BY gram
       |ORDER BY n_occurrences DESC, gram LIMIT 20""".stripMargin
 
+  /** BPE tokenizer training, the inner loop: start from character-level
+    * symbol sequences over the WEIGHTED word table (pair statistics ride
+    * on vocab × frequency, never the raw corpus), then per step count
+    * adjacent symbol pairs, pick the global argmax (total order: count
+    * desc, pair asc), and merge it everywhere. Output = the merge table
+    * (step, pair, count) — the artifact a tokenizer trainer persists.
+    *
+    * Determinism across engines: symbol sequences are flat strings with
+    * a TWO-space separator and single-space borders, so the merge is a
+    * literal `replace(" x  y ", " xy ")` — the double space means one
+    * pair's match cannot consume the next occurrence's border, and both
+    * engines' left-to-right non-overlapping scans merge the identical
+    * occurrence set (" x  y  x  y " → " xy  xy " in BOTH; a single-space
+    * encoding would leave the second occurrence unmerged). Pair
+    * extraction reuses the codegen `WordNgrams` kernel (\s+ collapses
+    * the double separator).
+    *
+    * Scale: each step is one explode+sum over the weighted vocab and one
+    * map-side replace; the argmax is a 1-row TakeOrdered collect (8
+    * bytes to the driver per step — the merge decision is inherently a
+    * global reduce, exactly what a distributed BPE trainer broadcasts
+    * between rounds). Steps are data-dependent sequential jobs; the
+    * vocab table is cached eagerly via localCheckpoint so the corpus
+    * tokenization runs ONCE, not once per step. */
+  def qBpeMerges(s: SparkSession, dir: String, steps: Int = 3): DataFrame = {
+    import s.implicits._
+    val words = Tables.documents(s, dir)
+      .select(explode(split(trim(col("text")), "\\s+")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("w"))
+    var syms = words.select(
+      concat(lit(" "), concat_ws("  ", split(col("word"), "")), lit(" ")).as("sym"),
+      col("w")).localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+    for (step <- 1 to steps) {
+      val top = syms
+        .select(explode(graft.functions.WordNgrams.grams(col("sym"), 2)).as("pair"),
+          col("w"))
+        .groupBy("pair").agg(sum(col("w")).as("c"))
+        .orderBy(col("c").desc, col("pair")).limit(1).collect()
+      if (top.nonEmpty) {
+        val pair = top(0).getString(0)
+        val c = top(0).getLong(1)
+        merges += ((step.toLong, pair, c))
+        val Array(x, y) = pair.split(" ", 2)
+        syms = syms.withColumn("sym",
+          call_function("replace", col("sym"),
+            lit(s" $x  $y "), lit(s" $x$y "))).localCheckpoint(true)
+      }
+    }
+    merges.toSeq.toDF("step", "pair", "pair_count").orderBy("step")
+  }
+
+  private val qBpeMergesOracle = {
+    def pairs(src: String, dst: String) =
+      s"""$dst AS (SELECT g AS pair, SUM(w) AS c FROM (
+         |  SELECT unnest(list_transform(
+         |    range(1, len(string_split_regex(trim(sym), '\\s+'))),
+         |    i -> string_split_regex(trim(sym), '\\s+')[i] || ' ' ||
+         |         string_split_regex(trim(sym), '\\s+')[i+1])) AS g, w
+         |  FROM $src) GROUP BY g)""".stripMargin
+    def argmax(src: String, dst: String) =
+      s"$dst AS (SELECT pair, c FROM $src ORDER BY c DESC, pair LIMIT 1)"
+    def merge(symSrc: String, mSrc: String, dst: String) =
+      s"""$dst AS (SELECT replace($symSrc.sym,
+         |    ' ' || split_part($mSrc.pair, ' ', 1) || '  ' ||
+         |          split_part($mSrc.pair, ' ', 2) || ' ',
+         |    ' ' || replace($mSrc.pair, ' ', '') || ' ') AS sym, w
+         |  FROM $symSrc, $mSrc)""".stripMargin
+    s"""WITH words AS (
+       |  SELECT word, COUNT(*) AS w FROM (
+       |    SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word
+       |    FROM documents)
+       |  GROUP BY word),
+       |s1 AS (SELECT ' ' || array_to_string(string_split(word, ''), '  ')
+       |         || ' ' AS sym, w FROM words),
+       |${pairs("s1", "p1")},
+       |${argmax("p1", "m1")},
+       |${merge("s1", "m1", "s2")},
+       |${pairs("s2", "p2")},
+       |${argmax("p2", "m2")},
+       |${merge("s2", "m2", "s3")},
+       |${pairs("s3", "p3")},
+       |${argmax("p3", "m3")}
+       |SELECT CAST(step AS BIGINT) AS step, pair, c AS pair_count FROM (
+       |  SELECT 1 AS step, pair, c FROM m1
+       |  UNION ALL SELECT 2, pair, c FROM m2
+       |  UNION ALL SELECT 3, pair, c FROM m3)
+       |ORDER BY step""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bpe_merges" -> ((s, d) => qBpeMerges(s, d)),
     "q_ngram_counts" -> ((s, d) => qNgramCounts(s, d)),
     "q_heavy_hitters" -> ((s, d) => qHeavyHitters(s, d)),
     "q_text_postings" -> (qTextPostings _),
@@ -612,6 +703,7 @@ object TextAnalysis {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_bpe_merges" -> qBpeMergesOracle,
     "q_ngram_counts" -> qNgramCountsOracle,
     "q_heavy_hitters" -> qHeavyHittersOracle,
     "q_text_postings" -> qTextPostingsOracle,
