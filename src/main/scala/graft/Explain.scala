@@ -25,7 +25,9 @@ object Explain {
     // round-6 second wave: iterated integer PageRank join rounds,
     // single-exchange SCD2 windows, Misra-Gries candidate semi-join,
     // map-side split manifest
-    "q_pagerank", "q_scd2_build", "q_heavy_hitters", "q_split_holdout")
+    "q_pagerank", "q_scd2_build", "q_heavy_hitters", "q_split_holdout",
+    // six-table join-reorder stress: dims broadcast, spine shuffles
+    "q_sql_q5")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -441,6 +441,56 @@ object Relational {
       |ORDER BY revenue DESC, l_orderkey
       |LIMIT 10""".stripMargin
 
+  /** TPC-H Q5-like local-supplier volume: the SIX-table join with the
+    * classic non-tree constraint c_nationkey = s_nationkey (the customer
+    * and the supplier of each line item must share a nation) — the query
+    * optimizer's join-reorder stress test. Catalyst broadcasts the three
+    * dim tables (region→nation→supplier chain collapses to a broadcast
+    * filter on the fact scan) and shuffles only customer⋈orders⋈lineitem;
+    * revenue is the integer-cents kernel, so the 5-nation rollup is
+    * exact at any parallelism. */
+  def qSqlQ5(s: SparkSession, dir: String): DataFrame = {
+    Tables.customer(s, dir).createOrReplaceTempView("q5_customer")
+    Tables.orders(s, dir).createOrReplaceTempView("q5_orders")
+    Tables.lineitem(s, dir).createOrReplaceTempView("q5_lineitem")
+    Tables.supplier(s, dir).createOrReplaceTempView("q5_supplier")
+    Tables.nation(s, dir).createOrReplaceTempView("q5_nation")
+    Tables.region(s, dir).createOrReplaceTempView("q5_region")
+    s.sql(
+      s"""SELECT n_name,
+        |  ${dsumDiscSql("l_extendedprice", "l_discount")} AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM q5_customer
+        |JOIN q5_orders ON c_custkey = o_custkey
+        |JOIN q5_lineitem ON l_orderkey = o_orderkey
+        |JOIN q5_supplier ON l_suppkey = s_suppkey
+        |  AND c_nationkey = s_nationkey
+        |JOIN q5_nation ON s_nationkey = n_nationkey
+        |JOIN q5_region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin)
+  }
+
+  private val qSqlQ5Oracle =
+    s"""SELECT n_name,
+      |  ${dsumDiscSql("l_extendedprice", "l_discount")} AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |  AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin
+
   /** Correlated scalar subquery — Catalyst decorrelates it into a left
     * outer aggregate join (no per-row re-execution; the same plan shape
     * at any scale). */
@@ -1194,6 +1244,7 @@ object Relational {
     "q_join_cross" -> (qJoinCross _),
     "q_agg_argmax" -> (qAggArgmax _),
     "q_sql_q3" -> (qSqlQ3 _),
+    "q_sql_q5" -> (qSqlQ5 _),
     "q_sql_q10" -> (qSqlQ10 _),
     "q_sql_q18" -> (qSqlQ18 _),
     "q_pivot" -> (qPivot _),
@@ -1243,6 +1294,7 @@ object Relational {
     "q_join_cross" -> qJoinCrossOracle,
     "q_agg_argmax" -> qAggArgmaxOracle,
     "q_sql_q3" -> qSqlQ3Oracle,
+    "q_sql_q5" -> qSqlQ5Oracle,
     "q_sql_q10" -> qSqlQ10Oracle,
     "q_sql_q18" -> qSqlQ18Oracle,
     "q_pivot" -> qPivotOracle,

@@ -113,6 +113,13 @@ class PlanAuditSpec extends SparkSpec {
       val p = df.queryExecution.executedPlan.toString
       assert(hashEx(p) <= 1, s"manifest query grew a shuffle:\n${p.take(1200)}")
     }
+    // Q5's region→nation→supplier dim chain broadcasts; only the
+    // customer⋈orders⋈lineitem spine may shuffle
+    val q5 = graft.queries.Relational.qSqlQ5(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(q5).length >= 2,
+      s"q_sql_q5 must broadcast its dim chain:\n${q5.take(1500)}")
+    assert(!q5.contains("CartesianProduct"))
     // ngram counts: explode + partial/final count + Expand for the doc
     // frequency, topped by TakeOrderedAndProject (never a global sort)
     val ng = graft.queries.TextAnalysis.qNgramCounts(spark, sf)
