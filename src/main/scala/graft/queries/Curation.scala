@@ -415,6 +415,64 @@ object Curation {
       |  FROM documents)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Z-order layout manifest — the lakehouse data-layout job that makes
+    * MULTI-column data skipping work: interleave the bits of two filter
+    * dimensions (part key, supplier key) into one Morton z-value, bucket
+    * rows by equal-width z-ranges (a file boundary stand-in), and emit
+    * each bucket's row count and per-dimension min/max — the bounding
+    * boxes a reader's skipping index consults. Sorting by ONE key gives
+    * tight bounds on that key only (a filter on the other key scans
+    * every file); the z-curve bounds BOTH, which ZorderSpec quantifies
+    * (single-supplier filters touch a fraction of z-buckets vs ALL
+    * partkey-sorted buckets).
+    *
+    * Scale: the z-value is 32 codegen'd bit terms, pure map-side; the
+    * manifest is one combine-friendly groupBy on (z >> shift). The real
+    * layout write is `repartitionByRange(z).sortWithinPartitions(z)` —
+    * same key, and the manifest is its file-footer statistics. */
+  def qZorderLayout(s: SparkSession, dir: String, shift: Int = 24): DataFrame = {
+    // Normalize both dimensions to a common 16-bit width first (integer
+    // `div`, exact in both engines) — raw interleaving of unequal-width
+    // keys lets the wider key's high bits monopolize the bucket index
+    // and the narrow dimension gets no pruning at all. The max scalars
+    // arrive via a broadcast 1-row aggregate (the q_tfidf pattern).
+    val li = Tables.lineitem(s, dir)
+    val mx = li.agg(max(col("l_partkey")).as("pmax"),
+      max(col("l_suppkey")).as("smax"))
+    val a = expr("(l_partkey * 65536) div (pmax + 1)")
+    val b = expr("(l_suppkey * 65536) div (smax + 1)")
+    val z = (0 until 16).map { i =>
+      shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i + 1)
+        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i))
+    }.reduce((x, y) => x.bitwiseOR(y))
+    li.crossJoin(broadcast(mx))
+      .withColumn("bucket", shiftright(z, shift))
+      .groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min(col("l_partkey")).as("pk_min"), max(col("l_partkey")).as("pk_max"),
+        min(col("l_suppkey")).as("sk_min"), max(col("l_suppkey")).as("sk_max"))
+      .orderBy("bucket")
+  }
+
+  private val qZorderLayoutOracle = {
+    val z = (0 until 16).map { i =>
+      s"(((a >> $i) & 1) << ${2 * i + 1}) | (((b >> $i) & 1) << ${2 * i})"
+    }.mkString("(", ") | (", ")")
+    s"""WITH mx AS (
+       |  SELECT MAX(l_partkey) AS pmax, MAX(l_suppkey) AS smax FROM lineitem),
+       |n AS (
+       |  SELECT l_partkey, l_suppkey,
+       |    (l_partkey * 65536) // (pmax + 1) AS a,
+       |    (l_suppkey * 65536) // (smax + 1) AS b
+       |  FROM lineitem, mx)
+       |SELECT ($z) >> 24 AS bucket,
+       |  COUNT(*) AS n_rows,
+       |  MIN(l_partkey) AS pk_min, MAX(l_partkey) AS pk_max,
+       |  MIN(l_suppkey) AS sk_min, MAX(l_suppkey) AS sk_max
+       |FROM n GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   // ── deterministic output sharding ──────────────────────────────────
 
   /** Shard assignment for the output-writing stage: every document maps
@@ -509,6 +567,7 @@ object Curation {
     "q_url_extract" -> (qUrlExtract _),
     "q_sample_hash" -> ((s, d) => qSampleHash(s, d)),
     "q_sample_stratified" -> (qSampleStratified _),
+    "q_zorder_layout" -> ((s, d) => qZorderLayout(s, d)),
     "q_split_holdout" -> (qSplitHoldout _),
     "q_pii_scrub" -> (qPiiScrub _),
     "q_decontaminate" -> (qDecontaminate _),
@@ -524,6 +583,7 @@ object Curation {
     "q_url_extract" -> qUrlExtractOracle,
     "q_sample_hash" -> qSampleHashOracle,
     "q_sample_stratified" -> qSampleStratifiedOracle,
+    "q_zorder_layout" -> qZorderLayoutOracle,
     "q_split_holdout" -> qSplitHoldoutOracle,
     "q_pii_scrub" -> qPiiScrubOracle,
     "q_decontaminate" -> qDecontaminateOracle,
