@@ -596,6 +596,40 @@ class StreamingSpec extends SparkSpec {
     assert(got.keySet == onTimeKeys, "emitted key set must equal the distinct batch keys")
   }
 
+  test("streaming n-gram counting matches the batch count table exactly") {
+    // The streaming twin of q_ngram_counts' aggregation core: the same
+    // explode → groupBy count over a file stream in complete mode must
+    // reproduce the batch count table bit-for-bit once all files are
+    // processed — partial aggregation and state merge cannot lose or
+    // double-count grams across micro-batches.
+    val dir = java.nio.file.Files.createTempDirectory("graft_ngram_stream").toString
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val rows = docs.collect()
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    spark.createDataFrame(java.util.Arrays.asList(b1: _*), docs.schema)
+      .write.mode("overwrite").parquet(dir)
+    def grams(df: org.apache.spark.sql.DataFrame) = df
+      .select(explode(graft.functions.WordNgrams.grams(col("text"), 2)).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("n"))
+    val q = grams(spark.readStream.schema(docs.schema).parquet(dir))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("ngram_stream_out").start()
+    try {
+      q.processAllAvailable()
+      spark.createDataFrame(java.util.Arrays.asList(b2: _*), docs.schema)
+        .write.mode("append").parquet(dir)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("ngram_stream_out").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batch = grams(docs).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(batch.nonEmpty)
+    assert(streamed == batch,
+      s"missing=${(batch.keySet -- streamed.keySet).take(3)} " +
+        s"extra=${(streamed.keySet -- batch.keySet).take(3)} " +
+        s"diff=${batch.collect { case (k, v) if streamed.get(k).exists(_ != v) => k }.take(3)}")
+  }
+
   test("session split core handles gaps and singletons") {
     val gap = Sessionize.DefaultGapUs
     val out = Sessionize.split(1L, Seq(0L, 10L, gap + 20L, gap + 30L, 3 * gap + 100L), gap)
