@@ -430,6 +430,16 @@ object Curation {
     * manifest is one combine-friendly groupBy on (z >> shift). The real
     * layout write is `repartitionByRange(z).sortWithinPartitions(z)` —
     * same key, and the manifest is its file-footer statistics. */
+  /** 32-bit Morton interleave of two 16-bit values (a's bits land on
+    * odd positions, b's on even) — 32 codegen'd bit terms, no UDF.
+    * Locality properties (per-dimension monotonicity, range) are
+    * property-tested in ZorderSpec. */
+  private[graft] def morton16(a: Column, b: Column): Column =
+    (0 until 16).map { i =>
+      shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i + 1)
+        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i))
+    }.reduce((x, y) => x.bitwiseOR(y))
+
   def qZorderLayout(s: SparkSession, dir: String, shift: Int = 24): DataFrame = {
     // Normalize both dimensions to a common 16-bit width first (integer
     // `div`, exact in both engines) — raw interleaving of unequal-width
@@ -441,10 +451,7 @@ object Curation {
       max(col("l_suppkey")).as("smax"))
     val a = expr("(l_partkey * 65536) div (pmax + 1)")
     val b = expr("(l_suppkey * 65536) div (smax + 1)")
-    val z = (0 until 16).map { i =>
-      shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i + 1)
-        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i))
-    }.reduce((x, y) => x.bitwiseOR(y))
+    val z = morton16(a, b)
     li.crossJoin(broadcast(mx))
       .withColumn("bucket", shiftright(z, shift))
       .groupBy(col("bucket"))

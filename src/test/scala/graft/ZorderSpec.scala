@@ -11,6 +11,35 @@ class ZorderSpec extends SparkSpec {
 
   private val sf01 = "/root/testdata/sf0.01"
 
+  test("morton16 locality properties: per-dimension monotone, 32-bit range, bijective") {
+    import spark.implicits._
+    // seeded triples (a1 < a2, b) over the full 16-bit domain
+    val rng = new scala.util.Random(42)
+    val triples = Seq.fill(500) {
+      val x = rng.nextInt(65536); val y = rng.nextInt(65536)
+      val (a1, a2) = (math.min(x, y), math.max(x, y))
+      (a1.toLong, a2.toLong, rng.nextInt(65536).toLong)
+    }.filter { case (a1, a2, _) => a1 != a2 }
+    val df = triples.toDF("a1", "a2", "b")
+      .select(
+        Curation.morton16(col("a1"), col("b")).as("z1"),
+        Curation.morton16(col("a2"), col("b")).as("z2"),
+        Curation.morton16(col("b"), col("a1")).as("z3"),
+        Curation.morton16(col("b"), col("a2")).as("z4"))
+      .collect()
+    df.foreach { r =>
+      val (z1, z2, z3, z4) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(z1 < z2, "fixing b, z must be strictly monotone in a")
+      assert(z3 < z4, "fixing a, z must be strictly monotone in b")
+      Seq(z1, z2, z3, z4).foreach(z => assert(z >= 0 && z < (1L << 32)))
+    }
+    // bijectivity on a seeded sample: distinct inputs → distinct z
+    val pairs = Seq.fill(2000)((rng.nextInt(65536).toLong, rng.nextInt(65536).toLong)).distinct
+    val zs = pairs.toDF("a", "b")
+      .select(Curation.morton16(col("a"), col("b")).as("z")).collect().map(_.getLong(0))
+    assert(zs.distinct.length == pairs.length, "interleave must not collide")
+  }
+
   test("z-layout prunes second-dimension filters; single-key sort cannot") {
     val man = Curation.qZorderLayout(spark, sf01).collect()
     val nBuckets = man.length
