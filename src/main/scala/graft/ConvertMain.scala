@@ -245,12 +245,17 @@ object ConvertMain {
   }
 
   def main(args: Array[String]): Unit = {
+    // O18 console formatting (utils.rs:12-46): colors only at an
+    // interactive terminal; piped/redirected output stays plain
+    val color = graft.ingest.ConsoleColor.auto()
     val opts = parseArgs(args.toSeq) match {
       case Left(msg) =>
-        Console.err.println(usage); Console.err.println(s"Error: $msg")
+        Console.err.println(usage)
+        Console.err.println(color.error(s"Error: $msg"))
         sys.exit(1)
       case Right(o) if o.input.isEmpty =>
-        Console.err.println(usage); Console.err.println("Error: no input provided")
+        Console.err.println(usage)
+        Console.err.println(color.error("Error: no input provided"))
         sys.exit(1)
       case Right(o) => o
     }
@@ -265,11 +270,15 @@ object ConvertMain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {
-      val (out, _, _) = run(spark, opts)
-      Console.err.println(s"[SUCCESS] conversion complete: $out")
+      // run()'s progress/report lines route through the same prefix →
+      // helper mapping the reference's call sites apply
+      val (out, _, _) = run(spark, opts,
+        err = s => Console.err.println(color.line(s)))
+      Console.err.println(
+        color.success("[SUCCESS] conversion complete: ") + color.path(out))
     } catch {
       case e: Exception =>
-        Console.err.println(s"Error: ${e.getMessage}")
+        Console.err.println(color.error(s"Error: ${e.getMessage}"))
         sys.exit(1)
     } finally spark.stop()
   }

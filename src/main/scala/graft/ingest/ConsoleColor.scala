@@ -1,0 +1,38 @@
+package graft.ingest
+
+/** Console color formatting — the reference's `utils.rs:12-46` surface
+  * (O18): four helpers (red-bold error / yellow warning / green success
+  * / cyan path), active only when the process talks to an interactive
+  * terminal, plain text otherwise (so piped output stays parseable).
+  *
+  * The reference gates on BOTH stdout and stderr being TTYs
+  * (`couleurs_actives`, utils.rs:12-14); the JVM offers one signal —
+  * `System.console()` is non-null only when stdin AND stdout are
+  * interactive — which is the same "everything is a terminal" intent.
+  * The flag is injectable so specs pin both modes deterministically.
+  * Codes are plain SGR (1;31 / 33 / 32 / 36 + reset), the same colors
+  * owo_colors renders in the reference.
+  */
+final class ConsoleColor(val enabled: Boolean) {
+  private def wrap(code: String, msg: String): String =
+    if (enabled) s"\u001b[${code}m$msg\u001b[0m" else msg
+  def error(msg: String): String = wrap("1;31", msg) // utils.rs:16-22
+  def warn(msg: String): String = wrap("33", msg)    // utils.rs:24-30
+  def success(msg: String): String = wrap("32", msg) // utils.rs:32-38
+  def path(msg: String): String = wrap("36", msg)    // utils.rs:40-46
+
+  /** Route a CLI line to the reference's helper by its prefix — the
+    * same mapping main.rs applies at its call sites (erreur for
+    * failures, avertissement for the error report, succes for the
+    * completion lines). */
+  def line(msg: String): String =
+    if (msg.startsWith("Error") || msg.startsWith("[ERROR]")) error(msg)
+    else if (msg.startsWith("[WARN]")) warn(msg)
+    else if (msg.startsWith("[SUCCESS]")) success(msg)
+    else msg
+}
+
+object ConsoleColor {
+  val off: ConsoleColor = new ConsoleColor(false)
+  def auto(): ConsoleColor = new ConsoleColor(System.console() != null)
+}

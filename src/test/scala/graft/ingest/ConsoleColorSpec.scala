@@ -1,0 +1,40 @@
+package graft.ingest
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** O18 console formatting vs the reference's utils.rs:12-46 helpers:
+  * four styles, TTY-gated, plain when piped. */
+class ConsoleColorSpec extends AnyFunSuite {
+  private val on = new ConsoleColor(true)
+  private val off = ConsoleColor.off
+
+  test("enabled: the four helpers wrap with the reference's colors") {
+    assert(on.error("boom") == "\u001b[1;31mboom\u001b[0m")     // red bold
+    assert(on.warn("careful") == "\u001b[33mcareful\u001b[0m")  // yellow
+    assert(on.success("done") == "\u001b[32mdone\u001b[0m")     // green
+    assert(on.path("/a/b") == "\u001b[36m/a/b\u001b[0m")        // cyan
+  }
+
+  test("disabled (piped output): every helper is the identity") {
+    Seq("boom", "[WARN] x", "[SUCCESS] y", "").foreach { m =>
+      assert(off.error(m) == m)
+      assert(off.warn(m) == m)
+      assert(off.success(m) == m)
+      assert(off.path(m) == m)
+      assert(off.line(m) == m)
+    }
+  }
+
+  test("line routing mirrors the reference call sites") {
+    assert(on.line("Error: nope") == on.error("Error: nope"))
+    assert(on.line("[WARN] finished with errors: 3 failed values") ==
+      on.warn("[WARN] finished with errors: 3 failed values"))
+    assert(on.line("[SUCCESS] finished in 1.00 s") ==
+      on.success("[SUCCESS] finished in 1.00 s"))
+    // info/progress lines stay plain (the reference colors only
+    // erreur/avertissement/succes/chemin)
+    assert(on.line("[INFO] stdin written to /tmp/x") ==
+      "[INFO] stdin written to /tmp/x")
+    assert(on.line("1000 lines read") == "1000 lines read")
+  }
+}
