@@ -630,6 +630,49 @@ class StreamingSpec extends SparkSpec {
         s"diff=${batch.collect { case (k, v) if streamed.get(k).exists(_ != v) => k }.take(3)}")
   }
 
+  test("streaming SCD2 matches the window-form batch query and its typed twin") {
+    import graft.streaming.Scd2
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+        col("event_id"), col("event_type"))
+      .as[Scd2.Ev](org.apache.spark.sql.Encoders.product[Scd2.Ev])
+    // surface 1 ↔ 2: the typed fold equals the oracle-checked window form
+    val typed = Scd2.scd2Batch(evs).collect()
+      .map(v => (v.user_id, v.version, v.attr_value, v.valid_from,
+        if (v.valid_to == Long.MaxValue) null else v.valid_to, v.n_events)).toSet
+    val windowed = graft.queries.Events.qScd2Build(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        if (r.isNullAt(4)) null else r.getLong(4), r.getLong(6))).toSet
+    assert(windowed.nonEmpty && typed == windowed,
+      s"typed fold diverges from window form: missing=${(windowed -- typed).take(3)} extra=${(typed -- windowed).take(3)}")
+    // surface 3: the stream over a ts-ordered 2-batch feed emits exactly
+    // the batch form's CLOSED versions (open tails stay in state)
+    val dir = java.nio.file.Files.createTempDirectory("graft_scd2_stream").toString
+    val rows = evs.orderBy("ts_us", "event_id").collect()
+    val (b1, b2) = rows.splitAt(rows.length * 2 / 3)
+    import spark.implicits._
+    b1.toSeq.toDS().write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.Encoders.product[Scd2.Ev].schema)
+      .parquet(dir).as[Scd2.Ev]
+    val q = Scd2.scd2Stream(stream).writeStream
+      .outputMode("append").format("memory").queryName("scd2_stream_out").start()
+    try {
+      q.processAllAvailable()
+      b2.toSeq.toDS().write.mode("append").parquet(dir)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("scd2_stream_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    val batchClosed = Scd2.scd2Batch(evs).collect()
+      .filter(_.valid_to != Long.MaxValue)
+      .map(v => (v.user_id, v.version, v.attr_value, v.valid_from,
+        v.valid_to, v.n_events)).toSet
+    assert(batchClosed.nonEmpty && streamed == batchClosed,
+      s"stream/batch closed-version mismatch: missing=${(batchClosed -- streamed).take(3)} extra=${(streamed -- batchClosed).take(3)}")
+  }
+
   test("session split core handles gaps and singletons") {
     val gap = Sessionize.DefaultGapUs
     val out = Sessionize.split(1L, Seq(0L, 10L, gap + 20L, gap + 30L, 3 * gap + 100L), gap)
