@@ -64,7 +64,8 @@ object ScaleBench {
     // and the map-side sampling/split manifests
     "q_pagerank", "q_scd2_build", "q_heavy_hitters", "q_ngram_counts",
     "q_sample_stratified", "q_split_holdout",
-    "q_dedup_incremental", "q_bpe_merges", "q_sql_q5", "q_zorder_layout")
+    "q_dedup_incremental", "q_bpe_merges", "q_sql_q5", "q_zorder_layout",
+    "q_dq_audit")
 
   def buildScaledData(spark: SparkSession, src: String, out: String, factor: Int): Unit = {
     val KEY = 100000000L // key shift per copy: far above any sf0.1 key

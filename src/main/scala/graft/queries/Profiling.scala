@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType}
@@ -238,7 +238,93 @@ object Profiling {
       .orderBy("l_returnflag")
   }
 
+  /** Data-quality audit — the constraint-validation pass a production
+    * pipeline gates every load on: key uniqueness, referential
+    * integrity, domain and range rules, null contracts. One row per
+    * check with checked/violation counts (the synthetic corpus
+    * genuinely violates lineitem's (orderkey, linenumber) uniqueness,
+    * so the audit demonstrably fires, while the FK and range checks
+    * demonstrably pass — both outcomes under the oracle gate).
+    *
+    * Scale: all per-table rules FUSE into one aggregation pass per
+    * table (the qProfileStats shape — counters as parallel aggregates,
+    * then one explode to check-per-row); referential integrity is one
+    * anti-join count against the (broadcastable) dimension. Adding a
+    * rule adds a counter, never a pass. */
+  def qDqAudit(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val ord = Tables.orders(s, dir)
+    def viol(cond: Column): Column = sum(when(cond, 1L).otherwise(0L))
+    val liChecks = li.agg(
+      count(lit(1)).as("n"),
+      (count(lit(1)) - count_distinct(struct(col("l_orderkey"), col("l_linenumber"))))
+        .as("pk_viol"),
+      viol(col("l_quantity") < 1.0 || col("l_quantity") > 50.0).as("qty_viol"),
+      viol(col("l_discount") < 0.0 || col("l_discount") > 0.1).as("disc_viol"))
+    val ordChecks = ord.agg(
+      count(lit(1)).as("n"),
+      viol(col("o_orderdate").isNull).as("date_null"),
+      viol(!col("o_orderstatus").isin("F", "O", "P")).as("status_viol"))
+    val fkViol = ord.join(Tables.customer(s, dir),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("fk_viol"))
+    def row(name: String, checked: Column, violations: Column): Column =
+      struct(lit(name).as("check_name"),
+        checked.cast(LongType).as("n_checked"),
+        violations.cast(LongType).as("n_violations"))
+    val liRows = liChecks.select(explode(array(
+      row("lineitem_pk_unique", col("n"), col("pk_viol")),
+      row("lineitem_quantity_range", col("n"), col("qty_viol")),
+      row("lineitem_discount_range", col("n"), col("disc_viol")))).as("r"))
+    val ordRows = ordChecks.select(explode(array(
+      row("orders_date_not_null", col("n"), col("date_null")),
+      row("orders_status_domain", col("n"), col("status_viol")))).as("r"))
+    val fkRows = fkViol.crossJoin(ord.agg(count(lit(1)).as("n")))
+      .select(row("orders_fk_customer", col("n"), col("fk_viol")).as("r"))
+    liRows.unionByName(ordRows).unionByName(fkRows)
+      .select(col("r.check_name"), col("r.n_checked"), col("r.n_violations"))
+      .withColumn("passed", col("n_violations") === 0L)
+      .orderBy("check_name")
+  }
+
+  private val qDqAuditOracle =
+    """WITH checks AS (
+      |  SELECT 'lineitem_pk_unique' AS check_name,
+      |    (SELECT COUNT(*) FROM lineitem) AS n_checked,
+      |    (SELECT COUNT(*) FROM lineitem) -
+      |      (SELECT COUNT(*) FROM (SELECT DISTINCT l_orderkey, l_linenumber
+      |        FROM lineitem)) AS n_violations
+      |  UNION ALL
+      |  SELECT 'lineitem_quantity_range',
+      |    (SELECT COUNT(*) FROM lineitem),
+      |    (SELECT CAST(SUM(CASE WHEN l_quantity < 1.0 OR l_quantity > 50.0
+      |      THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem)
+      |  UNION ALL
+      |  SELECT 'lineitem_discount_range',
+      |    (SELECT COUNT(*) FROM lineitem),
+      |    (SELECT CAST(SUM(CASE WHEN l_discount < 0.0 OR l_discount > 0.1
+      |      THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem)
+      |  UNION ALL
+      |  SELECT 'orders_date_not_null',
+      |    (SELECT COUNT(*) FROM orders),
+      |    (SELECT CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)
+      |      AS BIGINT) FROM orders)
+      |  UNION ALL
+      |  SELECT 'orders_status_domain',
+      |    (SELECT COUNT(*) FROM orders),
+      |    (SELECT CAST(SUM(CASE WHEN o_orderstatus NOT IN ('F','O','P')
+      |      THEN 1 ELSE 0 END) AS BIGINT) FROM orders)
+      |  UNION ALL
+      |  SELECT 'orders_fk_customer',
+      |    (SELECT COUNT(*) FROM orders),
+      |    (SELECT COUNT(*) FROM orders o WHERE NOT EXISTS (
+      |      SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)))
+      |SELECT check_name, n_checked, n_violations,
+      |  n_violations = 0 AS passed
+      |FROM checks ORDER BY check_name""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dq_audit" -> (qDqAudit _),
     "q_profile_stats" -> (qProfileStats _),
     "q_profile_hist" -> (qProfileHist _),
     "q_hist_equidepth" -> ((s, d) => qHistEquidepth(s, d)),
@@ -248,6 +334,7 @@ object Profiling {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_dq_audit" -> qDqAuditOracle,
     "q_profile_stats" -> qProfileStatsOracle,
     "q_profile_hist" -> qProfileHistOracle,
     "q_hist_equidepth" -> qHistEquidepthOracle,
