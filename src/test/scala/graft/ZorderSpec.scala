@@ -40,6 +40,45 @@ class ZorderSpec extends SparkSpec {
     assert(zs.distinct.length == pairs.length, "interleave must not collide")
   }
 
+  test("written z-layout prunes the SECOND dimension at the parquet scan") {
+    // The manifest's promise made physical: write the corpus z-sorted
+    // (repartitionByRange on the Morton key — the real layout job) and
+    // the parquet footer min/max stats prune a supplier filter to a
+    // fraction of the materialized rows; the partkey-sorted control
+    // layout materializes ~everything for the same filter.
+    val zDir = java.nio.file.Files.createTempDirectory("graft_zw").toString
+    val pkDir = java.nio.file.Files.createTempDirectory("graft_zw_pk").toString
+    val li = spark.read.parquet(s"$sf01/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+    val mx = li.agg(max(col("l_partkey")).as("pmax"), max(col("l_suppkey")).as("smax"))
+    val z = Curation.morton16(
+      expr("(l_partkey * 65536) div (pmax + 1)"),
+      expr("(l_suppkey * 65536) div (smax + 1)"))
+    li.crossJoin(broadcast(mx)).withColumn("zv", z)
+      .repartitionByRange(16, col("zv")).sortWithinPartitions("zv")
+      .drop("zv", "pmax", "smax")
+      .write.mode("overwrite").parquet(zDir)
+    li.repartitionByRange(16, col("l_partkey")).sortWithinPartitions("l_partkey")
+      .write.mode("overwrite").parquet(pkDir)
+
+    def scannedRows(dir: String): Long = {
+      val df = spark.read.parquet(dir).filter(col("l_suppkey") === 50L)
+      val qe = df.queryExecution
+      qe.executedPlan.execute().count()
+      qe.executedPlan.collectLeaves()
+        .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+        .getOrElse(fail("no FileSourceScanExec leaf"))
+        .metrics("numOutputRows").value
+    }
+    val total = li.count()
+    val (zRows, pkRows) = (scannedRows(zDir), scannedRows(pkDir))
+    assert(pkRows.toDouble / total > 0.9,
+      s"control: partkey layout should materialize ~all rows for a supplier filter ($pkRows/$total)")
+    assert(zRows.toDouble / total <= 0.5,
+      s"z layout should prune at least half the scan ($zRows/$total)")
+    assert(zRows < pkRows)
+  }
+
   test("z-layout prunes second-dimension filters; single-key sort cannot") {
     val man = Curation.qZorderLayout(spark, sf01).collect()
     val nBuckets = man.length
