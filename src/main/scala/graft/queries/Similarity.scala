@@ -47,15 +47,20 @@ object Similarity {
     * vector, so the index size is unchanged and recall roughly doubles
     * on near-orthogonal tails. Exact cosine is computed only for
     * candidates. At 100 TB the bucket id is one groupBy key — the full
-    * pairwise cosine never happens. No oracle (approximate by
-    * construction); SimilaritySpec asserts recall against the exact
-    * top-k. */
-  def qAnnLsh(s: SparkSession, dir: String): DataFrame = {
-    val dims = 64
-    val nPlanes = 12
+    * pairwise cosine never happens. Oracle-gated (round 7): the probe
+    * set is FIXED (seeded plane literals) and the sign-bit fold is the
+    * same sequential double fold the oracle mirrors, so the candidate
+    * set — and therefore the exact-cosine top-k over it — is
+    * deterministic and SQL-expressible; SimilaritySpec additionally
+    * asserts recall against the exact top-k. */
+  private val lshAnnDims = 64
+  private val lshAnnPlanes: Seq[Seq[Double]] = {
     val rng = new scala.util.Random(7)
-    val planes: Seq[Seq[Double]] =
-      Seq.fill(nPlanes)(Seq.fill(dims)(rng.nextGaussian()))
+    Seq.fill(12)(Seq.fill(lshAnnDims)(rng.nextGaussian()))
+  }
+
+  def qAnnLsh(s: SparkSession, dir: String): DataFrame = {
+    val planes = lshAnnPlanes
 
     def signBits(vec: org.apache.spark.sql.Column) = {
       val bits = planes.zipWithIndex.map { case (p, i) =>
@@ -88,6 +93,34 @@ object Similarity {
       .limit(10)
   }
 
+  /** DuckDB mirror of qAnnLsh: identical plane literals, identical
+    * sequential dot fold (⇒ identical projection doubles ⇒ identical
+    * sign bits), band match as a 4-way OR over 3-bit slices with the
+    * query side's Hamming-1 multi-probe expressed as XOR ∈ {0,1,2,4},
+    * then exact cosine over candidates only. */
+  private val qAnnLshOracle = {
+    def dotLit(vec: String, p: Seq[Double]) = {
+      val arr = p.mkString("[", ", ", "]")
+      s"""list_reduce(list_transform(list_zip($vec, $arr),
+         |      p -> CAST(p[1] AS DOUBLE) * p[2]), (x, y) -> x + y)""".stripMargin
+    }
+    val bucket = lshAnnPlanes.zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN ${dotLit("embedding", p)} > 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString("\n    + ")
+    val bandMatch = (0 until 4).map(i =>
+      s"xor((e.bucket >> ${i * 3}) & 7, (q.bucket >> ${i * 3}) & 7) IN (0, 1, 2, 4)")
+      .mkString("\n       OR ")
+    val cos = VectorOps.cosineSql("e.embedding", "q.embedding")
+    s"""WITH b AS (SELECT vec_id, label, embedding,
+       |    $bucket AS bucket
+       |  FROM embeddings),
+       |q AS (SELECT embedding, bucket FROM b WHERE vec_id = 0)
+       |SELECT e.vec_id, e.label, $cos AS cosine
+       |FROM b e, q
+       |WHERE e.vec_id <> 0 AND ($bandMatch)
+       |ORDER BY cosine DESC, e.vec_id LIMIT 10""".stripMargin
+  }
+
   /** Nearest-centroid id for a normalized vector against k centroid
     * LITERALS — a pure map-side projection, no crossJoin, no window
     * shuffle, one codegen'd primitive loop per row (ArgmaxDot; ties
@@ -103,7 +136,13 @@ object Similarity {
     * Spark shape). Only the k×dims centroid matrix ever reaches the
     * driver (size independent of corpus size); the corpus itself stays
     * distributed. Empty clusters keep their previous centroid; means
-    * are re-normalized to the unit sphere (cosine geometry). */
+    * are re-normalized to the unit sphere (cosine geometry).
+    *
+    * Determinism (round 7): the per-dim mean rides INTEGER-scaled sums
+    * (round(x·1e6) as BIGINT — the q_embed_centroid discipline), so the
+    * cross-row reduction is order-independent and any engine that
+    * mirrors the same closed-form divisions lands on bit-identical
+    * centroids — which is what lets qAnnIvf carry a DuckDB oracle. */
   def kmeansCentroids(base: DataFrame, nvecCol: String, dims: Int,
                       k: Int, iters: Int, idCol: String = "vec_id"): Seq[Array[Double]] = {
     def normalize(a: Array[Double]): Array[Double] = {
@@ -114,14 +153,18 @@ object Similarity {
     var cents: Seq[Array[Double]] = base
       .orderBy(idCol).limit(k).orderBy(idCol)
       .select(nvecCol).collect().map(_.getSeq[Double](0).toArray).toSeq
-    val dimAvgs = (0 until dims).map(d =>
-      avg(element_at(col(nvecCol), d + 1)).as(s"_m$d"))
+    val dimSums = (0 until dims).map(d =>
+      sum(round(element_at(col(nvecCol), d + 1) * 1000000.0, 0).cast(LongType))
+        .as(s"_s$d"))
     for (_ <- 0 until iters) {
       val means = base
         .select(col(nvecCol), nearestCentroid(col(nvecCol), cents).as("cid"))
-        .groupBy("cid").agg(dimAvgs.head, dimAvgs.tail: _*)
-        .collect().map(r => r.getInt(0) ->
-          normalize((0 until dims).map(d => r.getDouble(d + 1)).toArray)).toMap
+        .groupBy("cid").agg(count(lit(1)).as("_n"), dimSums: _*)
+        .collect().map { r =>
+          val n = r.getLong(1).toDouble
+          r.getInt(0) -> normalize((0 until dims).map(d =>
+            r.getLong(2 + d).toDouble / n / 1000000.0).toArray)
+        }.toMap
       cents = cents.zipWithIndex.map { case (old, i) => means.getOrElse(i, old) }
     }
     cents
@@ -134,8 +177,12 @@ object Similarity {
     * nprobe=2 nearest lists (in-plan: sort the (dot, id) structs,
     * slice, explode). The search touches ~nprobe/16 of the data — at
     * 100 TB the inverted lists become partition keys and the probe
-    * prunes partitions. No oracle (approximate); SimilaritySpec checks
-    * recall vs the exact top-k. */
+    * prunes partitions. Oracle-gated (round 7): seeds, integer-scaled
+    * Lloyd means, argmax ties, and probe order are all deterministic,
+    * so the DuckDB oracle unrolls the same 3 iterations and lands on
+    * bit-identical centroids → identical candidate lists → identical
+    * top-k; SimilaritySpec additionally checks recall vs the exact
+    * top-k. */
   def qAnnIvf(s: SparkSession, dir: String): DataFrame = {
     val nprobe = 2
     val k = 16
@@ -159,6 +206,65 @@ object Similarity {
         VectorOps.dotD(col("nvec"), col("q_nvec")).as("cosine"))
       .orderBy(col("cosine").desc, col("vec_id"))
       .limit(10)
+  }
+
+  /** DuckDB mirror of qAnnIvf: unrolls the 3 integer-scaled Lloyd
+    * iterations (seeds = 16 lowest-id normalized vectors; assignment =
+    * struct-max argmax with ties toward the higher cid; mean = exact
+    * BIGINT sum of round(x·1e6) divided in the same closed-form order;
+    * re-normalized with the same sequential square-sum fold), then the
+    * final assignment, the query's (dot desc, cid desc) top-2 probe
+    * lists, and exact dot over candidates only. Every double op
+    * mirrors the engine's IEEE op sequence, so hashes compare raw. */
+  private val qAnnIvfOracle = {
+    val dims = 64
+    def dotD(a: String, b: String) =
+      s"""list_reduce(list_transform(list_zip($a, $b),
+         |      p -> p[1] * p[2]), (x, y) -> x + y)""".stripMargin
+    def sumSq(l: String) =
+      s"list_reduce(list_transform($l, x -> x * x), (x, y) -> x + y)"
+    def iter(prev: String, t: Int): String =
+      s"""a$t AS (
+         |  SELECT b.vec_id, b.label, b.nvec,
+         |    max(struct_pack(d := ${dotD("b.nvec", "c.cent")}, i := c.cid)) AS pick
+         |  FROM base b, $prev c GROUP BY b.vec_id, b.label, b.nvec),
+         |s$t AS (SELECT vec_id, label, nvec, pick.i AS cid FROM a$t),
+         |g$t AS (
+         |  SELECT cid, i AS dim,
+         |    CAST(SUM(CAST(round(nvec[i] * 1000000.0) AS BIGINT)) AS DOUBLE)
+         |      / CAST(COUNT(*) AS DOUBLE) / 1000000.0 AS mean
+         |  FROM s$t CROSS JOIN range(1, ${dims + 1}) r(i)
+         |  GROUP BY cid, i),
+         |m$t AS (SELECT cid, list(mean ORDER BY dim) AS m FROM g$t GROUP BY cid),
+         |c$t AS (
+         |  SELECT c.cid,
+         |    COALESCE(CASE WHEN sqrt(${sumSq("n.m")}) = 0 THEN n.m
+         |      ELSE list_transform(n.m, x -> x / sqrt(${sumSq("n.m")})) END,
+         |      c.cent) AS cent
+         |  FROM $prev c LEFT JOIN m$t n ON c.cid = n.cid)""".stripMargin
+    s"""WITH base AS (
+       |  SELECT vec_id, label, ${VectorOps.normalizedSql("embedding")} AS nvec
+       |  FROM embeddings),
+       |c0 AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER) - 1 AS cid,
+       |    nvec AS cent
+       |  FROM (SELECT vec_id, nvec FROM base ORDER BY vec_id LIMIT 16)),
+       |${iter("c0", 1)},
+       |${iter("c1", 2)},
+       |${iter("c2", 3)},
+       |a4 AS (
+       |  SELECT b.vec_id, b.label, b.nvec,
+       |    max(struct_pack(d := ${dotD("b.nvec", "c.cent")}, i := c.cid)) AS pick
+       |  FROM base b, c3 c GROUP BY b.vec_id, b.label, b.nvec),
+       |s4 AS (SELECT vec_id, label, nvec, pick.i AS cid FROM a4),
+       |q AS (SELECT nvec AS qv FROM base WHERE vec_id = 0),
+       |probes AS (
+       |  SELECT c.cid FROM c3 c, q
+       |  ORDER BY ${dotD("q.qv", "c.cent")} DESC, c.cid DESC LIMIT 2)
+       |SELECT s.vec_id, s.label, ${dotD("s.nvec", "q.qv")} AS cosine
+       |FROM s4 s, q
+       |WHERE s.vec_id <> 0 AND s.cid IN (SELECT cid FROM probes)
+       |ORDER BY cosine DESC, s.vec_id LIMIT 10""".stripMargin
   }
 
   /** Scalar (int8) embedding quantization — the 4× storage compression
@@ -318,6 +424,8 @@ object Similarity {
     "q_embed_covariance" -> qEmbedCovarianceOracle,
     "q_embed_centroid" -> qEmbedCentroidOracle,
     "q_embed_quant" -> qEmbedQuantOracle,
-    "q_embed_cosine_topk" -> qEmbedCosineTopkOracle
+    "q_embed_cosine_topk" -> qEmbedCosineTopkOracle,
+    "q_ann_lsh" -> qAnnLshOracle,
+    "q_ann_ivf" -> qAnnIvfOracle
   )
 }

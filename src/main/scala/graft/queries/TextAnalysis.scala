@@ -677,7 +677,7 @@ object TextAnalysis {
        |${merge("s2", "m2", "s3")},
        |${pairs("s3", "p3")},
        |${argmax("p3", "m3")}
-       |SELECT CAST(step AS BIGINT) AS step, pair, c AS pair_count FROM (
+       |SELECT CAST(step AS BIGINT) AS step, pair, CAST(c AS BIGINT) AS pair_count FROM (
        |  SELECT 1 AS step, pair, c FROM m1
        |  UNION ALL SELECT 2, pair, c FROM m2
        |  UNION ALL SELECT 3, pair, c FROM m3)
