@@ -165,12 +165,59 @@ object Extensions {
       |  CAST(peak AS DOUBLE) / 32768.0 AS f4
       |FROM a ORDER BY doc_id""".stripMargin
 
+  /** Video features through the full encode → MJPEG/AVI → decode path:
+    * payloads are real RIFF/AVI containers (one baseline JPEG per
+    * frame) parsed chunk-by-chunk and frame-decoded through ImageIO
+    * inside the batched mapPartitions; features are decoded-pixel
+    * statistics plus a temporal motion term. Frames are constant 8×8
+    * blocks at JPEG quality 1.0 — DC-only, unit quantizer — so the
+    * lossy codec roundtrips the closed form exactly and the oracle
+    * recomputes mean/std/low-fraction/motion from it (64 pixels per
+    * block), with the same IEEE op order as Multimodal.videoFeatures. */
+  def qMultimodalVideo(s: SparkSession, dir: String): DataFrame =
+    Multimodal.extractFeatures(
+      Multimodal.aviMediaFromDocuments(Tables.documents(s, dir)))
+      .toDF()
+      .orderBy("doc_id")
+
+  private val qMultimodalVideoOracle =
+    """WITH bl AS (
+      |  SELECT doc_id, 2 + doc_id % 4 AS fr,
+      |    (16 + 8 * (doc_id % 2)) // 8 AS nb
+      |  FROM documents),
+      |fx AS (SELECT doc_id, fr, nb, unnest(range(0, fr)) AS f FROM bl),
+      |bx AS (SELECT doc_id, fr, nb, f, unnest(range(0, nb)) AS b FROM fx),
+      |v AS (
+      |  SELECT doc_id, fr, nb, f, b,
+      |    (doc_id * 13 + f * 41 + b * 17) % 256 AS v
+      |  FROM bx),
+      |s AS (
+      |  SELECT doc_id, fr, nb, SUM(v) AS sv, SUM(v * v) AS svq,
+      |    SUM(CASE WHEN v < 128 THEN 1 ELSE 0 END) AS nlow
+      |  FROM v GROUP BY doc_id, fr, nb),
+      |m AS (
+      |  SELECT a.doc_id, SUM(abs(b.v - a.v)) AS sd
+      |  FROM v a JOIN v b ON a.doc_id = b.doc_id AND a.b = b.b AND b.f = a.f + 1
+      |  GROUP BY a.doc_id)
+      |SELECT s.doc_id, 'video/avi' AS kind,
+      |  CAST(s.nb * 64 * s.fr AS BIGINT) AS byte_len,
+      |  CAST(sv * 64 AS DOUBLE) / CAST(s.nb * 64 * s.fr AS DOUBLE) AS f1,
+      |  sqrt((CAST(svq * 64 AS DOUBLE)
+      |        - CAST(sv * 64 AS DOUBLE) * CAST(sv * 64 AS DOUBLE)
+      |          / CAST(s.nb * 64 * s.fr AS DOUBLE))
+      |       / CAST(s.nb * 64 * s.fr AS DOUBLE)) AS f2,
+      |  CAST(nlow * 64 AS DOUBLE) / CAST(s.nb * 64 * s.fr AS DOUBLE) AS f3,
+      |  CAST(m.sd * 64 AS DOUBLE) / CAST(s.nb * 64 * (s.fr - 1) AS DOUBLE) AS f4
+      |FROM s JOIN m ON s.doc_id = m.doc_id
+      |ORDER BY s.doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_events_session_state" -> (qEventsSessionState _),
     "q_skew_join" -> (qSkewJoin _),
     "q_multimodal_features" -> (qMultimodalFeatures _),
     "q_multimodal_frames" -> (qMultimodalFrames _),
-    "q_multimodal_audio" -> (qMultimodalAudio _)
+    "q_multimodal_audio" -> (qMultimodalAudio _),
+    "q_multimodal_video" -> (qMultimodalVideo _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -178,6 +225,7 @@ object Extensions {
     "q_skew_join" -> qSkewJoinOracle,
     "q_multimodal_features" -> qMultimodalFeaturesOracle,
     "q_multimodal_frames" -> qMultimodalFramesOracle,
-    "q_multimodal_audio" -> qMultimodalAudioOracle
+    "q_multimodal_audio" -> qMultimodalAudioOracle,
+    "q_multimodal_video" -> qMultimodalVideoOracle
   )
 }

@@ -18,13 +18,19 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
-  test("resize stub halves metadata consistently with payload") {
-    val resized = Multimodal.resizeStub(media, stride = 4).collect()
-    val orig = media.collect().map(r => r.doc_id -> r).toMap
-    resized.foreach { r =>
-      val o = orig(r.doc_id)
-      assert(r.media.length == (o.media.length + 3) / 4)
-      assert(r.width == math.max(1, o.width / 4))
+  test("real PNG resize: decoded output is the nearest-neighbor subsample") {
+    val pngs = Multimodal.pngMediaFromDocuments(Tables.documents(spark, sf))
+    val resized = Multimodal.resizeImages(pngs, stride = 2).collect()
+      .map(r => r.doc_id -> r).toMap
+    resized.keys.take(10).foreach { id =>
+      val (w, h) = Multimodal.pngDims(id)
+      val r = resized(id)
+      assert(r.width == (w + 1) / 2 && r.height == (h + 1) / 2)
+      val px = Multimodal.decodePngGray(r.media)
+      assert(px.length == r.width * r.height)
+      for (y <- 0 until r.height; x <- 0 until r.width)
+        assert(px(y * r.width + x) ==
+          Multimodal.pixelAt(id, (y * 2) * w + x * 2), s"doc $id ($x,$y)")
     }
   }
 
@@ -95,13 +101,62 @@ class MultimodalSpec extends SparkSpec {
     assert(!feats.queryExecution.executedPlan.toString.contains("Exchange"))
   }
 
-  test("feature extraction matches the decode stub row-by-row") {
-    val feats = Multimodal.extractFeatures(media).collect().map(f => f.doc_id -> f).toMap
-    media.collect().take(20).foreach { r =>
-      val f = feats(r.doc_id)
-      val want = Multimodal.decodeStub(r.media)
-      assert(f.byte_len == r.media.length.toLong)
-      assert(Seq(f.f1, f.f2, f.f3, f.f4) == want.toSeq)
+  test("AVI roundtrip: MJPEG frames decode to exactly the encoded block pattern") {
+    Seq(0L, 1L, 7L, 123L, 9999L).foreach { id =>
+      val avi = Multimodal.encodeAviMjpeg(id)
+      // real RIFF/AVI container: magic bytes
+      assert(avi(0) == 'R' && avi(1) == 'I' && avi(2) == 'F' && avi(3) == 'F')
+      assert(avi(8) == 'A' && avi(9) == 'V' && avi(10) == 'I' && avi(11) == ' ')
+      val frames = Multimodal.decodeAviFrames(avi)
+      val (w, h) = Multimodal.videoDims(id)
+      assert(frames.length == Multimodal.videoFrameCount(id))
+      frames.zipWithIndex.foreach { case (px, f) =>
+        assert(px.length == w * h)
+        px.zipWithIndex.foreach { case (p, k) =>
+          val want = Multimodal.videoBlockVal(id, f, (k % w) / 8)
+          assert(p == want, s"doc $id frame $f pixel $k: got $p want $want")
+        }
+      }
     }
+  }
+
+  test("video feature extraction computes stats from actually-decoded frames") {
+    val feats = Multimodal.extractFeatures(
+      Multimodal.aviMediaFromDocuments(Tables.documents(spark, sf)))
+      .collect().map(f => f.doc_id -> f).toMap
+    feats.keys.take(20).foreach { id =>
+      val frames = Multimodal.decodeAviFrames(Multimodal.encodeAviMjpeg(id))
+      val (n, f1, f2, f3, f4) = Multimodal.videoFeatures(frames)
+      val f = feats(id)
+      assert(f.kind == "video/avi" && f.byte_len == n)
+      assert(f.f1 == f1 && f.f2 == f2 && f.f3 == f3 && f.f4 == f4)
+    }
+  }
+
+  test("real AVI frame sampling emits every k-th decoded frame, no shuffle") {
+    val clips = Multimodal.aviMediaFromDocuments(Tables.documents(spark, sf))
+    val stats = Multimodal.sampleAviFrames(clips, everyK = 2)
+    assert(!stats.queryExecution.executedPlan.toString.contains("Exchange"))
+    val byDoc = stats.collect().groupBy(_.doc_id)
+    byDoc.keys.take(10).foreach { id =>
+      val fs = byDoc(id).sortBy(_.frame_idx)
+      val (w, h) = Multimodal.videoDims(id)
+      assert(fs.map(_.frame_idx).toSeq ==
+        (0 until Multimodal.videoFrameCount(id) by 2).toSeq)
+      fs.foreach { st =>
+        val px = (0 until w * h).map(k =>
+          Multimodal.videoBlockVal(id, st.frame_idx, (k % w) / 8))
+        assert(st.n_px == (w * h).toLong)
+        assert(st.mean == px.sum.toDouble / px.length.toDouble)
+      }
+    }
+  }
+
+  test("unknown media kind fails loudly instead of silently faking features") {
+    val ex = intercept[org.apache.spark.SparkException] {
+      Multimodal.extractFeatures(media).collect()
+    }
+    assert(ex.getMessage.contains("no codec") ||
+      Option(ex.getCause).exists(_.getMessage.contains("no codec")))
   }
 }
