@@ -32,28 +32,52 @@ object Graph {
     * needed. Output: top 100 nodes by rank (suppliers offset by 10⁶ to
     * disjoin the key spaces).
     *
-    * Scale: edge generation is one equi-join + distinct; each iteration
-    * is one join (ranks are re-keyed by the edge source — broadcastable
-    * once ranks ≪ edges, AQE's call) + one groupBy on the destination —
-    * O(|E|) per round, the plan that survives a billion-edge graph. The
-    * edge list and per-round ranks are localCheckpoint'd to cut lineage
-    * growth across iterations, exactly like the connected-components
-    * loop. */
+    * Scale (round 7 shape): edge generation pre-aggregates lineitem to
+    * one per-order supplier SET (map-side-combined collect_set keyed on
+    * the orderkey — bounded by order size, never by corpus size), so
+    * the orderkey join moves |orders| compact rows instead of the full
+    * |lineitem| spine; the pair explode + distinct happens after. The
+    * degree is folded into the edge list ONCE, and the folded list is
+    * hash-partitioned by the edge source BEFORE its eager
+    * localCheckpoint — the checkpointed LogicalRDD keeps that
+    * outputPartitioning, so every iteration's join re-shuffles only the
+    * node-sized rank table while the edge spine never moves again.
+    * Each round is one join + one destination groupBy (map-side
+    * combined) — O(|E|) — and per-round ranks are localCheckpoint'd to
+    * cut lineage growth, exactly like the connected-components loop.
+    *
+    * The int64 headroom the scaladoc above documents is now ENFORCED:
+    * the node count is read off the (checkpointed, node-sized) degree
+    * table and 17·n·initMass must stay inside Long — a graph too heavy
+    * for the default mass fails loudly with the knob named instead of
+    * silently wrapping. */
   def qPagerank(s: SparkSession, dir: String, iters: Int = 3): DataFrame = {
+    val perOrder = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .groupBy("l_orderkey")
+      .agg(collect_set(col("l_suppkey")).as("ss"))
     val e0 = Tables.orders(s, dir)
       .select(col("o_orderkey"), col("o_custkey"))
-      .join(Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey")),
-        col("o_orderkey") === col("l_orderkey"))
+      .join(perOrder, col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").cast(LongType).as("u"),
-        (col("l_suppkey") + lit(1000000L)).cast(LongType).as("v"))
+        explode(col("ss")).as("s0"))
+      .select(col("u"), (col("s0") + lit(1000000L)).cast(LongType).as("v"))
       .distinct()
     // customers < 10⁶ ≤ suppliers, so the two orientations cannot collide
     val edges = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
+      .repartition(col("u"))
       .localCheckpoint(true)
     val deg = edges.groupBy("u").agg(count(lit(1)).as("d"))
-    var ranks = deg.select(col("u"), lit(1000000000000L).as("r"))
+      .localCheckpoint(true)
+    val initMass = 1000000000000L
+    val nNodes = deg.count()
+    require(nNodes <= Long.MaxValue / 17 / initMass,
+      s"pagerank int64 headroom: $nNodes nodes x initMass $initMass " +
+        "overflows 17*totalMass; shrink the per-node initial mass")
+    val ed = edges.join(deg, "u").localCheckpoint(true)
+    var ranks = deg.select(col("u"), lit(initMass).as("r"))
     for (_ <- 1 to iters) {
-      ranks = edges.join(ranks, "u").join(deg, "u")
+      ranks = ed.join(ranks, "u")
         .select(col("v"), expr("r div d").as("c"))
         .groupBy(col("v"))
         .agg(sum(col("c")).as("sc"))
