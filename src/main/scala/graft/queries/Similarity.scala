@@ -394,25 +394,91 @@ object Similarity {
       .orderBy("i", "j")
   }
 
-  private val qEmbedCovarianceOracle =
-    """WITH sv AS (
-      |  SELECT vec_id, i - 1 AS pos,
-      |    CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS x
-      |  FROM embeddings CROSS JOIN range(1, 9) t(i)),
-      |p AS (
-      |  SELECT a.pos AS i, b.pos AS j, a.x AS xi, b.x AS xj
-      |  FROM sv a JOIN sv b USING (vec_id)
-      |  WHERE a.pos <= b.pos)
-      |SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
-      |  COUNT(*) AS n,
-      |  round(((CAST(SUM(xi * xj) AS DOUBLE)
-      |      - CAST(SUM(xi) AS DOUBLE) * CAST(SUM(xj) AS DOUBLE)
-      |        / CAST(COUNT(*) AS DOUBLE))
-      |    / (CAST(COUNT(*) AS DOUBLE) - 1.0)) / 1e12, 8) AS cov
-      |FROM p GROUP BY i, j ORDER BY i, j""".stripMargin
+  /** FULL-dimension covariance (upper triangle, all `dims` components)
+    * via ONE `treeAggregate` over per-partition integer power-sum
+    * accumulators — the corpus-scale form the dims²-explosion query
+    * above documents as its verification twin. Each partition folds its
+    * vectors into a fixed (n, Σxᵢ, Σxᵢxⱼ) block of
+    * `dims + dims·(dims+1)/2` longs; executors combine blocks in a
+    * tree, so the shuffle moves only `O(partitions · dims²)` longs and
+    * NO per-vector row ever carries a dims² explosion. The driver
+    * receives exactly one accumulator (≈17 KB at dims=64) — size
+    * independent of corpus size, the same bounded-collect contract as
+    * the k-means centroid fit.
+    *
+    * Arithmetic parity: the same round(x·1e6)→long scaling and the
+    * same closed-form IEEE sequence as [[qEmbedCovariance]] (Spark's
+    * `round` is BigDecimal HALF_UP — mirrored here exactly), so on the
+    * shared triangle the two forms are equal BIT-FOR-BIT, which
+    * CovarianceSpec asserts. */
+  def covarianceFull(s: SparkSession, dir: String, dims: Int = 64): DataFrame = {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    val nPairs = dims * (dims + 1) / 2
+    def scaled(v: Float): Long =
+      JBD.valueOf(v.toDouble * 1000000.0).setScale(0, RoundingMode.HALF_UP).longValue()
+    val zero = (0L, new Array[Long](dims), new Array[Long](nPairs))
+    val (n, sx, sxy) = Tables.embeddings(s, dir)
+      .select(col("embedding")).rdd
+      .map(_.getSeq[Float](0))
+      .treeAggregate(zero)(
+        seqOp = { case ((cnt, sxa, sxya), vec) =>
+          val x = new Array[Long](dims)
+          var i = 0
+          while (i < dims) { x(i) = scaled(vec(i)); sxa(i) += x(i); i += 1 }
+          var idx = 0
+          i = 0
+          while (i < dims) {
+            var j = i
+            while (j < dims) { sxya(idx) += x(i) * x(j); idx += 1; j += 1 }
+            i += 1
+          }
+          (cnt + 1, sxa, sxya)
+        },
+        combOp = { case ((c1, s1, p1), (c2, s2, p2)) =>
+          var i = 0
+          while (i < dims) { s1(i) += s2(i); i += 1 }
+          i = 0
+          while (i < nPairs) { p1(i) += p2(i); i += 1 }
+          (c1 + c2, s1, p1)
+        },
+        depth = 2)
+    val nd = n.toDouble
+    val rows = for {
+      i <- 0 until dims
+      j <- i until dims
+    } yield {
+      val idx = i * dims - i * (i - 1) / 2 + (j - i)
+      val cov = ((sxy(idx).toDouble - sx(i).toDouble * sx(j).toDouble / nd)
+        / (nd - 1.0)) / 1e12
+      (i.toLong, j.toLong, n,
+        JBD.valueOf(cov).setScale(8, RoundingMode.HALF_UP).doubleValue())
+    }
+    import s.implicits._
+    rows.toDF("i", "j", "n", "cov")
+  }
+
+  private def covarianceOracle(dims: Int) =
+    s"""WITH sv AS (
+       |  SELECT vec_id, i - 1 AS pos,
+       |    CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS x
+       |  FROM embeddings CROSS JOIN range(1, ${dims + 1}) t(i)),
+       |p AS (
+       |  SELECT a.pos AS i, b.pos AS j, a.x AS xi, b.x AS xj
+       |  FROM sv a JOIN sv b USING (vec_id)
+       |  WHERE a.pos <= b.pos)
+       |SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+       |  COUNT(*) AS n,
+       |  round(((CAST(SUM(xi * xj) AS DOUBLE)
+       |      - CAST(SUM(xi) AS DOUBLE) * CAST(SUM(xj) AS DOUBLE)
+       |        / CAST(COUNT(*) AS DOUBLE))
+       |    / (CAST(COUNT(*) AS DOUBLE) - 1.0)) / 1e12, 8) AS cov
+       |FROM p GROUP BY i, j ORDER BY i, j""".stripMargin
+
+  private val qEmbedCovarianceOracle = covarianceOracle(8)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_embed_covariance" -> ((s, d) => qEmbedCovariance(s, d)),
+    "q_embed_covariance_full" -> ((s, d) => covarianceFull(s, d)),
     "q_embed_centroid" -> ((s, d) => qEmbedCentroid(s, d)),
     "q_embed_quant" -> (qEmbedQuant _),
     "q_embed_cosine_topk" -> (qEmbedCosineTopk _),
@@ -422,6 +488,7 @@ object Similarity {
 
   def oracleSql: Map[String, String] = Map(
     "q_embed_covariance" -> qEmbedCovarianceOracle,
+    "q_embed_covariance_full" -> covarianceOracle(64),
     "q_embed_centroid" -> qEmbedCentroidOracle,
     "q_embed_quant" -> qEmbedQuantOracle,
     "q_embed_cosine_topk" -> qEmbedCosineTopkOracle,
