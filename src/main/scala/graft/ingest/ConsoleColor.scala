@@ -6,10 +6,16 @@ package graft.ingest
   * terminal, plain text otherwise (so piped output stays parseable).
   *
   * The reference gates on BOTH stdout and stderr being TTYs
-  * (`couleurs_actives`, utils.rs:12-14); the JVM offers one signal —
-  * `System.console()` is non-null only when stdin AND stdout are
-  * interactive — which is the same "everything is a terminal" intent.
-  * The flag is injectable so specs pin both modes deterministically.
+  * (`couleurs_actives`, utils.rs:12-14). The closest JVM signal is
+  * `System.console()`: on JDK ≤ 21 it is non-null only when stdin AND
+  * stdout are interactive; on JDK ≥ 22 it is ALWAYS non-null and the
+  * new `Console.isTerminal()` carries the TTY truth instead — so the
+  * auto gate asks `isTerminal()` reflectively where it exists and
+  * falls back to the non-null check on older JDKs. `NO_COLOR`
+  * (https://no-color.org: set and non-empty) force-disables, matching
+  * what owo_colors' supports-color detection honors on the reference
+  * side. The flag is injectable so specs pin both modes
+  * deterministically.
   * Codes are plain SGR (1;31 / 33 / 32 / 36 + reset), the same colors
   * owo_colors renders in the reference.
   */
@@ -34,5 +40,27 @@ final class ConsoleColor(val enabled: Boolean) {
 
 object ConsoleColor {
   val off: ConsoleColor = new ConsoleColor(false)
-  def auto(): ConsoleColor = new ConsoleColor(System.console() != null)
+
+  def auto(): ConsoleColor = auto(sys.env, stdioIsTerminal())
+
+  /** Injectable form of the auto gate: colors iff the stdio channels
+    * are interactive AND `NO_COLOR` is absent/empty. */
+  private[ingest] def auto(env: Map[String, String],
+                           isTerminal: Boolean): ConsoleColor =
+    if (env.get("NO_COLOR").exists(_.nonEmpty)) off
+    else new ConsoleColor(isTerminal)
+
+  /** TTY probe. JDK ≥ 22: `System.console()` never returns null, so
+    * ask its `isTerminal()` (added by JEP 445-era console rework) —
+    * redirected stdio then correctly reports false. JDK ≤ 21: the
+    * method doesn't exist, but there `console() != null` already
+    * implies interactive stdin+stdout, so non-null is the answer. */
+  private[ingest] def stdioIsTerminal(): Boolean = {
+    val c = System.console()
+    c != null && {
+      try c.getClass.getMethod("isTerminal").invoke(c)
+        .asInstanceOf[java.lang.Boolean].booleanValue()
+      catch { case _: ReflectiveOperationException => true }
+    }
+  }
 }

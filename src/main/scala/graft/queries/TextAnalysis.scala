@@ -545,10 +545,15 @@ object TextAnalysis {
     * > N/m survives in at least one partition's summary (a gram missed
     * everywhere was decremented away against ≤ Nₚ/m distinct batches
     * per partition, ≤ N/m total), so whenever the true k-th count
-    * exceeds N/m — asserted with wide margin at every test SF — the
-    * candidate set contains the whole top-k and the rescan returns the
-    * exact answer. HeavyHittersSpec pins the ε-regime property on a
-    * skewed fixture with m far below the vocabulary.
+    * exceeds N/m the candidate set contains the whole top-k and the
+    * rescan returns the exact answer. That precondition is ENFORCED at
+    * runtime: the plan carries an `assert_true(kth·m > N)` guard (kth
+    * and N are already computed — min of the top-k, sum of stage-1
+    * sentinel counts), so leaving the regime fails the job loudly
+    * instead of returning a partition-dependent set.
+    * HeavyHittersSpec pins the ε-regime property on a skewed fixture
+    * with m far below the vocabulary, and pins the guard tripping when
+    * m is too small for the corpus.
     *
     * Scale: this is THE bounded-memory answer to "top-k over 100 TB
     * where the exact groupBy state would blow the executors" — stage 1
@@ -563,9 +568,17 @@ object TextAnalysis {
     val grams = Tables.documents(s, dir)
       .select(explode(graft.functions.WordNgrams.grams(col("text"), 2))
         .as("gram"))
-    val candidates = grams.as[String].mapPartitions { it =>
+    // Stage 1: per-partition Misra-Gries summaries. Each partition also
+    // emits ONE sentinel row (gram=null, n_part=count) so the global N
+    // the exactness guard needs rides the same scan instead of costing
+    // a second pass. The summary is tiny — ≤ (m+1) rows per partition —
+    // so the eager localCheckpoint that lets candidates AND N read it
+    // without recomputing the scan caches kilobytes, not data.
+    val summary = grams.as[String].mapPartitions { it =>
+      var nPart = 0L
       val counters = scala.collection.mutable.HashMap.empty[String, Long]
       it.foreach { g =>
+        nPart += 1
         counters.get(g) match {
           case Some(c) => counters(g) = c + 1
           case None if counters.size < m => counters(g) = 1L
@@ -574,13 +587,38 @@ object TextAnalysis {
             counters.filterInPlace((_, v) => v > 0)
         }
       }
-      counters.keysIterator
-    }.toDF("gram").distinct()
-    grams.join(broadcast(candidates), Seq("gram"), "left_semi")
+      counters.keysIterator.map(g => (g, 0L)) ++
+        Iterator((null: String, nPart))
+    }.toDF("gram", "n_part").localCheckpoint(true)
+    val candidates =
+      summary.filter(col("gram").isNotNull).select("gram").distinct()
+    val nTotal = summary.agg(sum(col("n_part")).as("n_total"))
+    val topk = grams.join(broadcast(candidates), Seq("gram"), "left_semi")
       .groupBy(col("gram"))
       .agg(count(lit(1)).as("n_occurrences"))
       .orderBy(col("n_occurrences").desc, col("gram"))
       .limit(k)
+    // Runtime exactness guard: Misra-Gries only PROVES the candidate
+    // set complete when the true k-th count strictly exceeds N/m.
+    // Outside that regime the output would be partition-dependent and
+    // silently nondeterministic — fail loudly instead. One comparison
+    // on values the plan already computed (kth = min of the top-k, N
+    // from the stage-1 sentinels), attached as a 1-row broadcast so
+    // the check runs wherever the DataFrame is materialized.
+    val guard = topk.agg(min(col("n_occurrences")).as("kth"))
+      .crossJoin(nTotal)
+      .select(assert_true(col("kth") * m > col("n_total"),
+        concat(lit(s"q_heavy_hitters outside the Misra-Gries exact " +
+            s"regime (m=$m): kth*m="),
+          (col("kth") * m).cast("string"),
+          lit(" <= N="), col("n_total").cast("string"),
+          lit(" — raise m or use an approximate top-k")))
+        .as("_guard"))
+    // assert_true evaluates to null on success, so the isNull filter
+    // keeps every row while REFERENCING the guard — without it the
+    // dropped column would be pruned and the assert never evaluated.
+    topk.crossJoin(broadcast(guard))
+      .filter(col("_guard").isNull).drop("_guard")
   }
 
   private val qHeavyHittersOracle =

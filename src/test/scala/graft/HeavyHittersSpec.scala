@@ -28,6 +28,19 @@ class HeavyHittersSpec extends SparkSpec {
       "guarantee regime: output must equal the exact top-k")
   }
 
+  test("runtime guard: leaving the exact regime fails loudly, not silently") {
+    // On the synthetic corpus the k-th bigram count is far below N/16,
+    // so m=16 violates kth*m > N and the in-plan assert_true must trip
+    // at materialization time.
+    val ex = intercept[Exception] {
+      TextAnalysis.qHeavyHitters(spark, sf, k = 20, m = 16).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("outside the Misra-Gries exact regime")),
+      s"expected the exactness guard, got: ${ex.getMessage}")
+  }
+
   test("lossy regime (m << vocab): every gram with count > N/m survives") {
     import spark.implicits._
     // Skewed fixture: gram i appears ~ 1000/i times (Zipf-ish), vocab 200,

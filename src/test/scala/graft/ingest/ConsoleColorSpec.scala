@@ -25,6 +25,33 @@ class ConsoleColorSpec extends AnyFunSuite {
     }
   }
 
+  test("auto gate: TTY truth decides, NO_COLOR force-disables") {
+    // interactive stdio, no NO_COLOR → colors on
+    assert(ConsoleColor.auto(Map.empty, isTerminal = true).enabled)
+    // piped stdio (JDK>=22: console()!=null but isTerminal()==false;
+    // JDK<=21: console()==null) → colors off, like the reference's
+    // stdout&&stderr gate
+    assert(!ConsoleColor.auto(Map.empty, isTerminal = false).enabled)
+    // NO_COLOR set and non-empty wins even on a TTY
+    assert(!ConsoleColor.auto(Map("NO_COLOR" -> "1"), isTerminal = true).enabled)
+    // no-color.org: an EMPTY NO_COLOR does not disable
+    assert(ConsoleColor.auto(Map("NO_COLOR" -> ""), isTerminal = true).enabled)
+  }
+
+  test("stdioIsTerminal never reports interactive for redirected stdio") {
+    // When System.console() is null (JDK<=21 with any stream piped)
+    // the probe must be false; when non-null it must defer to
+    // isTerminal() where that method exists. We can't force a TTY
+    // inside sbt, but we CAN pin the dangerous direction: a false
+    // console()/isTerminal() signal must never yield colors.
+    val c = System.console()
+    val reportedInteractive =
+      c != null && (try c.getClass.getMethod("isTerminal").invoke(c)
+        .asInstanceOf[java.lang.Boolean].booleanValue()
+      catch { case _: ReflectiveOperationException => true })
+    assert(ConsoleColor.stdioIsTerminal() == reportedInteractive)
+  }
+
   test("line routing mirrors the reference call sites") {
     assert(on.line("Error: nope") == on.error("Error: nope"))
     assert(on.line("[WARN] finished with errors: 3 failed values") ==
