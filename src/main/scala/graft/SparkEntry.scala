@@ -26,6 +26,7 @@ object SparkEntry {
       graft.queries.Curation.queries ++
       graft.queries.Profiling.queries ++
       graft.queries.Graph.queries ++
+      graft.queries.Streaming.queries ++
       graft.queries.Ingest.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -41,5 +42,6 @@ object SparkEntry {
       graft.queries.Curation.oracleSql ++
       graft.queries.Profiling.oracleSql ++
       graft.queries.Graph.oracleSql ++
+      graft.queries.Streaming.oracleSql ++
       graft.queries.Ingest.oracleSql
 }
