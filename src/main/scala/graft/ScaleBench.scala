@@ -65,7 +65,11 @@ object ScaleBench {
     "q_pagerank", "q_scd2_build", "q_heavy_hitters", "q_ngram_counts",
     "q_sample_stratified", "q_split_holdout",
     "q_dedup_incremental", "q_bpe_merges", "q_sql_q5", "q_zorder_layout",
-    "q_dq_audit")
+    "q_dq_audit",
+    // round 9: the two queries VERDICT r8 flagged as having no decade
+    // rows — the real-codec media path and the treeAggregate full-dim
+    // covariance
+    "q_multimodal_video", "q_embed_covariance_full")
 
   def buildScaledData(spark: SparkSession, src: String, out: String, factor: Int): Unit = {
     val KEY = 100000000L // key shift per copy: far above any sf0.1 key
