@@ -69,7 +69,11 @@ object ScaleBench {
     // round 9: the two queries VERDICT r8 flagged as having no decade
     // rows — the real-codec media path and the treeAggregate full-dim
     // covariance
-    "q_multimodal_video", "q_embed_covariance_full")
+    "q_multimodal_video", "q_embed_covariance_full",
+    // round 9: the hash-gated streaming lifecycles — state-store scale
+    // evidence (keyed GroupState at 10-100x the users; complete-mode
+    // agg state at 10-100x the vocab)
+    "q_stream_sessions", "q_stream_scd2", "q_stream_ngrams")
 
   def buildScaledData(spark: SparkSession, src: String, out: String, factor: Int): Unit = {
     val KEY = 100000000L // key shift per copy: far above any sf0.1 key
