@@ -42,18 +42,26 @@ object Streaming {
                                 schema: StructType,
                                 build: DataFrame => DataFrame,
                                 outputMode: String): DataFrame = {
-    val dir = java.nio.file.Files.createTempDirectory(s"graft_$name").toString
-    chunk1.write.mode("overwrite").parquet(dir)
+    val dir = java.nio.file.Files.createTempDirectory(s"graft_$name")
+    chunk1.write.mode("overwrite").parquet(dir.toString)
     s.catalog.dropTempView(name)
-    val q = build(s.readStream.schema(schema).parquet(dir))
+    val q = build(s.readStream.schema(schema).parquet(dir.toString))
       .writeStream.outputMode(outputMode)
       .format("memory").queryName(name)
       .start()
     try {
       q.processAllAvailable()
-      chunk2.write.mode("append").parquet(dir)
+      chunk2.write.mode("append").parquet(dir.toString)
       q.processAllAvailable()
-    } finally q.stop()
+    } finally {
+      q.stop()
+      // the sink table retains the rows; the staged feed is dead weight
+      // (bench reruns this fn 3x — without cleanup each run leaks a
+      // corpus-sized temp dir)
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
     s.table(name)
   }
 
