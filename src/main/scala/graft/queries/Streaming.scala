@@ -45,6 +45,15 @@ object Streaming {
     val dir = java.nio.file.Files.createTempDirectory(s"graft_$name")
     chunk1.write.mode("overwrite").parquet(dir.toString)
     s.catalog.dropTempView(name)
+    // State-store provider knob: the default HDFSBacked store keeps
+    // every keyed state on the executor HEAP — fine for the sf-sized
+    // boards, wrong at 100 TB/billions of keys, where the built-in
+    // RocksDB provider (state on local disk, bounded heap) is the
+    // production setting. SPARK_GRAFT_STATE_STORE=rocksdb flips it so
+    // the scale runs can measure both (SCALE.md round-9 notes).
+    if (sys.env.get("SPARK_GRAFT_STATE_STORE").contains("rocksdb"))
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val q = build(s.readStream.schema(schema).parquet(dir.toString))
       .writeStream.outputMode(outputMode)
       .format("memory").queryName(name)
