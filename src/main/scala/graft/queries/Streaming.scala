@@ -190,6 +190,29 @@ object Streaming {
       .orderBy("gram")
   }
 
+  /** Streaming exact dedup (dropDuplicates on a stream): the canonical
+    * seen-keys state shape every streaming ingestion pipeline runs.
+    * Each micro-batch emits only keys never seen before, so the final
+    * appended set is exactly the batch DISTINCT — deterministic no
+    * matter which physical row reaches the state store first, because
+    * only the key column flows. (The watermarked bounded-state variant
+    * is spec-pinned in StreamingSpec; this unbounded-state form is the
+    * hash-gateable one.) */
+  def qStreamDedup(s: SparkSession, dir: String): DataFrame = {
+    val evs = Tables.events(s, dir)
+      .select(col("user_id"), expr("ts div 1000").as("ts_us"))
+    val mid = midpoint(evs, "ts_us")
+    runTwoBatchStream(s, "q_stream_dedup",
+      evs.filter(col("ts_us") <= mid), evs.filter(col("ts_us") > mid),
+      evs.schema,
+      df => df.select(col("user_id")).dropDuplicates("user_id"),
+      "append")
+      .orderBy("user_id")
+  }
+
+  private val qStreamDedupOracle =
+    """SELECT DISTINCT user_id FROM events ORDER BY user_id""".stripMargin
+
   private val qStreamNgramsOracle =
     """WITH g AS (
       |  SELECT unnest(list_transform(
@@ -203,12 +226,14 @@ object Streaming {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_sessions" -> (qStreamSessions _),
     "q_stream_scd2" -> (qStreamScd2 _),
-    "q_stream_ngrams" -> (qStreamNgrams _)
+    "q_stream_ngrams" -> (qStreamNgrams _),
+    "q_stream_dedup" -> (qStreamDedup _)
   )
 
   def oracleSql: Map[String, String] = Map(
     "q_stream_sessions" -> qStreamSessionsOracle,
     "q_stream_scd2" -> qStreamScd2Oracle,
-    "q_stream_ngrams" -> qStreamNgramsOracle
+    "q_stream_ngrams" -> qStreamNgramsOracle,
+    "q_stream_dedup" -> qStreamDedupOracle
   )
 }
