@@ -72,8 +72,10 @@ object ScaleBench {
     "q_multimodal_video", "q_embed_covariance_full",
     // round 9: the hash-gated streaming lifecycles — state-store scale
     // evidence (keyed GroupState at 10-100x the users; complete-mode
-    // agg state at 10-100x the vocab)
-    "q_stream_sessions", "q_stream_scd2", "q_stream_ngrams")
+    // agg state at 10-100x the vocab; seen-keys dedup state at
+    // 10-100x the distinct keys)
+    "q_stream_sessions", "q_stream_scd2", "q_stream_ngrams",
+    "q_stream_dedup")
 
   def buildScaledData(spark: SparkSession, src: String, out: String, factor: Int): Unit = {
     val KEY = 100000000L // key shift per copy: far above any sf0.1 key

@@ -53,14 +53,21 @@ object ConsoleColor {
   /** TTY probe. JDK ≥ 22: `System.console()` never returns null, so
     * ask its `isTerminal()` (added by JEP 445-era console rework) —
     * redirected stdio then correctly reports false. JDK ≤ 21: the
-    * method doesn't exist, but there `console() != null` already
-    * implies interactive stdin+stdout, so non-null is the answer. */
+    * method doesn't exist (NoSuchMethodException), but there
+    * `console() != null` already implies interactive stdin+stdout, so
+    * non-null is the answer.
+    *
+    * The Method MUST come from the public `java.io.Console` class, not
+    * `c.getClass`: the runtime class on JDK ≥ 22 is the package-private
+    * `ProxyingConsole`, whose members reflection refuses to invoke
+    * (IllegalAccessException) — looking it up there would silently take
+    * the fallback and reintroduce the piped-ANSI bug. */
   private[ingest] def stdioIsTerminal(): Boolean = {
     val c = System.console()
     c != null && {
-      try c.getClass.getMethod("isTerminal").invoke(c)
+      try classOf[java.io.Console].getMethod("isTerminal").invoke(c)
         .asInstanceOf[java.lang.Boolean].booleanValue()
-      catch { case _: ReflectiveOperationException => true }
+      catch { case _: NoSuchMethodException => true }
     }
   }
 }

@@ -68,8 +68,10 @@ object Streaming {
       // (bench reruns this fn 3x — without cleanup each run leaks a
       // corpus-sized temp dir)
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+      val walk = java.nio.file.Files.walk(dir)
+      try walk.iterator().asScala.toSeq.reverse
         .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
     }
     s.table(name)
   }
@@ -78,6 +80,8 @@ object Streaming {
     * collect: staging, bounded, not part of the streamed operator. */
   private def midpoint(df: DataFrame, c: String): Long = {
     val r = df.agg(min(col(c)).cast("long"), max(col(c)).cast("long")).head()
+    require(!r.isNullAt(0),
+      s"streaming feed staging: source table is empty (no $c values to split on)")
     r.getLong(0) + (r.getLong(1) - r.getLong(0)) / 2
   }
 

@@ -562,8 +562,14 @@ object TextAnalysis {
     * counter summary has no Catalyst equivalent); stage 2's shuffle
     * carries only candidate grams. Two scans, O(m·partitions) shuffle
     * bytes, never a wide aggregation over the full gram universe. */
-  def qHeavyHitters(s: SparkSession, dir: String, k: Int = 20,
-                    m: Int = 1024): DataFrame = {
+  /** The two Misra-Gries stages, LIVE (no caching): returns the 1-row
+    * total-gram-count frame and the top-k aggregation. Package-visible
+    * so HeavyHittersSpec can assert the candidate semi-join broadcast
+    * on the live plan — qHeavyHitters checkpoints the top-k, which
+    * hides the stage-2 operators behind a Scan ExistingRDD. */
+  private[graft] def heavyHitterParts(s: SparkSession, dir: String,
+                                      k: Int, m: Int)
+      : (DataFrame, DataFrame) = {
     import s.implicits._
     val grams = Tables.documents(s, dir)
       .select(explode(graft.functions.WordNgrams.grams(col("text"), 2))
@@ -598,21 +604,35 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_occurrences"))
       .orderBy(col("n_occurrences").desc, col("gram"))
       .limit(k)
+    (nTotal, topk)
+  }
+
+  def qHeavyHitters(s: SparkSession, dir: String, k: Int = 20,
+                    m: Int = 1024): DataFrame = {
+    val (nTotal, topkLive) = heavyHitterParts(s, dir, k, m)
+    // localCheckpoint (<= k rows) so the expensive stage-2 subtree —
+    // rescan + semi-join + aggregate + sort-limit — evaluates ONCE:
+    // both the guard's min() and the returned rows read the k cached
+    // rows instead of re-executing the aggregation per consumer.
+    val topk = topkLive.localCheckpoint(true)
     // Runtime exactness guard: Misra-Gries only PROVES the candidate
     // set complete when the true k-th count strictly exceeds N/m.
     // Outside that regime the output would be partition-dependent and
     // silently nondeterministic — fail loudly instead. One comparison
     // on values the plan already computed (kth = min of the top-k, N
     // from the stage-1 sentinels), attached as a 1-row broadcast so
-    // the check runs wherever the DataFrame is materialized.
+    // the check runs wherever the DataFrame is materialized. An empty
+    // corpus (N=0, kth null) is exact by definition and must pass,
+    // not trip assert_true's null-is-failure path.
     val guard = topk.agg(min(col("n_occurrences")).as("kth"))
       .crossJoin(nTotal)
-      .select(assert_true(col("kth") * m > col("n_total"),
+      .select(assert_true(
+        (col("n_total") === lit(0L)).or(col("kth") * m > col("n_total")),
         concat(lit(s"q_heavy_hitters outside the Misra-Gries exact " +
             s"regime (m=$m): kth*m="),
           (col("kth") * m).cast("string"),
           lit(" <= N="), col("n_total").cast("string"),
-          lit(" — raise m or use an approximate top-k")))
+          lit(" — raise m (SPARK_GRAFT_HH_M) or use an approximate top-k")))
         .as("_guard"))
     // assert_true evaluates to null on success, so the isNull filter
     // keeps every row while REFERENCING the guard — without it the
@@ -725,7 +745,14 @@ object TextAnalysis {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bpe_merges" -> ((s, d) => qBpeMerges(s, d)),
     "q_ngram_counts" -> ((s, d) => qNgramCounts(s, d)),
-    "q_heavy_hitters" -> ((s, d) => qHeavyHitters(s, d)),
+    // m is the operator's memory/skew knob: exactness needs m > N/kth.
+    // SPARK_GRAFT_HH_M exists for corpora whose top-k does NOT
+    // concentrate as they grow — e.g. ScaleBench's key-shifted corpus,
+    // which deliberately flattens the gram distribution (disjoint
+    // per-copy vocabularies), so N scales with the factor while kth
+    // stays put and the default 1024 correctly trips the guard.
+    "q_heavy_hitters" -> ((s, d) => qHeavyHitters(s, d,
+      m = sys.env.get("SPARK_GRAFT_HH_M").map(_.toInt).getOrElse(1024))),
     "q_text_postings" -> (qTextPostings _),
     "q_text_chunks" -> ((s, d) => qTextChunks(s, d)),
     "q_langid_trigram" -> ((s, d) => qLangidTrigram(s, d)),

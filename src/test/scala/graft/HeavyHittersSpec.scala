@@ -12,10 +12,15 @@ import graft.queries.TextAnalysis
 class HeavyHittersSpec extends SparkSpec {
 
   test("registry form: exact counts, deterministic, candidate set broadcast") {
+    // plan shape is asserted on the LIVE stage-2 subtree — the registry
+    // form checkpoints the <= k top rows (so the guard and the output
+    // share one evaluation), which hides these operators behind a
+    // Scan ExistingRDD in the outer plan
+    val livePlan = TextAnalysis.heavyHitterParts(spark, sf, 20, 1024)
+      ._2.queryExecution.executedPlan.toString
+    assert(livePlan.contains("BroadcastHashJoin") || livePlan.contains("BroadcastExchange"),
+      s"candidate semi-join must broadcast:\n${livePlan.take(800)}")
     val out = TextAnalysis.qHeavyHitters(spark, sf)
-    val plan = out.queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
-      s"candidate semi-join must broadcast:\n${plan.take(800)}")
     val rows = out.collect()
     assert(rows.length == 20)
     // counts are exact: compare against the plain exact aggregation

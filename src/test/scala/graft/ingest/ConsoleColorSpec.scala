@@ -38,18 +38,25 @@ class ConsoleColorSpec extends AnyFunSuite {
     assert(ConsoleColor.auto(Map("NO_COLOR" -> ""), isTerminal = true).enabled)
   }
 
-  test("stdioIsTerminal never reports interactive for redirected stdio") {
-    // When System.console() is null (JDK<=21 with any stream piped)
-    // the probe must be false; when non-null it must defer to
-    // isTerminal() where that method exists. We can't force a TTY
-    // inside sbt, but we CAN pin the dangerous direction: a false
-    // console()/isTerminal() signal must never yield colors.
-    val c = System.console()
-    val reportedInteractive =
-      c != null && (try c.getClass.getMethod("isTerminal").invoke(c)
-        .asInstanceOf[java.lang.Boolean].booleanValue()
-      catch { case _: ReflectiveOperationException => true })
-    assert(ConsoleColor.stdioIsTerminal() == reportedInteractive)
+  test("isTerminal lookup uses the public declaring class, not the runtime class") {
+    // On JDK >= 22 System.console() returns the package-private
+    // ProxyingConsole; a Method obtained from c.getClass throws
+    // IllegalAccessException on invoke (silently taking the fallback
+    // and reintroducing the piped-ANSI bug). Pin the mechanism: when
+    // java.io.Console declares isTerminal, the PUBLIC-class lookup
+    // must succeed and be invocable on the live console (if any);
+    // when it doesn't (JDK <= 21), NoSuchMethodException is the
+    // expected — and only tolerated — failure.
+    val lookedUp =
+      try Some(classOf[java.io.Console].getMethod("isTerminal"))
+      catch { case _: NoSuchMethodException => None }
+    lookedUp.foreach { m =>
+      assert(java.lang.reflect.Modifier.isPublic(m.getDeclaringClass.getModifiers))
+      val c = System.console()
+      if (c != null) m.invoke(c) // must not throw IllegalAccessException
+    }
+    // and the probe must never crash, whatever the JDK/stdio state
+    ConsoleColor.stdioIsTerminal()
   }
 
   test("line routing mirrors the reference call sites") {
