@@ -226,17 +226,26 @@ object ScaleBench {
     // family rather than re-timing all fifty at 10x the 10x cost.
     val wanted = args.toSet
     val selected = if (wanted.isEmpty) headline else headline.filter(wanted)
+    // A failed query must not masquerade as a timing row (a round-9
+    // sweep silently summed a guard-failed q_heavy_hitters): failures
+    // are named in the JSON line and excluded from the total, and the
+    // process exits nonzero.
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = selected.map { name =>
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, out).write.mode("overwrite").format("noop").save()
       catch { case e: Throwable =>
+        failed += name
         System.err.println(s"[scale] $name failed: ${e.getMessage}")
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val ok = results.filterNot { case (k, _) => failed.contains(k) }
+    val qs = ok.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"scale_total","value":${results.map(_._2).sum},"unit":"sec","factor":$factor,"queries":$qs,"src":"$src"}""")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"scale_total","value":${ok.map(_._2).sum},"unit":"sec","factor":$factor,"queries":$qs,"failed":$failedJson,"src":"$src"}""")
     spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
   }
 }
