@@ -673,6 +673,21 @@ class StreamingSpec extends SparkSpec {
       s"stream/batch closed-version mismatch: missing=${(batchClosed -- streamed).take(3)} extra=${(streamed -- batchClosed).take(3)}")
   }
 
+  test("registry streaming queries are rerunnable and deterministic in one session") {
+    // Bench invokes each registry fn three times in the same session —
+    // the memory-sink queryName and temp-view reuse must not collide,
+    // and the two-batch feed must reproduce the identical result set.
+    // (q_stream_sessions is the representative: same harness as the
+    // other three, heaviest state.)
+    def run(): Seq[Seq[Any]] =
+      graft.queries.Streaming.qStreamSessions(spark, sf).collect()
+        .map(_.toSeq.toSeq).toSeq
+    val first = run()
+    val second = run()
+    assert(first.nonEmpty && first == second,
+      s"rerun diverged: sizes ${first.size}/${second.size}")
+  }
+
   test("session split core handles gaps and singletons") {
     val gap = Sessionize.DefaultGapUs
     val out = Sessionize.split(1L, Seq(0L, 10L, gap + 20L, gap + 30L, 3 * gap + 100L), gap)
