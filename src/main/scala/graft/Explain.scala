@@ -41,9 +41,17 @@ object Explain {
     spark.sparkContext.setLogLevel("ERROR")
     headline.foreach { name =>
       println(s"\n===== $name =====")
-      println(SparkEntry.queries(name)(spark, sfDir)
-        .queryExecution.explainString(
-          org.apache.spark.sql.execution.FormattedMode))
+      // q_heavy_hitters' registry form eagerly checkpoints its top-k
+      // (so its guard and output share one evaluation), which would
+      // make a plan-only dump EXECUTE the query and print only a Scan
+      // ExistingRDD — explain the live stage-2 subtree instead, which
+      // is the plan shape this file documents.
+      val df =
+        if (name == "q_heavy_hitters")
+          graft.queries.TextAnalysis.heavyHitterParts(spark, sfDir, 20, 1024)._2
+        else SparkEntry.queries(name)(spark, sfDir)
+      println(df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
     }
 
     // DSv2 graft source: filters + projection pushed into the reader —

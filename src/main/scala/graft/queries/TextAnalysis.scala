@@ -622,16 +622,22 @@ object TextAnalysis {
     // on values the plan already computed (kth = min of the top-k, N
     // from the stage-1 sentinels), attached as a 1-row broadcast so
     // the check runs wherever the DataFrame is materialized. An empty
-    // corpus (N=0, kth null) is exact by definition and must pass,
-    // not trip assert_true's null-is-failure path.
+    // corpus is exact by definition and must pass, not trip
+    // assert_true's null-is-failure path — and "empty" can surface as
+    // N=0 OR as NULLs (a parquet dataset with zero scan partitions
+    // emits no sentinel rows at all, so sum(n_part) is NULL, not 0),
+    // so both sides are coalesced; the message operands are coalesced
+    // too so a tripped guard can never raise a null message.
+    val nTot = coalesce(col("n_total"), lit(0L))
+    val kthM = coalesce(col("kth"), lit(0L)) * m
     val guard = topk.agg(min(col("n_occurrences")).as("kth"))
       .crossJoin(nTotal)
       .select(assert_true(
-        (col("n_total") === lit(0L)).or(col("kth") * m > col("n_total")),
+        (nTot === lit(0L)).or(kthM > nTot),
         concat(lit(s"q_heavy_hitters outside the Misra-Gries exact " +
             s"regime (m=$m): kth*m="),
-          (col("kth") * m).cast("string"),
-          lit(" <= N="), col("n_total").cast("string"),
+          kthM.cast("string"),
+          lit(" <= N="), nTot.cast("string"),
           lit(" — raise m (SPARK_GRAFT_HH_M) or use an approximate top-k")))
         .as("_guard"))
     // assert_true evaluates to null on success, so the isNull filter
@@ -752,7 +758,11 @@ object TextAnalysis {
     // per-copy vocabularies), so N scales with the factor while kth
     // stays put and the default 1024 correctly trips the guard.
     "q_heavy_hitters" -> ((s, d) => qHeavyHitters(s, d,
-      m = sys.env.get("SPARK_GRAFT_HH_M").map(_.toInt).getOrElse(1024))),
+      m = sys.env.get("SPARK_GRAFT_HH_M").map { v =>
+        require(v.matches("[0-9]{1,9}") && v.toInt > 0,
+          s"SPARK_GRAFT_HH_M must be a positive int, got '$v'")
+        v.toInt
+      }.getOrElse(1024))),
     "q_text_postings" -> (qTextPostings _),
     "q_text_chunks" -> ((s, d) => qTextChunks(s, d)),
     "q_langid_trigram" -> ((s, d) => qLangidTrigram(s, d)),
