@@ -47,8 +47,37 @@ object Ingest {
     IngestPipeline.convert(s, ensureStaged(s, dir))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_ingest_typed" -> (qIngestTyped _)
+    // The registry form appends a total-order sort so the driver's
+    // order-sensitive hash gate can compare the typed output against
+    // the DuckDB oracle below (the reference's own verification method,
+    // SURVEY §5.1: re-read the produced parquet and diff it against the
+    // expected typed values). The conversion itself stays input-ordered
+    // (O12) — that contract is pinned by ConvertMainSpec's order assert,
+    // not here.
+    // localCheckpoint before the sort: orderBy range-partitions, and
+    // its boundary-sampling pass would otherwise re-execute the whole
+    // parse+cast subtree a second time (measured 1.24 s → 3.0 s at
+    // sf0.1); sampling the materialized partitions keeps one
+    // conversion pass. Bench unpersists checkpointed RDDs between runs.
+    "q_ingest_typed" -> ((s, dir) => {
+      val typed = qIngestTyped(s, dir).localCheckpoint()
+      typed.orderBy(typed.columns.map(col): _*)
+    })
   )
 
-  def oracleSql: Map[String, String] = Map() // rows-only check by design
+  /** The staged TSV is a deterministic projection of `lineitem`, so the
+    * expected typed values are the source columns themselves: the
+    * string round-trip is exact for BIGINT/DOUBLE (shortest-repr
+    * format, exact parse) and truncates timestamps to seconds (the
+    * staged `yyyy-MM-dd HH:mm:ss` format — hence date_trunc). NULLS
+    * FIRST matches Spark's ascending-sort default. */
+  def oracleSql: Map[String, String] = Map(
+    "q_ingest_typed" ->
+      """SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice,
+        |       l_returnflag, date_trunc('second', l_shipdate) AS l_shipdate
+        |FROM lineitem
+        |ORDER BY l_orderkey NULLS FIRST, l_partkey NULLS FIRST,
+        |         l_quantity NULLS FIRST, l_extendedprice NULLS FIRST,
+        |         l_returnflag NULLS FIRST, l_shipdate NULLS FIRST""".stripMargin
+  )
 }
