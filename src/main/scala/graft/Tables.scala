@@ -21,24 +21,42 @@ object Tables {
   def part(s: SparkSession, dir: String): DataFrame = t(s, dir, "part")
   def orders(s: SparkSession, dir: String): DataFrame = t(s, dir, "orders")
   def lineitem(s: SparkSession, dir: String): DataFrame = t(s, dir, "lineitem")
-  /** `events.ts` is Parquet TIMESTAMP(NANOS), which Spark's reader
-    * rejects outright (PARQUET_TYPE_ILLEGAL). Read nanos as raw longs
-    * (runtime-settable legacy conf) and expose both the raw `ts` nanos
-    * and a µs-truncated `ts_ts` TimestampType column.
+  /** `events.ts` has shipped under two equally standard physical
+    * encodings — Parquet TIMESTAMP(NANOS) (which Spark reads as a raw
+    * long under `spark.sql.legacy.parquet.nanosAsLong=true`) and plain
+    * µs `timestamp` — so the loader dispatches on the LOADED dtype and
+    * normalizes to one internal shape: `ts` = epoch-nanosecond long,
+    * `ts_ts` = TimestampType. Every downstream query works off that
+    * contract, so a testdata re-encode never reaches operator code.
     */
   def events(s: SparkSession, dir: String): DataFrame = {
-    // Requires spark.sql.legacy.parquet.nanosAsLong=true, set where every
-    // graft session is BUILT (Bench/Verify/Explain/ScaleBench/ConvertMain
-    // and the test harness) — reading a table must not mutate session
-    // conf. An externally-built session without the conf fails fast with
-    // Spark's PARQUET_TYPE_ILLEGAL, which names the fix.
-    // `ts div 1000`, not `/ 1000`: Spark's `/` is double division and
-    // ns-magnitude longs (~1e18) exceed double's 2^53 exact range — the
-    // rounded quotient can differ ±1 µs from exact truncation.
-    t(s, dir, "events").withColumn(
-      "ts_ts",
-      org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros, unix_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val raw = t(s, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        // ns-BIGINT path (TIMESTAMP(NANOS) parquet + nanosAsLong=true,
+        // set where every graft session is BUILT — reading a table must
+        // not mutate session conf; an externally-built session without
+        // the conf fails fast with PARQUET_TYPE_ILLEGAL, naming the fix).
+        // `ts div 1000`, not `/ 1000`: Spark's `/` is double division and
+        // ns-magnitude longs (~1e18) exceed double's 2^53 exact range —
+        // the rounded quotient can differ ±1 µs from exact truncation.
+        raw.withColumn("ts_ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType | TimestampNTZType =>
+        // µs-native path: the ns long is exactly representable
+        // (µs·1000 ≪ 2^63). The NTZ→LTZ cast is interpreted in the
+        // session timezone — value-preserving ONLY because every graft
+        // session pins spark.sql.session.timeZone=UTC; the cast is
+        // explicit so the dependency is visible here.
+        val tsTs = col("ts").cast(TimestampType)
+        raw.withColumn("ts_ts", tsTs)
+          .withColumn("ts", unix_micros(tsTs) * 1000L)
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts has unsupported physical type $other " +
+            "(expected ns BIGINT, TIMESTAMP, or TIMESTAMP_NTZ)")
+    }
   }
   def documents(s: SparkSession, dir: String): DataFrame = t(s, dir, "documents")
   def embeddings(s: SparkSession, dir: String): DataFrame = t(s, dir, "embeddings")

@@ -65,9 +65,14 @@ object ConsoleColor {
   private[ingest] def stdioIsTerminal(): Boolean = {
     val c = System.console()
     c != null && {
+      // NoSuchMethodException = JDK < 22 (no isTerminal: a non-null
+      // Console already implied a terminal there). Any OTHER reflective
+      // failure (access control, invocation wrapper, linkage) must take
+      // the same conservative answer rather than crash a color probe —
+      // colors are cosmetic, the convert pipeline is not.
       try classOf[java.io.Console].getMethod("isTerminal").invoke(c)
         .asInstanceOf[java.lang.Boolean].booleanValue()
-      catch { case _: NoSuchMethodException => true }
+      catch { case scala.util.control.NonFatal(_) => true }
     }
   }
 }

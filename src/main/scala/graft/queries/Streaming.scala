@@ -43,30 +43,33 @@ object Streaming {
                                 build: DataFrame => DataFrame,
                                 outputMode: String): DataFrame = {
     val dir = java.nio.file.Files.createTempDirectory(s"graft_$name")
-    chunk1.write.mode("overwrite").parquet(dir.toString)
-    s.catalog.dropTempView(name)
-    // State-store provider knob: the default HDFSBacked store keeps
-    // every keyed state on the executor HEAP — fine for the sf-sized
-    // boards, wrong at 100 TB/billions of keys, where the built-in
-    // RocksDB provider (state on local disk, bounded heap) is the
-    // production setting. SPARK_GRAFT_STATE_STORE=rocksdb flips it so
-    // the scale runs can measure both (SCALE.md round-9 notes).
-    if (sys.env.get("SPARK_GRAFT_STATE_STORE").contains("rocksdb"))
-      s.conf.set("spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    val q = build(s.readStream.schema(schema).parquet(dir.toString))
-      .writeStream.outputMode(outputMode)
-      .format("memory").queryName(name)
-      .start()
+    // Everything from the chunk1 write onward sits inside the cleanup
+    // try: a failure ANYWHERE (the write itself, stream resolution at
+    // start(), a mid-stream error) must not leak the corpus-sized feed
+    // dir — bench reruns this fn 3x per query.
     try {
-      q.processAllAvailable()
-      chunk2.write.mode("append").parquet(dir.toString)
-      q.processAllAvailable()
+      chunk1.write.mode("overwrite").parquet(dir.toString)
+      s.catalog.dropTempView(name)
+      // State-store provider knob: the default HDFSBacked store keeps
+      // every keyed state on the executor HEAP — fine for the sf-sized
+      // boards, wrong at 100 TB/billions of keys, where the built-in
+      // RocksDB provider (state on local disk, bounded heap) is the
+      // production setting. SPARK_GRAFT_STATE_STORE=rocksdb flips it so
+      // the scale runs can measure both (SCALE.md round-9 notes).
+      if (sys.env.get("SPARK_GRAFT_STATE_STORE").contains("rocksdb"))
+        s.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val q = build(s.readStream.schema(schema).parquet(dir.toString))
+        .writeStream.outputMode(outputMode)
+        .format("memory").queryName(name)
+        .start()
+      try {
+        q.processAllAvailable()
+        chunk2.write.mode("append").parquet(dir.toString)
+        q.processAllAvailable()
+      } finally q.stop()
     } finally {
-      q.stop()
       // the sink table retains the rows; the staged feed is dead weight
-      // (bench reruns this fn 3x — without cleanup each run leaks a
-      // corpus-sized temp dir)
       import scala.jdk.CollectionConverters._
       val walk = java.nio.file.Files.walk(dir)
       try walk.iterator().asScala.toSeq.reverse
@@ -127,6 +130,61 @@ object Streaming {
       |  FROM a)
       |SELECT user_id, start_us, end_us, n_events
       |FROM m WHERE session_seq < max_seq
+      |ORDER BY user_id, start_us""".stripMargin
+
+  /** BOUNDED-state streaming sessionization — the production form:
+    * EventTimeTimeout + a zero-delay watermark on the event-time column.
+    * Keys whose open session falls behind the watermark flush and LEAVE
+    * the state store, so state holds only gap-horizon-active users, not
+    * the all-time key set (q_stream_sessions' NoTimeout form keeps every
+    * user forever — fine for the boundary-invariance oracle, wrong at
+    * 100 TB). The emitted set is deterministic for the time-ordered
+    * two-batch feed (see Sessionize.sessionizeStreamBounded's contract):
+    * every gap-closed session, plus each user's LAST session iff its
+    * ms-floored end + gap is strictly below the ms-floored global max
+    * event time (the final watermark). StreamingSpec additionally pins
+    * that the end-of-run state row count equals the not-yet-flushed key
+    * count — the bounded-state evidence itself. */
+  def qStreamSessionsBounded(s: SparkSession, dir: String): DataFrame = {
+    val evs = Tables.events(s, dir)
+      .select(col("user_id"), expr("ts div 1000").as("ts_us"), col("ts_ts"))
+    val mid = midpoint(evs, "ts_us")
+    val enc = Encoders.product[Sessionize.EvT]
+    runTwoBatchStream(s, "q_stream_sessions_bounded",
+      evs.filter(col("ts_us") <= mid), evs.filter(col("ts_us") > mid),
+      enc.schema,
+      df => Sessionize.sessionizeStreamBounded(
+        df.withWatermark("ts_ts", "0 seconds").as[Sessionize.EvT](enc)).toDF(),
+      "append")
+      .orderBy("user_id", "start_us")
+  }
+
+  private val qStreamSessionsBoundedOracle =
+    """WITH g AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS tus,
+      |    CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+      |      OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+      |      THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+      |), s AS (
+      |  SELECT user_id, tus,
+      |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY tus, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS session_seq
+      |  FROM g
+      |), a AS (
+      |  SELECT user_id, session_seq, MIN(tus) AS start_us,
+      |    MAX(tus) AS end_us, COUNT(*) AS n_events
+      |  FROM s GROUP BY user_id, session_seq
+      |), m AS (
+      |  SELECT user_id, session_seq, start_us, end_us, n_events,
+      |    MAX(session_seq) OVER (PARTITION BY user_id) AS max_seq
+      |  FROM a),
+      |wm AS (SELECT MAX(epoch_us(ts)) // 1000 AS w_ms FROM events)
+      |SELECT user_id, start_us, end_us, n_events
+      |FROM m, wm
+      |WHERE session_seq < max_seq
+      |   OR end_us // 1000 + 1800000 < w_ms
       |ORDER BY user_id, start_us""".stripMargin
 
   /** Streaming SCD Type-2 (flatMapGroupsWithState): closed versions
@@ -229,6 +287,7 @@ object Streaming {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_sessions" -> (qStreamSessions _),
+    "q_stream_sessions_bounded" -> (qStreamSessionsBounded _),
     "q_stream_scd2" -> (qStreamScd2 _),
     "q_stream_ngrams" -> (qStreamNgrams _),
     "q_stream_dedup" -> (qStreamDedup _)
@@ -236,6 +295,7 @@ object Streaming {
 
   def oracleSql: Map[String, String] = Map(
     "q_stream_sessions" -> qStreamSessionsOracle,
+    "q_stream_sessions_bounded" -> qStreamSessionsBoundedOracle,
     "q_stream_scd2" -> qStreamScd2Oracle,
     "q_stream_ngrams" -> qStreamNgramsOracle,
     "q_stream_dedup" -> qStreamDedupOracle

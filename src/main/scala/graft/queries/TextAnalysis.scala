@@ -582,6 +582,14 @@ object TextAnalysis {
     // without recomputing the scan caches kilobytes, not data.
     val summary = grams.as[String].mapPartitions { it =>
       var nPart = 0L
+      // hitCap: did this partition EVER overflow m counters (i.e. run a
+      // decrement step)? If no partition did, every distinct gram
+      // survives in its partition's summary, the candidate set is the
+      // full vocabulary, and the rescan is the plain exact aggregation —
+      // exact regardless of the kth·m > N regime test. The flag rides
+      // the sentinel row so the guard can skip itself in that case
+      // (small-vocabulary corpora previously tripped it spuriously).
+      var hitCap = false
       val counters = scala.collection.mutable.HashMap.empty[String, Long]
       it.foreach { g =>
         nPart += 1
@@ -589,16 +597,18 @@ object TextAnalysis {
           case Some(c) => counters(g) = c + 1
           case None if counters.size < m => counters(g) = 1L
           case None =>
+            hitCap = true
             counters.mapValuesInPlace((_, v) => v - 1)
             counters.filterInPlace((_, v) => v > 0)
         }
       }
-      counters.keysIterator.map(g => (g, 0L)) ++
-        Iterator((null: String, nPart))
-    }.toDF("gram", "n_part").localCheckpoint(true)
+      counters.keysIterator.map(g => (g, 0L, false)) ++
+        Iterator((null: String, nPart, hitCap))
+    }.toDF("gram", "n_part", "hit_cap").localCheckpoint(true)
     val candidates =
       summary.filter(col("gram").isNotNull).select("gram").distinct()
-    val nTotal = summary.agg(sum(col("n_part")).as("n_total"))
+    val nTotal = summary.agg(sum(col("n_part")).as("n_total"),
+      max(col("hit_cap")).as("any_cap"))
     val topk = grams.join(broadcast(candidates), Seq("gram"), "left_semi")
       .groupBy(col("gram"))
       .agg(count(lit(1)).as("n_occurrences"))
@@ -630,15 +640,20 @@ object TextAnalysis {
     // too so a tripped guard can never raise a null message.
     val nTot = coalesce(col("n_total"), lit(0L))
     val kthM = coalesce(col("kth"), lit(0L)) * m
+    // If no partition ever hit the m-counter cap (any_cap false/null),
+    // nothing was decremented, the candidate set is the full vocabulary
+    // and the rescan is plainly exact — skip the regime test.
+    val noCap = !coalesce(col("any_cap"), lit(false))
     val guard = topk.agg(min(col("n_occurrences")).as("kth"))
       .crossJoin(nTotal)
       .select(assert_true(
-        (nTot === lit(0L)).or(kthM > nTot),
+        (nTot === lit(0L)).or(noCap).or(kthM > nTot),
         concat(lit(s"q_heavy_hitters outside the Misra-Gries exact " +
             s"regime (m=$m): kth*m="),
           kthM.cast("string"),
           lit(" <= N="), nTot.cast("string"),
-          lit(" — raise m (SPARK_GRAFT_HH_M) or use an approximate top-k")))
+          lit(" — raise m (SPARK_GRAFT_HH_M) or use q_heavy_hitters_approx" +
+            " (exact counts, candidate set within eps=1/m of the true top-k)")))
         .as("_guard"))
     // assert_true evaluates to null on success, so the isNull filter
     // keeps every row while REFERENCING the guard — without it the
@@ -646,6 +661,29 @@ object TextAnalysis {
     topk.crossJoin(broadcast(guard))
       .filter(col("_guard").isNull).drop("_guard")
   }
+
+  /** Approximate top-k — the same two Misra-Gries stages WITHOUT the
+    * exactness guard: the sketch answer for corpora whose gram
+    * distribution is too flat for any affordable m (the regime where
+    * q_heavy_hitters correctly refuses to answer). The guarantees that
+    * remain are the useful sketch ones, and HeavyHittersSpec pins both:
+    *
+    *  - every RETURNED count is EXACT (stage 2 rescans the candidates —
+    *    the sketch only chooses WHICH grams to count, never the counts);
+    *  - any true top-k gram absent from the output has global count
+    *    <= N/m (the Misra-Gries survival bound) — i.e. the result is
+    *    the true top-k up to an additive eps·N frequency error with
+    *    eps = 1/m, and whenever the kth true count exceeds N/m the
+    *    output IS exact (it degrades to q_heavy_hitters' regime).
+    *
+    * Scale: identical cost profile to the exact form — O(m) state per
+    * task, candidate-only shuffle — which is the point: m buys accuracy
+    * linearly but memory stays bounded no matter how the vocabulary
+    * grows at 100 TB. Rows-only on the driver board: outside the exact
+    * regime the candidate set is legitimately partition-dependent. */
+  def qHeavyHittersApprox(s: SparkSession, dir: String, k: Int = 20,
+                          m: Int = 1024): DataFrame =
+    heavyHitterParts(s, dir, k, m)._2
 
   private val qHeavyHittersOracle =
     """WITH g AS (
@@ -748,21 +786,28 @@ object TextAnalysis {
        |ORDER BY step""".stripMargin
   }
 
+  // m is the operator's memory/accuracy knob, shared by the exact and
+  // approx forms: exactness needs m > N/kth; the approx form's frequency
+  // error is eps = 1/m of N.
+  private def hhM: Int =
+    sys.env.get("SPARK_GRAFT_HH_M").map { v =>
+      require(v.matches("[0-9]{1,9}") && v.toInt > 0,
+        s"SPARK_GRAFT_HH_M must be a positive int, got '$v'")
+      v.toInt
+    }.getOrElse(1024)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bpe_merges" -> ((s, d) => qBpeMerges(s, d)),
     "q_ngram_counts" -> ((s, d) => qNgramCounts(s, d)),
-    // m is the operator's memory/skew knob: exactness needs m > N/kth.
     // SPARK_GRAFT_HH_M exists for corpora whose top-k does NOT
     // concentrate as they grow — e.g. ScaleBench's key-shifted corpus,
     // which deliberately flattens the gram distribution (disjoint
     // per-copy vocabularies), so N scales with the factor while kth
     // stays put and the default 1024 correctly trips the guard.
-    "q_heavy_hitters" -> ((s, d) => qHeavyHitters(s, d,
-      m = sys.env.get("SPARK_GRAFT_HH_M").map { v =>
-        require(v.matches("[0-9]{1,9}") && v.toInt > 0,
-          s"SPARK_GRAFT_HH_M must be a positive int, got '$v'")
-        v.toInt
-      }.getOrElse(1024))),
+    "q_heavy_hitters" -> ((s, d) => qHeavyHitters(s, d, m = hhM)),
+    // sketch twin: no guard, rows-only on the board (outside the exact
+    // regime the candidate set is partition-dependent by design)
+    "q_heavy_hitters_approx" -> ((s, d) => qHeavyHittersApprox(s, d, m = hhM)),
     "q_text_postings" -> (qTextPostings _),
     "q_text_chunks" -> ((s, d) => qTextChunks(s, d)),
     "q_langid_trigram" -> ((s, d) => qLangidTrigram(s, d)),

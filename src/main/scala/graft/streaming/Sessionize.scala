@@ -95,4 +95,64 @@ object Sessionize {
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(fn)
   }
+
+  /** Event with the event-time column a watermark can ride on (`ts_ts`,
+    * µs TimestampType) alongside the integer µs the session arithmetic
+    * uses. */
+  case class EvT(user_id: Long, ts_us: Long, ts_ts: java.sql.Timestamp)
+
+  /** BOUNDED-state streaming form: EventTimeTimeout + an upstream
+    * watermark on `ts_ts`. Each key's open session carries a timeout at
+    * (last event + gap); when the event-time watermark passes it, the
+    * open session flushes as closed and the key's state is REMOVED — so
+    * state holds only users whose sessions are still inside the gap
+    * horizon, never the all-time key set (the production setting; the
+    * NoTimeout form above exists for the boundary-invariance oracle).
+    *
+    * Determinism contract (what lets the driver hash-gate this): the
+    * caller feeds time-ordered batches with watermark delay 0. A key
+    * that times out between batches can only see later events beyond its
+    * gap (they sit past the watermark that fired the timeout), so the
+    * timeout-split and the gap-split agree, and the final emitted set is
+    * exactly: every gap-closed session, plus each user's last session
+    * iff floor(last_us/1000) + gap_ms < floor(max_ts_us/1000) (Spark
+    * tracks watermarks in ms and fires on strict <). */
+  def sessionizeStreamBounded(events: Dataset[EvT],
+                              gapUs: Long = DefaultGapUs): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = gapUs / 1000
+
+    def fn(uid: Long, it: Iterator[EvT], state: GroupState[OpenSession]): Iterator[Session] = {
+      if (state.hasTimedOut) {
+        val open = state.get
+        state.remove()
+        return Iterator.single(Session(uid, open.start_us, open.end_us, open.n_events))
+      }
+      val ts = it.map(_.ts_us).toSeq.sorted
+      if (ts.isEmpty) return Iterator.empty
+      val closed = Seq.newBuilder[Session]
+      var (start, last, n) = state.getOption match {
+        case Some(o) if ts.head - o.end_us <= gapUs => (o.start_us, o.end_us, o.n_events)
+        case Some(o) =>
+          closed += Session(uid, o.start_us, o.end_us, o.n_events)
+          (ts.head, ts.head, 0L)
+        case None => (ts.head, ts.head, 0L)
+      }
+      ts.foreach { t =>
+        if (n > 0 && t - last > gapUs) {
+          closed += Session(uid, start, last, n); start = t; n = 0
+        }
+        last = t; n += 1
+      }
+      state.update(OpenSession(start, last, n))
+      // ms (Spark's watermark clock); always ahead of the current
+      // watermark because this key's batch data is beyond it
+      state.setTimeoutTimestamp(last / 1000 + gapMs)
+      closed.result().iterator
+    }
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
 }

@@ -46,6 +46,68 @@ class HeavyHittersSpec extends SparkSpec {
       s"expected the exactness guard, got: ${ex.getMessage}")
   }
 
+  /** Stage a throwaway documents.parquet so the registry forms can run
+    * over a purpose-built corpus (they read `$dir/documents.parquet`). */
+  private def stageDocs(texts: Seq[String]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_hh_fixture")
+    dir.toFile.deleteOnExit()
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text").repartition(4)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir.toString
+  }
+
+  test("approx twin: equals the exact form inside the guarantee regime") {
+    val approx = TextAnalysis.qHeavyHittersApprox(spark, sf).collect()
+    val exact = TextAnalysis.qHeavyHitters(spark, sf).collect()
+    assert(approx.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      exact.map(r => (r.getString(0), r.getLong(1))).toSeq,
+      "with m above the regime threshold the sketch must degrade to exact")
+  }
+
+  test("approx twin: outside the exact regime, counts exact + eps=1/m bound") {
+    // Flat-ish corpus: 400 distinct bigrams appearing twice each, plus
+    // one planted heavy hitter well above N/m. With m=16 the exact
+    // guard trips (kth count 2, 2*16 << N) — the sketch must still (a)
+    // report EXACT counts for whatever it returns, and (b) return every
+    // gram whose true count exceeds N/m (the Misra-Gries survival
+    // bound), in particular the planted heavy.
+    val tail = (1 to 400).flatMap(i => Seq.fill(2)(s"t$i x$i"))
+    val n = tail.size + 200
+    val docs = new scala.util.Random(42).shuffle(tail ++ Seq.fill(200)("heavy hh"))
+    val dir = stageDocs(docs)
+    val m = 16
+    assert(200L > n.toLong / m, "fixture: planted heavy must clear N/m")
+    intercept[Exception] {
+      TextAnalysis.qHeavyHitters(spark, dir, k = 20, m = m).collect()
+    }
+    val approx = TextAnalysis.qHeavyHittersApprox(spark, dir, k = 20, m = m)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val trueCounts = docs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(approx.nonEmpty && approx.size <= 20)
+    approx.foreach { case (g, c) =>
+      assert(c == trueCounts(g), s"returned count for '$g' must be exact")
+    }
+    trueCounts.filter(_._2 > n.toLong / m).keys.foreach { g =>
+      assert(approx.contains(g),
+        s"'$g' (count ${trueCounts(g)} > N/m=${n / m}) must be returned")
+    }
+  }
+
+  test("guard skips when no partition hit the counter cap (small vocab)") {
+    // 16 distinct bigrams, one dominant — the k-th count (1) fails the
+    // kth*m > N test, but no partition ever overflows m=16 counters so
+    // the result is plainly exact and the guard must NOT trip.
+    val docs = Seq.fill(500)("h h") ++ (1 to 15).map(i => s"r$i r$i")
+    val dir = stageDocs(docs)
+    val rows = TextAnalysis.qHeavyHitters(spark, dir, k = 16, m = 16)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.length == 16)
+    assert(rows.head == ("h h", 500L))
+    assert(rows.tail.map(_._2).forall(_ == 1L))
+  }
+
   test("lossy regime (m << vocab): every gram with count > N/m survives") {
     import spark.implicits._
     // Skewed fixture: gram i appears ~ 1000/i times (Zipf-ish), vocab 200,

@@ -46,6 +46,61 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("bounded sessionization: timeout flush matches the rule, state shrinks") {
+    // Two time-ordered batches, zero-delay watermark, EventTimeTimeout:
+    // the registry form's determinism contract says the final emitted
+    // set is every gap-closed session plus each user's last session iff
+    // floor(end_us/1000) + gap_ms < floor(max_ts_us/1000). Pin that
+    // against the batch sessionizer, and pin the POINT of the operator:
+    // flushed keys leave the state store, so end-of-run state rows =
+    // users minus flushed users — strictly below the all-time key count
+    // the NoTimeout form would hold.
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_b").toString
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"), expr("ts div 1000").as("ts_us"), col("ts_ts"))
+    val mid = {
+      val r = evs.agg(min("ts_us"), max("ts_us")).head()
+      r.getLong(0) + (r.getLong(1) - r.getLong(0)) / 2
+    }
+    evs.filter(col("ts_us") <= mid).write.mode("overwrite").parquet(dir)
+
+    val gapUs = Sessionize.DefaultGapUs
+    val wMs = evs.agg(max("ts_us")).head().getLong(0) / 1000
+    val all = Sessionize.sessionizeBatch(
+        evs.select("user_id", "ts_us").as[Sessionize.Ev])
+      .collect().map(s => (s.user_id, s.start_us, s.end_us, s.n_events))
+    val lastPerUser = all.groupBy(_._1).view.mapValues(_.maxBy(_._2)).toMap
+    val expected = all.filter { s =>
+      s != lastPerUser(s._1) || s._3 / 1000 + gapUs / 1000 < wMs
+    }.toSet
+
+    val stream = spark.readStream
+      .schema("user_id LONG, ts_us LONG, ts_ts TIMESTAMP")
+      .parquet(dir)
+      .withWatermark("ts_ts", "0 seconds")
+      .as[Sessionize.EvT]
+    val q = Sessionize.sessionizeStreamBounded(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sessions_bounded_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      evs.filter(col("ts_us") > mid).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      val streamed = spark.table("sessions_bounded_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(streamed == expected,
+        s"missing=${(expected -- streamed).take(3)} extra=${(streamed -- expected).take(3)}")
+      // bounded-state evidence: flushed keys are GONE from the store
+      val users = evs.select("user_id").distinct().count()
+      val flushed = lastPerUser.values.count(s => s._3 / 1000 + gapUs / 1000 < wMs)
+      assert(flushed > 0, "fixture must flush at least one tail")
+      val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(stateRows == users - flushed,
+        s"state rows $stateRows != users $users - flushed $flushed")
+    } finally q.stop()
+  }
+
   test("streaming funnel (keyed state) matches the batch step counts across batches") {
     import graft.streaming.Funnel
     val dir = java.nio.file.Files.createTempDirectory("graft_funnel").toString
