@@ -75,7 +75,13 @@ object ScaleBench {
     // agg state at 10-100x the vocab; seen-keys dedup state at
     // 10-100x the distinct keys)
     "q_stream_sessions", "q_stream_scd2", "q_stream_ngrams",
-    "q_stream_dedup")
+    "q_stream_dedup",
+    // round 11: the bounded-state streaming form (timeout-flushed keys
+    // leave the store — the state-size scale story), the guard-free
+    // sketch top-k on the flat scaled corpus (the regime it exists
+    // for), and the two decorrelation-heavy TPC-H shapes
+    "q_stream_sessions_bounded", "q_heavy_hitters_approx",
+    "q_sql_q21", "q_sql_q2")
 
   def buildScaledData(spark: SparkSession, src: String, out: String, factor: Int): Unit = {
     val KEY = 100000000L // key shift per copy: far above any sf0.1 key
@@ -174,12 +180,23 @@ object ScaleBench {
       val (vSec, vTask) = timed(fact.join(dim, col("k") === col("sk")))
       val (sSec, sTask) = timed(graft.operators.SkewJoin.saltedJoin(
         fact, dim, Seq("k" -> "sk"), saltSource = col("row_id"), salts = 32))
+      // Third arm: the SAME vanilla join under AQE's runtime skew
+      // handling — the modern cluster default the manual salt competes
+      // with. AQE re-plans the sort-merge join after seeing the map
+      // output sizes and splits the oversized partition into
+      // advisory-sized reads (SkewJoinSpec pins the split happening).
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+      val (aSec, aTask) = timed(fact.join(dim, col("k") === col("sk")))
       println(s"""{"metric":"skew_join_evidence","rows":$n,"hot_frac":0.1,""" +
-        s""""vanilla_sec":$vSec,"salted_sec":$sSec,""" +
+        s""""vanilla_sec":$vSec,"salted_sec":$sSec,"aqe_sec":$aSec,""" +
         s""""vanilla_max_task_ms":$vTask,"salted_max_task_ms":$sTask,""" +
+        s""""aqe_max_task_ms":$aTask,""" +
         s""""vanilla_max_partition_rows":$vanillaMaxRows,"salted_max_partition_rows":$saltedMaxRows}""")
     } finally {
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.forceOptimizeSkewedJoin")
       spark.conf.set("spark.sql.adaptive.enabled", "true")
     }
   }

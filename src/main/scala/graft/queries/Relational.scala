@@ -631,6 +631,117 @@ object Relational {
       |ORDER BY o_totalprice DESC, o_orderkey
       |LIMIT 100""".stripMargin
 
+  /** TPC-H Q21-shaped suppliers-who-kept-waiting: for each 'F' order,
+    * find the supplier whose line was flagged ('R') while EVERY other
+    * supplier on the same multi-supplier order was clean — one EXISTS
+    * and one NOT EXISTS, both correlated self-joins on lineitem. (The
+    * corpus carries no commit/receipt dates, so the returnflag is the
+    * lateness predicate; the decorrelation shape is the point.)
+    *
+    * Scale: Catalyst rewrites EXISTS → left-semi and NOT EXISTS →
+    * left-anti hash joins on l_orderkey — the self-join shuffles
+    * lineitem on its natural key twice, no correlated re-execution and
+    * no cartesian; supplier/nation broadcast. The grouped count is
+    * bounded by |suppliers|. */
+  def qSqlQ21(s: SparkSession, dir: String): DataFrame = {
+    Tables.supplier(s, dir).createOrReplaceTempView("q21_supplier")
+    Tables.lineitem(s, dir).createOrReplaceTempView("q21_lineitem")
+    Tables.orders(s, dir).createOrReplaceTempView("q21_orders")
+    Tables.nation(s, dir).createOrReplaceTempView("q21_nation")
+    s.sql(
+      """SELECT n_name, s_name, COUNT(*) AS numwait
+        |FROM q21_supplier
+        |JOIN q21_lineitem l1 ON s_suppkey = l1.l_suppkey
+        |JOIN q21_orders ON o_orderkey = l1.l_orderkey
+        |JOIN q21_nation ON s_nationkey = n_nationkey
+        |WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+        |  AND EXISTS (
+        |    SELECT 1 FROM q21_lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM q21_lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_returnflag = 'R')
+        |GROUP BY n_name, s_name
+        |ORDER BY numwait DESC, n_name, s_name
+        |LIMIT 100""".stripMargin)
+  }
+
+  private val qSqlQ21Oracle =
+    """SELECT n_name, s_name, COUNT(*) AS numwait
+      |FROM supplier
+      |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+      |JOIN orders ON o_orderkey = l1.l_orderkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      |  AND EXISTS (
+      |    SELECT 1 FROM lineitem l2
+      |    WHERE l2.l_orderkey = l1.l_orderkey
+      |      AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM lineitem l3
+      |    WHERE l3.l_orderkey = l1.l_orderkey
+      |      AND l3.l_suppkey <> l1.l_suppkey
+      |      AND l3.l_returnflag = 'R')
+      |GROUP BY n_name, s_name
+      |ORDER BY numwait DESC, n_name, s_name
+      |LIMIT 100""".stripMargin
+
+  /** TPC-H Q2-shaped minimum-cost supplier: for each sized part, the
+    * EUROPE supplier(s) whose line price equals the part's minimum over
+    * the same region — a correlated scalar MIN whose subquery repeats
+    * the outer's multi-table join (lineitem⋈supplier⋈nation⋈region),
+    * the decorrelation stress Q2 exists to apply. (No partsupp table in
+    * the corpus; lineitem is the part↔supplier bridge and
+    * l_extendedprice the cost. Values pass through from parquet to the
+    * equality untouched, so double comparison is exact cross-engine.)
+    *
+    * Scale: Catalyst decorrelates the MIN into one region-filtered
+    * aggregate on l_partkey joined back on (partkey, price) — the
+    * subquery's join tree executes ONCE, not per part; region/nation/
+    * supplier broadcast, the two lineitem passes shuffle on partkey.
+    * Full-column ORDER BY makes the LIMIT deterministic under ties. */
+  def qSqlQ2(s: SparkSession, dir: String): DataFrame = {
+    Tables.part(s, dir).createOrReplaceTempView("q2_part")
+    Tables.supplier(s, dir).createOrReplaceTempView("q2_supplier")
+    Tables.lineitem(s, dir).createOrReplaceTempView("q2_lineitem")
+    Tables.nation(s, dir).createOrReplaceTempView("q2_nation")
+    Tables.region(s, dir).createOrReplaceTempView("q2_region")
+    s.sql(
+      """SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
+        |  l_extendedprice AS cost
+        |FROM q2_part, q2_supplier, q2_lineitem, q2_nation, q2_region
+        |WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+        |  AND p_size = 5 AND s_nationkey = n_nationkey
+        |  AND n_regionkey = r_regionkey AND r_name = 'EUROPE'
+        |  AND l_extendedprice = (
+        |    SELECT MIN(l2.l_extendedprice)
+        |    FROM q2_lineitem l2, q2_supplier s2, q2_nation n2, q2_region r2
+        |    WHERE l2.l_partkey = p_partkey AND s2.s_suppkey = l2.l_suppkey
+        |      AND s2.s_nationkey = n2.n_nationkey
+        |      AND n2.n_regionkey = r2.r_regionkey AND r2.r_name = 'EUROPE')
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey, p_brand, cost
+        |LIMIT 100""".stripMargin)
+  }
+
+  private val qSqlQ2Oracle =
+    """SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
+      |  l_extendedprice AS cost
+      |FROM part, supplier, lineitem, nation, region
+      |WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+      |  AND p_size = 5 AND s_nationkey = n_nationkey
+      |  AND n_regionkey = r_regionkey AND r_name = 'EUROPE'
+      |  AND l_extendedprice = (
+      |    SELECT MIN(l2.l_extendedprice)
+      |    FROM lineitem l2, supplier s2, nation n2, region r2
+      |    WHERE l2.l_partkey = p_partkey AND s2.s_suppkey = l2.l_suppkey
+      |      AND s2.s_nationkey = n2.n_nationkey
+      |      AND n2.n_regionkey = r2.r_regionkey AND r2.r_name = 'EUROPE')
+      |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey, p_brand, cost
+      |LIMIT 100""".stripMargin
+
   /** Null-safe equality join (`<=>`): NULL keys MATCH each other
     * instead of vanishing — the join semantics deduplication and SCD
     * pipelines need when the business key is nullable. Catalyst plans
@@ -1247,6 +1358,8 @@ object Relational {
     "q_sql_q5" -> (qSqlQ5 _),
     "q_sql_q10" -> (qSqlQ10 _),
     "q_sql_q18" -> (qSqlQ18 _),
+    "q_sql_q21" -> (qSqlQ21 _),
+    "q_sql_q2" -> (qSqlQ2 _),
     "q_pivot" -> (qPivot _),
     "q_unpivot" -> (qUnpivot _),
     "q_range_join" -> (qRangeJoin _),
@@ -1297,6 +1410,8 @@ object Relational {
     "q_sql_q5" -> qSqlQ5Oracle,
     "q_sql_q10" -> qSqlQ10Oracle,
     "q_sql_q18" -> qSqlQ18Oracle,
+    "q_sql_q21" -> qSqlQ21Oracle,
+    "q_sql_q2" -> qSqlQ2Oracle,
     "q_pivot" -> qPivotOracle,
     "q_unpivot" -> qUnpivotOracle,
     "q_range_join" -> qRangeJoinOracle,

@@ -56,9 +56,19 @@ object Streaming {
       // RocksDB provider (state on local disk, bounded heap) is the
       // production setting. SPARK_GRAFT_STATE_STORE=rocksdb flips it so
       // the scale runs can measure both (SCALE.md round-9 notes).
-      if (sys.env.get("SPARK_GRAFT_STATE_STORE").contains("rocksdb"))
+      if (sys.env.get("SPARK_GRAFT_STATE_STORE").contains("rocksdb")) {
         s.conf.set("spark.sql.streaming.stateStore.providerClass",
           "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        // Cap RocksDB's NATIVE memory (block cache + memtables, shared
+        // across all state store instances in the executor): unbounded,
+        // the native allocation competes with the JVM heap in one
+        // process and OOM'd the round-9 100x sweep on the 8 GiB
+        // harness. A real cluster sizes this against
+        // spark.executor.memoryOverhead; 512 MiB fits this box.
+        s.conf.set("spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage", "true")
+        s.conf.set("spark.sql.streaming.stateStore.rocksdb.maxMemoryUsageMB",
+          sys.env.getOrElse("SPARK_GRAFT_ROCKSDB_MB", "512"))
+      }
       val q = build(s.readStream.schema(schema).parquet(dir.toString))
         .writeStream.outputMode(outputMode)
         .format("memory").queryName(name)

@@ -20,6 +20,22 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("Q21/Q2 decorrelate: semi/anti hash joins, aggregate-join MIN, no cartesian") {
+    // Q21's EXISTS / NOT EXISTS must become left-semi / left-anti joins
+    // on l_orderkey, never per-row subquery re-execution
+    val p21 = graft.queries.Relational.qSqlQ21(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p21.contains("LeftSemi"), s"Q21 EXISTS not a semi join:\n${p21.take(1500)}")
+    assert(p21.contains("LeftAnti"), s"Q21 NOT EXISTS not an anti join:\n${p21.take(1500)}")
+    // Q2's correlated scalar MIN must decorrelate into one aggregate
+    // joined back (RewriteCorrelatedScalarSubquery), with the region/
+    // nation/supplier dims broadcast
+    val p2 = graft.queries.Relational.qSqlQ2(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p2.contains("HashAggregate"), s"Q2 MIN not decorrelated:\n${p2.take(1500)}")
+    assert(p2.contains("BroadcastHashJoin"), s"Q2 dims not broadcast:\n${p2.take(1500)}")
+  }
+
   test("narrow projections prune parquet scan columns") {
     // q_scan_project reads 5 of lineitem's 11 columns + nothing else
     val plan = graft.queries.Relational.qScanProject(spark, sf)

@@ -43,6 +43,34 @@ class SkewJoinSpec extends SparkSpec {
     }
   }
 
+  test("AQE skew handling splits the hot partition at runtime") {
+    // The alternative to the manual salt on a modern cluster: leave the
+    // join alone and let AQE re-plan after the map stage reveals the
+    // skew. Thresholds are shrunk so the test corpus counts as skewed;
+    // the assertion is on the FINAL adaptive plan after materialization
+    // (that's when AQE has replaced the skewed read with split reads).
+    withSQLConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "32KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB") {
+      val big = (0 until 200000).map { i =>
+        (if (i % 10 == 0) i.toLong % 100 else 7L, i.toLong)
+      }.toDF("k", "row_id")
+      val small = (0L until 100L).map(k => (k, s"dim_$k")).toDF("sk", "payload")
+      val joined = big.join(small, col("k") === col("sk"))
+      // collect() drives THIS DataFrame's QueryExecution (count() would
+      // build a different plan and leave this one unexecuted/non-final)
+      assert(joined.collect().length == big.count(), "join must be key-complete")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("isFinalPlan=true"), s"AQE did not finalize:\n${plan.take(500)}")
+      assert(plan.contains("skew=true") || plan.contains("skewed"),
+        s"AQE did not mark the join/read as skew-handled:\n${plan.take(2000)}")
+    }
+  }
+
   test("salt spreads the hot key over many partitions") {
     val big = (0 until 8000).map(i => (7L, i.toLong)).toDF("k", "row_id")
     val saltCounts = big
