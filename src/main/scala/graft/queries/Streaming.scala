@@ -48,7 +48,24 @@ object Streaming {
     // start(), a mid-stream error) must not leak the corpus-sized feed
     // dir — bench reruns this fn 3x per query.
     try {
-      chunk1.write.mode("overwrite").parquet(dir.toString)
+      // Chunk staging must be ATOMIC with respect to the source's file
+      // listing: the stream keeps triggering between the two
+      // processAllAvailable calls, and a multi-file parquet write that
+      // lands mid-listing gets split across micro-batches — the partial
+      // first batch advances the watermark past the not-yet-visible
+      // files and the "third batch" arrives as late data (observed at
+      // 100x: the bounded form's event-time timeouts then sit behind
+      // the watermark and the query dies). So each chunk is written to
+      // an underscore-prefixed dir (hidden from the listing), then
+      // renamed into view in one filesystem-atomic move: a listing sees
+      // ALL of a chunk or NONE of it.
+      def stage(chunk: DataFrame, sub: String): Unit = {
+        val tmp = dir.resolve(s"_staging_$sub")
+        chunk.write.mode("overwrite").parquet(tmp.toString)
+        java.nio.file.Files.move(tmp, dir.resolve(sub),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      }
+      stage(chunk1, "b1")
       s.catalog.dropTempView(name)
       // State-store provider knob: the default HDFSBacked store keeps
       // every keyed state on the executor HEAP — fine for the sf-sized
@@ -69,13 +86,13 @@ object Streaming {
         s.conf.set("spark.sql.streaming.stateStore.rocksdb.maxMemoryUsageMB",
           sys.env.getOrElse("SPARK_GRAFT_ROCKSDB_MB", "512"))
       }
-      val q = build(s.readStream.schema(schema).parquet(dir.toString))
+      val q = build(s.readStream.schema(schema).parquet(s"$dir/*"))
         .writeStream.outputMode(outputMode)
         .format("memory").queryName(name)
         .start()
       try {
         q.processAllAvailable()
-        chunk2.write.mode("append").parquet(dir.toString)
+        stage(chunk2, "b2")
         q.processAllAvailable()
       } finally q.stop()
     } finally {

@@ -145,10 +145,20 @@ object Sessionize {
         }
         last = t; n += 1
       }
-      state.update(OpenSession(start, last, n))
-      // ms (Spark's watermark clock); always ahead of the current
-      // watermark because this key's batch data is beyond it
-      state.setTimeoutTimestamp(last / 1000 + gapMs)
+      // ms (Spark's watermark clock). On a time-ordered feed this is
+      // always ahead of the current watermark (the batch's own data is
+      // beyond it); if a racy/late delivery lands AFTER the watermark
+      // passed this key's gap horizon, the open tail is already closed
+      // by definition — emit it now (exactly what the timeout would
+      // have done) instead of setting an illegal past timestamp.
+      val timeoutAt = last / 1000 + gapMs
+      if (timeoutAt >= state.getCurrentWatermarkMs()) {
+        state.update(OpenSession(start, last, n))
+        state.setTimeoutTimestamp(timeoutAt)
+      } else {
+        state.remove()
+        closed += Session(uid, start, last, n)
+      }
       closed.result().iterator
     }
 
