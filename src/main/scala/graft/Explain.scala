@@ -27,7 +27,10 @@ object Explain {
     // map-side split manifest
     "q_pagerank", "q_scd2_build", "q_heavy_hitters", "q_split_holdout",
     // six-table join-reorder stress: dims broadcast, spine shuffles
-    "q_sql_q5")
+    "q_sql_q5",
+    // round 11: EXISTS/NOT-EXISTS → left-semi/left-anti hash joins,
+    // correlated-MIN → decorrelated aggregate-join with broadcast dims
+    "q_sql_q21", "q_sql_q2")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
