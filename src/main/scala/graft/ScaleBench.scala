@@ -81,7 +81,10 @@ object ScaleBench {
     // sketch top-k on the flat scaled corpus (the regime it exists
     // for), and the two decorrelation-heavy TPC-H shapes
     "q_stream_sessions_bounded", "q_heavy_hitters_approx",
-    "q_sql_q21", "q_sql_q2")
+    "q_sql_q21", "q_sql_q2",
+    // the state-heaviest streaming operator: two-sided interval-join
+    // state, bounded by rate x window via the two-sided time condition
+    "q_stream_interval_join")
 
   def buildScaledData(spark: SparkSession, src: String, out: String, factor: Int): Unit = {
     val KEY = 100000000L // key shift per copy: far above any sf0.1 key

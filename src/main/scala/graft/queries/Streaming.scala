@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
 import graft.Tables
-import graft.streaming.{Scd2, Sessionize}
+import graft.streaming.{Correlate, Scd2, Sessionize}
 
 /** Streaming surfaces driven END-TO-END through the driver's DuckDB
   * hash gate (SURVEY.md §2.D; the reference's incremental consumers
@@ -262,6 +262,50 @@ object Streaming {
       |FROM vers WHERE valid_to IS NOT NULL
       |ORDER BY user_id, version""".stripMargin
 
+  /** Watermarked stream-stream interval join (attribution: each click
+    * paired with the same user's purchases within the next hour) run
+    * END-TO-END as two batches — the state-heaviest streaming operator
+    * on the board. Append-mode INNER interval joins are
+    * split-invariant for a time-ordered feed: every match eventually
+    * emits, and the watermark eviction only drops click state whose
+    * match window closed BEFORE the split point — purchases that could
+    * match it sit in the first batch by construction (and later-batch
+    * clicks can never need earlier-batch purchases, because the join
+    * requires the purchase to be the LATER event). So the final sink
+    * equals the batch interval join, plain SQL for the oracle, while
+    * Spark exercises the real two-sided state lifecycle: both sides
+    * shuffled on user_id into the state store, state bounded by
+    * rate × window via the two-sided time condition (Correlate.scala's
+    * 100 TB story), matches emitted across the batch boundary. */
+  def qStreamIntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("user_id"), col("ts_ts"),
+        col("event_type"), expr("ts div 1000").as("ts_us"))
+    val mid = midpoint(ev, "ts_us")
+    val feed = ev.drop("ts_us")
+    def split(df: DataFrame) =
+      (df.filter(col("event_type") === "click"),
+        df.filter(col("event_type") === "purchase"))
+    runTwoBatchStream(s, "q_stream_interval_join",
+      ev.filter(col("ts_us") <= mid).drop("ts_us"),
+      ev.filter(col("ts_us") > mid).drop("ts_us"),
+      feed.schema,
+      df => { val (c, p) = split(df); Correlate.clickPurchase(c, p) },
+      "append")
+      .orderBy("click_id", "purchase_id")
+  }
+
+  private val qStreamIntervalJoinOracle =
+    """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+      |  epoch_us(p.ts) // 1000000 - epoch_us(c.ts) // 1000000 AS delta_sec
+      |FROM events c JOIN events p
+      |  ON c.user_id = p.user_id
+      | AND c.event_type = 'click' AND p.event_type = 'purchase'
+      | AND p.ts > c.ts
+      | AND p.ts <= c.ts + INTERVAL 3600 SECONDS
+      |ORDER BY click_id, purchase_id""".stripMargin
+
   /** Streaming n-gram counting (complete-mode stateful aggregation):
     * partial aggregation + state merge across micro-batches must
     * reproduce the batch bigram count table exactly — nothing lost or
@@ -315,6 +359,7 @@ object Streaming {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_sessions" -> (qStreamSessions _),
     "q_stream_sessions_bounded" -> (qStreamSessionsBounded _),
+    "q_stream_interval_join" -> (qStreamIntervalJoin _),
     "q_stream_scd2" -> (qStreamScd2 _),
     "q_stream_ngrams" -> (qStreamNgrams _),
     "q_stream_dedup" -> (qStreamDedup _)
@@ -323,6 +368,7 @@ object Streaming {
   def oracleSql: Map[String, String] = Map(
     "q_stream_sessions" -> qStreamSessionsOracle,
     "q_stream_sessions_bounded" -> qStreamSessionsBoundedOracle,
+    "q_stream_interval_join" -> qStreamIntervalJoinOracle,
     "q_stream_scd2" -> qStreamScd2Oracle,
     "q_stream_ngrams" -> qStreamNgramsOracle,
     "q_stream_dedup" -> qStreamDedupOracle

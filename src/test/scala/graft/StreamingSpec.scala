@@ -9,6 +9,21 @@ import graft.streaming.Sessionize
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
 
+  /** Atomic feed staging for a RUNNING stream (the same discipline as
+    * runTwoBatchStream): write the chunk to a listing-hidden _staging
+    * dir, then rename it into the watched glob in one filesystem move —
+    * the polling source's listing sees ALL of the chunk or NONE of it.
+    * A plain multi-file append races the listing and can split a chunk
+    * into out-of-order micro-batches, which breaks every order-sensitive
+    * keyed fold (observed: the transitions matrix flaking under full-
+    * suite load). Watch the feed with the dir-slash-star glob. */
+  private def stage(df: org.apache.spark.sql.Dataset[_], dir: String, sub: String): Unit = {
+    val tmp = java.nio.file.Paths.get(dir, s"_staging_$sub")
+    df.toDF().write.mode("overwrite").parquet(tmp.toString)
+    java.nio.file.Files.move(tmp, java.nio.file.Paths.get(dir, sub),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
   test("streaming sessionization matches batch on closed sessions") {
     // stage events as a typed parquet the stream can read with a schema
     val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
@@ -62,7 +77,7 @@ class StreamingSpec extends SparkSpec {
       val r = evs.agg(min("ts_us"), max("ts_us")).head()
       r.getLong(0) + (r.getLong(1) - r.getLong(0)) / 2
     }
-    evs.filter(col("ts_us") <= mid).write.mode("overwrite").parquet(dir)
+    stage(evs.filter(col("ts_us") <= mid), dir, "b1")
 
     val gapUs = Sessionize.DefaultGapUs
     val wMs = evs.agg(max("ts_us")).head().getLong(0) / 1000
@@ -76,7 +91,7 @@ class StreamingSpec extends SparkSpec {
 
     val stream = spark.readStream
       .schema("user_id LONG, ts_us LONG, ts_ts TIMESTAMP")
-      .parquet(dir)
+      .parquet(s"$dir/*")
       .withWatermark("ts_ts", "0 seconds")
       .as[Sessionize.EvT]
     val q = Sessionize.sessionizeStreamBounded(stream)
@@ -85,7 +100,7 @@ class StreamingSpec extends SparkSpec {
       .start()
     try {
       q.processAllAvailable()
-      evs.filter(col("ts_us") > mid).write.mode("append").parquet(dir)
+      stage(evs.filter(col("ts_us") > mid), dir, "b2")
       q.processAllAvailable()
       val streamed = spark.table("sessions_bounded_out").collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
@@ -108,16 +123,16 @@ class StreamingSpec extends SparkSpec {
       .select(col("user_id"), col("ts"), col("event_type"))
       .as[Funnel.FEv].collect().sortBy(_.ts)
     val (b1, b2) = ev.splitAt(ev.length / 2)
-    spark.createDataset(b1.toSeq).write.mode("overwrite").parquet(dir)
+    stage(spark.createDataset(b1.toSeq), dir, "b1")
     val stream = spark.readStream
       .schema("user_id LONG, ts LONG, event_type STRING")
-      .parquet(dir).as[Funnel.FEv]
+      .parquet(s"$dir/*").as[Funnel.FEv]
     val q = Funnel.funnelStream(stream).writeStream.outputMode("update")
       .format("memory").queryName("funnel_out").start()
     try {
       q.processAllAvailable()
       // second ts-ordered half arrives later — state carries progress over
-      spark.createDataset(b2.toSeq).write.mode("append").parquet(dir)
+      stage(spark.createDataset(b2.toSeq), dir, "b2")
       q.processAllAvailable()
       val stages = spark.table("funnel_out").as[Funnel.StageUpdate].collect()
         .groupBy(_.user_id).map { case (u, us) => u -> us.map(_.stage).max }
@@ -139,17 +154,17 @@ class StreamingSpec extends SparkSpec {
         col("event_id"), col("event_type"))
       .as[Transitions.TEv].collect().sortBy(e => (e.ts, e.event_id))
     val (b1, b2) = ev.splitAt(ev.length / 2)
-    spark.createDataset(b1.toSeq).write.mode("overwrite").parquet(dir)
+    stage(spark.createDataset(b1.toSeq), dir, "b1")
     val stream = spark.readStream
       .schema("user_id LONG, ts LONG, event_id LONG, event_type STRING")
-      .parquet(dir).as[Transitions.TEv]
+      .parquet(s"$dir/*").as[Transitions.TEv]
     val q = Transitions.transitionStream(stream).writeStream
       .outputMode("append").format("memory").queryName("trans_out").start()
     try {
       q.processAllAvailable()
       // the second ts-ordered half arrives later: the carried last-event
       // state must stitch the cross-batch transitions seamlessly
-      spark.createDataset(b2.toSeq).write.mode("append").parquet(dir)
+      stage(spark.createDataset(b2.toSeq), dir, "b2")
       q.processAllAvailable()
       val streamed = spark.table("trans_out").as[Transitions.Step].collect()
         .groupBy(identity).map { case (s, xs) =>
@@ -249,21 +264,19 @@ class StreamingSpec extends SparkSpec {
     val rows = ev.orderBy("ts_ts").collect()
     val (b1, b2) = rows.splitAt(rows.length / 2)
     val schema = ev.schema
-    spark.createDataFrame(java.util.Arrays.asList(b1: _*), schema)
-      .write.mode("overwrite").parquet(dir)
+    stage(spark.createDataFrame(java.util.Arrays.asList(b1: _*), schema), dir, "b1")
 
     def split(df: org.apache.spark.sql.DataFrame) =
       (df.filter(col("event_type") === "click"),
         df.filter(col("event_type") === "purchase"))
 
-    val stream = spark.readStream.schema(schema).parquet(dir)
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/*")
     val (sc, sp) = split(stream)
     val q = Correlate.clickPurchase(sc, sp).writeStream
       .outputMode("append").format("memory").queryName("ssj_out").start()
     try {
       q.processAllAvailable()
-      spark.createDataFrame(java.util.Arrays.asList(b2: _*), schema)
-        .write.mode("append").parquet(dir)
+      stage(spark.createDataFrame(java.util.Arrays.asList(b2: _*), schema), dir, "b2")
       q.processAllAvailable()
       val streamed = spark.table("ssj_out").collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
@@ -302,9 +315,9 @@ class StreamingSpec extends SparkSpec {
     def split(df: org.apache.spark.sql.DataFrame) =
       (df.filter(col("event_type") === "click"),
         df.filter(col("event_type") === "purchase"))
-    spark.createDataFrame(java.util.Arrays.asList(b1: _*), schema)
-      .write.mode("overwrite").parquet(srcDir)
-    val (sc, sp) = split(spark.readStream.schema(schema).parquet(srcDir))
+    stage(spark.createDataFrame(java.util.Arrays.asList(b1: _*), schema),
+      srcDir, "b1")
+    val (sc, sp) = split(spark.readStream.schema(schema).parquet(s"$srcDir/*"))
     // real sink + read-back, not a memory table: the parity must hold
     // through the exactly-once file-sink commit protocol too
     val q = Correlate.clickPurchase(sc, sp).writeStream
@@ -312,8 +325,8 @@ class StreamingSpec extends SparkSpec {
       .outputMode("append").format("parquet").option("path", outDir).start()
     try {
       q.processAllAvailable()
-      spark.createDataFrame(java.util.Arrays.asList((b2 ++ late): _*), schema)
-        .write.mode("append").parquet(srcDir)
+      stage(spark.createDataFrame(java.util.Arrays.asList((b2 ++ late): _*), schema),
+        srcDir, "b2")
       q.processAllAvailable()
     } finally q.stop()
     def key(r: org.apache.spark.sql.Row) =
@@ -613,18 +626,18 @@ class StreamingSpec extends SparkSpec {
     val recentDups = b1.filter(_.getTimestamp(2).getTime > maxB1 - 24 * 3600 * 1000L).take(5)
     assert(recentDups.length == 5, "fixture needs rows near batch 1's max event time")
     val lateReplays = b1.take(5)
-    spark.createDataFrame(java.util.Arrays.asList((b1 ++ inBatchDups): _*), schema)
-      .write.mode("overwrite").parquet(srcDir)
-    val deduped = spark.readStream.schema(schema).parquet(srcDir)
+    stage(spark.createDataFrame(
+      java.util.Arrays.asList((b1 ++ inBatchDups): _*), schema), srcDir, "b1")
+    val deduped = spark.readStream.schema(schema).parquet(s"$srcDir/*")
       .withWatermark("ts_ts", "2 days")
       .dropDuplicatesWithinWatermark("event_id")
     val q = deduped.writeStream
       .outputMode("append").format("memory").queryName("sdd_out").start()
     try {
       q.processAllAvailable()
-      spark.createDataFrame(
-        java.util.Arrays.asList((b2 ++ recentDups ++ lateReplays): _*), schema)
-        .write.mode("append").parquet(srcDir)
+      stage(spark.createDataFrame(
+        java.util.Arrays.asList((b2 ++ recentDups ++ lateReplays): _*), schema),
+        srcDir, "b2")
       q.processAllAvailable()
     } finally q.stop()
     val got = spark.table("sdd_out").collect()
@@ -706,15 +719,15 @@ class StreamingSpec extends SparkSpec {
     val rows = evs.orderBy("ts_us", "event_id").collect()
     val (b1, b2) = rows.splitAt(rows.length * 2 / 3)
     import spark.implicits._
-    b1.toSeq.toDS().write.mode("overwrite").parquet(dir)
+    stage(b1.toSeq.toDS(), dir, "b1")
     val stream = spark.readStream
       .schema(org.apache.spark.sql.Encoders.product[Scd2.Ev].schema)
-      .parquet(dir).as[Scd2.Ev]
+      .parquet(s"$dir/*").as[Scd2.Ev]
     val q = Scd2.scd2Stream(stream).writeStream
       .outputMode("append").format("memory").queryName("scd2_stream_out").start()
     try {
       q.processAllAvailable()
-      b2.toSeq.toDS().write.mode("append").parquet(dir)
+      stage(b2.toSeq.toDS(), dir, "b2")
       q.processAllAvailable()
     } finally q.stop()
     val streamed = spark.table("scd2_stream_out").collect()
