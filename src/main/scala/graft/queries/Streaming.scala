@@ -306,6 +306,38 @@ object Streaming {
       | AND p.ts <= c.ts + INTERVAL 3600 SECONDS
       |ORDER BY click_id, purchase_id""".stripMargin
 
+  /** Watermarked tumbling-window aggregation over the two-batch feed —
+    * the windowed-state shape (window() keys in the state store +
+    * EventTimeWatermark) that q_events_tumble runs in batch. Complete
+    * mode must reproduce the batch hourly table exactly: window state
+    * merged across the batch boundary, nothing lost or double-counted.
+    * (countDistinct is not legal on streams, so the streamed columns
+    * are the count + the exact-decimal value sum; the batch twin keeps
+    * the distinct-users column.) */
+  def qStreamTumble(s: SparkSession, dir: String): DataFrame = {
+    val evs = Tables.events(s, dir)
+      .select(col("ts_ts"), col("event_type"), col("value"),
+        expr("ts div 1000").as("ts_us"))
+    val mid = midpoint(evs, "ts_us")
+    val feed = evs.drop("ts_us")
+    runTwoBatchStream(s, "q_stream_tumble",
+      evs.filter(col("ts_us") <= mid).drop("ts_us"),
+      evs.filter(col("ts_us") > mid).drop("ts_us"),
+      feed.schema,
+      df => df.withWatermark("ts_ts", "10 minutes")
+        .groupBy(window(col("ts_ts"), "1 hour").getField("start").as("hour"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          QueryUtil.dsum(col("value")).as("sum_value")),
+      "complete")
+      .orderBy("hour", "event_type")
+  }
+
+  private val qStreamTumbleOracle =
+    s"""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
+       |  COUNT(*) AS n_events, ${QueryUtil.dsumSql("value")} AS sum_value
+       |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
+
   /** Streaming n-gram counting (complete-mode stateful aggregation):
     * partial aggregation + state merge across micro-batches must
     * reproduce the batch bigram count table exactly — nothing lost or
@@ -360,6 +392,7 @@ object Streaming {
     "q_stream_sessions" -> (qStreamSessions _),
     "q_stream_sessions_bounded" -> (qStreamSessionsBounded _),
     "q_stream_interval_join" -> (qStreamIntervalJoin _),
+    "q_stream_tumble" -> (qStreamTumble _),
     "q_stream_scd2" -> (qStreamScd2 _),
     "q_stream_ngrams" -> (qStreamNgrams _),
     "q_stream_dedup" -> (qStreamDedup _)
@@ -369,6 +402,7 @@ object Streaming {
     "q_stream_sessions" -> qStreamSessionsOracle,
     "q_stream_sessions_bounded" -> qStreamSessionsBoundedOracle,
     "q_stream_interval_join" -> qStreamIntervalJoinOracle,
+    "q_stream_tumble" -> qStreamTumbleOracle,
     "q_stream_scd2" -> qStreamScd2Oracle,
     "q_stream_ngrams" -> qStreamNgramsOracle,
     "q_stream_dedup" -> qStreamDedupOracle
