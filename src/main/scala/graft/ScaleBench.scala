@@ -200,6 +200,7 @@ object ScaleBench {
     } finally {
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
       spark.conf.unset("spark.sql.adaptive.forceOptimizeSkewedJoin")
+      spark.conf.unset("spark.sql.adaptive.skewJoin.enabled")
       spark.conf.set("spark.sql.adaptive.enabled", "true")
     }
   }

@@ -32,6 +32,18 @@ import graft.streaming.{Correlate, Scd2, Sessionize}
   */
 object Streaming {
 
+  /** Shuffle partitions for the streaming lifecycles, sized to the FEED
+    * rather than inherited from the batch session (32 on the bench).
+    * A streaming query's state-store instance count is pinned to the
+    * shuffle-partition count at first start, so an sf-scale feed with a
+    * few thousand keys under 32 partitions × 2 join sides pays pure
+    * fixed machinery cost per micro-batch (store init/commit ×64 for a
+    * 33-match corpus — the round-11 bench's most expensive entry). At
+    * 100 TB the same knob goes UP with key cardinality/rate; the point
+    * is it's a feed-rate decision, not the batch default. */
+  private def streamShufflePartitions: String =
+    sys.env.getOrElse("SPARK_GRAFT_STREAM_SHUFFLE", "8")
+
   /** Run `build(stream)` over `dir`-staged parquet fed in two batches
     * (chunk1, then chunk2 appended mid-stream), block until all data is
     * processed, and return the memory-sink table. The sink name doubles
@@ -42,6 +54,22 @@ object Streaming {
                                 schema: StructType,
                                 build: DataFrame => DataFrame,
                                 outputMode: String): DataFrame = {
+    s.catalog.dropTempView(name)
+    runTwoBatchFeed(s, name, chunk1, chunk2, schema)(stream =>
+      build(stream).writeStream.outputMode(outputMode)
+        .format("memory").queryName(name)
+        .start())
+    s.table(name)
+  }
+
+  /** The staging + lifecycle half of [[runTwoBatchStream]], factored so
+    * sinks other than the driver-memory table (foreachBatch file sinks)
+    * can ride the same two-batch feed: stage chunk1, `start` the query,
+    * drain, stage chunk2, drain again, stop, clean up the feed dir. */
+  private def runTwoBatchFeed(s: SparkSession, name: String,
+                              chunk1: DataFrame, chunk2: DataFrame,
+                              schema: StructType)(
+      start: DataFrame => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
     val dir = java.nio.file.Files.createTempDirectory(s"graft_$name")
     // Everything from the chunk1 write onward sits inside the cleanup
     // try: a failure ANYWHERE (the write itself, stream resolution at
@@ -66,7 +94,6 @@ object Streaming {
           java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       }
       stage(chunk1, "b1")
-      s.catalog.dropTempView(name)
       // State-store provider knob: the default HDFSBacked store keeps
       // every keyed state on the executor HEAP — fine for the sf-sized
       // boards, wrong at 100 TB/billions of keys, where the built-in
@@ -86,24 +113,29 @@ object Streaming {
         s.conf.set("spark.sql.streaming.stateStore.rocksdb.maxMemoryUsageMB",
           sys.env.getOrElse("SPARK_GRAFT_ROCKSDB_MB", "512"))
       }
-      val q = build(s.readStream.schema(schema).parquet(s"$dir/*"))
-        .writeStream.outputMode(outputMode)
-        .format("memory").queryName(name)
-        .start()
+      // Feed-sized shuffle partitions (see streamShufflePartitions):
+      // the value in force when the stream execution thread clones the
+      // session pins the state-store count for the query's lifetime.
+      // start() returns before that clone happens, so the session value
+      // is only restored after stop(), when the lifecycle is over.
+      val priorShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", streamShufflePartitions)
       try {
-        q.processAllAvailable()
-        stage(chunk2, "b2")
-        q.processAllAvailable()
-      } finally q.stop()
+        val q = start(s.readStream.schema(schema).parquet(s"$dir/*"))
+        try {
+          q.processAllAvailable()
+          stage(chunk2, "b2")
+          q.processAllAvailable()
+        } finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", priorShuffle)
     } finally {
-      // the sink table retains the rows; the staged feed is dead weight
+      // the sink retains the rows; the staged feed is dead weight
       import scala.jdk.CollectionConverters._
       val walk = java.nio.file.Files.walk(dir)
       try walk.iterator().asScala.toSeq.reverse
         .foreach(p => java.nio.file.Files.deleteIfExists(p))
       finally walk.close()
     }
-    s.table(name)
   }
 
   /** Midpoint of a long column — the two-batch split point. 1-row
@@ -296,14 +328,86 @@ object Streaming {
       .orderBy("click_id", "purchase_id")
   }
 
+  // Oracle joins on µs-TRUNCATED event times (epoch_us), not the raw
+  // ts: the streamed side compares ts_ts, which Tables.events floors to
+  // µs, so under a ns-grained physical encoding a sub-µs delta or an
+  // exact window-boundary pair must resolve identically on both sides
+  // of the gate (round-11 advice).
   private val qStreamIntervalJoinOracle =
     """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
       |  epoch_us(p.ts) // 1000000 - epoch_us(c.ts) // 1000000 AS delta_sec
       |FROM events c JOIN events p
       |  ON c.user_id = p.user_id
       | AND c.event_type = 'click' AND p.event_type = 'purchase'
-      | AND p.ts > c.ts
-      | AND p.ts <= c.ts + INTERVAL 3600 SECONDS
+      | AND epoch_us(p.ts) > epoch_us(c.ts)
+      | AND epoch_us(p.ts) <= epoch_us(c.ts) + 3600000000
+      |ORDER BY click_id, purchase_id""".stripMargin
+
+  /** LEFT-OUTER watermarked interval join — the half of
+    * [[graft.streaming.Correlate.clickPurchase]] that exists BECAUSE of
+    * watermarks: a never-converted click may only emit its null row once
+    * the watermark proves no purchase can still arrive for its window.
+    * End-to-end over the two-batch feed the final sink is deterministic:
+    * every inner match (split-invariant, as the inner entry argues), plus
+    * a null row for each matchless click whose match window closed
+    * strictly below the FINAL watermark — clicks whose window was still
+    * open when the feed ended stay in state, unemitted, exactly as they
+    * would on a live stream. The final watermark is
+    * `min(max click time, max purchase time) − 10 s` at Spark's
+    * ms-floored event-time-stats precision, which the oracle restates in
+    * plain SQL, so a state-eviction regression (emitting too early, or
+    * never) hash-fails on the driver's board. */
+  def qStreamIntervalJoinOuter(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("user_id"), col("ts_ts"),
+        col("event_type"), expr("ts div 1000").as("ts_us"))
+    val mid = midpoint(ev, "ts_us")
+    val feed = ev.drop("ts_us")
+    def split(df: DataFrame) =
+      (df.filter(col("event_type") === "click"),
+        df.filter(col("event_type") === "purchase"))
+    runTwoBatchStream(s, "q_stream_interval_join_outer",
+      ev.filter(col("ts_us") <= mid).drop("ts_us"),
+      ev.filter(col("ts_us") > mid).drop("ts_us"),
+      feed.schema,
+      df => { val (c, p) = split(df)
+        Correlate.clickPurchase(c, p, joinType = "left_outer") },
+      "append")
+      .orderBy("click_id", "purchase_id")
+  }
+
+  // Watermark restated in SQL: event-time stats are ms-FLOORED
+  // (EventTimeWatermarkExec tracks µs/1000), the query-wide watermark is
+  // the min across the two sides' nodes minus the 10 s delay. A click's
+  // state is evicted (and its null row emitted) once
+  // c + 3600 s + 1 ms ≤ wm: the state-value watermark Spark derives
+  // from the join condition is millisecond-granular with a whole-ms
+  // strict-inequality margin, and eviction compares ≤ against it.
+  // StreamingSpec's planted µs-boundary probes pin the engine to this
+  // exact predicate.
+  private val qStreamIntervalJoinOuterOracle =
+    """WITH c AS (SELECT user_id, event_id, epoch_us(ts) AS tus
+      |           FROM events WHERE event_type = 'click'),
+      |p AS (SELECT user_id, event_id, epoch_us(ts) AS tus
+      |      FROM events WHERE event_type = 'purchase'),
+      |wm AS (SELECT (LEAST((SELECT MAX(tus) FROM c),
+      |                     (SELECT MAX(tus) FROM p)) // 1000 - 10000) * 1000
+      |         AS w_us),
+      |m AS (
+      |  SELECT c.user_id, c.event_id AS click_id, c.tus AS ctus,
+      |         p.event_id AS purchase_id, p.tus AS ptus
+      |  FROM c LEFT JOIN p
+      |    ON c.user_id = p.user_id AND p.tus > c.tus
+      |   AND p.tus <= c.tus + 3600000000)
+      |SELECT user_id, click_id, purchase_id,
+      |  ptus // 1000000 - ctus // 1000000 AS delta_sec
+      |FROM m WHERE purchase_id IS NOT NULL
+      |UNION ALL
+      |SELECT m.user_id, m.click_id, CAST(NULL AS BIGINT) AS purchase_id,
+      |  CAST(NULL AS BIGINT) AS delta_sec
+      |FROM m, wm
+      |WHERE m.purchase_id IS NULL AND m.ctus + 3600000000 + 1000 <= wm.w_us
       |ORDER BY click_id, purchase_id""".stripMargin
 
   /** Watermarked tumbling-window aggregation over the two-batch feed —
@@ -341,7 +445,15 @@ object Streaming {
   /** Streaming n-gram counting (complete-mode stateful aggregation):
     * partial aggregation + state merge across micro-batches must
     * reproduce the batch bigram count table exactly — nothing lost or
-    * double-counted at the batch boundary. */
+    * double-counted at the batch boundary.
+    *
+    * Sink caveat: the MEMORY sink here collects the full count table to
+    * the driver each trigger — fine as the sf-scale state-merge gate
+    * (the aggregation STATE stays partitioned on executors), but a
+    * driver-memory ceiling at 100 TB corpus vocabularies. The at-scale
+    * form is [[qStreamNgramsSink]]: same aggregation, foreachBatch
+    * writing the table to files — nothing vocabulary-sized ever reaches
+    * the driver. */
   def qStreamNgrams(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
     val mid = midpoint(docs, "doc_id")
@@ -353,6 +465,44 @@ object Streaming {
         .groupBy(col("gram")).agg(count(lit(1)).as("n_occurrences")),
       "complete")
       .orderBy("gram")
+  }
+
+  /** The at-scale sink form of [[qStreamNgrams]]: the same complete-mode
+    * streaming aggregation, but the sink is a foreachBatch parquet
+    * OVERWRITE — each trigger the executors write the current count
+    * table straight to files, so no vocabulary-sized collection ever
+    * lands on the driver (the production shape for a 100 TB corpus; at
+    * that scale the overwrite also becomes update-mode merge-on-read or
+    * an idempotent-by-batch-id upsert, same sink discipline). The gate
+    * re-reads the final files: state merge AND the sink path must
+    * together reproduce the batch bigram table bit-for-bit. The staged
+    * output is deleted after an eager localCheckpoint (the re-read table
+    * is vocab-sized — the same footprint the memory-sink twin retains). */
+  def qStreamNgramsSink(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val mid = midpoint(docs, "doc_id")
+    val out = java.nio.file.Files.createTempDirectory("graft_ngrams_sink_out")
+    try {
+      runTwoBatchFeed(s, "q_stream_ngrams_sink",
+        docs.filter(col("doc_id") <= mid), docs.filter(col("doc_id") > mid),
+        docs.schema) { stream =>
+        stream.select(
+            explode(graft.functions.WordNgrams.grams(col("text"), 2)).as("gram"))
+          .groupBy(col("gram")).agg(count(lit(1)).as("n_occurrences"))
+          .writeStream.outputMode("complete")
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            batch.write.mode("overwrite").parquet(out.toString)
+          }
+          .start()
+      }
+      s.read.parquet(out.toString).localCheckpoint(true).orderBy("gram")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(out)
+      try walk.iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+    }
   }
 
   /** Streaming exact dedup (dropDuplicates on a stream): the canonical
@@ -392,9 +542,11 @@ object Streaming {
     "q_stream_sessions" -> (qStreamSessions _),
     "q_stream_sessions_bounded" -> (qStreamSessionsBounded _),
     "q_stream_interval_join" -> (qStreamIntervalJoin _),
+    "q_stream_interval_join_outer" -> (qStreamIntervalJoinOuter _),
     "q_stream_tumble" -> (qStreamTumble _),
     "q_stream_scd2" -> (qStreamScd2 _),
     "q_stream_ngrams" -> (qStreamNgrams _),
+    "q_stream_ngrams_sink" -> (qStreamNgramsSink _),
     "q_stream_dedup" -> (qStreamDedup _)
   )
 
@@ -402,9 +554,11 @@ object Streaming {
     "q_stream_sessions" -> qStreamSessionsOracle,
     "q_stream_sessions_bounded" -> qStreamSessionsBoundedOracle,
     "q_stream_interval_join" -> qStreamIntervalJoinOracle,
+    "q_stream_interval_join_outer" -> qStreamIntervalJoinOuterOracle,
     "q_stream_tumble" -> qStreamTumbleOracle,
     "q_stream_scd2" -> qStreamScd2Oracle,
     "q_stream_ngrams" -> qStreamNgramsOracle,
+    "q_stream_ngrams_sink" -> qStreamNgramsOracle,
     "q_stream_dedup" -> qStreamDedupOracle
   )
 }

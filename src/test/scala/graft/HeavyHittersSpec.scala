@@ -9,7 +9,25 @@ import graft.queries.TextAnalysis
   * registry form. Value-correctness of the registry form is oracle-gated
   * (exact top-k SQL) in Verify/check.
   */
-class HeavyHittersSpec extends SparkSpec {
+class HeavyHittersSpec extends SparkSpec
+    with org.scalatest.BeforeAndAfterAll {
+
+  private val stagedDirs =
+    scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+
+  // deleteOnExit can't remove a non-empty directory — walk the staged
+  // fixture trees bottom-up once the suite is done (same discipline as
+  // the streaming harness's feed-dir cleanup).
+  override def afterAll(): Unit = {
+    import scala.jdk.CollectionConverters._
+    stagedDirs.foreach { dir =>
+      val walk = java.nio.file.Files.walk(dir)
+      try walk.iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+    }
+    super.afterAll()
+  }
 
   test("registry form: exact counts, deterministic, candidate set broadcast") {
     // plan shape is asserted on the LIVE stage-2 subtree — the registry
@@ -51,7 +69,7 @@ class HeavyHittersSpec extends SparkSpec {
   private def stageDocs(texts: Seq[String]): String = {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_hh_fixture")
-    dir.toFile.deleteOnExit()
+    stagedDirs += dir
     texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
       .toDF("doc_id", "text").repartition(4)
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")

@@ -389,6 +389,76 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("left-outer join: null rows emit EXACTLY once, at the exact eviction boundary") {
+    // Planted corpus pinning the q_stream_interval_join_outer oracle's
+    // eviction predicate (c + 3600 s < watermark, strict) at µs
+    // precision, and that each proven click's null row emits exactly
+    // once across the whole two-batch + no-data-batch lifecycle.
+    import graft.streaming.Correlate
+    val base = 1700000000000000L // µs; sentinel events at base set the watermark
+    val wmUs = (base / 1000 - 10000) * 1000 // ms-floored stats − 10 s delay
+    val windowUs = 3600L * 1000000
+    val events = Seq(
+      // (event_id, user_id, t_us, type)
+      (1L, 1L, base - 5000L * 1000000, "click"), // closed long ago → null row
+      (2L, 2L, wmUs - windowUs, "click"), // closes EXACTLY at wm → kept
+      (3L, 3L, wmUs - windowUs - 1L, "click"), // wm − 1 µs: the safety margin → kept
+      (4L, 4L, base - 3000L * 1000000, "click"), // still open → no emission
+      (5L, 5L, base - 5000L * 1000000, "click"), // matched → inner row only
+      (6L, 5L, base - 4900L * 1000000, "purchase"),
+      // watermark sentinels: BOTH sides' max event time exactly at base
+      // (a µs lower on either side would ms-floor that side's stats and
+      // shift the min-of-sides watermark down a full millisecond);
+      // equal times never join (p > c is strict), so nothing matches
+      (7L, 9L, base, "click"),
+      (8L, 9L, base, "purchase"),
+      (10L, 10L, wmUs - windowUs - 2L, "click"), // 2 µs inside: first evictable
+      (11L, 11L, wmUs - windowUs - 1000000L, "click"), // 1 s inside → null row
+      (12L, 12L, wmUs - windowUs - 1000001L, "click"),
+      (13L, 13L, wmUs - windowUs - 2000000L, "click"),
+      (14L, 14L, wmUs - windowUs - 1000L, "click"), // 1 ms inside: first evictable
+      (15L, 15L, wmUs - windowUs - 1001L, "click"),
+      (16L, 16L, wmUs - windowUs - 999L, "click")) // 999 µs: still kept
+    val df = events.toDF("event_id", "user_id", "t_us", "event_type")
+      .select(col("event_id"), col("user_id"),
+        timestamp_micros(col("t_us")).as("ts_ts"), col("event_type"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_ssj_once").toString
+    stage(df.filter(col("event_id") <= 6), dir, "b1")
+
+    def split(d: org.apache.spark.sql.DataFrame) =
+      (d.filter(col("event_type") === "click"),
+        d.filter(col("event_type") === "purchase"))
+    val (sc, sp) = split(spark.readStream.schema(df.schema).parquet(s"$dir/*"))
+    spark.catalog.dropTempView("ssj_once_out")
+    val q = Correlate.clickPurchase(sc, sp, joinType = "left_outer").writeStream
+      .outputMode("append").format("memory").queryName("ssj_once_out").start()
+    try {
+      q.processAllAvailable()
+      stage(df.filter(col("event_id") > 6), dir, "b2")
+      q.processAllAvailable()
+      val rows = spark.table("ssj_once_out").collect()
+        .map(r => (r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2)))
+        .toSeq
+      val counts = rows.groupBy(identity).view.mapValues(_.size).toMap
+      // exactly-once: no emitted row may appear twice
+      assert(counts.values.forall(_ == 1), s"duplicate emissions: $counts")
+      // The eviction boundary the oracle restates: emitted iff
+      // c + window + 1 ms ≤ wm. The state-value watermark Spark derives
+      // from the join condition is computed in MILLISECONDS with a
+      // whole-ms strict-inequality margin, and eviction compares ≤
+      // against it. Measured here: clicks with c + window down to
+      // wm − 999 µs stay in state; wm − 1000 µs is the first to prove
+      // out.
+      val expected = Set(
+        (1L, -1L), // proven unmatched
+        (11L, -1L), (12L, -1L), (13L, -1L),
+        (14L, -1L), (15L, -1L),
+        (5L, 6L)) // the inner match (and no null twin for click 5)
+      assert(rows.toSet == expected,
+        s"emitted ${rows.toSet}, expected $expected")
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark dedups with bounded state") {
     val dir = java.nio.file.Files.createTempDirectory("graft_wmdedup").toString
     val ev = Tables.events(spark, sf).select(col("event_id"), col("ts_ts"))
