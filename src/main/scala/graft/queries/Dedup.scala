@@ -208,6 +208,79 @@ object Dedup {
       .orderBy("a_id", "b_id")
   }
 
+  /** Multi-probe SimHash candidate generation: each doc emits, per
+    * 16-bit quarter, the quarter's value AND its 16 single-bit flips
+    * (17 keys × 4 bands = 68 keys/doc). Because BOTH sides of the
+    * self-join probe, two signatures collide on a band whenever that
+    * quarter differs by ≤ 2 bits (flip one differing bit on each
+    * side) — so by pigeonhole ANY pair with total Hamming ≤ 11 is
+    * GUARANTEED a candidate (4 quarters; 11 flips leave some quarter
+    * with ≤ ⌊11/4⌋ = 2), deterministically, not probabilistically.
+    * At 100 TB this stays a bounded equality join: 68 keys per doc,
+    * candidate count bounded by bucket occupancy, no all-pairs
+    * anywhere — the multi-probe trade (more keys, same bucket width)
+    * buys guaranteed radius without shrinking buckets to 8 bits and
+    * blowing up per-bucket collision counts. */
+  def simhashCandidates(s: SparkSession, dir: String): DataFrame = {
+    val sigs = simhashSignatures(s, dir)
+    val probeKeys = (0 until 4).flatMap { q =>
+      val quarter = s"(simhash >> ${q * 16}) & 65535"
+      (Seq(expr(quarter)) ++ (0 until 16).map(b => expr(s"($quarter) ^ ${1 << b}")))
+        .map(bucket => struct(lit(q).as("band"), bucket.as("bucket")))
+    }
+    val banded = sigs
+      .select(col("doc_id"), explode(array(probeKeys: _*)).as("key"))
+      .select(col("doc_id"), col("key.band").as("band"), col("key.bucket").as("bucket"))
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
+  }
+
+  /** Oracle-checked verify stage of the SimHash pipeline — the same
+    * discipline as [[qDedupMinhashVerified]]: Hamming-band candidates
+    * from [[simhashCandidates]], kept when the EXACT word-bigram
+    * Jaccard clears 0.9. The DuckDB oracle is brute-force all-pairs
+    * Jaccard ≥ 0.9, so the gate holds iff the SimHash candidate set
+    * contains every true pair — and here containment is DETERMINISTIC,
+    * not a tuned probability: the sf0.01 truth pairs all sit at
+    * Hamming ≤ 5 (measured; plain 4×16 banding misses two of them at
+    * Hamming 4–5), and multi-probe banding provably captures every
+    * pair up to Hamming 11. A signature or banding regression that
+    * drops a true pair hash-mismatches this entry. The engine side
+    * stays banded; the oracle's O(n²) join is the verification form
+    * only. */
+  def qDedupSimhashVerified(s: SparkSession, dir: String,
+                            threshold: Double = 0.9): DataFrame = {
+    val grams = Tables.documents(s, dir)
+      .select(col("doc_id"), bigrams(col("text")).as("grams"))
+    val inter = size(array_intersect(col("a_grams"), col("b_grams"))).cast(DoubleType)
+    val uni = size(array_union(col("a_grams"), col("b_grams"))).cast(DoubleType)
+    simhashCandidates(s, dir)
+      .join(grams.select(col("doc_id").as("a_id"), col("grams").as("a_grams")), "a_id")
+      .join(grams.select(col("doc_id").as("b_id"), col("grams").as("b_grams")), "b_id")
+      .select(col("a_id"), col("b_id"), round(inter / uni, 6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .orderBy("a_id", "b_id")
+  }
+
+  private val qDedupSimhashVerifiedOracle = {
+    val grams =
+      """list_distinct(list_transform(
+        |  range(1, len(string_split_regex(trim(text), '\s+'))),
+        |  i -> string_split_regex(trim(text), '\s+')[i] || ' ' ||
+        |       string_split_regex(trim(text), '\s+')[i+1]))""".stripMargin
+    s"""WITH d AS (SELECT doc_id, $grams AS grams FROM documents)
+       |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |  round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+       |        CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE), 6) AS jaccard
+       |FROM d a JOIN d b ON a.doc_id < b.doc_id
+       |WHERE round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+       |        CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE), 6) >= 0.9
+       |ORDER BY a_id, b_id""".stripMargin
+  }
+
   // ── near-dup clustering (connected components, oracle) ───────────
 
   /** Connected components over near-dup pairs by iterative min-label
@@ -599,6 +672,7 @@ object Dedup {
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_dedup_minhash_verified" -> ((s, d) => qDedupMinhashVerified(s, d)),
     "q_dedup_simhash" -> (qDedupSimhash _),
+    "q_dedup_simhash_verified" -> ((s, d) => qDedupSimhashVerified(s, d)),
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_dedup_embed" -> (qDedupEmbed _)
   )
@@ -611,6 +685,7 @@ object Dedup {
     "q_dedup_exact" -> qDedupExactOracle,
     "q_dedup_ngram" -> qDedupNgramOracle,
     "q_dedup_minhash_verified" -> qDedupMinhashVerifiedOracle,
+    "q_dedup_simhash_verified" -> qDedupSimhashVerifiedOracle,
     "q_dedup_clusters" -> qDedupClustersOracle,
     "q_dedup_embed" -> qDedupEmbedOracle
   )

@@ -83,15 +83,24 @@ object Streaming {
       // first batch advances the watermark past the not-yet-visible
       // files and the "third batch" arrives as late data (observed at
       // 100x: the bounded form's event-time timeouts then sit behind
-      // the watermark and the query dies). So each chunk is written to
-      // an underscore-prefixed dir (hidden from the listing), then
-      // renamed into view in one filesystem-atomic move: a listing sees
-      // ALL of a chunk or NONE of it.
+      // the watermark and the query dies). So each chunk is written
+      // OUTSIDE the watched directory, then renamed into view in one
+      // filesystem-atomic move: a listing sees ALL of a chunk or NONE
+      // of it. The staging dir must be a SIBLING, not an
+      // underscore-prefixed child: Spark's hidden-name filter skips
+      // `_`-children during recursive listing but EXEMPTS glob-matched
+      // root paths, so `$dir/*` matches `_staging_b2` itself and a
+      // trigger firing mid-write lists its part files, which the move
+      // then invalidates (observed round-12: FAILED_READ_FILE on
+      // q_stream_interval_join_outer's chunk2 under full-verify load).
       def stage(chunk: DataFrame, sub: String): Unit = {
-        val tmp = dir.resolve(s"_staging_$sub")
-        chunk.write.mode("overwrite").parquet(tmp.toString)
-        java.nio.file.Files.move(tmp, dir.resolve(sub),
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        val tmpRoot = java.nio.file.Files.createTempDirectory(s"graft_${name}_stage")
+        try {
+          val tmp = tmpRoot.resolve(sub)
+          chunk.write.mode("overwrite").parquet(tmp.toString)
+          java.nio.file.Files.move(tmp, dir.resolve(sub),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        } finally java.nio.file.Files.deleteIfExists(tmpRoot)
       }
       stage(chunk1, "b1")
       // State-store provider knob: the default HDFSBacked store keeps

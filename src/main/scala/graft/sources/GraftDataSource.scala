@@ -28,10 +28,13 @@ import graft.ingest.{IngestPipeline, ScalarParse}
   * readers, so a user gets reference-typed rows from ONE read with no
   * intermediate all-string frame.
   *
-  * Scale behavior: one input partition per file (a delimited file's
-  * header line and its line-oriented records make per-file the honest
-  * split unit without quote-aware offset scanning — the reference is
-  * line-based too); a directory of N part files reads N-wide. Column
+  * Scale behavior: uncompressed files larger than
+  * `spark.sql.files.maxPartitionBytes` split into byte ranges aligned
+  * to the next newline (Hadoop LineRecordReader convention — see
+  * GraftRangeLineSource), so one giant TSV reads as wide as the
+  * cluster; smaller files are one partition each and a directory of N
+  * part files reads ≥N-wide. gzip members are undividable streams and
+  * honestly stay file-per-partition. Column
   * pruning is pushed into the reader (SupportsPushDownRequiredColumns):
   * unprojected columns are never parsed, mirroring what the parquet
   * path gets from Catalyst for free.
@@ -277,17 +280,39 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
             else "")).getOrElse("")
 
     override def planInputPartitions(): Array[InputPartition] = {
-      val conf = SparkSession.active.sessionState.newHadoopConf()
+      val spark = SparkSession.active
+      val conf = spark.sessionState.newHadoopConf()
       val root = new Path(path)
       val fs = root.getFileSystem(conf)
-      val files =
+      val statuses =
         if (fs.getFileStatus(root).isDirectory)
           fs.listStatus(root)
             .filter(s => s.isFile && GraftDataSource.isDataFile(s.getPath.getName))
-            .map(_.getPath.toString).sorted
-        else Array(path)
-      files.map(f =>
-        GraftFilePartition(f, full, required, delim, pushed, limit, topN, agg): InputPartition)
+            .sortBy(_.getPath.toString)
+        else Array(fs.getFileStatus(root))
+      // Byte-range splits: a single giant uncompressed file must not
+      // serialize onto one core. The split unit is
+      // spark.sql.files.maxPartitionBytes — the same knob Spark's own
+      // file sources use — with offsets aligned to the next newline
+      // reader-side (Hadoop LineRecordReader convention, see
+      // GraftRangeLineSource). The reference's conversion path is
+      // line-based and quote-unaware (conversion.rs:197-223), so
+      // newline-aligned offsets preserve its semantics. gzip members
+      // are honestly unsplittable streams and stay file-per-partition.
+      val maxBytes = spark.sessionState.conf.filesMaxPartitionBytes
+      statuses.flatMap { st =>
+        val f = st.getPath.toString
+        if (f.endsWith(".gz") || st.getLen <= maxBytes)
+          Seq(GraftFilePartition(f, full, required, delim, pushed, limit, topN, agg))
+        else {
+          val nSplits = ((st.getLen + maxBytes - 1) / maxBytes).toInt
+          (0 until nSplits).map { i =>
+            val off = i.toLong * maxBytes
+            GraftFilePartition(f, full, required, delim, pushed, limit, topN, agg,
+              off, math.min(maxBytes, st.getLen - off))
+          }
+        }
+      }.map(p => p: InputPartition).toArray
     }
 
     /** Input-byte statistics from the filesystem (a metadata-only
@@ -375,7 +400,9 @@ case class GraftFilePartition(file: String, full: StructType,
                               filters: Array[sources.Filter] = Array.empty,
                               limit: Int = -1,
                               topN: Array[GraftSortKey] = Array.empty,
-                              agg: Option[GraftAggSpec] = None)
+                              agg: Option[GraftAggSpec] = None,
+                              start: Long = 0L,
+                              length: Long = -1L)
   extends InputPartition
 
 /** Line reader + per-value conversion through the reference kernels.
@@ -394,11 +421,23 @@ class GraftPartitionReader(p: GraftFilePartition,
     this(p, new org.apache.hadoop.conf.Configuration())
 
   private val fs = new Path(p.file).getFileSystem(hadoopConf)
-  private val in = new java.io.BufferedReader(
-    new java.io.InputStreamReader(
-      GraftPartitionReader.maybeDecompress(p.file, fs.open(new Path(p.file))),
-      "UTF-8"))
-  in.readLine() // header
+  // Line source: whole-stream (gzip, or an unsplit file) or a
+  // byte-range slice of an uncompressed file. A split reader at
+  // start > 0 discards the partial line it lands inside, and EVERY
+  // split reads through the line straddling its end (which the next
+  // split then discards) — the Hadoop LineRecordReader convention, so
+  // contiguous splits see each line exactly once. The header lives in
+  // the split containing offset 0 only.
+  private val in: GraftLineSource =
+    if (p.file.endsWith(".gz") || (p.start == 0L && p.length < 0L))
+      new GraftStreamLineSource(new java.io.BufferedReader(
+        new java.io.InputStreamReader(
+          GraftPartitionReader.maybeDecompress(p.file, fs.open(new Path(p.file))),
+          "UTF-8")))
+    else
+      new GraftRangeLineSource(fs.open(new Path(p.file)), p.start,
+        if (p.length < 0L) Long.MaxValue else p.start + p.length)
+  if (p.start == 0L) in.readLine() // header
 
   // Filter-referenced columns convert FIRST (they may not be projected
   // at all once a pushed filter's column is pruned); projected columns
@@ -711,6 +750,51 @@ class GraftPartitionReader(p: GraftFilePartition,
 
   override def get(): InternalRow = current
   override def close(): Unit = in.close()
+}
+
+/** Minimal line-at-a-time abstraction so the reader's parse loops are
+  * agnostic to whether they are draining a whole stream or a byte
+  * range of one. */
+private[sources] trait GraftLineSource {
+  def readLine(): String
+  def close(): Unit
+}
+
+private[sources] final class GraftStreamLineSource(r: java.io.BufferedReader)
+  extends GraftLineSource {
+  override def readLine(): String = r.readLine()
+  override def close(): Unit = r.close()
+}
+
+/** Byte-range line reader over an uncompressed file. Uses Hadoop's
+  * LineReader because it reports BYTES consumed per line (a
+  * BufferedReader counts chars, which diverges from byte offsets on
+  * multi-byte UTF-8) — split boundaries must be byte-exact against
+  * planInputPartitions' offsets. Boundary contract: a line whose first
+  * byte sits at offset o belongs to the split with start < o ≤ end
+  * (first split additionally owns offset 0), so contiguous splits
+  * partition the file's lines exactly. */
+private[sources] final class GraftRangeLineSource(
+    in: org.apache.hadoop.fs.FSDataInputStream, start: Long, end: Long)
+  extends GraftLineSource {
+  in.seek(start)
+  private val reader = new org.apache.hadoop.util.LineReader(in)
+  private val text = new org.apache.hadoop.io.Text()
+  private var pos = start
+  // a non-first split lands mid-line: discard through the first
+  // newline (the previous split read this line in full)
+  if (start > 0L) pos += reader.readLine(text)
+
+  override def readLine(): String = {
+    if (pos > end) return null
+    val n = reader.readLine(text)
+    if (n == 0) null
+    else {
+      pos += n
+      org.apache.hadoop.io.Text.decode(text.getBytes, 0, text.getLength)
+    }
+  }
+  override def close(): Unit = reader.close()
 }
 
 object GraftPartitionReader {

@@ -149,6 +149,33 @@ class DedupRecallSpec extends SparkSpec {
       s"banding lost ${(ham3 -- got).size} of ${ham3.size} Hamming<=3 pairs")
   }
 
+  test("multi-probe simhash candidates contain EVERY Hamming<=11 pair (pigeonhole)") {
+    val sigs = Dedup.simhashSignatures(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val ham11 = (for {
+      i <- sigs.indices.iterator
+      j <- (i + 1) until sigs.length
+      if java.lang.Long.bitCount(sigs(i)._2 ^ sigs(j)._2) <= 11
+    } yield {
+      val (a, b) = (sigs(i)._1, sigs(j)._1)
+      (math.min(a, b), math.max(a, b))
+    }).toSet
+    assert(ham11.nonEmpty, "corpus should contain Hamming<=11 signature pairs")
+    val cand = Dedup.simhashCandidates(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((ham11 -- cand).isEmpty,
+      s"multi-probe banding lost ${(ham11 -- cand).size} of ${ham11.size} Hamming<=11 pairs " +
+        "— violates the 2-bits-per-quarter probe guarantee")
+  }
+
+  test("simhash_verified equals brute-force Jaccard>=0.9 truth end-to-end") {
+    val got = Dedup.qDedupSimhashVerified(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == jaccardTruth,
+      s"verified simhash output != truth: missing=${(jaccardTruth -- got).take(5)} " +
+        s"extra=${(got -- jaccardTruth).take(5)}")
+  }
+
   test("incremental dedup admits every new doc and rejects every replay") {
     val rows = Dedup.qDedupIncremental(spark, sf01).collect()
     val (batch, admitted, rejected) =

@@ -10,18 +10,25 @@ class StreamingSpec extends SparkSpec {
   import spark.implicits._
 
   /** Atomic feed staging for a RUNNING stream (the same discipline as
-    * runTwoBatchStream): write the chunk to a listing-hidden _staging
-    * dir, then rename it into the watched glob in one filesystem move —
-    * the polling source's listing sees ALL of the chunk or NONE of it.
-    * A plain multi-file append races the listing and can split a chunk
-    * into out-of-order micro-batches, which breaks every order-sensitive
-    * keyed fold (observed: the transitions matrix flaking under full-
-    * suite load). Watch the feed with the dir-slash-star glob. */
+    * runTwoBatchStream): write the chunk OUTSIDE the watched glob, then
+    * rename it into view in one filesystem move — the polling source's
+    * listing sees ALL of the chunk or NONE of it. A plain multi-file
+    * append races the listing and can split a chunk into out-of-order
+    * micro-batches, which breaks every order-sensitive keyed fold
+    * (observed: the transitions matrix flaking under full-suite load).
+    * The staging dir is a SIBLING temp dir, not an `_`-prefixed child:
+    * glob-matched roots are exempt from Spark's hidden-name filter, so
+    * an in-dir `_staging` is visible to the dir-slash-star glob
+    * mid-write (round-12 FAILED_READ_FILE). Watch the feed with the
+    * dir-slash-star glob. */
   private def stage(df: org.apache.spark.sql.Dataset[_], dir: String, sub: String): Unit = {
-    val tmp = java.nio.file.Paths.get(dir, s"_staging_$sub")
-    df.toDF().write.mode("overwrite").parquet(tmp.toString)
-    java.nio.file.Files.move(tmp, java.nio.file.Paths.get(dir, sub),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    val tmpRoot = java.nio.file.Files.createTempDirectory("graft_spec_stage")
+    try {
+      val tmp = tmpRoot.resolve(sub)
+      df.toDF().write.mode("overwrite").parquet(tmp.toString)
+      java.nio.file.Files.move(tmp, java.nio.file.Paths.get(dir, sub),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    } finally java.nio.file.Files.deleteIfExists(tmpRoot)
   }
 
   test("streaming sessionization matches batch on closed sessions") {
