@@ -17,6 +17,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
+      graft.queries.RelationalTpch.queries ++
       graft.queries.Funcs.queries ++
       graft.queries.Events.queries ++
       graft.queries.TextAnalysis.queries ++
@@ -33,6 +34,7 @@ object SparkEntry {
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracleSql ++
+      graft.queries.RelationalTpch.oracleSql ++
       graft.queries.Funcs.oracleSql ++
       graft.queries.Events.oracleSql ++
       graft.queries.TextAnalysis.oracleSql ++

@@ -1,0 +1,351 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.Tables
+import QueryUtil._
+
+/** The remaining TPC-H query shapes (Q4/6/7/8/9/11/12/13/14/15/16/17/
+  * 19/20/22-like), completing the 22-query surface together with
+  * q_agg_group (=Q1) and q_sql_q2/q3/q5/q10/q18/q21 in [[Relational]].
+  * The corpus is TPC-H-ish (TESTDATA.md): no partsupp table and no
+  * commit/receipt dates, so the queries that need them are adapted to
+  * the SAME optimizer shape on the available columns (noted per
+  * query) — the point of each entry is the plan pattern (decorrelated
+  * EXISTS, OR-of-ANDs pushdown, scalar-subquery HAVING, CTE reuse),
+  * not the literal benchmark row.
+  *
+  * Authoring discipline: ONE SQL string per query, run verbatim by
+  * BOTH engines — Spark over bare-name temp views registered per call
+  * (temp views shadow any catalog table, and every call re-registers
+  * them against its `dir`, so cross-query interference is impossible),
+  * DuckDB over the driver's same-named views. A single source of truth
+  * means the two sides cannot drift textually; every construct used
+  * (INTERVAL n DAY, year(), floor, DECIMAL(20,0) sum buffers) parses
+  * identically in Spark SQL and DuckDB. Money arithmetic follows
+  * QueryUtil's integer-cents discipline so every aggregate is
+  * order-independent and the derived doubles are bit-identical
+  * cross-engine; ratio outputs divide two such doubles with the same
+  * op sequence and are never re-rounded. */
+object RelationalTpch {
+
+  private val tables =
+    Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
+
+  private def run(s: SparkSession, dir: String, sql: String): DataFrame = {
+    tables.foreach(t => Tables.t(s, dir, t).createOrReplaceTempView(t))
+    s.sql(sql)
+  }
+
+  /** Q4 (order-priority checking): EXISTS with a correlated inequality
+    * (a late-shipped line) instead of commitdate<receiptdate. Catalyst
+    * decorrelates to a left-semi hash join on o_orderkey with the
+    * non-equi conjunct evaluated in the join — one shuffle per side on
+    * the natural key; the date filter prunes orders before the join. */
+  private val q4Sql =
+    """SELECT o_orderpriority, COUNT(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1996-04-01'
+      |  AND EXISTS (
+      |    SELECT 1 FROM lineitem
+      |    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** Q6 (forecast revenue change): the pure scan-filter-aggregate probe
+    * — no join, one map-side-combined sum; filters reach the parquet
+    * scan as PushedFilters, so at 100 TB it reads only row groups whose
+    * shipdate stats overlap the year. Revenue is price x discount in
+    * integer cents x cents (exact, order-independent). */
+  private val q6Sql =
+    s"""SELECT CAST(SUM(CAST(${centsSql("l_extendedprice")} * ${centsSql("l_discount")}
+       |    AS DECIMAL(20,0))) AS DOUBLE) / 10000.0 AS revenue
+       |FROM lineitem
+       |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+       |  AND l_shipdate < TIMESTAMP '1997-01-01'
+       |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin
+
+  /** Q7 (volume shipping): the two-nation bidirectional filter — the
+    * OR over (supp,cust) nation pairs evaluates on two BROADCAST copies
+    * of nation, so the fact-side join tree (lineitem⋈orders⋈customer,
+    * supplier broadcast) shuffles only on its natural keys; year()
+    * grouping is map-side partial. */
+  private val q7Sql =
+    s"""SELECT supp_nation, cust_nation, l_year,
+       |  ${dsumDiscSql("volume_price", "volume_disc")} AS revenue
+       |FROM (
+       |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       |    year(l_shipdate) AS l_year,
+       |    l_extendedprice AS volume_price, l_discount AS volume_disc
+       |  FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+       |  JOIN orders ON o_orderkey = l_orderkey
+       |  JOIN customer ON c_custkey = o_custkey
+       |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+       |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+       |  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+       |    AND l_shipdate BETWEEN TIMESTAMP '1996-01-01'
+       |      AND TIMESTAMP '1997-12-31') shipping
+       |GROUP BY supp_nation, cust_nation, l_year
+       |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
+  /** Q8 (national market share): conditional-sum ratio per order year.
+    * Both numerator and denominator are ONE integer-cents aggregate
+    * over the same 7-table join (dims broadcast), so the share is a
+    * division of two exactly-derived doubles — no second pass, no
+    * re-rounding. */
+  private val q8Sql =
+    s"""SELECT o_year,
+       |  CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE CAST(0 AS DECIMAL(20,0)) END) AS DOUBLE)
+       |    / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+       |FROM (
+       |  SELECT year(o_orderdate) AS o_year,
+       |    CAST(${centsSql("l_extendedprice")} * (100 - ${centsSql("l_discount")})
+       |      AS DECIMAL(20,0)) AS volume,
+       |    n2.n_name AS supp_nation
+       |  FROM part JOIN lineitem ON p_partkey = l_partkey
+       |  JOIN supplier ON s_suppkey = l_suppkey
+       |  JOIN orders ON o_orderkey = l_orderkey
+       |  JOIN customer ON c_custkey = o_custkey
+       |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+       |  JOIN region ON n1.n_regionkey = r_regionkey
+       |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+       |  WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+       |    AND o_orderdate BETWEEN TIMESTAMP '1995-01-01'
+       |      AND TIMESTAMP '1996-12-31') all_nations
+       |GROUP BY o_year ORDER BY o_year""".stripMargin
+
+  /** Q9 (product-type profit): no partsupp, so unit cost is
+    * p_retailprice (amount = price·(1-disc) − retail·qty, all in
+    * integer ten-thousandths; l_quantity is integral in this corpus, so
+    * the BIGINT cast is exact in both engines). Plan shape preserved:
+    * the LIKE filter prunes part before the 5-table join, grouping by
+    * supplier nation x order year. */
+  private val q9Sql =
+    s"""SELECT nation, o_year,
+       |  CAST(SUM(CAST(${centsSql("l_extendedprice")} * (100 - ${centsSql("l_discount")})
+       |      - ${centsSql("p_retailprice")} * CAST(l_quantity AS BIGINT) * 100
+       |    AS DECIMAL(20,0))) AS DOUBLE) / 10000.0 AS sum_profit
+       |FROM (
+       |  SELECT n_name AS nation, year(o_orderdate) AS o_year,
+       |    l_extendedprice, l_discount, p_retailprice, l_quantity
+       |  FROM part JOIN lineitem ON p_partkey = l_partkey
+       |  JOIN supplier ON s_suppkey = l_suppkey
+       |  JOIN orders ON o_orderkey = l_orderkey
+       |  JOIN nation ON s_nationkey = n_nationkey
+       |  WHERE p_name LIKE '%gear%') profit
+       |GROUP BY nation, o_year ORDER BY nation, o_year DESC""".stripMargin
+
+  /** Q11 (important stock, partsupp-free): per-supplier revenue within
+    * a nation group, kept when above a FRACTION of the group total — the
+    * scalar-subquery-in-predicate shape Q11 exists for. Catalyst runs
+    * the subquery once (it is uncorrelated), broadcasts the 1-row
+    * threshold, and the main aggregate is one shuffle on l_suppkey. */
+  private val q11Sql =
+    s"""SELECT l_suppkey, ${dsumDiscSql("l_extendedprice", "l_discount")} AS value
+       |FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+       |GROUP BY l_suppkey
+       |HAVING ${dsumDiscSql("l_extendedprice", "l_discount")} > (
+       |  SELECT ${dsumDiscSql("l_extendedprice", "l_discount")} * 0.05
+       |  FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+       |  JOIN nation ON s_nationkey = n_nationkey
+       |  WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3'))
+       |ORDER BY value DESC, l_suppkey""".stripMargin
+
+  /** Q12 (shipping modes → shipping-delay buckets; the corpus has no
+    * shipmode/commit/receipt dates): same CASE-bucket + priority
+    * conditional-count shape over lineitem⋈orders, with interval date
+    * arithmetic (INTERVAL n DAY parses identically in both engines).
+    * One shuffle on the order key, then a tiny 3-group aggregate. */
+  private val q12Sql =
+    """SELECT delay_bucket,
+      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      |FROM (
+      |  SELECT o_orderpriority,
+      |    CASE WHEN l_shipdate <= o_orderdate + INTERVAL 30 DAY THEN 'fast'
+      |         WHEN l_shipdate <= o_orderdate + INTERVAL 90 DAY THEN 'normal'
+      |         ELSE 'slow' END AS delay_bucket
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      |    AND o_orderdate < TIMESTAMP '1997-01-01') shipping
+      |GROUP BY delay_bucket ORDER BY delay_bucket""".stripMargin
+
+  /** Q13 (customer distribution): the left-outer join with an ON-clause
+    * filter (orders dropped by predicate still leave their customer
+    * with count 0) followed by a second aggregation over the first's
+    * results — the double-aggregate histogram shape. First agg shuffles
+    * on c_custkey; the second input is one row per customer. */
+  private val q13Sql =
+    """SELECT c_count, COUNT(*) AS custdist
+      |FROM (
+      |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      |  FROM customer LEFT OUTER JOIN orders
+      |    ON c_custkey = o_custkey AND o_orderpriority <> '4-NOT SPECIFIED'
+      |  GROUP BY c_custkey) c_orders
+      |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  /** Q14 (promotion effect): conditional-sum ratio in one pass over a
+    * month of lineitem⋈part (part broadcast); numerator and denominator
+    * come from the same integer-cents aggregate, the percentage is one
+    * double expression evaluated identically by both engines. */
+  private val q14Sql =
+    s"""SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' THEN volume
+       |    ELSE CAST(0 AS DECIMAL(20,0)) END) AS DOUBLE) * 100.0
+       |    / CAST(SUM(volume) AS DOUBLE) AS promo_revenue
+       |FROM (
+       |  SELECT p_type,
+       |    CAST(${centsSql("l_extendedprice")} * (100 - ${centsSql("l_discount")})
+       |      AS DECIMAL(20,0)) AS volume
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey
+       |  WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+       |    AND l_shipdate < TIMESTAMP '1996-10-01') promo""".stripMargin
+
+  /** Q15 (top supplier): the CTE-reuse shape — the revenue view feeds
+    * both the join and the scalar MAX. Revenue doubles derive from one
+    * integer sum per supplier, so the equality against MAX is exact
+    * (identical bit patterns), not a float-tolerance hazard. Supplier
+    * side broadcasts; the quarter filter reaches the lineitem scan. */
+  private val q15Sql =
+    s"""WITH revenue AS (
+       |  SELECT l_suppkey AS supplier_no,
+       |    ${dsumDiscSql("l_extendedprice", "l_discount")} AS total_revenue
+       |  FROM lineitem
+       |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+       |    AND l_shipdate < TIMESTAMP '1996-04-01'
+       |  GROUP BY l_suppkey)
+       |SELECT s_suppkey, s_name, total_revenue
+       |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+       |WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+       |ORDER BY s_suppkey""".stripMargin
+
+  /** Q16 (parts/supplier relationship, lineitem as the part↔supplier
+    * bridge in lieu of partsupp): COUNT(DISTINCT) per part attribute
+    * triple with a NOT IN anti-join against the blacklisted suppliers
+    * (negative balance standing in for the complaints LIKE). The anti
+    * side is 6 rows → broadcast; distinct-count shuffles on the group
+    * keys with the supplier set pre-deduplicated map-side. */
+  private val q16Sql =
+    """SELECT p_brand, p_type, p_size,
+      |  COUNT(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+      |  AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+      |  AND l_suppkey NOT IN (
+      |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      |GROUP BY p_brand, p_type, p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
+  /** Q17 (small-quantity-order revenue): the correlated scalar AVG
+    * (per-part mean quantity) that Catalyst decorrelates into ONE
+    * aggregate over lineitem joined back on partkey — the subquery does
+    * not re-execute per part. The mean is integer-cents-derived so the
+    * 0.2x threshold is the same double in both engines (a float AVG
+    * would be summation-order-dependent and could flip the strict <
+    * at integral-quantity boundaries). */
+  private val q17Sql =
+    s"""SELECT CAST(SUM(CAST(${centsSql("l_extendedprice")} AS DECIMAL(20,0)))
+       |    AS DOUBLE) / 100.0 / 7.0 AS avg_yearly
+       |FROM lineitem JOIN part ON p_partkey = l_partkey
+       |WHERE p_brand = 'Brand#3' AND p_size = 10
+       |  AND l_quantity < (
+       |    SELECT 0.2 * (CAST(SUM(CAST(${centsSql("l2.l_quantity")} AS DECIMAL(20,0)))
+       |      AS DOUBLE) / 100.0 / COUNT(l2.l_quantity))
+       |    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin
+
+  /** Q19 (discounted revenue): the OR-of-ANDs predicate — each disjunct
+    * pairs part attributes with lineitem ranges. Catalyst extracts the
+    * common l_partkey=p_partkey equi-condition for the hash join
+    * (part broadcast) and evaluates the disjunction post-join; the
+    * brand/size conjuncts additionally push into the part scan. */
+  private val q19Sql =
+    s"""SELECT ${dsumDiscSql("l_extendedprice", "l_discount")} AS revenue
+       |FROM lineitem JOIN part ON p_partkey = l_partkey
+       |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       |    AND l_quantity >= 1 AND l_quantity <= 11)
+       |  OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       |    AND l_quantity >= 10 AND l_quantity <= 20)
+       |  OR (p_brand = 'Brand#24' AND p_size BETWEEN 1 AND 15
+       |    AND l_quantity >= 20 AND l_quantity <= 30)""".stripMargin
+
+  /** Q20 (potential part promotion, partsupp-free): IN against an
+    * AGGREGATED subquery with a RELATIVE threshold — suppliers who
+    * shipped more SMALL-type quantity in the year than the mean
+    * supplier did (the original's "more than 50 % of availability" is
+    * a relative floor too; a constant would degenerate to all-pass or
+    * all-fail as the corpus scales). The inner agg shuffles on
+    * l_suppkey once; the uncorrelated mean is one extra 1-row
+    * aggregate broadcast into the HAVING; the IN becomes a left-semi
+    * join, so supplier never joins the fact table directly. Both sides
+    * of the comparison derive from exact integer sums (quantities are
+    * integral), so the cross-engine threshold is bit-identical. */
+  private val q20Sql =
+    """SELECT s_name, s_acctbal
+      |FROM supplier
+      |WHERE s_suppkey IN (
+      |  SELECT l_suppkey
+      |  FROM lineitem JOIN part ON p_partkey = l_partkey
+      |  WHERE p_type = 'SMALL'
+      |    AND l_shipdate >= TIMESTAMP '1996-01-01'
+      |    AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  GROUP BY l_suppkey
+      |  HAVING SUM(CAST(l_quantity AS BIGINT)) > (
+      |    SELECT CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE)
+      |      / COUNT(DISTINCT l_suppkey)
+      |    FROM lineitem JOIN part ON p_partkey = l_partkey
+      |    WHERE p_type = 'SMALL'
+      |      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      |      AND l_shipdate < TIMESTAMP '1997-01-01'))
+      |ORDER BY s_name""".stripMargin
+
+  /** Q22 (global sales opportunity): scalar-subquery threshold (mean
+    * positive balance, integer-cents-derived) + NOT EXISTS anti-join,
+    * grouped by nation key in place of the phone cntrycode. The anti
+    * join is date-windowed (every customer in this corpus has SOME
+    * order): "no order since 1998" keeps the shape AND a non-empty
+    * result. Orders side shuffles once on custkey for the anti join;
+    * the threshold broadcasts. */
+  private val q22Sql =
+    s"""SELECT c_nationkey AS cntrycode, COUNT(*) AS numcust,
+       |  ${dsumSql("c_acctbal")} AS totacctbal
+       |FROM customer
+       |WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+       |  AND c_acctbal > (
+       |    SELECT CAST(SUM(CAST(${centsSql("c2.c_acctbal")} AS DECIMAL(20,0)))
+       |      AS DOUBLE) / 100.0 / COUNT(c2.c_acctbal)
+       |    FROM customer c2 WHERE c2.c_acctbal > 0.0)
+       |  AND NOT EXISTS (
+       |    SELECT 1 FROM orders
+       |    WHERE o_custkey = c_custkey
+       |      AND o_orderdate >= TIMESTAMP '1998-01-01')
+       |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+
+  private val sqls: Map[String, String] = Map(
+    "q_sql_q4" -> q4Sql,
+    "q_sql_q6" -> q6Sql,
+    "q_sql_q7" -> q7Sql,
+    "q_sql_q8" -> q8Sql,
+    "q_sql_q9" -> q9Sql,
+    "q_sql_q11" -> q11Sql,
+    "q_sql_q12" -> q12Sql,
+    "q_sql_q13" -> q13Sql,
+    "q_sql_q14" -> q14Sql,
+    "q_sql_q15" -> q15Sql,
+    "q_sql_q16" -> q16Sql,
+    "q_sql_q17" -> q17Sql,
+    "q_sql_q19" -> q19Sql,
+    "q_sql_q20" -> q20Sql,
+    "q_sql_q22" -> q22Sql
+  )
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    sqls.map { case (name, sql) =>
+      name -> ((s: SparkSession, dir: String) => run(s, dir, sql))
+    }
+
+  def oracleSql: Map[String, String] = sqls
+}

@@ -36,6 +36,27 @@ class PlanAuditSpec extends SparkSpec {
     assert(p2.contains("BroadcastHashJoin"), s"Q2 dims not broadcast:\n${p2.take(1500)}")
   }
 
+  test("round-12 TPC-H shapes decorrelate: Q4/Q20 semi, Q22 anti, Q17 aggregate-join") {
+    def plan(name: String): String =
+      SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+    // Q4's correlated EXISTS (with the non-equi shipdate conjunct) must
+    // be a left-semi hash join on the order key, not per-row execution
+    val p4 = plan("q_sql_q4")
+    assert(p4.contains("LeftSemi"), s"Q4 EXISTS not a semi join:\n${p4.take(1500)}")
+    // Q20's IN-over-aggregate is a semi join against the HAVING output
+    val p20 = plan("q_sql_q20")
+    assert(p20.contains("LeftSemi"), s"Q20 IN not a semi join:\n${p20.take(1500)}")
+    // Q22's NOT EXISTS is an anti join; the scalar mean is a subquery,
+    // not a per-row rescan
+    val p22 = plan("q_sql_q22")
+    assert(p22.contains("LeftAnti"), s"Q22 NOT EXISTS not an anti join:\n${p22.take(1500)}")
+    // Q17's correlated scalar AVG decorrelates to ONE aggregate over
+    // lineitem joined back on partkey (no re-execution per part)
+    val p17 = plan("q_sql_q17")
+    assert(p17.contains("HashAggregate"), s"Q17 AVG not decorrelated:\n${p17.take(1500)}")
+    assert(!p17.contains("CartesianProduct"))
+  }
+
   test("narrow projections prune parquet scan columns") {
     // q_scan_project reads 5 of lineitem's 11 columns + nothing else
     val plan = graft.queries.Relational.qScanProject(spark, sf)
