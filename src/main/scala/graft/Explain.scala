@@ -30,7 +30,14 @@ object Explain {
     "q_sql_q5",
     // round 11: EXISTS/NOT-EXISTS → left-semi/left-anti hash joins,
     // correlated-MIN → decorrelated aggregate-join with broadcast dims
-    "q_sql_q21", "q_sql_q2")
+    "q_sql_q21", "q_sql_q2",
+    // round 12: correlated-AVG decorrelation (Q17), IN-over-aggregate
+    // semi join with a scalar-mean HAVING (Q20), anti join + scalar
+    // threshold (Q22), OR-of-ANDs equi-key extraction (Q19), the
+    // frontier-at-a-time recursive CTE, and the multi-probe simhash
+    // band self-join feeding the exact-Jaccard verify
+    "q_sql_q17", "q_sql_q20", "q_sql_q22", "q_sql_q19",
+    "q_sql_recursive", "q_dedup_simhash_verified")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

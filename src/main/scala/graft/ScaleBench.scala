@@ -84,7 +84,15 @@ object ScaleBench {
     "q_sql_q21", "q_sql_q2",
     // the state-heaviest streaming operator: two-sided interval-join
     // state, bounded by rate x window via the two-sided time condition
-    "q_stream_interval_join")
+    "q_stream_interval_join",
+    // round 12: the widest new TPC-H join tree (Q9: 5-table + LIKE
+    // prune), the double-aggregate histogram (Q13), the decorrelated
+    // scalar-AVG (Q17), the multi-probe simhash verify stage, and the
+    // stateless stream-static enrichment. q_sql_recursive stays out:
+    // its only input is the FIXED-size customer dim, so a 10x row
+    // would re-measure identical data.
+    "q_sql_q9", "q_sql_q13", "q_sql_q17",
+    "q_dedup_simhash_verified", "q_stream_enrich")
 
   def buildScaledData(spark: SparkSession, src: String, out: String, factor: Int): Unit = {
     val KEY = 100000000L // key shift per copy: far above any sf0.1 key

@@ -7,7 +7,8 @@ import QueryUtil._
 
 /** The remaining TPC-H query shapes (Q4/6/7/8/9/11/12/13/14/15/16/17/
   * 19/20/22-like), completing the 22-query surface together with
-  * q_agg_group (=Q1) and q_sql_q2/q3/q5/q10/q18/q21 in [[Relational]].
+  * q_agg_group (=Q1) and q_sql_q2/q3/q5/q10/q18/q21 in [[Relational]],
+  * plus the recursive-CTE surface (q_sql_recursive).
   * The corpus is TPC-H-ish (TESTDATA.md): no partsupp table and no
   * commit/receipt dates, so the queries that need them are adapted to
   * the SAME optimizer shape on the available columns (noted per
@@ -324,7 +325,34 @@ object RelationalTpch {
        |      AND o_orderdate >= TIMESTAMP '1998-01-01')
        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
 
+  /** Recursive CTE (transitive closure): WITH RECURSIVE landed in
+    * Spark 4, and this is its canonical hierarchy walk — a synthetic
+    * 7-ary ancestor tree over custkeys (child k → parent ⌊k/7⌋),
+    * closed by iterating `chain ⋈ edges` until every path reaches the
+    * root. Spark executes each recursion level as one hash join over
+    * the PREVIOUS level's output only (frontier-at-a-time, like the
+    * pagerank loop), so depth bounds the iteration count at
+    * log₇(max key) and each level shuffles O(frontier), not O(n·depth);
+    * termination is structural (anc strictly decreases to 0). The
+    * division goes through floor() so both engines truncate
+    * identically (a bare integer `/` is float division in DuckDB and
+    * the cast back would round half-even, not truncate). */
+  private val qRecursiveSql =
+    """WITH RECURSIVE edges AS (
+      |  SELECT c_custkey AS child, CAST(floor(c_custkey / 7.0) AS BIGINT) AS parent
+      |  FROM customer WHERE c_custkey > 0
+      |), chain(node, anc, depth) AS (
+      |  SELECT child, child, 0 FROM edges
+      |  UNION ALL
+      |  SELECT c.node, e.parent, c.depth + 1
+      |  FROM chain c JOIN edges e ON c.anc = e.child
+      |  WHERE c.anc > 0
+      |)
+      |SELECT node, MAX(depth) AS depth_to_root, COUNT(*) AS chain_len
+      |FROM chain GROUP BY node ORDER BY node""".stripMargin
+
   private val sqls: Map[String, String] = Map(
+    "q_sql_recursive" -> qRecursiveSql,
     "q_sql_q4" -> q4Sql,
     "q_sql_q6" -> q6Sql,
     "q_sql_q7" -> q7Sql,

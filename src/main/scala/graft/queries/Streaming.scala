@@ -547,7 +547,41 @@ object Streaming {
       |SELECT gram, COUNT(*) AS n_occurrences
       |FROM g GROUP BY gram ORDER BY gram""".stripMargin
 
+  /** Stream-static broadcast enrichment — the canonical streaming
+    * dimension lookup: an event stream joined to a STATIC customer dim
+    * inside the micro-batch plan. Stateless by construction (no
+    * watermark, no state store — the static side is re-planned each
+    * micro-batch, and broadcast keeps it a map-side hash lookup with
+    * zero shuffle on the stream), so the sink is trivially
+    * split-invariant and the oracle is the plain batch join. At 100 TB
+    * this is the shape for rate-limited enrichment: the dim broadcasts
+    * once per micro-batch to every executor; a dim too big to
+    * broadcast switches to a shuffle join keyed on user_id with the
+    * SAME query text. */
+  def qStreamEnrich(s: SparkSession, dir: String): DataFrame = {
+    val evs = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("value"))
+    val mid = midpoint(evs, "event_id")
+    val dim = Tables.customer(s, dir).select(col("c_custkey"),
+      col("c_mktsegment").as("segment"), col("c_nationkey").as("nationkey"))
+    runTwoBatchStream(s, "q_stream_enrich",
+      evs.filter(col("event_id") <= mid), evs.filter(col("event_id") > mid),
+      evs.schema,
+      df => df.join(broadcast(dim), col("user_id") === col("c_custkey"))
+        .select(col("event_id"), col("user_id"), col("segment"),
+          col("nationkey"), col("value")),
+      "append")
+      .orderBy("event_id")
+  }
+
+  private val qStreamEnrichOracle =
+    """SELECT event_id, user_id, c_mktsegment AS segment,
+      |  c_nationkey AS nationkey, value
+      |FROM events JOIN customer ON user_id = c_custkey
+      |ORDER BY event_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_enrich" -> (qStreamEnrich _),
     "q_stream_sessions" -> (qStreamSessions _),
     "q_stream_sessions_bounded" -> (qStreamSessionsBounded _),
     "q_stream_interval_join" -> (qStreamIntervalJoin _),
@@ -560,6 +594,7 @@ object Streaming {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_stream_enrich" -> qStreamEnrichOracle,
     "q_stream_sessions" -> qStreamSessionsOracle,
     "q_stream_sessions_bounded" -> qStreamSessionsBoundedOracle,
     "q_stream_interval_join" -> qStreamIntervalJoinOracle,

@@ -12,6 +12,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Tabl
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.MicroBatchStream
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
 import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.DataSourceRegister
@@ -76,8 +77,8 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
     override def name(): String = s"graft(${pathOf(options)})"
     override def schema(): StructType = schema
     override def capabilities(): util.Set[TableCapability] =
-      Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-        TableCapability.TRUNCATE).asJava
+      Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+        TableCapability.BATCH_WRITE, TableCapability.TRUNCATE).asJava
     override def newScanBuilder(scanOptions: CaseInsensitiveStringMap): ScanBuilder = {
       val spark = SparkSession.active
       val path = pathOf(options)
@@ -346,7 +347,100 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
       // custom filesystems then apply to graft reads
       new GraftReaderFactory(new org.apache.spark.util.SerializableConfiguration(
         SparkSession.active.sessionState.newHadoopConf()))
+
+    /** `spark.readStream.format("graft").load(dir)` — the incremental
+      * twin of the batch scan: each micro-batch converts exactly the
+      * delimited files that appeared since the last offset, through the
+      * SAME reader (same kernels, same pushed filters and pruned
+      * columns — Spark's V2 pushdown rules run for streaming relations
+      * too). Offsets are the sorted seen-file list, so a batch is the
+      * set difference of two listings: deterministic for append-only
+      * feed dirs (the file-source contract; writers should stage+rename
+      * like Streaming.runTwoBatchFeed does). Limit/TopN/aggregate
+      * pushdown are batch-only surfaces and never reach this path. */
+    override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+      new GraftMicroBatchStream(path, full, required, delim, pushed,
+        new org.apache.spark.util.SerializableConfiguration(
+          SparkSession.active.sessionState.newHadoopConf()))
   }
+}
+
+/** Streaming offset: the sorted list of data files already emitted.
+  * JSON is a plain string array (escaped), so checkpoint recovery
+  * round-trips through deserializeOffset. A production-hardened form
+  * would compact this into a file log like Spark's FileStreamSource;
+  * the offset-as-listing form keeps the exactly-once set-difference
+  * semantics explicit and is bounded by feed-dir file count. */
+private[sources] case class GraftFilesOffset(files: Seq[String])
+  extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String =
+    files.map(f => "\"" + f.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\"").mkString("[", ",", "]")
+}
+
+private[sources] object GraftFilesOffset {
+  /** Minimal parser for the array-of-strings json() emits. */
+  def fromJson(json: String): GraftFilesOffset = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new java.lang.StringBuilder()
+    var i = 0
+    var inStr = false
+    while (i < json.length) {
+      val c = json.charAt(i)
+      if (!inStr) { if (c == '"') { inStr = true; cur.setLength(0) } }
+      else c match {
+        case '"' => inStr = false; out += cur.toString
+        case '\\' =>
+          i += 1
+          json.charAt(i) match {
+            case 'u' => cur.append(Integer.parseInt(json.substring(i + 1, i + 5), 16).toChar); i += 4
+            case e => cur.append(e)
+          }
+        case _ => cur.append(c)
+      }
+      i += 1
+    }
+    GraftFilesOffset(out.toSeq)
+  }
+}
+
+private class GraftMicroBatchStream(path: String, full: StructType,
+    required: StructType, delim: Char, filters: Array[sources.Filter],
+    conf: org.apache.spark.util.SerializableConfiguration)
+  extends MicroBatchStream {
+
+  private def listFiles(): Seq[String] = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf.value)
+    val st = fs.getFileStatus(root)
+    (if (st.isDirectory)
+      fs.listStatus(root)
+        .filter(s => s.isFile && GraftDataSource.isDataFile(s.getPath.getName))
+        .map(_.getPath.toString)
+    else Array(path)).sorted.toSeq
+  }
+
+  override def initialOffset(): streaming.Offset = GraftFilesOffset(Nil)
+  override def latestOffset(): streaming.Offset = GraftFilesOffset(listFiles())
+  override def deserializeOffset(json: String): streaming.Offset =
+    GraftFilesOffset.fromJson(json)
+
+  override def planInputPartitions(start: streaming.Offset,
+                                   end: streaming.Offset): Array[InputPartition] = {
+    val seen = start.asInstanceOf[GraftFilesOffset].files.toSet
+    end.asInstanceOf[GraftFilesOffset].files.filterNot(seen)
+      .map(f => GraftFilePartition(f, full, required, delim, filters): InputPartition)
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftReaderFactory(conf)
+  override def commit(end: streaming.Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 private class GraftReaderFactory(conf: org.apache.spark.util.SerializableConfiguration)

@@ -45,7 +45,8 @@ class RelationalSpec extends SparkSpec {
 
   test("no query id collides across family registries (Map ++ overrides silently)") {
     import graft.queries._
-    val families = Seq(Relational.queries, Funcs.queries, Events.queries,
+    val families = Seq(Relational.queries, RelationalTpch.queries,
+      Funcs.queries, Events.queries,
       TextAnalysis.queries, Dedup.queries, Similarity.queries,
       Extensions.queries, Curation.queries, Profiling.queries,
       Graph.queries, Streaming.queries, Ingest.queries)
