@@ -149,23 +149,23 @@ class DedupRecallSpec extends SparkSpec {
       s"banding lost ${(ham3 -- got).size} of ${ham3.size} Hamming<=3 pairs")
   }
 
-  test("multi-probe simhash candidates contain EVERY Hamming<=11 pair (pigeonhole)") {
+  test("multi-probe simhash candidates contain EVERY Hamming<=7 pair (pigeonhole)") {
     val sigs = Dedup.simhashSignatures(spark, sf01).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
-    val ham11 = (for {
+    val ham7 = (for {
       i <- sigs.indices.iterator
       j <- (i + 1) until sigs.length
-      if java.lang.Long.bitCount(sigs(i)._2 ^ sigs(j)._2) <= 11
+      if java.lang.Long.bitCount(sigs(i)._2 ^ sigs(j)._2) <= 7
     } yield {
       val (a, b) = (sigs(i)._1, sigs(j)._1)
       (math.min(a, b), math.max(a, b))
     }).toSet
-    assert(ham11.nonEmpty, "corpus should contain Hamming<=11 signature pairs")
+    assert(ham7.nonEmpty, "corpus should contain Hamming<=7 signature pairs")
     val cand = Dedup.simhashCandidates(spark, sf01).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert((ham11 -- cand).isEmpty,
-      s"multi-probe banding lost ${(ham11 -- cand).size} of ${ham11.size} Hamming<=11 pairs " +
-        "— violates the 2-bits-per-quarter probe guarantee")
+    assert((ham7 -- cand).isEmpty,
+      s"multi-probe banding lost ${(ham7 -- cand).size} of ${ham7.size} Hamming<=7 pairs " +
+        "— violates the 1-bit-per-quarter one-sided probe guarantee")
   }
 
   test("simhash_verified equals brute-force Jaccard>=0.9 truth end-to-end") {
