@@ -33,6 +33,7 @@ object Bench {
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1).write
       .mode("overwrite").format("noop").save()
     graft.queries.Ingest.ensureStaged(spark, sfDir)
+    graft.queries.Ingest.ensureStagedJsonl(spark, sfDir)
 
     // Optional args = run only these queries (local iteration aid; the
     // driver invokes with no args and gets the full registry).

@@ -110,11 +110,81 @@ object Graph {
        |FROM r3 ORDER BY rank_score DESC, node_id LIMIT 100""".stripMargin
   }
 
+  /** Triangle counting over the part co-purchase graph (parts sharing an
+    * order), the clustering-structure primitive behind community
+    * detection and link-spam scoring. Exact, via DEGREE-ORDERED edge
+    * orientation (Schank–Wagner / Ortmann–Näher node-iterator): each
+    * undirected edge points from the lower-(degree, id) endpoint to the
+    * higher, so every triangle has exactly one "apex" wedge u→v, u→w and
+    * is found once by the wedge join + one closure join — no double
+    * counting, no post-dedup.
+    *
+    * Scale: pair generation never leaves its order (collect_set keyed on
+    * orderkey, bounded by order size, then a map-side pair explode — the
+    * same shape as pagerank's edge gen); the wedge intermediate is
+    * Σ outdeg², which orientation caps at O(m^1.5) worst-case (outdeg ≤
+    * √2m) and at O(m·arboricity) on real graphs — THE reason this beats
+    * the naive key-ordered closure, whose hub wedges explode on skewed
+    * degree distributions. All three phases are shuffled hash joins on
+    * edge keys; nothing touches the driver. The oracle states the same
+    * triangle set via the key-ordered brute-force closure — legal at
+    * verification scale, and deliberately different from the plan under
+    * test. */
+  def qGraphTriangles(s: SparkSession, dir: String): DataFrame = {
+    val perOrder = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .groupBy("l_orderkey")
+      .agg(collect_set(col("l_partkey")).as("ps"))
+    val e = perOrder
+      .select(explode(col("ps")).as("a"), col("ps"))
+      .select(col("a"), explode(col("ps")).as("b"))
+      .filter(col("a") < col("b"))
+      .select(col("a").cast(LongType).as("a"), col("b").cast(LongType).as("b"))
+      .distinct()
+    // degree over the undirected view; a<b edges carry both endpoints'
+    // degrees, then orient low-rank → high-rank on (degree, id)
+    val und = e.union(e.select(col("b").as("a"), col("a").as("b")))
+    val deg = und.groupBy("a").agg(count(lit(1)).as("d"))
+    val oriented = e
+      .join(deg.withColumnRenamed("a", "ka").withColumnRenamed("d", "da"), col("a") === col("ka"))
+      .join(deg.withColumnRenamed("a", "kb").withColumnRenamed("d", "db"), col("b") === col("kb"))
+      .select(
+        when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
+          col("a")).otherwise(col("b")).as("u"),
+        when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
+          col("b")).otherwise(col("a")).as("v"))
+      .localCheckpoint(true)
+    val wedges = oriented.select(col("u").as("x"), col("v").as("y"))
+      .join(oriented.select(col("u").as("y2"), col("v").as("z")), col("y") === col("y2"))
+      .select(col("x"), col("y"), col("z"))
+    val tri = wedges.join(
+      oriented.select(col("u").as("x"), col("v").as("z")), Seq("x", "z"), "left_semi")
+    tri.select(explode(array(col("x"), col("y"), col("z"))).as("part_id"))
+      .groupBy("part_id")
+      .agg(count(lit(1)).cast(LongType).as("triangles"))
+      .orderBy(col("triangles").desc, col("part_id"))
+  }
+
+  private val qGraphTrianglesOracle =
+    """WITH po AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |e AS (SELECT DISTINCT p1.l_partkey AS a, p2.l_partkey AS b
+      |      FROM po p1 JOIN po p2 ON p1.l_orderkey = p2.l_orderkey
+      |       AND p1.l_partkey < p2.l_partkey),
+      |t AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      |      FROM e e1 JOIN e e2 ON e1.b = e2.a
+      |      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+      |n AS (SELECT x AS node FROM t UNION ALL SELECT y FROM t
+      |      UNION ALL SELECT z FROM t)
+      |SELECT node AS part_id, CAST(COUNT(*) AS BIGINT) AS triangles
+      |FROM n GROUP BY node ORDER BY triangles DESC, part_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_pagerank" -> ((s, d) => qPagerank(s, d))
+    "q_pagerank" -> ((s, d) => qPagerank(s, d)),
+    "q_graph_triangles" -> ((s, d) => qGraphTriangles(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
-    "q_pagerank" -> qPagerankOracle
+    "q_pagerank" -> qPagerankOracle,
+    "q_graph_triangles" -> qGraphTrianglesOracle
   )
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ingest.IngestPipeline
+import graft.ingest.{IngestPipeline, JsonlIngest}
 
 /** q_ingest_typed — the reference's whole reason to exist (O1–O13): a
   * delimited text file round-trips through delimiter detection, sampled
@@ -46,6 +46,40 @@ object Ingest {
   def qIngestTyped(s: SparkSession, dir: String): DataFrame =
     IngestPipeline.convert(s, ensureStaged(s, dir))
 
+  /** Stage a deterministic JSONL projection of `orders` once per sf dir:
+    * BIGINT and DOUBLE columns as native JSON NUMBER tokens (their
+    * literal spelling is what the ladder must re-type), the status as a
+    * JSON string, the date as the reference's second-precision text
+    * format, and `o_custkey` DROPPED from every 7th order (to_json omits
+    * null fields) so missing-key null-padding is exercised end-to-end. */
+  def ensureStagedJsonl(s: SparkSession, dir: String): String = {
+    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val jsonDir = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_ingest_jsonl_$key").toString
+    if (!new java.io.File(jsonDir, "_SUCCESS").exists()) {
+      Tables.orders(s, dir)
+        .select(to_json(struct(
+          col("o_orderkey"),
+          when(col("o_custkey") % 7 =!= 0, col("o_custkey")).as("o_custkey"),
+          col("o_totalprice"),
+          col("o_orderstatus"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("o_orderdate")))
+          .as("value"))
+        .write.mode("overwrite").text(jsonDir)
+    }
+    jsonDir
+  }
+
+  /** q_ingest_jsonl — the JSONL twin of q_ingest_typed: NDJSON staged
+    * from `orders` round-trips through key discovery, the same
+    * type-decision ladder, and the same cast kernels
+    * (ingest/JsonlIngest.scala). Number tokens must re-type to
+    * BIGINT/DOUBLE, the text date to a second-precision timestamp, and
+    * the dropped key to NULL — all hash-checked against the source
+    * columns below. */
+  def qIngestJsonl(s: SparkSession, dir: String): DataFrame =
+    JsonlIngest.convert(s, ensureStagedJsonl(s, dir))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // The registry form appends a total-order sort so the driver's
     // order-sensitive hash gate can compare the typed output against
@@ -61,6 +95,12 @@ object Ingest {
     // conversion pass. Bench unpersists checkpointed RDDs between runs.
     "q_ingest_typed" -> ((s, dir) => {
       val typed = qIngestTyped(s, dir).localCheckpoint()
+      typed.orderBy(typed.columns.map(col): _*)
+    }),
+    // Same localCheckpoint-before-sort rationale as q_ingest_typed: one
+    // conversion pass, then a total-order sort for the hash gate.
+    "q_ingest_jsonl" -> ((s, dir) => {
+      val typed = qIngestJsonl(s, dir).localCheckpoint()
       typed.orderBy(typed.columns.map(col): _*)
     })
   )
@@ -78,6 +118,20 @@ object Ingest {
         |FROM lineitem
         |ORDER BY l_orderkey NULLS FIRST, l_partkey NULLS FIRST,
         |         l_quantity NULLS FIRST, l_extendedprice NULLS FIRST,
-        |         l_returnflag NULLS FIRST, l_shipdate NULLS FIRST""".stripMargin
+        |         l_returnflag NULLS FIRST, l_shipdate NULLS FIRST""".stripMargin,
+    // The staged JSONL is a deterministic projection of `orders`: number
+    // tokens round-trip exactly (shortest-repr double format, exact
+    // parse), the staged second-precision date text truncates the
+    // timestamp, and the %7 key drop resurfaces as NULL.
+    "q_ingest_jsonl" ->
+      """SELECT o_orderkey,
+        |       CASE WHEN o_custkey % 7 = 0 THEN NULL ELSE o_custkey END
+        |         AS o_custkey,
+        |       o_totalprice, o_orderstatus,
+        |       date_trunc('second', o_orderdate) AS o_orderdate
+        |FROM orders
+        |ORDER BY o_orderkey NULLS FIRST, o_custkey NULLS FIRST,
+        |         o_totalprice NULLS FIRST, o_orderstatus NULLS FIRST,
+        |         o_orderdate NULLS FIRST""".stripMargin
   )
 }

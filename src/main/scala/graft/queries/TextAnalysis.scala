@@ -796,8 +796,57 @@ object TextAnalysis {
       v.toInt
     }.getOrElse(1024)
 
+  /** Unigram-LM rarity scoring — the log-free perplexity proxy: each
+    * token scores `N div count(token)` (corpus-inverse frequency, the
+    * unigram 1/p up to integer truncation), and a document reports the
+    * integer SUM plus the rational mean. Rank-equivalent to unigram
+    * log-perplexity for quality filtering (monotone in 1/p), while
+    * staying cross-engine bit-exact: integer division + integer sums,
+    * one IEEE division at the end (the same `ln`-avoidance discipline as
+    * q_tfidf). High mean rarity flags OOV-dense/garbled documents, low
+    * mean flags boilerplate.
+    *
+    * Scale: vocabulary counts are a map-side-combined aggregation; N is
+    * a broadcast 1-row aggregate; the token→vocab join is the one real
+    * shuffle (at 100 TB: broadcast the head of the Zipf vocabulary and
+    * shuffle only the tail — the head covers ~90 % of token mass). The
+    * per-doc reduce is combine-friendly. */
+  def qTextRarity(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("term"))
+    val cnt = tok.groupBy("term").agg(count(lit(1)).as("c"))
+    val n = tok.agg(count(lit(1)).as("n_total"))
+    tok.join(cnt, "term").crossJoin(broadcast(n))
+      .select(col("doc_id"), expr("n_total div c").as("rar"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast(LongType).as("n_tokens"),
+        sum(col("rar")).cast(LongType).as("rarity_sum"))
+      .select(col("doc_id"), col("n_tokens"), col("rarity_sum"),
+        round(col("rarity_sum").cast(DoubleType) /
+          col("n_tokens").cast(DoubleType), 6).as("rarity_mean"))
+      .orderBy("doc_id")
+  }
+
+  private val qTextRarityOracle =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+      |  FROM documents),
+      |cnt AS (SELECT term, COUNT(*) AS c FROM tok GROUP BY term),
+      |n AS (SELECT COUNT(*) AS n_total FROM tok),
+      |d AS (
+      |  SELECT t.doc_id, COUNT(*) AS n_tokens,
+      |    SUM(n.n_total // cnt.c) AS rarity_sum
+      |  FROM tok t JOIN cnt ON t.term = cnt.term CROSS JOIN n
+      |  GROUP BY t.doc_id)
+      |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+      |  CAST(rarity_sum AS BIGINT) AS rarity_sum,
+      |  round(CAST(rarity_sum AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+      |    AS rarity_mean
+      |FROM d ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bpe_merges" -> ((s, d) => qBpeMerges(s, d)),
+    "q_text_rarity" -> (qTextRarity _),
     "q_ngram_counts" -> ((s, d) => qNgramCounts(s, d)),
     // SPARK_GRAFT_HH_M exists for corpora whose top-k does NOT
     // concentrate as they grow — e.g. ScaleBench's key-shifted corpus,
@@ -824,6 +873,7 @@ object TextAnalysis {
 
   def oracleSql: Map[String, String] = Map(
     "q_bpe_merges" -> qBpeMergesOracle,
+    "q_text_rarity" -> qTextRarityOracle,
     "q_ngram_counts" -> qNgramCountsOracle,
     "q_heavy_hitters" -> qHeavyHittersOracle,
     "q_text_postings" -> qTextPostingsOracle,
