@@ -92,7 +92,19 @@ object ScaleBench {
     // its only input is the FIXED-size customer dim, so a 10x row
     // would re-measure identical data.
     "q_sql_q9", "q_sql_q13", "q_sql_q17",
-    "q_dedup_simhash_verified", "q_stream_enrich")
+    "q_dedup_simhash_verified", "q_stream_enrich",
+    // round 12, second wave: the unigram-rarity scorer (its vocab join
+    // scales with the per-copy-prefixed token space — the honest 10x for
+    // a corpus-wide vocabulary). q_graph_triangles is deliberately
+    // absent: fact-against-fixed-dim replication densifies the part
+    // co-purchase graph toward a clique (degree grows ~linearly with the
+    // factor, wedge work quadratically), so a 10x row would measure a
+    // regime change in the GRAPH, not the operator — its scale evidence
+    // is the cross-sf row (sf0.01 -> sf0.1, where parts scale with the
+    // corpus) recorded in SCALE.md. q_ingest_jsonl follows
+    // q_ingest_typed: a shuffle-free map-side converter is not
+    // scale-interesting here.
+    "q_text_rarity")
 
   def buildScaledData(spark: SparkSession, src: String, out: String, factor: Int): Unit = {
     val KEY = 100000000L // key shift per copy: far above any sf0.1 key
