@@ -61,7 +61,7 @@ object ConvertMain {
   }
 
   private[graft] def usage: String =
-    """Convert a tabular file (CSV/TSV) to Parquet
+    """Convert a tabular file (CSV/TSV/JSONL) to Parquet
       |
       |Usage: graft-convert [--inferer-schema-complet] ENTREE
       |
@@ -163,8 +163,17 @@ object ConvertMain {
     }
 
     val t0 = System.nanoTime()
-    val delim = IngestPipeline.detectDelimiter(spark, inputPath)
-    val raw = IngestPipeline.readRaw(spark, inputPath, delim)
+    // Format routing (beyond the reference, which is delimited-only):
+    // a first line that parses as a JSON object routes the input
+    // through the JSONL reader; everything downstream — inference,
+    // fused cast+observe projection, ordered single-file sink, error
+    // accounting — is format-agnostic over the all-string frame.
+    val isJsonl = graft.ingest.JsonlIngest.looksLikeJsonl(spark, inputPath)
+    val raw =
+      if (isJsonl) graft.ingest.JsonlIngest.readRaw(spark, inputPath,
+        graft.ingest.JsonlIngest.discoverKeys(spark, inputPath))
+      else IngestPipeline.readRaw(spark, inputPath,
+        IngestPipeline.detectDelimiter(spark, inputPath))
     val schema = IngestPipeline.inferSchema(raw, opts.fullScan)
     err(s"[OK] schema detected: ${schema.fields.length} columns")
     err(s"[CONF] row-group block = ${IngestPipeline.rowGroupRows(schema.fields.length)} rows")
@@ -176,9 +185,11 @@ object ConvertMain {
     // against a denominator everywhere — marked approximate ("/~N").
     val (totalRows, approxTotal) = {
       val p = Paths.get(inputPath)
-      if (Files.isRegularFile(p))
-        (Some(scala.util.Using.resource(Files.lines(p))(_.count()) - 1), false)
-      else (estimateRowsFromBytes(spark, inputPath), true)
+      if (Files.isRegularFile(p)) {
+        // JSONL has no header line to discount
+        val lines = scala.util.Using.resource(Files.lines(p))(_.count())
+        (Some(if (isJsonl) lines else lines - 1), false)
+      } else (estimateRowsFromBytes(spark, inputPath), true)
     }
 
     val ticker = new ProgressTicker(spark, totalRows, err, approxTotal = approxTotal)

@@ -95,4 +95,47 @@ object JsonlIngest {
     val raw = readRaw(spark, path, keys)
     IngestPipeline.applySchema(raw, IngestPipeline.inferSchema(raw, fullScan))
   }
+
+  /** Content sniff for the CLI's format routing: the input is JSONL when
+    * its first line parses as a JSON object with at least one key. One
+    * buffered line read (the same bounded pre-pass as delimiter
+    * detection — O2's shape, a format probe instead of a comma count);
+    * directories probe their first data file. */
+  def looksLikeJsonl(spark: SparkSession, path: String): Boolean = {
+    val p0 = new org.apache.hadoop.fs.Path(path)
+    val fs = p0.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = if (fs.getFileStatus(p0).isDirectory)
+      fs.listStatus(p0)
+        .filter(s => s.isFile && graft.sources.GraftDataSource.isDataFile(s.getPath.getName))
+        .map(_.getPath).minBy(_.getName.toString)
+    else p0
+    val in = graft.sources.GraftPartitionReader.maybeDecompress(p.getName, fs.open(p))
+    try {
+      val reader = new java.io.BufferedReader(new java.io.InputStreamReader(in, "UTF-8"))
+      val first = Option(reader.readLine()).getOrElse("")
+      first.dropWhile(_.isWhitespace).startsWith("{") && topLevelKeys(first).nonEmpty
+    } finally in.close()
+  }
+
+  /** Streaming form, mirroring `IngestPipeline.convertStream`: keys and
+    * types pin ONCE from the files already present, then new files flow
+    * through the same `from_json` + cast projection continuously. The
+    * same RESTART CONTRACT applies — pass the first run's schema when
+    * resuming from a checkpoint (see convertStream's scaladoc). */
+  def convertStream(spark: SparkSession, path: String,
+                    schema: Option[StructType] = None,
+                    sampleRows: Int = 1000): DataFrame = {
+    val pinned = schema.getOrElse {
+      val keys = discoverKeys(spark, path, sampleRows)
+      IngestPipeline.inferSchema(readRaw(spark, path, keys), fullScan = false)
+    }
+    val allString = StructType(pinned.fields.map(f =>
+      StructField(f.name, StringType, nullable = true)))
+    val rawStream = spark.readStream
+      .schema(StructType(Seq(StructField("value", StringType, nullable = true))))
+      .text(path)
+      .select(from_json(col("value"), allString).as("j"))
+      .select(pinned.fieldNames.map(k => col("j").getField(k).as(k)).toSeq: _*)
+    IngestPipeline.applySchema(rawStream, pinned)
+  }
 }

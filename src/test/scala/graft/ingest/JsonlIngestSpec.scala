@@ -72,6 +72,65 @@ class JsonlIngestSpec extends SparkSpec {
     assert(typed.schema.map(_.dataType) == Seq(DateType, TimestampNTZType))
   }
 
+  test("CLI format routing: a .jsonl input converts e2e through ConvertMain") {
+    val dir = Files.createTempDirectory("graft_cli_jsonl")
+    val f = dir.resolve("events.jsonl")
+    // bad values land AFTER the 1,000-line inference sample, so `score`
+    // infers DOUBLE from the clean sample and the tail genuinely fails
+    val sb = new StringBuilder
+    (0 until 1100).foreach { i =>
+      val score = i / 2.0
+      sb.append(s"""{"id":$i,"score":$score,"tag":"t$i"}""").append('\n')
+    }
+    (0 until 20).foreach(i => sb.append(s"""{"id":${1100 + i},"score":"oops","tag":"x"}""").append('\n'))
+    Files.writeString(f, sb.toString)
+    val msgs = scala.collection.mutable.ArrayBuffer.empty[String]
+    val (out, rows, errs) = graft.ConvertMain.run(spark,
+      graft.ConvertMain.Options(Some(f.toString), fullScan = false), msgs += _)
+    assert(out == dir.resolve("events.parquet").toString)
+    assert(rows == 1120L && errs == 20L)
+    assert(msgs.exists(_.contains("[COLUMN ERRORS] score: 20")))
+    val back = spark.read.parquet(out)
+    assert(back.schema.map(_.dataType) == Seq(LongType, DoubleType, StringType))
+    // input order preserved end-to-end, like the delimited CLI path
+    assert(back.select("id").collect().map(_.getLong(0)).toSeq == (0L until 1120L))
+  }
+
+  test("looksLikeJsonl: JSON object line yes; TSV/CSV and bare JSON scalars no") {
+    val j = tempJsonl("""{"a":1}""")
+    val t = Files.createTempFile("graft_sniff", ".tsv")
+    Files.writeString(t, "a\tb\n1\t2\n")
+    val s = Files.createTempFile("graft_sniff2", ".jsonl")
+    Files.writeString(s, "42\n43\n")
+    assert(JsonlIngest.looksLikeJsonl(spark, j))
+    assert(!JsonlIngest.looksLikeJsonl(spark, t.toString))
+    assert(!JsonlIngest.looksLikeJsonl(spark, s.toString))
+  }
+
+  test("streaming JSONL: schema pins once, later files flow through the same casts") {
+    val dir = Files.createTempDirectory("graft_jsonl_stream")
+    // k starts at 10: a lone "1" would be claimed by the ladder's
+    // bool-beats-int preference (TypeDecisionSpec), which is not what
+    // this test is about
+    Files.writeString(dir.resolve("part1.jsonl"), """{"k":10,"v":"a"}""" + "\n")
+    val stream = JsonlIngest.convertStream(spark, dir.toString)
+    assert(stream.isStreaming)
+    assert(stream.schema.map(_.dataType) == Seq(LongType, StringType))
+    val q = stream.writeStream.format("memory")
+      .queryName("graft_jsonl_stream_t").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // a later file with a NUMBER-token k and a missing v flows through
+      // the pinned all-string capture + cast kernels
+      Files.writeString(dir.resolve("part2.jsonl"),
+        """{"k":20,"v":"b"}""" + "\n" + """{"k":30}""" + "\n")
+      q.processAllAvailable()
+      val got = spark.table("graft_jsonl_stream_t")
+        .orderBy("k").collect().map(r => (r.getLong(0), Option(r.getString(1))))
+      assert(got.toSeq == Seq((10L, Some("a")), (20L, Some("b")), (30L, None)))
+    } finally q.stop()
+  }
+
   test("sampled key discovery is bounded; keys past the sample do not appear") {
     val head = (1 to 1000).map(i => s"""{"a":$i}""")
     val tail = Seq("""{"a":1001,"late":true}""")
