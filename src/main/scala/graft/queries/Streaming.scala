@@ -580,7 +580,100 @@ object Streaming {
       |FROM events JOIN customer ON user_id = c_custkey
       |ORDER BY event_id""".stripMargin
 
+  /** Streaming tabular→parquet ingest run END-TO-END: the reference's
+    * conversion pipeline as an incremental file-watch service
+    * (`IngestPipeline.convertStream`), fed the staged lineitem TSV in
+    * two batches and hash-gated against the SAME oracle as the batch
+    * q_ingest_typed — incremental conversion must equal the one-shot
+    * conversion, with file boundaries invisible in the typed output.
+    * The schema pins from batch 1 (the restart contract convertStream's
+    * scaladoc documents); batch 2 flows through the pinned casts with
+    * no re-inference. Stateless map-only stream: no state store, no
+    * watermark — the scale cost is the file-listing tick, and each
+    * micro-batch is the same no-shuffle cast projection as the batch
+    * path. */
+  def qStreamIngest(s: SparkSession, dir: String): DataFrame =
+    streamIngestLifecycle(s, "q_stream_ingest",
+      stagedPath = Ingest.ensureStaged(s, dir),
+      readStaged = p => s.read.option("header", "true").option("sep", "\t")
+        .option("inferSchema", "false").option("escape", "\"").csv(p),
+      splitKey = r => col("l_orderkey").cast("long"),
+      writeChunk = (chunk, out) => chunk.write.mode("overwrite")
+        .option("header", "true").option("sep", "\t").csv(out),
+      buildStream = (glob, b1) => {
+        val pinned = graft.ingest.IngestPipeline.inferSchema(
+          graft.ingest.IngestPipeline.readRaw(s, b1, '\t'), fullScan = false)
+        graft.ingest.IngestPipeline.convertStream(s, glob,
+          delimiter = Some('\t'), schema = Some(pinned))
+      })
+
+  /** The JSONL twin: `JsonlIngest.convertStream` over the staged NDJSON
+    * orders feed, hash-gated against q_ingest_jsonl's oracle. Key
+    * discovery + types pin from batch 1; batch 2's raw token lines flow
+    * through the pinned `from_json` + cast projection. */
+  def qStreamIngestJsonl(s: SparkSession, dir: String): DataFrame =
+    streamIngestLifecycle(s, "q_stream_ingest_jsonl",
+      stagedPath = Ingest.ensureStagedJsonl(s, dir),
+      readStaged = p => s.read.text(p),
+      splitKey = r => get_json_object(col("value"), "$.o_orderkey").cast("long"),
+      writeChunk = (chunk, out) => chunk.write.mode("overwrite").text(out),
+      buildStream = (glob, b1) => {
+        val keys = graft.ingest.JsonlIngest.discoverKeys(s, b1)
+        val pinned = graft.ingest.IngestPipeline.inferSchema(
+          graft.ingest.JsonlIngest.readRaw(s, b1, keys), fullScan = false)
+        graft.ingest.JsonlIngest.convertStream(s, glob, schema = Some(pinned))
+      })
+
+  /** Shared two-batch lifecycle for the streaming INGEST entries, whose
+    * feed is text files (CSV/JSONL) rather than the parquet chunks
+    * runTwoBatchFeed stages: split the staged corpus at the key
+    * midpoint, atomically move chunk subdirs into the watched dir
+    * (same sibling-staging discipline — a listing sees all of a chunk
+    * or none), pin the schema from batch 1, drain both batches through
+    * the memory sink, and return the sink table in total order. */
+  private def streamIngestLifecycle(s: SparkSession, name: String,
+      stagedPath: String,
+      readStaged: String => DataFrame,
+      splitKey: Unit => org.apache.spark.sql.Column,
+      writeChunk: (DataFrame, String) => Unit,
+      buildStream: (String, String) => DataFrame): DataFrame = {
+    import java.nio.file.{Files, StandardCopyOption}
+    s.catalog.dropTempView(name)
+    val keyed = readStaged(stagedPath).withColumn("_k", splitKey(()))
+    val mid = midpoint(keyed, "_k")
+    val feed = Files.createTempDirectory(s"graft_$name")
+    try {
+      def stage(chunk: DataFrame, sub: String): Unit = {
+        val tmpRoot = Files.createTempDirectory(s"graft_${name}_stage")
+        try {
+          val tmp = tmpRoot.resolve(sub)
+          writeChunk(chunk.drop("_k"), tmp.toString)
+          Files.move(tmp, feed.resolve(sub), StandardCopyOption.ATOMIC_MOVE)
+        } finally Files.deleteIfExists(tmpRoot)
+      }
+      stage(keyed.filter(col("_k") <= mid), "b1")
+      val stream = buildStream(s"$feed/*", feed.resolve("b1").toString)
+      val q = stream.writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try {
+        q.processAllAvailable()
+        stage(keyed.filter(col("_k") > mid), "b2")
+        q.processAllAvailable()
+      } finally q.stop()
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val walk = Files.walk(feed)
+      try walk.iterator().asScala.toSeq.reverse
+        .foreach(p => Files.deleteIfExists(p))
+      finally walk.close()
+    }
+    val t = s.table(name)
+    t.orderBy(t.columns.map(col): _*)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_ingest" -> (qStreamIngest _),
+    "q_stream_ingest_jsonl" -> (qStreamIngestJsonl _),
     "q_stream_enrich" -> (qStreamEnrich _),
     "q_stream_sessions" -> (qStreamSessions _),
     "q_stream_sessions_bounded" -> (qStreamSessionsBounded _),
@@ -594,6 +687,11 @@ object Streaming {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // incremental conversion must equal one-shot conversion: the stream
+    // entries share the batch ingest oracles VERBATIM (textual identity
+    // guaranteed by referencing the same map)
+    "q_stream_ingest" -> Ingest.oracleSql("q_ingest_typed"),
+    "q_stream_ingest_jsonl" -> Ingest.oracleSql("q_ingest_jsonl"),
     "q_stream_enrich" -> qStreamEnrichOracle,
     "q_stream_sessions" -> qStreamSessionsOracle,
     "q_stream_sessions_bounded" -> qStreamSessionsBoundedOracle,
