@@ -352,6 +352,44 @@ object Streaming {
       | AND epoch_us(p.ts) <= epoch_us(c.ts) + 3600000000
       |ORDER BY click_id, purchase_id""".stripMargin
 
+  /** LEFT-SEMI watermarked interval join — "did this impression convert
+    * at all": each click emits AT MOST ONCE, on its first in-window
+    * purchase (Spark's semi-join state tracks matched clicks to
+    * suppress re-emission). Split-invariant for the time-ordered feed
+    * by the same argument as the inner entry — every match eventually
+    * forms, dedup-on-emit is order-independent — so the final sink
+    * equals the batch EXISTS, while Spark exercises the matched-key
+    * suppression state the inner form doesn't have. */
+  def qStreamSemiJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("user_id"), col("ts_ts"),
+        col("event_type"), expr("ts div 1000").as("ts_us"))
+    val mid = midpoint(ev, "ts_us")
+    val feed = ev.drop("ts_us")
+    def split(df: DataFrame) =
+      (df.filter(col("event_type") === "click"),
+        df.filter(col("event_type") === "purchase"))
+    runTwoBatchStream(s, "q_stream_semi_join",
+      ev.filter(col("ts_us") <= mid).drop("ts_us"),
+      ev.filter(col("ts_us") > mid).drop("ts_us"),
+      feed.schema,
+      df => { val (c, p) = split(df)
+        Correlate.clickPurchase(c, p, joinType = "left_semi") },
+      "append")
+      .orderBy("click_id")
+  }
+
+  private val qStreamSemiJoinOracle =
+    """SELECT c.user_id, c.event_id AS click_id
+      |FROM events c
+      |WHERE c.event_type = 'click' AND EXISTS (
+      |  SELECT 1 FROM events p
+      |  WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
+      |    AND epoch_us(p.ts) > epoch_us(c.ts)
+      |    AND epoch_us(p.ts) <= epoch_us(c.ts) + 3600000000)
+      |ORDER BY click_id""".stripMargin
+
   /** LEFT-OUTER watermarked interval join — the half of
     * [[graft.streaming.Correlate.clickPurchase]] that exists BECAUSE of
     * watermarks: a never-converted click may only emit its null row once
@@ -679,6 +717,7 @@ object Streaming {
     "q_stream_sessions_bounded" -> (qStreamSessionsBounded _),
     "q_stream_interval_join" -> (qStreamIntervalJoin _),
     "q_stream_interval_join_outer" -> (qStreamIntervalJoinOuter _),
+    "q_stream_semi_join" -> (qStreamSemiJoin _),
     "q_stream_tumble" -> (qStreamTumble _),
     "q_stream_scd2" -> (qStreamScd2 _),
     "q_stream_ngrams" -> (qStreamNgrams _),
@@ -697,6 +736,7 @@ object Streaming {
     "q_stream_sessions_bounded" -> qStreamSessionsBoundedOracle,
     "q_stream_interval_join" -> qStreamIntervalJoinOracle,
     "q_stream_interval_join_outer" -> qStreamIntervalJoinOuterOracle,
+    "q_stream_semi_join" -> qStreamSemiJoinOracle,
     "q_stream_tumble" -> qStreamTumbleOracle,
     "q_stream_scd2" -> qStreamScd2Oracle,
     "q_stream_ngrams" -> qStreamNgramsOracle,

@@ -23,11 +23,16 @@ import org.apache.spark.sql.functions._
   * state store), exactly like the keyed sessionization path.
   */
 object Correlate {
-  /** `joinType` "inner" (default) or "left_outer": the outer variant
-    * also emits never-converted clicks with a null purchase — but only
-    * once the watermark proves no match can still arrive (click_ts +
-    * window + delay has passed), which is what makes streaming outer
-    * joins need watermarks at all. */
+  /** `joinType` "inner" (default), "left_outer", or "left_semi":
+    * the outer variant also emits never-converted clicks with a null
+    * purchase — but only once the watermark proves no match can still
+    * arrive (click_ts + window + delay has passed), which is what makes
+    * streaming outer joins need watermarks at all. The semi variant
+    * emits each converted CLICK exactly once (on its first match;
+    * Spark's semi-join state tracks matched keys to suppress
+    * re-emission), so the sink equals the batch EXISTS — the
+    * "did this impression convert at all" shape, with purchase-side
+    * state evicted on the same watermark bound. */
   def clickPurchase(clicks: DataFrame, purchases: DataFrame,
                     windowSec: Int = 3600,
                     watermarkSec: Int = 10,
@@ -40,11 +45,14 @@ object Correlate {
       .select(col("user_id").as("p_user"), col("ts_ts").as("p_ts"),
         col("event_id").as("purchase_id"))
       .withWatermark("p_ts", s"$watermarkSec seconds")
-    c.join(p,
+    val joined = c.join(p,
       col("c_user") === col("p_user") &&
         col("p_ts") > col("c_ts") &&
         col("p_ts") <= col("c_ts") + expr(s"INTERVAL $windowSec SECONDS"),
       joinType)
+    if (joinType == "left_semi")
+      joined.select(col("c_user").as("user_id"), col("click_id"))
+    else joined
       .select(col("c_user").as("user_id"), col("click_id"), col("purchase_id"),
         (unix_timestamp(col("p_ts")) - unix_timestamp(col("c_ts")))
           .as("delta_sec"))
