@@ -420,6 +420,55 @@ object Dedup {
        |SELECT u AS doc_id, MIN(r) AS cluster FROM rec GROUP BY u ORDER BY doc_id""".stripMargin
   }
 
+  /** Canonical-document selection per near-dup cluster — the curation
+    * step AFTER clustering: of each duplicate group, keep exactly one
+    * document by declared policy (most-trusted source first — the
+    * src-index order — then the longest text, then the smallest id as
+    * the total tiebreak) and emit the keep/drop manifest the rewrite
+    * job consumes. Composes the connected-components labeler with one
+    * per-cluster window; cluster partitions are duplicate-group-sized
+    * (bounded by construction, never corpus-sized), so the window
+    * shuffle is on cluster id with tiny partitions — the same shape at
+    * 100 TB. */
+  def qDedupCanonical(s: SparkSession, dir: String): DataFrame = {
+    val cl = qDedupClusters(s, dir)
+    val docs = Tables.documents(s, dir).select(col("doc_id"),
+      substring(col("source"), 4, 10).cast(LongType).as("pr"), col("n_chars"))
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(col("pr").asc, col("n_chars").desc, col("doc_id").asc)
+    cl.join(docs, "doc_id")
+      .withColumn("canonical_id", first(col("doc_id")).over(w))
+      .select(col("doc_id"), col("cluster"),
+        col("canonical_id").cast(LongType).as("canonical_id"),
+        (col("doc_id") === col("canonical_id")).cast(LongType).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  private val qDedupCanonicalOracle = {
+    // the clusters oracle VERBATIM, its final SELECT demoted to a `cl`
+    // CTE (textual reuse so the two entries cannot drift), then the
+    // canonical-pick window on top
+    val base = qDedupClustersOracle
+      .replace(") SELECT * FROM reach)",
+        ") SELECT * FROM reach),")
+      .replace(
+        "SELECT u AS doc_id, MIN(r) AS cluster FROM rec GROUP BY u ORDER BY doc_id",
+        "cl AS (SELECT u AS doc_id, MIN(r) AS cluster FROM rec GROUP BY u)")
+    s"""$base,
+       |j AS (
+       |  SELECT cl.doc_id, cl.cluster,
+       |    CAST(substr(d2.source, 4) AS BIGINT) AS pr, d2.n_chars
+       |  FROM cl JOIN documents d2 USING (doc_id)),
+       |k AS (
+       |  SELECT doc_id, cluster,
+       |    first_value(doc_id) OVER (PARTITION BY cluster
+       |      ORDER BY pr ASC, n_chars DESC, doc_id ASC) AS canonical_id
+       |  FROM j)
+       |SELECT doc_id, cluster, CAST(canonical_id AS BIGINT) AS canonical_id,
+       |  CAST(doc_id = canonical_id AS BIGINT) AS keep
+       |FROM k ORDER BY doc_id""".stripMargin
+  }
+
   // ── embedding-cosine near-dup (oracle) ────────────────────────────
 
   /** Near-duplicate pairs by exact cosine ≥ `threshold`, with candidates
@@ -686,6 +735,7 @@ object Dedup {
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_dedup_simhash_verified" -> ((s, d) => qDedupSimhashVerified(s, d)),
     "q_dedup_clusters" -> (qDedupClusters _),
+    "q_dedup_canonical" -> (qDedupCanonical _),
     "q_dedup_embed" -> (qDedupEmbed _)
   )
 
@@ -699,6 +749,7 @@ object Dedup {
     "q_dedup_minhash_verified" -> qDedupMinhashVerifiedOracle,
     "q_dedup_simhash_verified" -> qDedupSimhashVerifiedOracle,
     "q_dedup_clusters" -> qDedupClustersOracle,
+    "q_dedup_canonical" -> qDedupCanonicalOracle,
     "q_dedup_embed" -> qDedupEmbedOracle
   )
 }
