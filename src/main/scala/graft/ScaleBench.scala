@@ -104,7 +104,10 @@ object ScaleBench {
     // corpus) recorded in SCALE.md. q_ingest_jsonl follows
     // q_ingest_typed: a shuffle-free map-side converter is not
     // scale-interesting here.
-    "q_text_rarity")
+    "q_text_rarity",
+    // the collocation miner (vocab-sized joins over the prefixed token
+    // space) and the semi form of the stream-stream join family
+    "q_text_collocations", "q_stream_semi_join")
 
   def buildScaledData(spark: SparkSession, src: String, out: String, factor: Int): Unit = {
     val KEY = 100000000L // key shift per copy: far above any sf0.1 key

@@ -536,6 +536,74 @@ object TextAnalysis {
       |FROM g GROUP BY gram
       |ORDER BY n_occurrences DESC, gram LIMIT 100""".stripMargin
 
+  /** Collocation extraction by bigram LIFT — the log-free PMI analogue
+    * (`lift = p(xy)/(p(x)p(y))`, PMI = ln lift; monotone, so the
+    * ranking is PMI's ranking without transcendental-libm drift): the
+    * phrase-mining signal that seeds tokenizer vocabularies and
+    * multi-word-expression lists. Bigram and unigram counts are two
+    * combine-friendly aggregations over the fused codegen n-gram
+    * kernel; the totals arrive as broadcast 1-row aggregates; the one
+    * float expression is written with identical association in both
+    * engines, evaluated once per surviving bigram. The min-count filter
+    * (c2 ≥ 5) is the standard collocation noise gate — it also bounds
+    * the scored set long before the top-k sort.
+    *
+    * Scale: everything is map-side counts + two vocab-sized joins
+    * (bigram→left-word, bigram→right-word); no per-doc state, no
+    * windows. At 100 TB the joins shuffle vocab-sized relations only. */
+  def qTextCollocations(s: SparkSession, dir: String, k: Int = 50): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val toks = docs.select(explode(split(trim(col("text")), "\\s+")).as("w"))
+    val uni = toks.groupBy("w").agg(count(lit(1)).as("c1"))
+    val nTot = toks.agg(count(lit(1)).as("n_tok"))
+    val bg = docs.select(
+      explode(graft.functions.WordNgrams.grams(col("text"), 2)).as("bigram"))
+    val mTot = bg.agg(count(lit(1)).as("m_tok"))
+    val bgc = bg.groupBy("bigram").agg(count(lit(1)).as("c2"))
+      .filter(col("c2") >= 5)
+      .withColumn("w1", element_at(split(col("bigram"), " "), 1))
+      .withColumn("w2", element_at(split(col("bigram"), " "), 2))
+    bgc
+      .join(uni.select(col("w").as("w1"), col("c1").as("c1a")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c1").as("c1b")), "w2")
+      .crossJoin(broadcast(nTot)).crossJoin(broadcast(mTot))
+      .select(col("bigram"), col("c2").cast(LongType).as("c2"),
+        col("c1a").cast(LongType).as("c1a"), col("c1b").cast(LongType).as("c1b"),
+        round((col("c2").cast(DoubleType) * col("n_tok").cast(DoubleType) *
+          col("n_tok").cast(DoubleType)) /
+          (col("m_tok").cast(DoubleType) * col("c1a").cast(DoubleType) *
+            col("c1b").cast(DoubleType)), 6).as("lift"))
+      .orderBy(col("lift").desc, col("bigram"))
+      .limit(k)
+  }
+
+  private val qTextCollocationsOracle =
+    """WITH tok AS (
+      |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+      |  FROM documents),
+      |uni AS (SELECT w, COUNT(*) AS c1 FROM tok GROUP BY w),
+      |n AS (SELECT COUNT(*) AS n_tok FROM tok),
+      |bg AS (
+      |  SELECT unnest(list_transform(
+      |    range(1, len(string_split_regex(trim(text), '\s+'))),
+      |    i -> string_split_regex(trim(text), '\s+')[i] || ' ' ||
+      |         string_split_regex(trim(text), '\s+')[i+1])) AS bigram
+      |  FROM documents),
+      |m AS (SELECT COUNT(*) AS m_tok FROM bg),
+      |bgc AS (
+      |  SELECT bigram, COUNT(*) AS c2,
+      |    string_split(bigram, ' ')[1] AS w1, string_split(bigram, ' ')[2] AS w2
+      |  FROM bg GROUP BY bigram HAVING COUNT(*) >= 5)
+      |SELECT bgc.bigram, CAST(bgc.c2 AS BIGINT) AS c2,
+      |  CAST(a.c1 AS BIGINT) AS c1a, CAST(b.c1 AS BIGINT) AS c1b,
+      |  round((CAST(bgc.c2 AS DOUBLE) * CAST(n.n_tok AS DOUBLE) *
+      |    CAST(n.n_tok AS DOUBLE)) /
+      |    (CAST(m.m_tok AS DOUBLE) * CAST(a.c1 AS DOUBLE) *
+      |      CAST(b.c1 AS DOUBLE)), 6) AS lift
+      |FROM bgc JOIN uni a ON bgc.w1 = a.w JOIN uni b ON bgc.w2 = b.w
+      |CROSS JOIN n CROSS JOIN m
+      |ORDER BY lift DESC, bigram LIMIT 50""".stripMargin
+
   /** Heavy hitters with BOUNDED memory: per-partition Misra-Gries
     * summaries (≤ m counters, the decrement-all step on overflow) name
     * the candidate grams, then one exact rescan counts ONLY the
@@ -847,6 +915,7 @@ object TextAnalysis {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bpe_merges" -> ((s, d) => qBpeMerges(s, d)),
     "q_text_rarity" -> (qTextRarity _),
+    "q_text_collocations" -> ((s, d) => qTextCollocations(s, d)),
     "q_ngram_counts" -> ((s, d) => qNgramCounts(s, d)),
     // SPARK_GRAFT_HH_M exists for corpora whose top-k does NOT
     // concentrate as they grow — e.g. ScaleBench's key-shifted corpus,
@@ -874,6 +943,7 @@ object TextAnalysis {
   def oracleSql: Map[String, String] = Map(
     "q_bpe_merges" -> qBpeMergesOracle,
     "q_text_rarity" -> qTextRarityOracle,
+    "q_text_collocations" -> qTextCollocationsOracle,
     "q_ngram_counts" -> qNgramCountsOracle,
     "q_heavy_hitters" -> qHeavyHittersOracle,
     "q_text_postings" -> qTextPostingsOracle,
