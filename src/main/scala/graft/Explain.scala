@@ -37,7 +37,13 @@ object Explain {
     // frontier-at-a-time recursive CTE, and the multi-probe simhash
     // band self-join feeding the exact-Jaccard verify
     "q_sql_q17", "q_sql_q20", "q_sql_q22", "q_sql_q19",
-    "q_sql_recursive", "q_dedup_simhash_verified")
+    "q_sql_recursive", "q_dedup_simhash_verified",
+    // round-12 second wave: the edge-iterator triangle count (adjacency
+    // arrays intersected inside the projection — no wedge shuffle), the
+    // vocab-join rarity scorer, the bigram-lift collocation miner, the
+    // per-cluster canonical window, and the JSONL from_json+cast scan
+    "q_graph_triangles", "q_text_rarity", "q_text_collocations",
+    "q_dedup_canonical", "q_ingest_jsonl")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

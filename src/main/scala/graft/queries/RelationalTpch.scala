@@ -351,8 +351,46 @@ object RelationalTpch {
       |SELECT node, MAX(depth) AS depth_to_root, COUNT(*) AS chain_len
       |FROM chain GROUP BY node ORDER BY node""".stripMargin
 
+  /** NOT IN over a NULLABLE subquery — the three-valued-logic join
+    * shape. The probe list's CASE makes the column nullable (the
+    * sentinel threshold sits below the acctbal domain, so no actual
+    * NULL is produced and the result is non-degenerate), which forces
+    * Catalyst into the null-AWARE anti join (BroadcastHashJoin with
+    * isNullAwareAntiJoin, single-key + broadcastable build side) — a
+    * plain LeftAnti would be WRONG the moment a real NULL appeared
+    * (NOT IN with any NULL in the list keeps no rows). The
+    * maybe-null key column rides through both engines' NOT IN
+    * machinery identically. At scale the build side is the filtered
+    * customer dim (broadcastable); the probe side never shuffles. */
+  private val qNullAwareAntiSql =
+    """SELECT o_orderkey, o_custkey
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1997-06-01'
+      |  AND o_custkey NOT IN (
+      |    SELECT CASE WHEN c_acctbal < -100000 THEN NULL ELSE c_custkey END
+      |    FROM customer WHERE c_mktsegment = 'BUILDING')
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** Statistical MODE per group (most frequent l_quantity per return
+    * flag, count-desc then value-asc tiebreak) — the categorical
+    * summary the profile family lacks. Two combine-friendly
+    * aggregations: (group, value) counts, then one argmax window over
+    * the value-count relation (bounded by the value domain per group,
+    * never by fact rows). */
+  private val qAggModeSql =
+    """SELECT l_returnflag, modal_qty, n_occurrences
+      |FROM (
+      |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS modal_qty,
+      |    COUNT(*) AS n_occurrences,
+      |    row_number() OVER (PARTITION BY l_returnflag
+      |      ORDER BY COUNT(*) DESC, CAST(l_quantity AS BIGINT) ASC) AS rk
+      |  FROM lineitem GROUP BY l_returnflag, CAST(l_quantity AS BIGINT)) x
+      |WHERE rk = 1 ORDER BY l_returnflag""".stripMargin
+
   private val sqls: Map[String, String] = Map(
     "q_sql_recursive" -> qRecursiveSql,
+    "q_join_null_aware_anti" -> qNullAwareAntiSql,
+    "q_agg_mode" -> qAggModeSql,
     "q_sql_q4" -> q4Sql,
     "q_sql_q6" -> q6Sql,
     "q_sql_q7" -> q7Sql,

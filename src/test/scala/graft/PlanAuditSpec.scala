@@ -57,6 +57,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p17.contains("CartesianProduct"))
   }
 
+  test("NOT IN over a nullable list plans the null-AWARE anti join") {
+    // a plain LeftAnti would be wrong the moment the probe list held a
+    // real NULL; Spark's executed plan must carry the
+    // isNullAwareAntiJoin flag on the broadcast hash join
+    // AdaptiveSparkPlanExec is a leaf for collect(), so pin the flag on
+    // the rendered plan: BroadcastHashJoinExec prints isNullAwareAntiJoin
+    // as the trailing boolean after the build side
+    val plan = SparkEntry.queries("q_join_null_aware_anti")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti, BuildRight, true"),
+      s"NOT IN did not plan a null-aware anti join:\n${plan.take(1500)}")
+  }
+
   test("narrow projections prune parquet scan columns") {
     // q_scan_project reads 5 of lineitem's 11 columns + nothing else
     val plan = graft.queries.Relational.qScanProject(spark, sf)
