@@ -423,6 +423,53 @@ object Multimodal {
     }
   }
 
+  /** PNG media with PLANTED exact duplicates: every document's payload
+    * encodes the pattern of its CANONICAL id (`doc_id % mod`), so docs
+    * sharing a canonical id carry byte-identical PNGs — the fixture for
+    * perceptual-hash image dedup, where the ground-truth duplicate
+    * groups are known but the engine must recover them from DECODED
+    * pixels, not from the ids. */
+  def pngMediaCanonical(docs: DataFrame, mod: Int): Dataset[MediaRecord] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      lazy val writer = pngWriter()
+      it.map { id =>
+        val c = id % mod
+        val (w, h) = pngDims(c)
+        MediaRecord(id, "image/png", encodePngWith(writer, c), w, h)
+      }
+    }
+  }
+
+  /** Average-hash over the DECODED gray pixels: bit k is set iff pixel k
+    * sits at or above the image mean, packed little-endian into one
+    * long (images here are ≤ 8×6 = 48 px, so every pixel gets a bit —
+    * the tiny-image limit of the classic 8×8 aHash). The threshold
+    * compares in INTEGERS (`pix·n ≥ Σpix`), so the bit pattern is
+    * exactly reproducible from the closed-form oracle with no float
+    * mean anywhere. Decode runs per-partition with a reusable reader,
+    * like every codec path here — no shuffle, no driver. */
+  def averageHash(media: Dataset[MediaRecord]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      lazy val reader = imageReader("png")
+      it.map { r =>
+        val px = graySamples(readImageWith(reader, r.media))
+        val n = px.length.toLong
+        val sum = px.foldLeft(0L)(_ + _)
+        var hash = 0L
+        var k = 0
+        while (k < px.length) {
+          if (px(k) * n >= sum) hash |= (1L << k)
+          k += 1
+        }
+        (r.doc_id, hash)
+      }
+    }.toDF("doc_id", "phash")
+  }
+
   /** Build a media table from `documents`: payload = UTF-8 bytes of the
     * text (stand-in for real image bytes), metadata derived from size. */
   def mediaFromDocuments(docs: DataFrame): Dataset[MediaRecord] = {

@@ -52,6 +52,44 @@ object Extensions {
     * is closed-form (pixel k of doc d = (d*31 + k*7) mod 256), so the
     * oracle recomputes the same statistics with the same IEEE op order
     * — the hash gate certifies the full encode→decode→features path. */
+  /** Perceptual-hash IMAGE dedup through the REAL codec: payloads with
+    * planted duplicate groups (canonical id = doc_id % 100, so ~100
+    * byte-identical copies per image at sf0.01) decode executor-side,
+    * hash by decoded-pixel average-hash (integer threshold — no float
+    * mean), and group by the hash value. The engine recovers the
+    * duplicate groups from PIXELS; the oracle recomputes the same hash
+    * from the closed-form pattern, so a codec, threshold, or bit-pack
+    * regression hash-fails. Scale: decode + hash are map-side on the
+    * partition holding the bytes; the dedup is ONE shuffle on the
+    * 64-bit hash — q_dedup_exact's shape with a perceptual key. */
+  def qMultimodalPhash(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("phash"))
+    Multimodal.averageHash(
+        Multimodal.pngMediaCanonical(Tables.documents(s, dir), 100))
+      .withColumn("canonical_id", min(col("doc_id")).over(w))
+      .withColumn("group_size", count(lit(1)).over(w).cast("long"))
+      .orderBy("doc_id")
+  }
+
+  private val qMultimodalPhashOracle =
+    """WITH px AS (
+      |  SELECT doc_id, doc_id % 100 AS c,
+      |    (4 + (doc_id % 100) % 5) * (3 + (doc_id % 100) % 4) AS n,
+      |    unnest(range(0, (4 + (doc_id % 100) % 5) * (3 + (doc_id % 100) % 4))) AS k
+      |  FROM documents),
+      |v AS (SELECT doc_id, n, k, ((c * 31 + k * 7) % 256) AS pix FROM px),
+      |s AS (SELECT doc_id, SUM(pix) AS sump FROM v GROUP BY doc_id),
+      |h AS (
+      |  SELECT v.doc_id,
+      |    SUM(CASE WHEN v.pix * v.n >= s.sump
+      |      THEN (CAST(1 AS BIGINT) << CAST(v.k AS INTEGER)) ELSE 0 END) AS phash
+      |  FROM v JOIN s ON v.doc_id = s.doc_id GROUP BY v.doc_id),
+      |g AS (SELECT phash, MIN(doc_id) AS canonical_id,
+      |  COUNT(*) AS group_size FROM h GROUP BY phash)
+      |SELECT h.doc_id, CAST(h.phash AS BIGINT) AS phash, g.canonical_id,
+      |  CAST(g.group_size AS BIGINT) AS group_size
+      |FROM h JOIN g USING (phash) ORDER BY doc_id""".stripMargin
+
   def qMultimodalFeatures(s: SparkSession, dir: String): DataFrame =
     Multimodal.extractFeatures(
       Multimodal.pngMediaFromDocuments(Tables.documents(s, dir)))
@@ -214,6 +252,7 @@ object Extensions {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_events_session_state" -> (qEventsSessionState _),
     "q_skew_join" -> (qSkewJoin _),
+    "q_multimodal_phash" -> (qMultimodalPhash _),
     "q_multimodal_features" -> (qMultimodalFeatures _),
     "q_multimodal_frames" -> (qMultimodalFrames _),
     "q_multimodal_audio" -> (qMultimodalAudio _),
@@ -223,6 +262,7 @@ object Extensions {
   def oracleSql: Map[String, String] = Map(
     "q_events_session_state" -> qEventsSessionStateOracle,
     "q_skew_join" -> qSkewJoinOracle,
+    "q_multimodal_phash" -> qMultimodalPhashOracle,
     "q_multimodal_features" -> qMultimodalFeaturesOracle,
     "q_multimodal_frames" -> qMultimodalFramesOracle,
     "q_multimodal_audio" -> qMultimodalAudioOracle,
