@@ -35,6 +35,67 @@ object Events {
        |  ${dsumSql("value")} AS sum_value
        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
 
+  /** CUSUM changepoint detection per event type — "did the hourly rate
+    * shift, and when": the cumulative sum of centered hourly counts
+    * (scaled by the hour count H so everything stays in INTEGERS:
+    * `cusum_h = Σ_{i≤h} (H·c_i − total)`, which starts and ends at 0
+    * and peaks in magnitude at the most likely rate changepoint). The
+    * report row per type is the argmax-|cusum| hour (earliest on
+    * ties) — exact integer arithmetic end-to-end, no mean, no float.
+    *
+    * Scale: one combine-friendly (type, hour) count aggregation, then
+    * ALL windows (prefix sum + argmax) run over the type×hours
+    * relation — bounded by the time range, never by event volume. One
+    * shuffle carries everything. */
+  def qEventsCusum(s: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(s, dir)
+      .groupBy(col("event_type"),
+        window(col("ts_ts"), "1 hour").getField("start").as("hour"))
+      .agg(count(lit(1)).as("c"))
+    val byType = Window.partitionBy(col("event_type"))
+    val prefix = byType.orderBy(col("hour"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val scored = hourly
+      .withColumn("h_cnt", count(lit(1)).over(byType))
+      .withColumn("total", sum(col("c")).over(byType))
+      .withColumn("cusum",
+        sum(col("h_cnt") * col("c") - col("total")).over(prefix))
+    scored
+      .withColumn("rk", row_number().over(byType.orderBy(
+        abs(col("cusum")).desc, col("hour").asc)))
+      .filter(col("rk") === 1)
+      .select(col("event_type"), col("hour").as("change_hour"),
+        col("cusum").cast(LongType).as("peak_cusum"),
+        col("h_cnt").cast(LongType).as("n_hours"),
+        col("total").cast(LongType).as("n_events"))
+      .orderBy("event_type")
+  }
+
+  private val qEventsCusumOracle =
+    """WITH hourly AS (
+      |  SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+      |    COUNT(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |t AS (
+      |  SELECT event_type, hour, c,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS h_cnt,
+      |    SUM(c) OVER (PARTITION BY event_type) AS total
+      |  FROM hourly),
+      |s AS (
+      |  SELECT event_type, hour, h_cnt, total,
+      |    SUM(h_cnt * c - total) OVER (PARTITION BY event_type
+      |      ORDER BY hour ROWS UNBOUNDED PRECEDING) AS cusum
+      |  FROM t),
+      |r AS (
+      |  SELECT event_type, hour, cusum, h_cnt, total,
+      |    row_number() OVER (PARTITION BY event_type
+      |      ORDER BY abs(cusum) DESC, hour ASC) AS rk
+      |  FROM s)
+      |SELECT event_type, hour AS change_hour,
+      |  CAST(cusum AS BIGINT) AS peak_cusum,
+      |  CAST(h_cnt AS BIGINT) AS n_hours, CAST(total AS BIGINT) AS n_events
+      |FROM r WHERE rk = 1 ORDER BY event_type""".stripMargin
+
   /** Batch sessionization: a session breaks after a 30-minute gap.
     * Window lag → gap flag → running sum = session sequence — the
     * classic shuffle-once pattern (one partition-by-user sort carries
@@ -627,6 +688,7 @@ object Events {
     "q_scd2_build" -> (qScd2Build _),
     "q_events_ohlc" -> (qEventsOhlc _),
     "q_events_anomaly" -> (qEventsAnomaly _),
+    "q_events_cusum" -> (qEventsCusum _),
     "q_events_session_window" -> (qEventsSessionWindow _),
     "q_events_transitions" -> (qEventsTransitions _),
     "q_events_retention" -> (qEventsRetention _),
@@ -644,6 +706,7 @@ object Events {
     "q_scd2_build" -> qScd2BuildOracle,
     "q_events_ohlc" -> qEventsOhlcOracle,
     "q_events_anomaly" -> qEventsAnomalyOracle,
+    "q_events_cusum" -> qEventsCusumOracle,
     "q_events_session_window" -> qEventsSessionWindowOracle,
     "q_events_transitions" -> qEventsTransitionsOracle,
     "q_events_retention" -> qEventsRetentionOracle,
