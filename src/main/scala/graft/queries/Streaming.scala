@@ -629,7 +629,10 @@ object Streaming {
     * no re-inference. Stateless map-only stream: no state store, no
     * watermark — the scale cost is the file-listing tick, and each
     * micro-batch is the same no-shuffle cast projection as the batch
-    * path. */
+    * path. The memory sink (corpus-sized on the driver) is the
+    * VERIFICATION-scale gate only; the at-scale sink is the parquet
+    * file sink with a checkpoint, whose exactly-once restart contract
+    * StreamingSpec's "streaming ingest e2e" case pins. */
   def qStreamIngest(s: SparkSession, dir: String): DataFrame =
     streamIngestLifecycle(s, "q_stream_ingest",
       stagedPath = Ingest.ensureStaged(s, dir),
@@ -668,38 +671,62 @@ object Streaming {
     * midpoint, atomically move chunk subdirs into the watched dir
     * (same sibling-staging discipline — a listing sees all of a chunk
     * or none), pin the schema from batch 1, drain both batches through
-    * the memory sink, and return the sink table in total order. */
+    * the memory sink, and return the sink table in total order.
+    *
+    * The two chunk dirs are MATERIALIZED ONCE per (entry, corpus) into
+    * a keyed cache dir — like `Ingest.ensureStaged`, producing the feed
+    * input is environment setup, not the operator under test — and each
+    * run file-copies them into a fresh watched dir (cheap fs copy vs a
+    * full Spark CSV write per bench rerun). */
   private def streamIngestLifecycle(s: SparkSession, name: String,
       stagedPath: String,
       readStaged: String => DataFrame,
       splitKey: Unit => org.apache.spark.sql.Column,
       writeChunk: (DataFrame, String) => Unit,
       buildStream: (String, String) => DataFrame): DataFrame = {
-    import java.nio.file.{Files, StandardCopyOption}
+    import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+    import scala.jdk.CollectionConverters._
     s.catalog.dropTempView(name)
-    val keyed = readStaged(stagedPath).withColumn("_k", splitKey(()))
-    val mid = midpoint(keyed, "_k")
+    val key = stagedPath.replaceAll("[^A-Za-z0-9._-]", "_")
+    val cache = Paths.get(sys.props("java.io.tmpdir"), s"graft_feed_${name}_$key")
+    if (!Files.exists(cache.resolve("_STAGED"))) {
+      val keyed = readStaged(stagedPath).withColumn("_k", splitKey(()))
+      val mid = midpoint(keyed, "_k")
+      Files.createDirectories(cache)
+      writeChunk(keyed.filter(col("_k") <= mid).drop("_k"),
+        cache.resolve("b1").toString)
+      writeChunk(keyed.filter(col("_k") > mid).drop("_k"),
+        cache.resolve("b2").toString)
+      Files.createFile(cache.resolve("_STAGED"))
+    }
+    def copyDir(src: Path, dst: Path): Unit = {
+      val walk = Files.walk(src)
+      try walk.iterator().asScala.foreach { p =>
+        val t = dst.resolve(src.relativize(p).toString)
+        if (Files.isDirectory(p)) Files.createDirectories(t)
+        else Files.copy(p, t, StandardCopyOption.REPLACE_EXISTING)
+      } finally walk.close()
+    }
     val feed = Files.createTempDirectory(s"graft_$name")
     try {
-      def stage(chunk: DataFrame, sub: String): Unit = {
+      def stage(sub: String): Unit = {
         val tmpRoot = Files.createTempDirectory(s"graft_${name}_stage")
         try {
           val tmp = tmpRoot.resolve(sub)
-          writeChunk(chunk.drop("_k"), tmp.toString)
+          copyDir(cache.resolve(sub), tmp)
           Files.move(tmp, feed.resolve(sub), StandardCopyOption.ATOMIC_MOVE)
         } finally Files.deleteIfExists(tmpRoot)
       }
-      stage(keyed.filter(col("_k") <= mid), "b1")
+      stage("b1")
       val stream = buildStream(s"$feed/*", feed.resolve("b1").toString)
       val q = stream.writeStream.outputMode("append")
         .format("memory").queryName(name).start()
       try {
         q.processAllAvailable()
-        stage(keyed.filter(col("_k") > mid), "b2")
+        stage("b2")
         q.processAllAvailable()
       } finally q.stop()
     } finally {
-      import scala.jdk.CollectionConverters._
       val walk = Files.walk(feed)
       try walk.iterator().asScala.toSeq.reverse
         .foreach(p => Files.deleteIfExists(p))
