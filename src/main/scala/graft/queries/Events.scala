@@ -684,8 +684,64 @@ object Events {
       |  n_events
       |FROM islands ORDER BY user_id, version""".stripMargin
 
+  /** POINT-IN-TIME (temporal) join — the feature-store "no leakage"
+    * primitive: each purchase event looks up the SCD2 attribute version
+    * VALID AT ITS EVENT TIME (`valid_from ≤ ts < valid_to`, open tail
+    * included), never a later one. Composes q_scd2_build's versioned
+    * dimension with one equi-join on the user key; the interval
+    * containment rides the join as a post-condition, so the plan is a
+    * plain hash join on user_id with versions-per-user-bounded
+    * fan-out — no range explosion, no broadcast of the fact side. The
+    * oracle reuses the SCD2 oracle verbatim as a CTE (textual reuse, no
+    * drift). */
+  def qJoinTemporal(s: SparkSession, dir: String): DataFrame = {
+    val vers = qScd2Build(s, dir)
+      .select(col("user_id").as("v_user"), col("version"),
+        col("attr_value"), col("valid_from"), col("valid_to"))
+    val facts = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), expr("ts div 1000").as("ts_us"))
+    facts.join(vers,
+        col("user_id") === col("v_user") &&
+          col("ts_us") >= col("valid_from") &&
+          (col("valid_to").isNull || col("ts_us") < col("valid_to")))
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("version"), col("attr_value"))
+      .orderBy("event_id")
+  }
+
+  private val qJoinTemporalOracle = {
+    // the SCD2 oracle verbatim, its final SELECT demoted to a CTE
+    val base = qScd2BuildOracle.replace(
+      """SELECT user_id, CAST(version AS BIGINT) AS version, attr_value,
+        |  valid_from,
+        |  lead(valid_from, 1) OVER (PARTITION BY user_id ORDER BY version)
+        |    AS valid_to,
+        |  lead(valid_from, 1) OVER (PARTITION BY user_id ORDER BY version)
+        |    IS NULL AS is_current,
+        |  n_events
+        |FROM islands ORDER BY user_id, version""".stripMargin,
+      """vers AS (
+        |  SELECT user_id, CAST(version AS BIGINT) AS version, attr_value,
+        |    valid_from,
+        |    lead(valid_from, 1) OVER (PARTITION BY user_id ORDER BY version)
+        |      AS valid_to
+        |  FROM islands)""".stripMargin)
+    s"""${base.replace("  FROM versioned GROUP BY user_id, version)",
+          "  FROM versioned GROUP BY user_id, version),")},
+       |f AS (
+       |  SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+       |  WHERE event_type = 'purchase')
+       |SELECT f.event_id, f.user_id, f.ts_us, v.version, v.attr_value
+       |FROM f JOIN vers v ON f.user_id = v.user_id
+       |  AND f.ts_us >= v.valid_from
+       |  AND (v.valid_to IS NULL OR f.ts_us < v.valid_to)
+       |ORDER BY f.event_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_scd2_build" -> (qScd2Build _),
+    "q_join_temporal" -> (qJoinTemporal _),
     "q_events_ohlc" -> (qEventsOhlc _),
     "q_events_anomaly" -> (qEventsAnomaly _),
     "q_events_cusum" -> (qEventsCusum _),
@@ -704,6 +760,7 @@ object Events {
 
   def oracleSql: Map[String, String] = Map(
     "q_scd2_build" -> qScd2BuildOracle,
+    "q_join_temporal" -> qJoinTemporalOracle,
     "q_events_ohlc" -> qEventsOhlcOracle,
     "q_events_anomaly" -> qEventsAnomalyOracle,
     "q_events_cusum" -> qEventsCusumOracle,
