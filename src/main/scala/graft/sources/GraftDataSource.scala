@@ -60,9 +60,16 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val spark = SparkSession.active
     val path = pathOf(options)
-    val delim = GraftDataSource.sepOption(options)
-      .getOrElse(IngestPipeline.detectDelimiter(spark, path))
-    val raw = IngestPipeline.readRaw(spark, path, delim)
+    // a JSON-object first line routes the source through the JSONL
+    // reader (same content sniff as the CLI); the inference ladder and
+    // every pushdown surface are shared with the delimited path
+    val raw =
+      if (graft.ingest.JsonlIngest.looksLikeJsonl(spark, path))
+        graft.ingest.JsonlIngest.readRaw(spark, path,
+          graft.ingest.JsonlIngest.discoverKeys(spark, path))
+      else IngestPipeline.readRaw(spark, path,
+        GraftDataSource.sepOption(options)
+          .getOrElse(IngestPipeline.detectDelimiter(spark, path)))
     IngestPipeline.inferSchema(raw, options.getBoolean("fullScan", false))
   }
 
@@ -82,9 +89,12 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
     override def newScanBuilder(scanOptions: CaseInsensitiveStringMap): ScanBuilder = {
       val spark = SparkSession.active
       val path = pathOf(options)
-      val delim = GraftDataSource.sepOption(options)
-        .getOrElse(IngestPipeline.detectDelimiter(spark, path))
-      new GraftScanBuilder(schema, path, delim)
+      val jsonl = graft.ingest.JsonlIngest.looksLikeJsonl(spark, path)
+      val delim =
+        if (jsonl) '\t' // unused by the JSON tokenizer
+        else GraftDataSource.sepOption(options)
+          .getOrElse(IngestPipeline.detectDelimiter(spark, path))
+      new GraftScanBuilder(schema, path, delim, jsonl)
     }
     /** `df.write.format("graft")` — the reader's inverse (GraftWriter).
       * The write schema comes from the QUERY (supportsExternalMetadata
@@ -113,7 +123,8 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
     }
   }
 
-  private class GraftScanBuilder(full: StructType, path: String, delim: Char)
+  private class GraftScanBuilder(full: StructType, path: String, delim: Char,
+                                 jsonl: Boolean = false)
     extends ScanBuilder with SupportsPushDownRequiredColumns
       with SupportsPushDownFilters with SupportsPushDownLimit
       with SupportsPushDownTopN
@@ -304,13 +315,14 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
       statuses.flatMap { st =>
         val f = st.getPath.toString
         if (f.endsWith(".gz") || st.getLen <= maxBytes)
-          Seq(GraftFilePartition(f, full, required, delim, pushed, limit, topN, agg))
+          Seq(GraftFilePartition(f, full, required, delim, pushed, limit, topN, agg,
+            jsonl = jsonl))
         else {
           val nSplits = ((st.getLen + maxBytes - 1) / maxBytes).toInt
           (0 until nSplits).map { i =>
             val off = i.toLong * maxBytes
             GraftFilePartition(f, full, required, delim, pushed, limit, topN, agg,
-              off, math.min(maxBytes, st.getLen - off))
+              off, math.min(maxBytes, st.getLen - off), jsonl = jsonl)
           }
         }
       }.map(p => p: InputPartition).toArray
@@ -361,7 +373,7 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
     override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
       new GraftMicroBatchStream(path, full, required, delim, pushed,
         new org.apache.spark.util.SerializableConfiguration(
-          SparkSession.active.sessionState.newHadoopConf()))
+          SparkSession.active.sessionState.newHadoopConf()), jsonl)
   }
 }
 
@@ -410,7 +422,8 @@ private[sources] object GraftFilesOffset {
 
 private class GraftMicroBatchStream(path: String, full: StructType,
     required: StructType, delim: Char, filters: Array[sources.Filter],
-    conf: org.apache.spark.util.SerializableConfiguration)
+    conf: org.apache.spark.util.SerializableConfiguration,
+    jsonl: Boolean = false)
   extends MicroBatchStream {
 
   private def listFiles(): Seq[String] = {
@@ -433,7 +446,8 @@ private class GraftMicroBatchStream(path: String, full: StructType,
                                    end: streaming.Offset): Array[InputPartition] = {
     val seen = start.asInstanceOf[GraftFilesOffset].files.toSet
     end.asInstanceOf[GraftFilesOffset].files.filterNot(seen)
-      .map(f => GraftFilePartition(f, full, required, delim, filters): InputPartition)
+      .map(f => GraftFilePartition(f, full, required, delim, filters,
+        jsonl = jsonl): InputPartition)
       .toArray
   }
 
@@ -496,7 +510,8 @@ case class GraftFilePartition(file: String, full: StructType,
                               topN: Array[GraftSortKey] = Array.empty,
                               agg: Option[GraftAggSpec] = None,
                               start: Long = 0L,
-                              length: Long = -1L)
+                              length: Long = -1L,
+                              jsonl: Boolean = false)
   extends InputPartition
 
 /** Line reader + per-value conversion through the reference kernels.
@@ -531,12 +546,16 @@ class GraftPartitionReader(p: GraftFilePartition,
     else
       new GraftRangeLineSource(fs.open(new Path(p.file)), p.start,
         if (p.length < 0L) Long.MaxValue else p.start + p.length)
-  if (p.start == 0L) in.readLine() // header
+  if (p.start == 0L && !p.jsonl) in.readLine() // header (JSONL has none)
 
   // Filter-referenced columns convert FIRST (they may not be projected
   // at all once a pushed filter's column is pruned); projected columns
   // convert only for rows that survive, so a selective pushed filter
   // skips most of the parse work — the pushdown's payoff.
+  // JSON tokenizer: top-level key -> token position in the FULL schema
+  private val jsonIdx: Map[String, Int] =
+    if (p.jsonl) p.full.fieldNames.zipWithIndex.toMap else Map.empty
+
   private val filterRefs: Array[String] =
     p.filters.flatMap(_.references).distinct
   private val evalFields: Array[(Int, String => Any)] =
@@ -629,6 +648,13 @@ class GraftPartitionReader(p: GraftFilePartition,
     }
   private val topNMode = sortFields.nonEmpty && p.limit >= 0
 
+  /** One line -> raw field texts at FULL-schema positions: the
+    * RFC-4180 split for delimited files, the JSON tokenizer for JSONL
+    * partitions. Shared by the row, top-N, and aggregate paths. */
+  private def tokenize(line: String): Array[String] =
+    if (p.jsonl) GraftPartitionReader.jsonFields(line, jsonIdx, p.full.length)
+    else GraftPartitionReader.splitFields(line, p.delim)
+
   private def convertToken(tokens: Array[String], idx: Int,
                            conv: String => Any): Any = {
     val v = if (idx < tokens.length) tokens(idx) else null
@@ -651,7 +677,7 @@ class GraftPartitionReader(p: GraftFilePartition,
       // readLine strips \n but keeps a CRLF file's \r — drop it, like
       // the reference's csv reader (and Spark's CSV source) do
       val line = if (raw.nonEmpty && raw.last == '\r') raw.dropRight(1) else raw
-      val tokens = GraftPartitionReader.splitFields(line, p.delim)
+      val tokens = tokenize(line)
       val evalVals = new Array[Any](evalFields.length)
       var i = 0
       while (i < evalFields.length) {
@@ -759,8 +785,7 @@ class GraftPartitionReader(p: GraftFilePartition,
     var raw = in.readLine()
     while (raw != null) {
       val line = if (raw.nonEmpty && raw.last == '\r') raw.dropRight(1) else raw
-      val tokens =
-        if (needsTokens) GraftPartitionReader.splitFields(line, p.delim) else null
+      val tokens = if (needsTokens) tokenize(line) else null
       val evalVals = new Array[Any](evalFields.length)
       var i = 0
       while (i < evalFields.length) {
@@ -894,6 +919,51 @@ private[sources] final class GraftRangeLineSource(
 object GraftPartitionReader {
   /** Shared zero-column row for count-only scans. */
   val emptyRow: InternalRow = new GenericInternalRow(0)
+
+  // thread-safe factory (Jackson's documented contract); parsers are
+  // per-call
+  private val jsonFactory = new com.fasterxml.jackson.core.JsonFactory()
+
+  /** JSONL tokenizer — the JSON twin of [[splitFields]]: one object
+    * line → raw value texts aligned to the FULL schema's positions.
+    * Scalars keep their literal spelling (numbers/booleans as written),
+    * nested objects/arrays capture their raw substring via token
+    * offsets WITHOUT materializing their children, JSON null and
+    * missing keys stay null, and a malformed line null-pads the whole
+    * row (PERMISSIVE parity with the delimited path's short rows).
+    * Column pruning pays off here exactly like token skipping in the
+    * delimited split: values of unprojected keys are skipped, not
+    * captured. */
+  def jsonFields(line: String, idx: collection.Map[String, Int],
+                 n: Int): Array[String] = {
+    val out = new Array[String](n)
+    try {
+      val p = jsonFactory.createParser(line)
+      try {
+        if (p.nextToken() == com.fasterxml.jackson.core.JsonToken.START_OBJECT) {
+          var t = p.nextToken()
+          while (t == com.fasterxml.jackson.core.JsonToken.FIELD_NAME) {
+            val pos = idx.getOrElse(p.currentName(), -1)
+            p.nextToken() match {
+              case com.fasterxml.jackson.core.JsonToken.START_OBJECT |
+                   com.fasterxml.jackson.core.JsonToken.START_ARRAY =>
+                val start = p.currentTokenLocation().getCharOffset
+                p.skipChildren()
+                val end = p.currentLocation().getCharOffset
+                if (pos >= 0) out(pos) = line.substring(start.toInt, end.toInt)
+              case com.fasterxml.jackson.core.JsonToken.VALUE_NULL => ()
+              case _ => if (pos >= 0) out(pos) = p.getText
+            }
+            t = p.nextToken()
+          }
+        }
+      } finally p.close()
+    } catch {
+      case _: java.io.IOException =>
+        java.util.Arrays.fill(out.asInstanceOf[Array[AnyRef]], null)
+    }
+    out
+  }
 
   /** Compressed delimited input, by extension (how Spark's own text
     * sources pick a codec). gzip is the one big-corpus staple with a
