@@ -118,8 +118,17 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
         case c => throw new IllegalArgumentException(
           s"graft option 'newline' must be error or strip, got '$c'")
       }
+      // format=jsonl writes NDJSON instead of delimited text — the
+      // reader's JSONL half round-trips it (and JSON escapes carry
+      // embedded newlines the delimited form must reject or strip)
+      val jsonlOut = Option(options.get("format")).exists {
+        case c if c.equalsIgnoreCase("jsonl") => true
+        case c if c.equalsIgnoreCase("delimited") => false
+        case c => throw new IllegalArgumentException(
+          s"graft option 'format' must be delimited or jsonl, got '$c'")
+      }
       new GraftWriteBuilder(pathOf(options), sep, info.schema(), gzip,
-        stripNewlines, info.queryId())
+        stripNewlines, info.queryId(), jsonlOut)
     }
   }
 

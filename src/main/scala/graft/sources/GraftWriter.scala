@@ -61,7 +61,7 @@ import org.apache.spark.util.SerializableConfiguration
   */
 class GraftWriteBuilder(path: String, sep: Char, schema: StructType,
                         gzip: Boolean, stripNewlines: Boolean,
-                        queryId: String)
+                        queryId: String, jsonlOut: Boolean = false)
   extends WriteBuilder with SupportsTruncate {
 
   private var truncateOnCommit = false
@@ -69,13 +69,15 @@ class GraftWriteBuilder(path: String, sep: Char, schema: StructType,
 
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = new GraftBatchWrite(
-      path, sep, schema, gzip, stripNewlines, truncateOnCommit, queryId)
+      path, sep, schema, gzip, stripNewlines, truncateOnCommit, queryId,
+      jsonlOut)
   }
 }
 
 private class GraftBatchWrite(path: String, sep: Char, schema: StructType,
                               gzip: Boolean, stripNewlines: Boolean,
-                              truncate: Boolean, queryId: String)
+                              truncate: Boolean, queryId: String,
+                              jsonlOut: Boolean = false)
   extends BatchWrite {
 
   GraftWriter.validateSchema(schema)
@@ -90,7 +92,8 @@ private class GraftBatchWrite(path: String, sep: Char, schema: StructType,
       SparkSession.active.sessionState.newHadoopConf())
     val dir = new Path(path)
     dir.getFileSystem(conf.value).mkdirs(dir)
-    new GraftWriterFactory(path, sep, schema, gzip, stripNewlines, queryId, conf)
+    new GraftWriterFactory(path, sep, schema, gzip, stripNewlines, queryId,
+      conf, jsonlOut)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -125,21 +128,24 @@ private case class GraftCommitMessage(file: String) extends WriterCommitMessage
 
 private class GraftWriterFactory(path: String, sep: Char, schema: StructType,
                                  gzip: Boolean, stripNewlines: Boolean,
-                                 queryId: String, conf: SerializableConfiguration)
+                                 queryId: String, conf: SerializableConfiguration,
+                                 jsonlOut: Boolean = false)
   extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new GraftDataWriter(path, sep, schema, gzip, stripNewlines,
-      partitionId, taskId, queryId, conf)
+      partitionId, taskId, queryId, conf, jsonlOut)
 }
 
 private class GraftDataWriter(path: String, sep: Char, schema: StructType,
                               gzip: Boolean, stripNewlines: Boolean,
                               partitionId: Int, taskId: Long,
-                              queryId: String, conf: SerializableConfiguration)
+                              queryId: String, conf: SerializableConfiguration,
+                              jsonlOut: Boolean = false)
   extends DataWriter[InternalRow] {
 
   private val ext =
-    (sep match { case '\t' => ".tsv"; case ',' => ".csv"; case _ => ".txt" }) +
+    (if (jsonlOut) ".jsonl"
+    else sep match { case '\t' => ".tsv"; case ',' => ".csv"; case _ => ".txt" }) +
       (if (gzip) ".gz" else "")
   // queryId (not taskId) makes the name unique across applications;
   // every attempt of this partition renames to the SAME final name,
@@ -158,14 +164,44 @@ private class GraftDataWriter(path: String, sep: Char, schema: StructType,
   }
 
   private val renderers: Array[InternalRow => String] =
-    schema.fields.zipWithIndex.map { case (f, i) =>
+    if (jsonlOut) Array.empty
+    else schema.fields.zipWithIndex.map { case (f, i) =>
       GraftWriter.renderer(f, i, sep, stripNewlines)
     }
+  private val jsonRenderers: Array[InternalRow => String] =
+    if (jsonlOut) schema.fields.zipWithIndex.map { case (f, i) =>
+      GraftWriter.jsonRenderer(f, i)
+    } else Array.empty
+  private val jsonKeys: Array[String] =
+    if (jsonlOut) schema.fieldNames.map(GraftWriter.jsonEscape) else Array.empty
 
-  out.write(schema.fieldNames.map(GraftWriter.quote(_, sep)).mkString(sep.toString))
-  out.write("\n")
+  // JSONL has no header line; key names travel on every object
+  if (!jsonlOut) {
+    out.write(schema.fieldNames.map(GraftWriter.quote(_, sep)).mkString(sep.toString))
+    out.write("\n")
+  }
 
   override def write(row: InternalRow): Unit = {
+    if (jsonlOut) {
+      // null fields are OMITTED (the reader's missing-key null padding
+      // makes omission and explicit null indistinguishable on re-read)
+      out.write("{")
+      var i = 0
+      var first = true
+      while (i < jsonRenderers.length) {
+        if (!row.isNullAt(i)) {
+          if (!first) out.write(",")
+          out.write("\"")
+          out.write(jsonKeys(i))
+          out.write("\":")
+          out.write(jsonRenderers(i)(row))
+          first = false
+        }
+        i += 1
+      }
+      out.write("}\n")
+      return
+    }
     var i = 0
     while (i < renderers.length) {
       if (i > 0) out.write(sep.toInt)
@@ -253,6 +289,63 @@ object GraftWriter {
     * name; true replaces runs of [\r\n] with one space — explicitly
     * lossy, for corpora where documents legitimately contain
     * newlines. */
+  /** Minimal JSON string escape: quote, backslash, and control chars.
+    * Everything else (including newlines-free multi-byte text) passes
+    * through verbatim — and unlike the delimited form, EMBEDDED
+    * NEWLINES are legal here, riding as \n escapes. */
+  def jsonEscape(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length + 8)
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '"' => sb.append("\\\"")
+        case '\\' => sb.append("\\\\")
+        case '\n' => sb.append("\\n")
+        case '\r' => sb.append("\\r")
+        case '\t' => sb.append("\\t")
+        case c if c < ' ' =>
+          sb.append("\\u").append(f"${c.toInt}%04x")
+        case c => sb.append(c)
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** JSONL value renderer: numbers and booleans as native JSON tokens,
+    * dates/timestamps as the SAME text forms the delimited renderer
+    * emits (quoted — the reader's ladder re-types them), strings
+    * escaped. The caller skips null fields entirely. */
+  def jsonRenderer(f: StructField, i: Int): InternalRow => String = {
+    val delimited = renderer(f, i, ',', stripNewlines = false)
+    f.dataType match {
+      case BooleanType | ByteType | ShortType | IntegerType | LongType |
+           DoubleType | _: DecimalType => r => rawNumberish(f, i, r)
+      case FloatType => r => java.lang.Double.toString(r.getFloat(i).toDouble)
+      case DateType | TimestampNTZType | TimestampType =>
+        r => "\"" + delimited(r) + "\""
+      case _ => r => "\"" + jsonEscape(r.getUTF8String(i).toString) + "\""
+    }
+  }
+
+  private def rawNumberish(f: StructField, i: Int, r: InternalRow): String =
+    f.dataType match {
+      case BooleanType => if (r.getBoolean(i)) "true" else "false"
+      case ByteType => java.lang.Byte.toString(r.getByte(i))
+      case ShortType => java.lang.Short.toString(r.getShort(i))
+      case IntegerType => java.lang.Integer.toString(r.getInt(i))
+      case LongType => java.lang.Long.toString(r.getLong(i))
+      case DoubleType =>
+        val d = r.getDouble(i)
+        // JSON has no NaN/Infinity tokens; render as the null-token
+        // string the reader nulls anyway (delimited-path parity)
+        if (d.isNaN || d.isInfinite) "\"" + java.lang.Double.toString(d) + "\""
+        else java.lang.Double.toString(d)
+      case d: DecimalType =>
+        r.getDecimal(i, d.precision, d.scale).toBigDecimal.toBigInt.toString
+      case _ => throw new IllegalStateException(f.dataType.toString)
+    }
+
   def renderer(f: StructField, i: Int, sep: Char,
                stripNewlines: Boolean): InternalRow => String = {
     // narrower Spark types render widened (the reference grammar has

@@ -79,6 +79,32 @@ class GraftJsonlSourceSpec extends SparkSpec {
     }
   }
 
+  test("JSONL writer round-trips through the reader, newlines included") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_jsonl_writer").resolve("out").toString
+    val df = Seq(
+      (1L, Some("line1\nline2"), Some(2.5), Some(true)),
+      (2L, Some("""quote " and \ slash"""), None, Some(false)),
+      (3L, None, Some(-0.125), None)
+    ).toDF("id", "text", "score", "flag")
+    // the delimited writer must REJECT embedded newlines; JSONL carries
+    // them as \n escapes — that is the format's point
+    df.write.format("graft").option("format", "jsonl").mode("overwrite").save(dir)
+    val files = new java.io.File(dir).listFiles.map(_.getName).filter(_.endsWith(".jsonl"))
+    assert(files.nonEmpty, "expected .jsonl part files")
+    val back = spark.read.format("graft").load(dir)
+    assert(back.schema.map(_.dataType) ==
+      Seq(LongType, StringType, DoubleType, BooleanType))
+    val got = back.orderBy("id").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        if (r.isNullAt(3)) None else Some(r.getBoolean(3))))
+    assert(got.toSeq == Seq(
+      (1L, Some("line1\nline2"), Some(2.5), Some(true)),
+      (2L, Some("""quote " and \ slash"""), None, Some(false)),
+      (3L, None, Some(-0.125), None)))
+  }
+
   test("micro-batch stream: later JSONL files convert incrementally") {
     val dir = Files.createTempDirectory("graft_jsonl_stream_src")
     Files.writeString(dir.resolve("a.jsonl"), """{"n":10,"s":"x"}""" + "\n")

@@ -87,6 +87,52 @@ class GraftPushdownFuzzSpec extends SparkSpec {
     }
   }
 
+  private lazy val jsonlFixture: String = {
+    val rnd = new Random(20260814L)
+    val dir = Files.createTempDirectory("graft_pushdown_fuzz_jsonl")
+    // same shape as the delimited fixture: a clean 1,000-line inference
+    // head, then a dirty tail with JSON nulls, MISSING keys (the JSONL
+    // analogue of short rows), numeric parse failures, and the odd
+    // malformed line (all-null row in BOTH paths)
+    def rowJson(i: Int): String = {
+      if (i >= 1000 && rnd.nextInt(60) == 0) return "{{{ malformed"
+      val dirty = i >= 1000
+      def roll = dirty && rnd.nextInt(12) == 0
+      val parts = scala.collection.mutable.ArrayBuffer[String]()
+      parts += s""""id":$i"""
+      if (!roll) parts += s""""name":"w${rnd.nextInt(5)}_${rnd.nextInt(100)}""""
+      parts += (if (roll) """"v":"oops"""" else if (roll) """"v":null"""
+        else s""""v":${rnd.nextInt(2000) - 1000}""")
+      if (!roll) parts += f""""score":${rnd.nextDouble() * 200 - 100}%.3f"""
+      parts += (if (roll) """"flag":null"""
+        else s""""flag":${rnd.nextBoolean()}""")
+      parts.mkString("{", ",", "}")
+    }
+    def file(name: String, from: Int, n: Int): Unit =
+      Files.writeString(dir.resolve(name),
+        (from until from + n).map(rowJson).mkString("", "\n", "\n"))
+    file("p1.jsonl", 0, 1500)
+    file("p2.jsonl", 1500, 1500)
+    dir.toString
+  }
+
+  test("JSONL pushed filters return exactly the post-scan rows (randomized corpus)") {
+    val viaSource = spark.read.format("graft").load(jsonlFixture)
+    val viaPipeline = graft.ingest.JsonlIngest.convert(spark, jsonlFixture)
+    assert(viaSource.schema.map(f => (f.name, f.dataType)) ==
+      viaPipeline.schema.map(f => (f.name, f.dataType)))
+    assert(viaSource.count() == 3000 && viaPipeline.count() == 3000)
+    predicates.foreach { case (label, pred) =>
+      val got = viaSource.filter(pred).orderBy("id", "name").collect()
+      val want = viaPipeline.filter(pred).orderBy("id", "name").collect()
+      assert(got.length == want.length,
+        s"[jsonl $label] pushed=${got.length} rows, post-scan=${want.length}")
+      got.zip(want).foreach { case (a, b) =>
+        assert(a == b, s"[jsonl $label] row mismatch:\n  pushed:    $a\n  post-scan: $b")
+      }
+    }
+  }
+
   test("string range pushdown uses binary order for supplementary-plane chars") {
     // U+10000 (surrogate pair, UTF-16 units 0xD800 0xDC00) sorts BELOW
     // U+E000 in Java String order but ABOVE it in UTF8String binary
