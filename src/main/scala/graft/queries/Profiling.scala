@@ -323,7 +323,72 @@ object Profiling {
       |  n_violations = 0 AS passed
       |FROM checks ORDER BY check_name""".stripMargin
 
+  /** Two-sample distribution DRIFT report — the data-shift monitor a
+    * training pipeline runs between corpus snapshots: lineitem's
+    * quantity distribution in the early half (shipdate < 1996-01-01)
+    * vs the late half, per bin. Each bin reports both counts and its
+    * cross-multiplied chi-square-family contribution
+    * `(n_early·N_late − n_late·N_early)² / (N_early·N_late·(n_early+n_late))`
+    * — zero when the bin's share is identical across samples, growing
+    * with divergence. The report is PER-BIN (ranked by contribution),
+    * deliberately not a float total: a sum of per-bin doubles is
+    * addition-order-dependent across engines, while each bin's single
+    * fixed-order float expression is bit-exact (the same discipline as
+    * q_tfidf's score). Integer counts everywhere else.
+    *
+    * Scale: one combine-friendly (bin, half) count aggregation over the
+    * scan; the totals arrive as a broadcast 1-row aggregate; the float
+    * expression evaluates once per bin — 50 rows here, bounded by the
+    * value domain at any corpus size. */
+  def qProfileDrift(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select(
+      col("l_quantity").cast(LongType).as("bin"),
+      when(col("l_shipdate") < lit("1996-01-01").cast("timestamp_ntz"), 1L)
+        .otherwise(0L).as("early"))
+    val perBin = li.groupBy("bin").agg(
+      sum(col("early")).as("n_early"),
+      sum(lit(1L) - col("early")).as("n_late"))
+    val totals = perBin.agg(sum(col("n_early")).as("tot_early"),
+      sum(col("n_late")).as("tot_late"))
+    perBin.crossJoin(broadcast(totals))
+      .select(col("bin"),
+        col("n_early").cast(LongType).as("n_early"),
+        col("n_late").cast(LongType).as("n_late"),
+        round(
+          (col("n_early").cast(DoubleType) * col("tot_late").cast(DoubleType) -
+            col("n_late").cast(DoubleType) * col("tot_early").cast(DoubleType)) *
+            (col("n_early").cast(DoubleType) * col("tot_late").cast(DoubleType) -
+              col("n_late").cast(DoubleType) * col("tot_early").cast(DoubleType)) /
+            (col("tot_early").cast(DoubleType) * col("tot_late").cast(DoubleType) *
+              (col("n_early") + col("n_late")).cast(DoubleType)), 6)
+          .as("drift_contribution"))
+      .orderBy(col("drift_contribution").desc, col("bin"))
+  }
+
+  private val qProfileDriftOracle =
+    """WITH li AS (
+      |  SELECT CAST(l_quantity AS BIGINT) AS bin,
+      |    CASE WHEN l_shipdate < TIMESTAMP '1996-01-01' THEN 1 ELSE 0 END
+      |      AS early
+      |  FROM lineitem),
+      |pb AS (
+      |  SELECT bin, SUM(early) AS n_early, SUM(1 - early) AS n_late
+      |  FROM li GROUP BY bin),
+      |t AS (SELECT SUM(n_early) AS tot_early, SUM(n_late) AS tot_late FROM pb)
+      |SELECT bin, CAST(n_early AS BIGINT) AS n_early,
+      |  CAST(n_late AS BIGINT) AS n_late,
+      |  round(
+      |    (CAST(n_early AS DOUBLE) * CAST(tot_late AS DOUBLE) -
+      |      CAST(n_late AS DOUBLE) * CAST(tot_early AS DOUBLE)) *
+      |    (CAST(n_early AS DOUBLE) * CAST(tot_late AS DOUBLE) -
+      |      CAST(n_late AS DOUBLE) * CAST(tot_early AS DOUBLE)) /
+      |    (CAST(tot_early AS DOUBLE) * CAST(tot_late AS DOUBLE) *
+      |      CAST(n_early + n_late AS DOUBLE)), 6) AS drift_contribution
+      |FROM pb CROSS JOIN t
+      |ORDER BY drift_contribution DESC, bin""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_profile_drift" -> (qProfileDrift _),
     "q_dq_audit" -> (qDqAudit _),
     "q_profile_stats" -> (qProfileStats _),
     "q_profile_hist" -> (qProfileHist _),
@@ -334,6 +399,7 @@ object Profiling {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_profile_drift" -> qProfileDriftOracle,
     "q_dq_audit" -> qDqAuditOracle,
     "q_profile_stats" -> qProfileStatsOracle,
     "q_profile_hist" -> qProfileHistOracle,
