@@ -104,4 +104,34 @@ class GraftWriterFuzzSpec extends SparkSpec {
       }
     }
   }
+
+  test("randomized frames round-trip value-equal through the JSONL writer") {
+    val rnd = new Random(20260814L)
+    (0 until 3).foreach { trial =>
+      val dir = Files.createTempDirectory(s"graft_wfuzz_jsonl_$trial").toString
+      // JSONL carries what the delimited form cannot: embedded newlines
+      // ride as \n escapes, so add them to the adversarial pool here
+      val rows = randomRows(rnd, 400).map { r =>
+        if (r.isNullAt(1) || rnd.nextInt(6) != 0) r
+        else Row.fromSeq(r.toSeq.updated(1,
+          r.getString(1) + "\nline2\r\nline3"))
+      }
+      val df = spark.createDataFrame(rows.asJava, schema)
+      df.write.format("graft").option("format", "jsonl")
+        .mode("overwrite").save(dir)
+      val back = spark.read.format("graft").load(dir)
+      val types = back.schema.fields.map(f => f.name -> f.dataType).toMap
+      assert(types("s") == StringType && types("n") == LongType &&
+        types("d") == DoubleType && types("b") == BooleanType &&
+        types("dt") == DateType && types("ts") == TimestampNTZType,
+        s"jsonl inference drifted: $types")
+      val a = df.orderBy("id").collect()
+      val b = back.select(df.columns.map(org.apache.spark.sql.functions.col): _*)
+        .orderBy("id").collect()
+      assert(a.length == b.length, s"jsonl: ${a.length} vs ${b.length}")
+      a.zip(b).foreach { case (x, y) =>
+        assert(x == y, s"jsonl mismatch:\n  wrote: $x\n  read:  $y")
+      }
+    }
+  }
 }
