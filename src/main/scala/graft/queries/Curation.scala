@@ -568,7 +568,73 @@ object Curation {
       |  MIN(doc_id) AS keep_doc
       |FROM raw GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Domain-BLOCKLIST policy filter with SUBDOMAIN semantics — the
+    * web-corpus hygiene step: a listed domain blocks itself AND every
+    * subdomain ("src3.example.org" blocks "ads.src3.example.org"), a
+    * listed subdomain blocks only itself. The mechanism is reversed
+    * host labels ("org.example.src3"): subdomain-of becomes
+    * string-prefix-of, so one broadcast of the reversed policy list
+    * answers every row map-side. The manifest reports each document's
+    * host, blocked flag, and the matching entry.
+    *
+    * Scale: the OR-join over a broadcast handful of entries plans a
+    * broadcast nested-loop — fine to ~10³ policy entries. A production
+    * 10⁵-entry blocklist swaps the join for a map-side probe of the
+    * broadcast SORTED reversed-prefix array (binary search per row,
+    * same reversal trick), keeping the scan shuffle-free either way;
+    * the reversal is the load-bearing idea, not the join operator. */
+  def qCurationBlocklist(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def revLabels(c: Column): Column =
+      array_join(reverse(split(c, "\\.")), ".")
+    val host = when(pmod(col("doc_id"), lit(3)) === 0,
+        concat(lit("ads."), col("source"), lit(".example.org")))
+      .otherwise(concat(col("source"), lit(".example.org")))
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), host.as("host"))
+      .withColumn("rev", revLabels(col("host")))
+    val entries = Seq("src3.example.org", "src7.example.org",
+        "ads.src5.example.org").toDF("entry")
+      .withColumn("rev_e", revLabels(col("entry")))
+    docs.join(broadcast(entries),
+        col("rev") === col("rev_e") ||
+          col("rev").startsWith(concat(col("rev_e"), lit("."))),
+        "left_outer")
+      .groupBy(col("doc_id"), col("host"))
+      .agg(min(col("entry")).as("matched_entry"))
+      .select(col("doc_id"), col("host"),
+        col("matched_entry").isNotNull.cast(LongType).as("blocked"),
+        col("matched_entry"))
+      .orderBy("doc_id")
+  }
+
+  private val qCurationBlocklistOracle =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 3 = 0 THEN 'ads.' || source || '.example.org'
+      |         ELSE source || '.example.org' END AS host
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id, host,
+      |    array_to_string(list_reverse(string_split(host, '.')), '.') AS rev
+      |  FROM d),
+      |b(entry) AS (VALUES ('src3.example.org'), ('src7.example.org'),
+      |  ('ads.src5.example.org')),
+      |rb AS (
+      |  SELECT entry,
+      |    array_to_string(list_reverse(string_split(entry, '.')), '.') AS rev_e
+      |  FROM b),
+      |j AS (
+      |  SELECT r.doc_id, r.host, MIN(rb.entry) AS matched_entry
+      |  FROM r LEFT JOIN rb
+      |    ON r.rev = rb.rev_e OR starts_with(r.rev, rb.rev_e || '.')
+      |  GROUP BY r.doc_id, r.host)
+      |SELECT doc_id, host,
+      |  CAST(matched_entry IS NOT NULL AS BIGINT) AS blocked, matched_entry
+      |FROM j ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_curation_blocklist" -> (qCurationBlocklist _),
     "q_shard_assign" -> ((s, d) => qShardAssign(s, d)),
     "q_dedup_url" -> (qDedupUrl _),
     "q_url_extract" -> (qUrlExtract _),
@@ -585,6 +651,7 @@ object Curation {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_curation_blocklist" -> qCurationBlocklistOracle,
     "q_shard_assign" -> qShardAssignOracle,
     "q_dedup_url" -> qDedupUrlOracle,
     "q_url_extract" -> qUrlExtractOracle,
