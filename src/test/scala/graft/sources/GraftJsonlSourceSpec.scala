@@ -79,6 +79,21 @@ class GraftJsonlSourceSpec extends SparkSpec {
     }
   }
 
+  test("aggregate pushdown folds JSONL partitions during the parse") {
+    val df = read().groupBy("tag")
+      .agg(count(lit(1)).as("n"), sum(col("id")).as("sum_id"),
+        min(col("score")).as("min_s"), max(col("score")).as("max_s"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregates"), s"agg not pushed:\n${plan.take(800)}")
+    // parity against the unpushed pipeline form
+    val want = graft.ingest.JsonlIngest.convert(spark, fixture)
+      .groupBy("tag")
+      .agg(count(lit(1)).as("n"), sum(col("id")).as("sum_id"),
+        min(col("score")).as("min_s"), max(col("score")).as("max_s"))
+      .orderBy("tag").collect().toSeq
+    assert(df.orderBy("tag").collect().toSeq == want)
+  }
+
   test("JSONL writer round-trips through the reader, newlines included") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_jsonl_writer").resolve("out").toString
