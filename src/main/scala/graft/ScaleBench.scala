@@ -107,7 +107,14 @@ object ScaleBench {
     "q_text_rarity",
     // the collocation miner (vocab-sized joins over the prefixed token
     // space) and the semi form of the stream-stream join family
-    "q_text_collocations", "q_stream_semi_join")
+    "q_text_collocations", "q_stream_semi_join",
+    // round-12 third wave: the point-in-time SCD2 lookup (user-keyed
+    // join whose fan-out is versions-per-user), the decoded-pixel hash
+    // dedup (codec cost scales with rows), and the CUSUM windows over
+    // the bounded type×hours relation. The drift/blocklist/mode/NAAJ
+    // entries are map-side or bounded-domain scans — not
+    // scale-interesting, same rationale as the function suites.
+    "q_join_temporal", "q_multimodal_phash", "q_events_cusum")
 
   def buildScaledData(spark: SparkSession, src: String, out: String, factor: Int): Unit = {
     val KEY = 100000000L // key shift per copy: far above any sf0.1 key
