@@ -57,6 +57,29 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p17.contains("CartesianProduct"))
   }
 
+  test("round-12 second-wave queries keep their declared plan shapes") {
+    def plan(name: String): String =
+      SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+    // triangles: witnesses come from array_intersect inside the
+    // projection over the checkpointed adjacency — the wedge population
+    // must not ride a join of the edge list with itself
+    val tri = plan("q_graph_triangles")
+    assert(tri.contains("array_intersect"), s"triangles lost the edge-iterator:\n${tri.take(1000)}")
+    assert(!tri.contains("SortMergeJoin"), "triangles should broadcast the node-sized adjacency at sf scale")
+    // blocklist: the OR-match over the tiny policy list is a BROADCAST
+    // nested loop (broadcast side = the 3-entry list), never a cartesian
+    val bl = plan("q_curation_blocklist")
+    assert(bl.contains("BroadcastNestedLoopJoin"), s"blocklist join shape:\n${bl.take(1000)}")
+    // temporal: a hash join on the user key with the interval condition
+    // riding the join — no nested loop over versions
+    val tj = plan("q_join_temporal")
+    assert(!tj.contains("BroadcastNestedLoopJoin") && !tj.contains("CartesianProduct"),
+      s"temporal join degenerated:\n${tj.take(1000)}")
+    // drift: one aggregation pass + broadcast totals, no Window node
+    val dr = plan("q_profile_drift")
+    assert(!dr.contains("Window"), s"drift should not need a window:\n${dr.take(1000)}")
+  }
+
   test("NOT IN over a nullable list plans the null-AWARE anti join") {
     // a plain LeftAnti would be wrong the moment the probe list held a
     // real NULL; Spark's executed plan must carry the
