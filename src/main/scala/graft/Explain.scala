@@ -43,7 +43,10 @@ object Explain {
     // vocab-join rarity scorer, the bigram-lift collocation miner, the
     // per-cluster canonical window, and the JSONL from_json+cast scan
     "q_graph_triangles", "q_text_rarity", "q_text_collocations",
-    "q_dedup_canonical", "q_ingest_jsonl")
+    "q_dedup_canonical", "q_ingest_jsonl",
+    // round-12 third wave: point-in-time SCD2 lookup, broadcast policy
+    // nested-loop, single-pass drift report
+    "q_join_temporal", "q_curation_blocklist", "q_profile_drift")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
