@@ -387,7 +387,64 @@ object Profiling {
       |FROM pb CROSS JOIN t
       |ORDER BY drift_contribution DESC, bin""".stripMargin
 
+  /** Snapshot DIFF — the reconciliation report between two versions of
+    * a keyed table (nightly load vs yesterday's): every key classifies
+    * as added / removed / changed / unchanged via ONE full-outer join
+    * on the snapshot key, and the report carries counts plus an exact
+    * integer key-sum checksum per class (a dropped or double-counted
+    * row moves the checksum even when counts collide). The snapshots
+    * derive deterministically from lineitem (old = keys outside the
+    * %17 stripe; new = outside the %19 stripe, quantity bumped on the
+    * %13 stripe), so both engines build identical inputs.
+    *
+    * Scale: the full-outer join shuffles both snapshots on the key —
+    * the canonical reconciliation shape; at 100 TB both sides are
+    * bucketed/partitioned by the same key and the join co-locates. The
+    * report aggregation is 4 groups, combine-friendly. */
+  def qSnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast(LongType).as("q"))
+    val old = li.filter(pmod(col("l_orderkey"), lit(17)) =!= 0)
+      .select(col("l_orderkey").as("k1"), col("l_linenumber").as("k2"),
+        col("q").as("q_old"))
+    val neu = li.filter(pmod(col("l_orderkey"), lit(19)) =!= 0)
+      .select(col("l_orderkey").as("k1"), col("l_linenumber").as("k2"),
+        (col("q") + when(pmod(col("l_orderkey"), lit(13)) === 0, 1L)
+          .otherwise(0L)).as("q_new"))
+    old.join(neu, Seq("k1", "k2"), "full_outer")
+      .select(col("k1"),
+        when(col("q_old").isNull, "added")
+          .when(col("q_new").isNull, "removed")
+          .when(col("q_old") =!= col("q_new"), "changed")
+          .otherwise("unchanged").as("status"))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n"),
+        sum(col("k1")).cast(LongType).as("sum_keys"))
+      .orderBy("status")
+  }
+
+  private val qSnapshotDiffOracle =
+    """WITH li AS (
+      |  SELECT l_orderkey AS k1, l_linenumber AS k2,
+      |    CAST(l_quantity AS BIGINT) AS q
+      |  FROM lineitem),
+      |o AS (SELECT k1, k2, q AS q_old FROM li WHERE k1 % 17 <> 0),
+      |n AS (SELECT k1, k2,
+      |    q + CASE WHEN k1 % 13 = 0 THEN 1 ELSE 0 END AS q_new
+      |  FROM li WHERE k1 % 19 <> 0),
+      |j AS (
+      |  SELECT COALESCE(o.k1, n.k1) AS k1,
+      |    CASE WHEN o.k1 IS NULL THEN 'added'
+      |         WHEN n.k1 IS NULL THEN 'removed'
+      |         WHEN o.q_old <> n.q_new THEN 'changed'
+      |         ELSE 'unchanged' END AS status
+      |  FROM o FULL OUTER JOIN n ON o.k1 = n.k1 AND o.k2 = n.k2)
+      |SELECT status, COUNT(*) AS n, CAST(SUM(k1) AS BIGINT) AS sum_keys
+      |FROM j GROUP BY status ORDER BY status""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_snapshot_diff" -> (qSnapshotDiff _),
     "q_profile_drift" -> (qProfileDrift _),
     "q_dq_audit" -> (qDqAudit _),
     "q_profile_stats" -> (qProfileStats _),
@@ -399,6 +456,7 @@ object Profiling {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_snapshot_diff" -> qSnapshotDiffOracle,
     "q_profile_drift" -> qProfileDriftOracle,
     "q_dq_audit" -> qDqAuditOracle,
     "q_profile_stats" -> qProfileStatsOracle,

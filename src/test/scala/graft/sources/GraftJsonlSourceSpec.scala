@@ -120,6 +120,21 @@ class GraftJsonlSourceSpec extends SparkSpec {
       (3L, None, Some(-0.125), None)))
   }
 
+  test("gzipped JSONL reads through the same path, one partition per member") {
+    val dir = Files.createTempDirectory("graft_jsonl_gz")
+    val f = dir.resolve("data.jsonl.gz")
+    val out = new java.util.zip.GZIPOutputStream(
+      java.nio.file.Files.newOutputStream(f))
+    out.write((0 until 100).map(i => s"""{"n":$i,"s":"v$i"}""")
+      .mkString("", "\n", "\n").getBytes("UTF-8"))
+    out.close()
+    val df = spark.read.format("graft").load(f.toString)
+    assert(df.schema.map(_.dataType) == Seq(LongType, StringType))
+    assert(df.count() == 100)
+    assert(df.rdd.getNumPartitions == 1) // gzip members stay unsplittable
+    assert(df.filter(col("n") === 7).collect()(0).getString(1) == "v7")
+  }
+
   test("micro-batch stream: later JSONL files convert incrementally") {
     val dir = Files.createTempDirectory("graft_jsonl_stream_src")
     Files.writeString(dir.resolve("a.jsonl"), """{"n":10,"s":"x"}""" + "\n")
