@@ -120,6 +120,30 @@ class GraftJsonlSourceSpec extends SparkSpec {
       (3L, None, Some(-0.125), None)))
   }
 
+  test("raw nested capture survives surrogate pairs before the value") {
+    // token char-offsets count UTF-16 units; an emoji (surrogate pair)
+    // before the nested value must not shift the captured substring
+    val dir = Files.createTempDirectory("graft_jsonl_emoji")
+    val f = dir.resolve("d.jsonl")
+    Files.writeString(f,
+      "{\"a\":\"x😀y\",\"b\":{\"k\":1},\"c\":[2,3]}\n")
+    val df = spark.read.format("graft").load(f.toString)
+    val r = df.collect()(0)
+    assert(r.getString(0) == "x😀y")
+    assert(r.getString(1) == """{"k":1}""")
+    assert(r.getString(2) == "[2,3]")
+  }
+
+  test("duplicate keys: LAST occurrence wins in both JSONL paths") {
+    val dir = Files.createTempDirectory("graft_jsonl_dup")
+    val f = dir.resolve("d.jsonl")
+    Files.writeString(f, """{"a":"first","a":"second","b":"x"}""" + "\n")
+    val viaSource = spark.read.format("graft").load(f.toString).collect()(0)
+    val viaPipeline = graft.ingest.JsonlIngest.convert(spark, f.toString).collect()(0)
+    assert(viaSource.getString(0) == "second" && viaPipeline.getString(0) == "second",
+      s"dup-key divergence: source=${viaSource.getString(0)} pipeline=${viaPipeline.getString(0)}")
+  }
+
   test("gzipped JSONL reads through the same path, one partition per member") {
     val dir = Files.createTempDirectory("graft_jsonl_gz")
     val f = dir.resolve("data.jsonl.gz")
