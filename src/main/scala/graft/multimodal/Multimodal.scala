@@ -457,6 +457,13 @@ object Multimodal {
       lazy val reader = imageReader("png")
       it.map { r =>
         val px = graySamples(readImageWith(reader, r.media))
+        // every pixel gets a bit, so the image must fit one long —
+        // larger images need the classic 8×8 downsample FIRST (average
+        // pooling), which this corpus's ≤8×6 images never reach.
+        // Fail loudly instead of silently wrapping the shift.
+        require(px.length <= 63,
+          s"averageHash: ${px.length} pixels exceed the 63-bit budget; " +
+            "downsample to 8x8 before hashing")
         val n = px.length.toLong
         val sum = px.foldLeft(0L)(_ + _)
         var hash = 0L
