@@ -131,6 +131,31 @@ class JsonlIngestSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("full-scan inference sees past the sample (distributed stats fold)") {
+    // head is all-digit; the tail's text cell must demote the column to
+    // STRING under --inferer-schema-complet semantics, exactly like the
+    // delimited path's IngestPipelineSpec case
+    val head = (1 to 1000).map(i => s"""{"v":$i}""")
+    val p = tempJsonl((head :+ """{"v":"text"}"""): _*)
+    assert(JsonlIngest.convert(spark, p, fullScan = false)
+      .schema.head.dataType == LongType)
+    assert(JsonlIngest.convert(spark, p, fullScan = true)
+      .schema.head.dataType == StringType)
+  }
+
+  test("CLI full-scan flag routes through the JSONL reader too") {
+    val dir = Files.createTempDirectory("graft_cli_jsonl_full")
+    val f = dir.resolve("d.jsonl")
+    val head = (1 to 1000).map(i => s"""{"v":$i}""")
+    Files.writeString(f, (head :+ """{"v":"text"}""").mkString("", "\n", "\n"))
+    val msgs = scala.collection.mutable.ArrayBuffer.empty[String]
+    val (out, rows, _) = graft.ConvertMain.run(spark,
+      graft.ConvertMain.Options(Some(f.toString), fullScan = true), msgs += _)
+    assert(rows == 1001L)
+    assert(spark.read.parquet(out).schema.head.dataType == StringType,
+      "full scan must demote the column on the tail's text cell")
+  }
+
   test("sampled key discovery is bounded; keys past the sample do not appear") {
     val head = (1 to 1000).map(i => s"""{"a":$i}""")
     val tail = Seq("""{"a":1001,"late":true}""")
