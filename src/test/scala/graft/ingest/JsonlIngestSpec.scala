@@ -132,11 +132,14 @@ class JsonlIngestSpec extends SparkSpec {
   }
 
   test("full-scan inference sees past the sample (distributed stats fold)") {
-    // head is all-digit; the tail's text cell must demote the column to
-    // STRING under --inferer-schema-complet semantics, exactly like the
-    // delimited path's IngestPipelineSpec case
+    // head is all-digit; a 200-line text TAIL (past the 99.5 % integer
+    // tolerance) must demote the column to STRING under
+    // --inferer-schema-complet semantics, exactly like the delimited
+    // path's IngestPipelineSpec case — a LONE bad cell would stay
+    // inside the ladder's tolerance and read back as null
     val head = (1 to 1000).map(i => s"""{"v":$i}""")
-    val p = tempJsonl((head :+ """{"v":"text"}"""): _*)
+    val tail = (1 to 200).map(_ => """{"v":"text"}""")
+    val p = tempJsonl((head ++ tail): _*)
     assert(JsonlIngest.convert(spark, p, fullScan = false)
       .schema.head.dataType == LongType)
     assert(JsonlIngest.convert(spark, p, fullScan = true)
@@ -147,11 +150,12 @@ class JsonlIngestSpec extends SparkSpec {
     val dir = Files.createTempDirectory("graft_cli_jsonl_full")
     val f = dir.resolve("d.jsonl")
     val head = (1 to 1000).map(i => s"""{"v":$i}""")
-    Files.writeString(f, (head :+ """{"v":"text"}""").mkString("", "\n", "\n"))
+    val tail = (1 to 200).map(_ => """{"v":"text"}""")
+    Files.writeString(f, (head ++ tail).mkString("", "\n", "\n"))
     val msgs = scala.collection.mutable.ArrayBuffer.empty[String]
     val (out, rows, _) = graft.ConvertMain.run(spark,
       graft.ConvertMain.Options(Some(f.toString), fullScan = true), msgs += _)
-    assert(rows == 1001L)
+    assert(rows == 1200L)
     assert(spark.read.parquet(out).schema.head.dataType == StringType,
       "full scan must demote the column on the tail's text cell")
   }
