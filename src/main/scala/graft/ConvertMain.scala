@@ -171,7 +171,9 @@ object ConvertMain {
     val isJsonl = graft.ingest.JsonlIngest.looksLikeJsonl(spark, inputPath)
     val raw =
       if (isJsonl) graft.ingest.JsonlIngest.readRaw(spark, inputPath,
-        graft.ingest.JsonlIngest.discoverKeys(spark, inputPath))
+        if (opts.fullScan)
+          graft.ingest.JsonlIngest.discoverKeysFull(spark, inputPath)
+        else graft.ingest.JsonlIngest.discoverKeys(spark, inputPath))
       else IngestPipeline.readRaw(spark, inputPath,
         IngestPipeline.detectDelimiter(spark, inputPath))
     val schema = IngestPipeline.inferSchema(raw, opts.fullScan)

@@ -74,6 +74,23 @@ object JsonlIngest {
     seen.toSeq
   }
 
+  /** FULL key discovery — the `--inferer-schema-complet` analogue for
+    * COLUMNS, not just types: keys that first appear past the sample
+    * (or only in later files of a directory) join the schema. Order is
+    * deterministic: the sampled first-seen keys keep their positions,
+    * novel keys append ALPHABETICALLY (a distributed scan has no
+    * meaningful "first seen"). The collect is bounded by the DISTINCT
+    * top-level key count — a schema vocabulary, never row-scaled. */
+  def discoverKeysFull(spark: SparkSession, path: String,
+                       sampleRows: Int = 1000): Seq[String] = {
+    val sampled = discoverKeys(spark, path, sampleRows)
+    import spark.implicits._
+    val all = spark.read.text(path).as[String]
+      .mapPartitions(it => it.flatMap(topLevelKeys))
+      .distinct().collect()
+    sampled ++ (all.toSet -- sampled).toSeq.sorted
+  }
+
   /** Raw all-string read: one `text` scan + `from_json` against an
     * all-string struct. Spark's Jackson parser captures non-string
     * tokens under a StringType field as their raw text (numbers and
@@ -88,10 +105,14 @@ object JsonlIngest {
   }
 
   /** Full pipeline: JSONL file/directory → typed DataFrame, typing rules
-    * identical to `IngestPipeline.convert`. */
+    * identical to `IngestPipeline.convert`. `fullScan` widens BOTH
+    * halves of inference, like the reference's flag: type decisions see
+    * every line, and key discovery sees every line's keys. */
   def convert(spark: SparkSession, path: String, fullScan: Boolean = false,
               sampleRows: Int = 1000): DataFrame = {
-    val keys = discoverKeys(spark, path, sampleRows)
+    val keys =
+      if (fullScan) discoverKeysFull(spark, path, sampleRows)
+      else discoverKeys(spark, path, sampleRows)
     val raw = readRaw(spark, path, keys)
     IngestPipeline.applySchema(raw, IngestPipeline.inferSchema(raw, fullScan))
   }

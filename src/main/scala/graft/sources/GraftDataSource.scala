@@ -66,7 +66,9 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
     val raw =
       if (graft.ingest.JsonlIngest.looksLikeJsonl(spark, path))
         graft.ingest.JsonlIngest.readRaw(spark, path,
-          graft.ingest.JsonlIngest.discoverKeys(spark, path))
+          if (options.getBoolean("fullScan", false))
+            graft.ingest.JsonlIngest.discoverKeysFull(spark, path)
+          else graft.ingest.JsonlIngest.discoverKeys(spark, path))
       else IngestPipeline.readRaw(spark, path,
         GraftDataSource.sepOption(options)
           .getOrElse(IngestPipeline.detectDelimiter(spark, path)))

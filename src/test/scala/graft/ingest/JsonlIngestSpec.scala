@@ -160,14 +160,29 @@ class JsonlIngestSpec extends SparkSpec {
       "full scan must demote the column on the tail's text cell")
   }
 
+  test("full-scan key discovery admits keys past the sample, appended alphabetically") {
+    val head = (1 to 1000).map(i => s"""{"b":$i,"a":$i}""")
+    val tail = Seq("""{"b":1001,"z_late":true,"m_late":"x"}""")
+    val p = tempJsonl((head ++ tail): _*)
+    // sampled order preserved first, novel keys alphabetical after
+    assert(JsonlIngest.discoverKeysFull(spark, p) ==
+      Seq("b", "a", "m_late", "z_late"))
+    val typed = JsonlIngest.convert(spark, p, fullScan = true)
+    assert(typed.columns.toSeq == Seq("b", "a", "m_late", "z_late"))
+    // the late keys are null everywhere except the tail line
+    assert(typed.filter(
+      org.apache.spark.sql.functions.col("z_late").isNotNull).count() == 1)
+  }
+
   test("sampled key discovery is bounded; keys past the sample do not appear") {
     val head = (1 to 1000).map(i => s"""{"a":$i}""")
     val tail = Seq("""{"a":1001,"late":true}""")
     val p = tempJsonl((head ++ tail): _*)
     assert(JsonlIngest.discoverKeys(spark, p) == Seq("a"))
-    // the late key is simply not a column, like a CSV row longer than
-    // its header — extra cells drop in PERMISSIVE mode
-    val typed = JsonlIngest.convert(spark, p, fullScan = true)
+    // under SAMPLED discovery the late key is simply not a column, like
+    // a CSV row longer than its header — extra cells drop in PERMISSIVE
+    // mode (fullScan=true now widens the keys too; previous test)
+    val typed = JsonlIngest.convert(spark, p, fullScan = false)
     assert(typed.columns.toSeq == Seq("a"))
     assert(typed.count() == 1001)
   }
