@@ -28,6 +28,7 @@ object SparkEntry {
       graft.queries.Profiling.queries ++
       graft.queries.Graph.queries ++
       graft.queries.Streaming.queries ++
+      graft.queries.Cdc.queries ++
       graft.queries.Ingest.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -45,5 +46,6 @@ object SparkEntry {
       graft.queries.Profiling.oracleSql ++
       graft.queries.Graph.oracleSql ++
       graft.queries.Streaming.oracleSql ++
+      graft.queries.Cdc.oracleSql ++
       graft.queries.Ingest.oracleSql
 }

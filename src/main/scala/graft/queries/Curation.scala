@@ -633,7 +633,111 @@ object Curation {
       |  CAST(matched_entry IS NOT NULL AS BIGINT) AS blocked, matched_entry
       |FROM j ORDER BY doc_id""".stripMargin
 
+  // ── scalable global row numbering ──────────────────────────────────
+
+  /** Contiguous global row numbers (0-gap, rank-by-key) WITHOUT the
+    * classic scale trap: `row_number() OVER (ORDER BY key)` plans a
+    * single-partition global Window — one task sorts the corpus. The
+    * scalable shape is two-level: a monotone BUCKET function splits the
+    * key domain (fixed-width ranges off a broadcast min/max — any
+    * monotone-in-key bucketing works for correctness), per-bucket counts
+    * prefix-sum into bucket OFFSETS (a `B`-row window, driver-free), and
+    * a window PARTITIONED BY bucket ranks locally; global = offset +
+    * local. One data shuffle (the bucket window) + a `B`-row side plan,
+    * fully deterministic — what a shard-id/example-index assigner runs
+    * at 100 TB instead of zipWithIndex.
+    *
+    * Skew note: fixed-width buckets inherit the key distribution; the
+    * production variant draws bucket bounds from equi-depth quantiles
+    * (q_hist_equidepth's sketch) — same plan shape, balanced buckets.
+    * doc_id is near-uniform here, so the fixed-width form is exact AND
+    * balanced while keeping the oracle integer-only. */
+  def qCurationGlobalIndex(s: SparkSession, dir: String, buckets: Int = 64): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"))
+    val bounds = docs.agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+    val bucketed = docs.crossJoin(broadcast(bounds))
+      .withColumn("bucket",
+        expr(s"(doc_id - mn) div ((mx - mn) div $buckets + 1)"))
+      .select(col("doc_id"), col("bucket"))
+    val offsets = bucketed.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("offset", coalesce(
+        sum(col("cnt")).over(Window.orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bucket"), col("offset"))
+    // the offsets window is single-partition over ≤ `buckets` rows —
+    // side metadata, not data; the data-sized window below is
+    // partitioned by bucket and runs all buckets in parallel
+    bucketed
+      .withColumn("local",
+        row_number().over(Window.partitionBy(col("bucket")).orderBy(col("doc_id"))))
+      .join(broadcast(offsets), "bucket")
+      .select(col("doc_id"), col("bucket"),
+        (col("offset") + col("local")).cast(LongType).as("global_idx"))
+      .orderBy("doc_id")
+  }
+
+  private val qCurationGlobalIndexOracle =
+    """WITH b AS (SELECT MIN(doc_id) AS mn, MAX(doc_id) AS mx FROM documents)
+      |SELECT doc_id,
+      |  (doc_id - mn) // ((mx - mn) // 64 + 1) AS bucket,
+      |  CAST(ROW_NUMBER() OVER (ORDER BY doc_id) AS BIGINT) AS global_idx
+      |FROM documents, b
+      |ORDER BY doc_id""".stripMargin
+
+  // ── hive-partitioned output layout ─────────────────────────────────
+
+  /** Hive-partitioned corpus layout: write `partitionBy(lang)`, read the
+    * result back with a partition predicate, and return the per-stratum
+    * manifest. The write is REAL (a temp directory of `lang=…/`
+    * subdirs), and the read-back filter prunes at PLANNING time — only
+    * the matching directories are listed and scanned, which at 100 TB is
+    * the difference between touching 2 strata and touching the corpus
+    * (PartitionLayoutSpec pins `inputFiles` ⊆ the two pruned dirs).
+    *
+    * This is the reference's single-file Parquet sink re-expressed as a
+    * cluster layout: the partition column moves into the directory
+    * STRUCTURE (no lang column bytes in the files), and every downstream
+    * per-language job — the mix sampler, the per-lang tokenizer — reads
+    * its stratum without a filter scan. The manifest aggregates the
+    * read-back (counts, bytes, key checksum per lang), so a row lost or
+    * duplicated by the layout round-trip hash-fails the gate. */
+  def qCurationPartitionLayout(s: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft_partition_layout")
+    try {
+      Tables.documents(s, dir)
+        .write.mode("overwrite").partitionBy("lang").parquet(out.toString)
+      val manifest = s.read.parquet(out.toString)
+        .filter(col("lang").isin("en", "zh"))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast(LongType).as("total_chars"),
+          sum(col("doc_id")).cast(LongType).as("key_sum"))
+        .orderBy("lang")
+      // materialize (2 rows) before the layout dir is deleted below —
+      // the registry contract returns a DataFrame the caller may
+      // re-execute after this frame exits
+      manifest.localCheckpoint(true)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(out)
+      try walk.iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+    }
+  }
+
+  private val qCurationPartitionLayoutOracle =
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      |  CAST(SUM(doc_id) AS BIGINT) AS key_sum
+      |FROM documents WHERE lang IN ('en', 'zh')
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_curation_global_index" -> ((s, d) => qCurationGlobalIndex(s, d)),
+    "q_curation_partition_layout" -> (qCurationPartitionLayout _),
     "q_curation_blocklist" -> (qCurationBlocklist _),
     "q_shard_assign" -> ((s, d) => qShardAssign(s, d)),
     "q_dedup_url" -> (qDedupUrl _),
@@ -651,6 +755,8 @@ object Curation {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_curation_global_index" -> qCurationGlobalIndexOracle,
+    "q_curation_partition_layout" -> qCurationPartitionLayoutOracle,
     "q_curation_blocklist" -> qCurationBlocklistOracle,
     "q_shard_assign" -> qShardAssignOracle,
     "q_dedup_url" -> qDedupUrlOracle,

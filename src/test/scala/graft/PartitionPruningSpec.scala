@@ -45,4 +45,36 @@ class PartitionPruningSpec extends SparkSpec {
     assert(numFiles == src3Files && numFiles < allFiles,
       s"scan read $numFiles files; src3 has $src3Files of $allFiles total")
   }
+
+  test("q_curation_partition_layout's read-back touches only the filtered strata") {
+    // mirror the registry entry's layout (it cleans up its own temp dir,
+    // so the spec stages an identical one to inspect the pruned read)
+    val out = Files.createTempDirectory("graft_part_layout").toString
+    Tables.documents(spark, sf).write.partitionBy("lang")
+      .mode("overwrite").parquet(out)
+    val pruned = spark.read.parquet(out).filter(col("lang").isin("en", "zh"))
+    // inputFiles reports the PRE-pruning file index; the executed scan's
+    // numFiles metric is what planning-time pruning actually touched
+    val qe = pruned.queryExecution
+    qe.executedPlan.execute().count()
+    val scan = qe.executedPlan.collectLeaves()
+      .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      .getOrElse(fail("no FileSourceScanExec leaf"))
+    def parquetFilesIn(sub: String): Int =
+      Option(new java.io.File(s"$out/$sub").listFiles).toSeq.flatten
+        .count(_.getName.endsWith(".parquet"))
+    val wantFiles = parquetFilesIn("lang=en") + parquetFilesIn("lang=zh")
+    val allFiles = Option(new java.io.File(out).listFiles).toSeq.flatten
+      .filter(_.isDirectory).map(d => parquetFilesIn(d.getName)).sum
+    val numFiles = scan.metrics("numFiles").value
+    assert(numFiles == wantFiles && numFiles < allFiles,
+      s"scan read $numFiles files; en+zh hold $wantFiles of $allFiles")
+    // and the manifest itself agrees with the unpartitioned source
+    val got = graft.queries.Curation.qCurationPartitionLayout(spark, sf)
+      .orderBy("lang").collect().map(r => (r.getString(0), r.getLong(1)))
+    val want = Tables.documents(spark, sf)
+      .filter(col("lang").isin("en", "zh")).groupBy("lang").count()
+      .orderBy("lang").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq == want.toSeq)
+  }
 }
