@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
 import graft.Tables
-import graft.streaming.{Correlate, Scd2, Sessionize}
+import graft.streaming.{Correlate, LatestState, Scd2, Sessionize}
 
 /** Streaming surfaces driven END-TO-END through the driver's DuckDB
   * hash gate (SURVEY.md §2.D; the reference's incremental consumers
@@ -736,7 +736,88 @@ object Streaming {
     t.orderBy(t.columns.map(col): _*)
   }
 
+  /** Streaming CDC materialization on Spark 4's `transformWithState`
+    * ([[graft.streaming.LatestState]]): per-user latest change held in
+    * ValueState, flushed by an event-time TIMER once the watermark
+    * passes the key's last event — the bounded-state form (flushed keys
+    * leave the store; StreamingSpec pins the state-row count and the
+    * timer boundary). The result is the full quiescent-point CHANGELOG
+    * the sink accumulates — a key that goes quiet, flushes, then speaks
+    * again contributes one snapshot per quiescence — so the oracle
+    * restates the two-flush state machine exactly, mirroring the feed
+    * construction the way the synthetic-feed oracles do (the midpoint
+    * split is `min + (max−min)/2` over µs event times, computable from
+    * the table):
+    *
+    *  - flush 1 (after batch 1, watermark = batch-1 max − 10 s): each
+    *    user's batch-1 argmax row, iff its ms-floored time ≤ that
+    *    watermark (transformWithState timers fire NON-strictly,
+    *    expiry ≤ watermark — measured; GroupState timeouts fire on
+    *    strict <, so the two APIs' boundary semantics differ);
+    *  - flush 2 (end of feed, watermark = global max − 10 s): the
+    *    user's global argmax row, iff it ≤ that watermark AND the user
+    *    re-opened (has batch-2 events) or never flushed. Users inside
+    *    the final horizon keep their state, unemitted.
+    *
+    * transformWithState requires the multi-column-family RocksDB state
+    * store (timers live in their own column family), which is also the
+    * at-scale provider — forced here, restored after the lifecycle. */
+  def qStreamCdc(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(
+      col("user_id"), expr("ts div 1000").as("ts_us"), col("event_id"),
+      col("event_type"), col("value"), col("ts_ts"))
+    val mid = midpoint(ev, "ts_us")
+    val enc = Encoders.product[LatestState.Change]
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = scala.util.Try(s.conf.get(providerKey)).toOption
+    s.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val sink =
+      try runTwoBatchStream(s, "q_stream_cdc",
+        ev.filter(col("ts_us") <= mid), ev.filter(col("ts_us") > mid),
+        enc.schema,
+        df => LatestState.latestStream(
+          df.withWatermark("ts_ts", "10 seconds").as[LatestState.Change](enc)).toDF(),
+        "append")
+      finally prior match {
+        case Some(v) => s.conf.set(providerKey, v)
+        case None => s.conf.unset(providerKey)
+      }
+    sink.orderBy("user_id", "as_of_us")
+  }
+
+  private val qStreamCdcOracle =
+    """WITH m AS (SELECT MIN(epoch_us(ts)) +
+      |    (MAX(epoch_us(ts)) - MIN(epoch_us(ts))) // 2 AS mid FROM events),
+      |b1 AS (SELECT * FROM events, m WHERE epoch_us(ts) <= mid),
+      |wm1 AS (SELECT MAX(epoch_us(ts)) // 1000 - 10000 AS w FROM b1),
+      |wmf AS (SELECT MAX(epoch_us(ts)) // 1000 - 10000 AS w FROM events),
+      |last1 AS (
+      |  SELECT user_id, epoch_us(ts) AS as_of_us, event_id AS last_event_id,
+      |    event_type AS last_type, value AS last_value
+      |  FROM b1
+      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+      |    ORDER BY epoch_us(ts) DESC, event_id DESC) = 1),
+      |flush1 AS (
+      |  SELECT last1.* FROM last1, wm1 WHERE as_of_us // 1000 <= wm1.w),
+      |lastf AS (
+      |  SELECT user_id, epoch_us(ts) AS as_of_us, event_id AS last_event_id,
+      |    event_type AS last_type, value AS last_value
+      |  FROM events
+      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+      |    ORDER BY epoch_us(ts) DESC, event_id DESC) = 1),
+      |flush2 AS (
+      |  SELECT lastf.* FROM lastf, wmf, m
+      |  WHERE as_of_us // 1000 <= wmf.w
+      |    AND (as_of_us > m.mid  -- re-opened by a batch-2 arrival
+      |         OR lastf.user_id NOT IN (SELECT user_id FROM flush1)))
+      |SELECT * FROM flush1
+      |UNION ALL
+      |SELECT * FROM flush2
+      |ORDER BY user_id, as_of_us""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_cdc" -> (qStreamCdc _),
     "q_stream_ingest" -> (qStreamIngest _),
     "q_stream_ingest_jsonl" -> (qStreamIngestJsonl _),
     "q_stream_enrich" -> (qStreamEnrich _),
@@ -756,6 +837,7 @@ object Streaming {
     // incremental conversion must equal one-shot conversion: the stream
     // entries share the batch ingest oracles VERBATIM (textual identity
     // guaranteed by referencing the same map)
+    "q_stream_cdc" -> qStreamCdcOracle,
     "q_stream_ingest" -> Ingest.oracleSql("q_ingest_typed"),
     "q_stream_ingest_jsonl" -> Ingest.oracleSql("q_ingest_jsonl"),
     "q_stream_enrich" -> qStreamEnrichOracle,

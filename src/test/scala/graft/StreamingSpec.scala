@@ -833,6 +833,63 @@ class StreamingSpec extends SparkSpec {
       s"rerun diverged: sizes ${first.size}/${second.size}")
   }
 
+  test("transformWithState CDC: non-strict timer boundary, re-open, bounded state") {
+    // Pin the three facts q_stream_cdc's oracle encodes, on a fixture
+    // where every timing is controlled to the millisecond:
+    //  1. timers fire NON-strictly (expiry == watermark emits) — the
+    //     boundary where transformWithState differs from GroupState;
+    //  2. a key that flushes and then re-opens emits one snapshot per
+    //     quiescence, the second carrying the key's global argmax;
+    //  3. flushed keys LEAVE the store: end state rows = held keys.
+    import graft.streaming.LatestState
+    val t0 = 1700000000000000L // µs
+    def ev(uid: Long, offSec: Long, id: Long) =
+      (uid, t0 + offSec * 1000000L, id, s"e$id", id.toDouble)
+    // b1: A quiesces (t0 ≤ wm1 = t0+20s−10s), B holds (t0+20s > wm1)
+    val b1 = Seq(ev(1, 0, 10), ev(2, 20, 11))
+    // b2: A re-opens at +30s; C lands EXACTLY at wmF = max(+50s) − 10s;
+    // D at +50s stays inside the horizon
+    val b2 = Seq(ev(1, 30, 12), ev(3, 40, 13), ev(4, 50, 14))
+    def frame(rows: Seq[(Long, Long, Long, String, Double)]) =
+      rows.toDF("user_id", "ts_us", "event_id", "event_type", "value")
+        .withColumn("ts_ts", timestamp_micros(col("ts_us")))
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_tws").toString
+    stage(frame(b1), dir, "b1")
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = scala.util.Try(spark.conf.get(providerKey)).toOption
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val enc = org.apache.spark.sql.Encoders.product[LatestState.Change]
+      val stream = spark.readStream.schema(enc.schema).parquet(s"$dir/*")
+        .withWatermark("ts_ts", "10 seconds").as[LatestState.Change](enc)
+      val q = LatestState.latestStream(stream)
+        .writeStream.outputMode("append").format("memory")
+        .queryName("tws_cdc_out").start()
+      try {
+        q.processAllAvailable()
+        stage(frame(b2), dir, "b2")
+        q.processAllAvailable()
+        val got = spark.table("tws_cdc_out").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        val want = Set(
+          (1L, t0, 10L),                      // A's first quiescence
+          (1L, t0 + 30000000L, 12L),          // A re-opened, global argmax
+          (2L, t0 + 20000000L, 11L),          // B flushed at end
+          (3L, t0 + 40000000L, 13L))          // C: expiry == wmF, non-strict
+        assert(got == want,
+          s"missing=${(want -- got)} extra=${(got -- want)}")
+        // D (inside the horizon) is the only key left in the store
+        val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+        assert(stateRows == 1, s"state rows $stateRows != 1 held key")
+      } finally q.stop()
+    } finally prior match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None => spark.conf.unset(providerKey)
+    }
+  }
+
   test("session split core handles gaps and singletons") {
     val gap = Sessionize.DefaultGapUs
     val out = Sessionize.split(1L, Seq(0L, 10L, gap + 20L, gap + 30L, 3 * gap + 100L), gap)
