@@ -443,7 +443,51 @@ object Profiling {
       |SELECT status, COUNT(*) AS n, CAST(SUM(k1) AS BIGINT) AS sum_keys
       |FROM j GROUP BY status ORDER BY status""".stripMargin
 
+  /** Sketch-MERGE distinct counting (DataSketches HLL, lgK=12) — the
+    * 100 TB distinct-count pattern: each shard builds its own sketch
+    * (one shuffle row of ~KBs per shard, never the values), and the
+    * sketches union into the corpus estimate — per-day/per-shard
+    * sketches can be stored and re-aggregated forever without touching
+    * raw data.
+    *
+    * The contract this entry pins is measured, not assumed — and it is
+    * the ε-BOUND, not bit-equality. Two determinism hazards measured on
+    * a 997-distinct column: (1) a DataSketches HLL that was never
+    * unioned estimates via its HIP accumulator, but ANY union drops to
+    * the composite (register-only) estimator — 1-partition direct 1001
+    * vs unioned 996; (2) even the union path shifts at the ~0.3 % level
+    * with the aggregation TREE SHAPE (1007 vs 1010 for the same value
+    * set under different shuffle-partition configs — intermediate
+    * union gadgets serialize through HLL_4 conversions between partial
+    * and final aggregation, and that round-trip is shape-sensitive).
+    * So the honest re-aggregation contract is: any sharding/partition
+    * layout yields an estimate within the sketch's ε of truth and
+    * within ~1 % of any other layout's estimate; sparse-regime (small
+    * set) estimates are exact. HllMergeSpec pins all three plus the
+    * lgK=12 bound (~1.04/√2¹² ≈ 1.6 %; realized error rides along in
+    * `err_bp`).
+    *
+    * Declared-approximate entry (`no_oracle`): DuckDB's approx_distinct
+    * is a different HLL implementation, so cross-engine hash equality
+    * is impossible by construction; `n_exact` (one countDistinct at sf
+    * scale) is the in-row exact twin. */
+  def qAggHllMerge(s: SparkSession, dir: String, shards: Int = 8): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val merged = li
+      .groupBy(pmod(col("l_orderkey"), lit(shards)).as("shard"))
+      .agg(expr("hll_sketch_agg(l_partkey, 12)").as("sk"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk, false))").as("est_merged"))
+    val exact = li.agg(countDistinct(col("l_partkey")).as("n_exact"))
+    merged.crossJoin(broadcast(exact))
+      .select(
+        col("est_merged").cast(LongType).as("est_merged"),
+        col("n_exact"),
+        (abs(col("est_merged") - col("n_exact")) * 10000 /
+          col("n_exact")).cast(LongType).as("err_bp"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_hll_merge" -> ((s, d) => qAggHllMerge(s, d)),
     "q_snapshot_diff" -> (qSnapshotDiff _),
     "q_profile_drift" -> (qProfileDrift _),
     "q_dq_audit" -> (qDqAudit _),
