@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType}
 
 import graft.Tables
+import graft.queries.QueryUtil.{cents, centsSql}
 
 /** Corpus-curation operators a 100 TB training-data pipeline runs
   * between raw ingest and tokenization (builder brief §LLM-pipeline):
@@ -735,7 +736,44 @@ object Curation {
       |FROM documents WHERE lang IN ('en', 'zh')
       |GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** k-anonymity audit — the privacy gate a corpus release runs before
+    * publishing user-derived records: every quasi-identifier combination
+    * shared by FEWER than k individuals is a re-identification risk and
+    * must be suppressed or generalized. Quasi-identifiers here:
+    * (nation, market segment, account-balance band of 1000); k = 5;
+    * output = the violating equivalence classes with their sizes.
+    *
+    * The balance band is `floor((cents + 10⁸) / 10⁵)` with the SAME
+    * IEEE op sequence in both engines: the +10⁸ shift keeps the
+    * dividend non-negative (truncation vs floor-division conventions
+    * never diverge), the operands stay ≪ 2⁵³, and the quotient sits
+    * ≥ 10⁻⁵ away from any integer boundary so the correctly-rounded
+    * division can't cross one. ONE combine-friendly aggregation; the
+    * `< k` filter runs post-agg on class-count-sized data. At 100 TB
+    * this is the same single shuffle — class cardinality (the output)
+    * is bounded by the QI domain, not rows. */
+  def qCurationKanon(s: SparkSession, dir: String, k: Int = 5): DataFrame =
+    Tables.customer(s, dir)
+      .groupBy(col("c_nationkey").cast(LongType).as("nation"),
+        col("c_mktsegment").as("segment"),
+        floor((cents(col("c_acctbal")) + lit(100000000L)).cast(DoubleType)
+          / 100000.0).cast(LongType).as("bal_band"))
+      .agg(count(lit(1)).as("class_size"))
+      .filter(col("class_size") < k)
+      .orderBy("nation", "segment", "bal_band")
+
+  private val qCurationKanonOracle =
+    s"""SELECT CAST(c_nationkey AS BIGINT) AS nation,
+       |  c_mktsegment AS segment,
+       |  CAST(floor(CAST(${centsSql("c_acctbal")} + 100000000 AS DOUBLE)
+       |    / 100000.0) AS BIGINT) AS bal_band,
+       |  COUNT(*) AS class_size
+       |FROM customer
+       |GROUP BY 1, 2, 3 HAVING COUNT(*) < 5
+       |ORDER BY nation, segment, bal_band""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_curation_kanon" -> ((s, d) => qCurationKanon(s, d)),
     "q_curation_global_index" -> ((s, d) => qCurationGlobalIndex(s, d)),
     "q_curation_partition_layout" -> (qCurationPartitionLayout _),
     "q_curation_blocklist" -> (qCurationBlocklist _),
@@ -755,6 +793,7 @@ object Curation {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_curation_kanon" -> qCurationKanonOracle,
     "q_curation_global_index" -> qCurationGlobalIndexOracle,
     "q_curation_partition_layout" -> qCurationPartitionLayoutOracle,
     "q_curation_blocklist" -> qCurationBlocklistOracle,

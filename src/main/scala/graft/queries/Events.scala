@@ -739,7 +739,96 @@ object Events {
        |ORDER BY f.event_id""".stripMargin
   }
 
+  /** Exponentially-decayed moving value per event — the signal-smoothing
+    * primitive behind rate limiting, trend scoring, and per-user activity
+    * decay — computed EXACTLY so the oracle hash can gate it.
+    *
+    * Classic EWMA (`e_i = α·x_i + (1−α)·e_{i−1}`) is an unbounded float
+    * recursion: order-dependent rounding, no cross-engine hash. This is
+    * the bounded dyadic form: decay α = 1/2, horizon K = 16, per-row
+    * value floored to an integer, so each term `x_{i−k}·2⁻ᵏ` is a dyadic
+    * rational with denominator 2¹⁵ and the 16-term sum's numerator stays
+    * far under 2⁵³ — every partial sum is exactly representable and the
+    * result is the SAME double in any evaluation order and any engine.
+    * (Truncating the tail at K=16 discards weight < 2⁻¹⁵ of the window —
+    * the approximation is in the OPERATOR DEFINITION, not the runtime.)
+    *
+    * Scale: one shuffle on user_id carries the single window pass; the
+    * 16 LAG terms all ride that one WindowExec (one buffer walk, pure
+    * codegen projection). Parallelism is user-cardinality — millions of
+    * keys at 100 TB; the 15-user sf corpus is the degenerate floor. */
+  def qEventsEwma(s: SparkSession, dir: String): DataFrame = {
+    val tus = expr("ts div 1000")
+    val w = Window.partitionBy(col("user_id")).orderBy(tus, col("event_id"))
+    val x = floor(col("value"))
+    val ewma = (0 until 16).map { k =>
+      coalesce(lag(x, k).over(w), lit(0L)).cast(DoubleType) *
+        lit(math.pow(2.0, -k))
+    }.reduce(_ + _)
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), x.cast(LongType).as("x"),
+        ewma.as("ewma16"))
+      .orderBy("event_id")
+  }
+
+  private val qEventsEwmaOracle = {
+    val terms = (0 until 16).map { k =>
+      val lagE =
+        if (k == 0) "CAST(floor(value) AS BIGINT)"
+        else s"LAG(CAST(floor(value) AS BIGINT), $k) OVER w"
+      s"CAST(COALESCE($lagE, 0) AS DOUBLE) * ${java.lang.Double.toString(math.pow(2.0, -k))}"
+    }.mkString("\n      + ")
+    s"""SELECT event_id, user_id, CAST(floor(value) AS BIGINT) AS x,
+       |  $terms
+       |  AS ewma16
+       |FROM events
+       |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+       |ORDER BY event_id""".stripMargin
+  }
+
+  /** Last-touch attribution — which channel gets credit for each
+    * conversion: for every `purchase`, the attributed channel is the
+    * latest preceding non-purchase event of the same user (µs order,
+    * event_id tie-break); purchases with no preceding touch fall to
+    * `direct`. Report = conversions and exact revenue per channel.
+    *
+    * Plan shape: ONE window pass (`last(..., ignoreNulls)` over the
+    * unbounded-preceding frame) carries the channel to each purchase
+    * row — no self-join of touches to conversions, which at 100 TB
+    * would be a skew-prone range join; the window rides the same
+    * user_id shuffle every per-user operator uses. Revenue is the
+    * integer-cents sum (order-independent, hash-exact). */
+  def qEventsAttribution(s: SparkSession, dir: String): DataFrame = {
+    val tus = expr("ts div 1000")
+    val w = Window.partitionBy(col("user_id")).orderBy(tus, col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(s, dir)
+      .withColumn("touch",
+        last(when(col("event_type") =!= "purchase", col("event_type")),
+          ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .groupBy(coalesce(col("touch"), lit("direct")).as("channel"))
+      .agg(count(lit(1)).as("conversions"),
+        dsum(col("value")).as("revenue"))
+      .orderBy("channel")
+  }
+
+  private val qEventsAttributionOracle =
+    s"""WITH touched AS (
+       |  SELECT event_type, value,
+       |    LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN event_type END
+       |      IGNORE NULLS) OVER (PARTITION BY user_id
+       |        ORDER BY epoch_us(ts), event_id
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+       |  FROM events)
+       |SELECT COALESCE(touch, 'direct') AS channel,
+       |  COUNT(*) AS conversions, ${dsumSql("value")} AS revenue
+       |FROM touched WHERE event_type = 'purchase'
+       |GROUP BY 1 ORDER BY channel""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_events_ewma" -> (qEventsEwma _),
+    "q_events_attribution" -> (qEventsAttribution _),
     "q_scd2_build" -> (qScd2Build _),
     "q_join_temporal" -> (qJoinTemporal _),
     "q_events_ohlc" -> (qEventsOhlc _),
@@ -759,6 +848,8 @@ object Events {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_events_ewma" -> qEventsEwmaOracle,
+    "q_events_attribution" -> qEventsAttributionOracle,
     "q_scd2_build" -> qScd2BuildOracle,
     "q_join_temporal" -> qJoinTemporalOracle,
     "q_events_ohlc" -> qEventsOhlcOracle,

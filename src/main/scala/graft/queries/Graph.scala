@@ -200,13 +200,82 @@ object Graph {
       |SELECT node AS part_id, CAST(COUNT(*) AS BIGINT) AS triangles
       |FROM n GROUP BY node ORDER BY triangles DESC, part_id""".stripMargin
 
+  /** Bounded-hop BFS distances from a seed set — the reachability
+    * primitive behind influence radii, contamination spread ("which
+    * documents cite a flagged source within 3 links"), and
+    * neighborhood feature extraction. Seeds: every customer with
+    * `c_custkey % 100 = 0`; graph: the same undirected customer–supplier
+    * co-order edges as pagerank; output: every node within 3 hops with
+    * its exact hop distance.
+    *
+    * LEVEL-SYNCHRONOUS frontier iteration: round h joins the edge spine
+    * against ONLY the nodes first discovered at h−1 (`dist = h−1` after
+    * the min-groupBy), so work per round is O(edges incident to the
+    * frontier), not O(all edges × all discovered). The min-groupBy after
+    * each union both dedups rediscoveries and IS the distance semantics
+    * (min walk length = BFS distance). Same scale machinery as the
+    * pagerank loop: the edge list is hash-partitioned by source and
+    * localCheckpoint'd once (the spine never re-shuffles; only the
+    * node-sized distance table moves per round), and per-round results
+    * checkpoint to cut lineage. The oracle states the same distances as
+    * unrolled walk levels + MIN — a different formulation on purpose. */
+  def qGraphBfs(s: SparkSession, dir: String, hops: Int = 3): DataFrame = {
+    val e0 = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_suppkey"))
+          .groupBy("l_orderkey")
+          .agg(collect_set(col("l_suppkey")).as("ss")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").cast(LongType).as("u"),
+        explode(col("ss")).as("s0"))
+      .select(col("u"), (col("s0") + lit(1000000L)).cast(LongType).as("v"))
+      .distinct()
+    val edges = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
+      .repartition(col("u"))
+      .localCheckpoint(true)
+    var dist = Tables.customer(s, dir)
+      .filter(pmod(col("c_custkey"), lit(100)) === 0)
+      .select(col("c_custkey").cast(LongType).as("u"), lit(0L).as("dist"))
+      .distinct()
+    for (h <- 1 to hops) {
+      val frontier = dist.filter(col("dist") === (h - 1))
+      val next = edges.join(frontier, "u")
+        .select(col("v").as("u"), lit(h.toLong).as("dist"))
+      dist = dist.union(next)
+        .groupBy("u").agg(min(col("dist")).as("dist"))
+        .localCheckpoint(true)
+    }
+    dist.select(col("u").as("node_id"), col("dist").cast(LongType).as("dist"))
+      .orderBy("node_id")
+  }
+
+  private val qGraphBfsOracle =
+    """WITH e0 AS (
+      |  SELECT DISTINCT o.o_custkey AS u, 1000000 + l.l_suppkey AS v
+      |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+      |e AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+      |d0 AS (SELECT DISTINCT c_custkey AS u FROM customer
+      |       WHERE c_custkey % 100 = 0),
+      |n1 AS (SELECT DISTINCT e.v AS u FROM e JOIN d0 ON e.u = d0.u),
+      |n2 AS (SELECT DISTINCT e.v AS u FROM e JOIN n1 ON e.u = n1.u),
+      |n3 AS (SELECT DISTINCT e.v AS u FROM e JOIN n2 ON e.u = n2.u),
+      |lv AS (SELECT u, 0 AS dist FROM d0
+      |       UNION ALL SELECT u, 1 FROM n1
+      |       UNION ALL SELECT u, 2 FROM n2
+      |       UNION ALL SELECT u, 3 FROM n3)
+      |SELECT u AS node_id, CAST(MIN(dist) AS BIGINT) AS dist
+      |FROM lv GROUP BY u ORDER BY node_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pagerank" -> ((s, d) => qPagerank(s, d)),
-    "q_graph_triangles" -> ((s, d) => qGraphTriangles(s, d))
+    "q_graph_triangles" -> ((s, d) => qGraphTriangles(s, d)),
+    "q_graph_bfs" -> ((s, d) => qGraphBfs(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
     "q_pagerank" -> qPagerankOracle,
-    "q_graph_triangles" -> qGraphTrianglesOracle
+    "q_graph_triangles" -> qGraphTrianglesOracle,
+    "q_graph_bfs" -> qGraphBfsOracle
   )
 }

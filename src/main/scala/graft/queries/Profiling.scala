@@ -486,7 +486,83 @@ object Profiling {
           col("n_exact")).cast(LongType).as("err_bp"))
   }
 
+  /** Pearson correlation matrix over lineitem's numeric measures —
+    * the dependency-structure profile (is discount coupled to quantity?
+    * price to quantity?) a feature-engineering pass reads before
+    * trusting a column as an independent signal. HASH-EXACT across
+    * engines, which a naive `corr()` cannot be (its running-moment
+    * accumulation is order-dependent float): every input is integer
+    * CENTS, all five sums and three cross-sums are exact decimal
+    * integer aggregation (the q_embed_covariance discipline), and the
+    * final correlation formula is the SAME IEEE op sequence in both
+    * engines over those exact integers — deterministic at any
+    * parallelism. Cross-products stay in per-row long range (≤ 10¹⁴)
+    * and sum in a DECIMAL(35,0) buffer. One caveat sets the contract
+    * precision: past ~10⁵ rows the exact sums exceed 2⁵³, and the
+    * decimal→double cast is correctly rounded in the JVM but composed
+    * of two roundings in DuckDB's hugeint path — a possible last-ulp
+    * disagreement (observed at sf0.1). The reported correlations are
+    * therefore ROUNDED TO 12 DECIMALS, which the ±1-ulp cast fuzz on
+    * an O(10⁻³) correlation can never reach across.
+    *
+    * Scale: ONE aggregation job, fully map-side combinable — nine
+    * numbers per partition reach the reduce, corpus-size-independent.
+    * The scale invariance of Pearson r absorbs the cents scaling. */
+  def qProfileCorr(s: SparkSession, dir: String): DataFrame = {
+    import QueryUtil.cents
+    def big(c: Column) = c.cast(org.apache.spark.sql.types.DecimalType(25, 0))
+    val q = cents(col("l_quantity"))
+    val p = cents(col("l_extendedprice"))
+    val d = cents(col("l_discount"))
+    val agged = Tables.lineitem(s, dir).agg(
+      count(lit(1)).cast(DoubleType).as("n"),
+      sum(big(q)).cast(DoubleType).as("sq"),
+      sum(big(p)).cast(DoubleType).as("sp"),
+      sum(big(d)).cast(DoubleType).as("sd"),
+      sum(big(q * q)).cast(DoubleType).as("sqq"),
+      sum(big(p * p)).cast(DoubleType).as("spp"),
+      sum(big(d * d)).cast(DoubleType).as("sdd"),
+      sum(big(q * p)).cast(DoubleType).as("sqp"),
+      sum(big(q * d)).cast(DoubleType).as("sqd"),
+      sum(big(p * d)).cast(DoubleType).as("spd"))
+    def corr2(sxy: Column, sx: Column, sy: Column,
+              sxx: Column, syy: Column): Column =
+      (col("n") * sxy - sx * sy) /
+        (sqrt(col("n") * sxx - sx * sx) * sqrt(col("n") * syy - sy * sy))
+    agged.select(
+      col("n").cast(LongType).as("n_rows"),
+      round(corr2(col("sqp"), col("sq"), col("sp"), col("sqq"), col("spp")),
+        12).as("corr_qty_price"),
+      round(corr2(col("sqd"), col("sq"), col("sd"), col("sqq"), col("sdd")),
+        12).as("corr_qty_disc"),
+      round(corr2(col("spd"), col("sp"), col("sd"), col("spp"), col("sdd")),
+        12).as("corr_price_disc"))
+  }
+
+  private val qProfileCorrOracle = {
+    def c(e: String) = QueryUtil.centsSql(e)
+    def big(e: String) = s"CAST($e AS DECIMAL(25,0))"
+    def s2(e: String) = s"CAST(SUM(${big(e)}) AS DOUBLE)"
+    val q = c("l_quantity"); val p = c("l_extendedprice"); val d = c("l_discount")
+    def corr2(sxy: String, sx: String, sy: String, sxx: String, syy: String) =
+      s"ROUND((n * $sxy - $sx * $sy) / (sqrt(n * $sxx - $sx * $sx) * sqrt(n * $syy - $sy * $sy)), 12)"
+    s"""WITH a AS (
+       |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+       |    ${s2(q)} AS sq, ${s2(p)} AS sp, ${s2(d)} AS sd,
+       |    ${s2(s"($q) * ($q)")} AS sqq, ${s2(s"($p) * ($p)")} AS spp,
+       |    ${s2(s"($d) * ($d)")} AS sdd,
+       |    ${s2(s"($q) * ($p)")} AS sqp, ${s2(s"($q) * ($d)")} AS sqd,
+       |    ${s2(s"($p) * ($d)")} AS spd
+       |  FROM lineitem)
+       |SELECT CAST(n AS BIGINT) AS n_rows,
+       |  ${corr2("sqp", "sq", "sp", "sqq", "spp")} AS corr_qty_price,
+       |  ${corr2("sqd", "sq", "sd", "sqq", "sdd")} AS corr_qty_disc,
+       |  ${corr2("spd", "sp", "sd", "spp", "sdd")} AS corr_price_disc
+       |FROM a""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_profile_corr" -> (qProfileCorr _),
     "q_agg_hll_merge" -> ((s, d) => qAggHllMerge(s, d)),
     "q_snapshot_diff" -> (qSnapshotDiff _),
     "q_profile_drift" -> (qProfileDrift _),
@@ -500,6 +576,7 @@ object Profiling {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_profile_corr" -> qProfileCorrOracle,
     "q_snapshot_diff" -> qSnapshotDiffOracle,
     "q_profile_drift" -> qProfileDriftOracle,
     "q_dq_audit" -> qDqAuditOracle,

@@ -854,6 +854,104 @@ object TextAnalysis {
        |ORDER BY step""".stripMargin
   }
 
+
+  /** BPE tokenizer APPLY — the other half of the q_bpe_merges loop:
+    * once the merge table is learned, tokenizing a 100 TB corpus is a
+    * MAP-ONLY pass (the shape production tokenizers run as). The
+    * learned merges (a kilobyte-scale vocabulary artifact — the same
+    * bounded per-step argmax collect the training loop documents)
+    * become literal replace() rules applied in rank order to every
+    * word's symbol string; per-document token counts aggregate once.
+    *
+    * Replace semantics are the contract: one global left-to-right
+    * non-overlapping pass per rule, in rank order — identical in
+    * Spark's `replace` and DuckDB's `replace`, and exactly what the
+    * training loop's own merge step does, so train and apply stay
+    * consistent by construction. The oracle restates training AND
+    * apply end-to-end in SQL.
+    *
+    * Scale: the only non-map work is the per-doc count aggregation
+    * (combine-friendly) — the word explode and all replaces pipeline
+    * inside one codegen stage; nothing about the corpus reaches the
+    * driver (the 3 collected merge rules come from word-COUNT
+    * aggregates, bounded by vocabulary, not corpus size). */
+  def qBpeApply(s: SparkSession, dir: String, steps: Int = 3): DataFrame = {
+    val merges = qBpeMerges(s, dir, steps).collect()
+      .map(r => r.getString(1)) // rank-ordered pairs "x y"
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("word"))
+    val sym0 = concat(lit(" "), concat_ws("  ", split(col("word"), "")), lit(" "))
+    val symN = merges.foldLeft(sym0) { (sym, pair) =>
+      val Array(x, y) = pair.split(" ", 2)
+      call_function("replace", sym, lit(s" $x  $y "), lit(s" $x$y "))
+    }
+    docs
+      .select(col("doc_id"),
+        size(split(trim(col("word")), "")).cast(LongType).as("n_chars"),
+        size(split(trim(symN), "\\s+")).cast(LongType).as("n_tokens"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_chars")).cast(LongType).as("n_char_tokens"),
+        sum(col("n_tokens")).cast(LongType).as("n_bpe_tokens"))
+      .orderBy("doc_id")
+  }
+
+  private val qBpeApplyOracle = {
+    // training CTEs verbatim from the merges oracle (shared helpers),
+    // then the apply pass over per-document words
+    def pairs(src: String, dst: String) =
+      s"""$dst AS (SELECT g AS pair, SUM(w) AS c FROM (
+         |  SELECT unnest(list_transform(
+         |    range(1, len(string_split_regex(trim(sym), '\\s+'))),
+         |    i -> string_split_regex(trim(sym), '\\s+')[i] || ' ' ||
+         |         string_split_regex(trim(sym), '\\s+')[i+1])) AS g, w
+         |  FROM $src) GROUP BY g)""".stripMargin
+    def argmax(src: String, dst: String) =
+      s"$dst AS (SELECT pair, c FROM $src ORDER BY c DESC, pair LIMIT 1)"
+    def merge(symSrc: String, mSrc: String, dst: String) =
+      s"""$dst AS (SELECT replace($symSrc.sym,
+         |    ' ' || split_part($mSrc.pair, ' ', 1) || '  ' ||
+         |          split_part($mSrc.pair, ' ', 2) || ' ',
+         |    ' ' || replace($mSrc.pair, ' ', '') || ' ') AS sym, w
+         |  FROM $symSrc, $mSrc)""".stripMargin
+    def applyMerge(symSrc: String, mSrc: String, dst: String) =
+      s"""$dst AS (SELECT doc_id, n_chars, replace($symSrc.sym,
+         |    ' ' || split_part($mSrc.pair, ' ', 1) || '  ' ||
+         |          split_part($mSrc.pair, ' ', 2) || ' ',
+         |    ' ' || replace($mSrc.pair, ' ', '') || ' ') AS sym
+         |  FROM $symSrc, $mSrc)""".stripMargin
+    s"""WITH words AS (
+       |  SELECT word, COUNT(*) AS w FROM (
+       |    SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word
+       |    FROM documents)
+       |  GROUP BY word),
+       |s1 AS (SELECT ' ' || array_to_string(string_split(word, ''), '  ')
+       |         || ' ' AS sym, w FROM words),
+       |${pairs("s1", "p1")},
+       |${argmax("p1", "m1")},
+       |${merge("s1", "m1", "s2")},
+       |${pairs("s2", "p2")},
+       |${argmax("p2", "m2")},
+       |${merge("s2", "m2", "s3")},
+       |${pairs("s3", "p3")},
+       |${argmax("p3", "m3")},
+       |dw AS (
+       |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS word
+       |  FROM documents),
+       |a1 AS (SELECT doc_id,
+       |    len(string_split(trim(word), '')) AS n_chars,
+       |    ' ' || array_to_string(string_split(word, ''), '  ') || ' ' AS sym
+       |  FROM dw),
+       |${applyMerge("a1", "m1", "a2")},
+       |${applyMerge("a2", "m2", "a3")},
+       |${applyMerge("a3", "m3", "a4")}
+       |SELECT doc_id, COUNT(*) AS n_words,
+       |  CAST(SUM(n_chars) AS BIGINT) AS n_char_tokens,
+       |  CAST(SUM(len(string_split_regex(trim(sym), '\\s+'))) AS BIGINT)
+       |    AS n_bpe_tokens
+       |FROM a4 GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   // m is the operator's memory/accuracy knob, shared by the exact and
   // approx forms: exactness needs m > N/kth; the approx form's frequency
   // error is eps = 1/m of N.
@@ -914,6 +1012,7 @@ object TextAnalysis {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bpe_merges" -> ((s, d) => qBpeMerges(s, d)),
+    "q_bpe_apply" -> ((s, d) => qBpeApply(s, d)),
     "q_text_rarity" -> (qTextRarity _),
     "q_text_collocations" -> ((s, d) => qTextCollocations(s, d)),
     "q_ngram_counts" -> ((s, d) => qNgramCounts(s, d)),
@@ -942,6 +1041,7 @@ object TextAnalysis {
 
   def oracleSql: Map[String, String] = Map(
     "q_bpe_merges" -> qBpeMergesOracle,
+    "q_bpe_apply" -> qBpeApplyOracle,
     "q_text_rarity" -> qTextRarityOracle,
     "q_text_collocations" -> qTextCollocationsOracle,
     "q_ngram_counts" -> qNgramCountsOracle,

@@ -49,7 +49,7 @@ class RelationalSpec extends SparkSpec {
       Funcs.queries, Events.queries,
       TextAnalysis.queries, Dedup.queries, Similarity.queries,
       Extensions.queries, Curation.queries, Profiling.queries,
-      Graph.queries, Streaming.queries, Ingest.queries)
+      Graph.queries, Streaming.queries, Cdc.queries, Ingest.queries)
     val total = families.map(_.size).sum
     assert(SparkEntry.queries.size == total,
       s"registry collision: merged=${SparkEntry.queries.size} sum=$total")

