@@ -826,7 +826,120 @@ object Events {
        |FROM touched WHERE event_type = 'purchase'
        |GROUP BY 1 ORDER BY channel""".stripMargin
 
+  /** Concurrency timeline — "how many sessions are active at time t",
+    * the interval-overlap primitive behind load profiling and peak
+    * sizing. Sessions are q_events_sessions' [start_us, end_us]
+    * intervals; each emits +1 at start and −1 at end+1µs (closed
+    * interval), deltas aggregate per timestamp, and the running sum
+    * over the time axis IS the active-session count at each change
+    * point. A sweep line — NOT an interval self-join, which at 100 TB
+    * is quadratic in overlap density.
+    *
+    * The global prefix sum does NOT run as one single-partition
+    * window: change points bucket by HOUR, the cumsum runs within
+    * buckets in parallel, and per-bucket totals (a bounded, hours-sized
+    * relation) prefix-sum once and broadcast back as offsets — the
+    * q_curation_global_index discipline applied to a running sum.
+    * The oracle states the same timeline as one flat window cumsum. */
+  def qEventsConcurrency(s: SparkSession, dir: String): DataFrame = {
+    val gapUs = 30L * 60 * 1000000L
+    val tus = expr("ts div 1000")
+    val w = Window.partitionBy(col("user_id")).orderBy(tus, col("event_id"))
+    val prev = lag(tus, 1).over(w)
+    val sessions = Tables.events(s, dir)
+      .withColumn("new_session",
+        when(prev.isNull || tus - prev > gapUs, 1L).otherwise(0L))
+      .withColumn("session_seq",
+        sum(col("new_session")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(min(tus).cast(LongType).as("start_us"),
+        max(tus).cast(LongType).as("end_us"))
+    val deltas = sessions
+      .select(col("start_us").as("t_us"), lit(1L).as("d"))
+      .union(sessions.select((col("end_us") + 1L).as("t_us"), lit(-1L).as("d")))
+      .groupBy("t_us").agg(sum(col("d")).as("delta"))
+    // bucketed prefix sum: within-hour cumsum in parallel + hour offsets
+    val hourUs = 3600L * 1000000L
+    val bucketed = deltas.withColumn("bucket", expr(s"t_us div $hourUs"))
+    val offsets = bucketed.groupBy(col("bucket"))
+      .agg(sum(col("delta")).as("tot"))
+      .withColumn("offset", coalesce(
+        sum(col("tot")).over(Window.orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bucket"), col("offset"))
+    bucketed
+      .withColumn("local", sum(col("delta")).over(
+        Window.partitionBy(col("bucket")).orderBy(col("t_us"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .join(broadcast(offsets), "bucket")
+      .select(col("t_us"), col("delta").cast(LongType).as("delta"),
+        (col("offset") + col("local")).cast(LongType).as("active"))
+      .orderBy("t_us")
+  }
+
+  private val qEventsConcurrencyOracle =
+    """WITH sess AS (
+      |  SELECT user_id, session_seq,
+      |    MIN(tus) AS start_us, MAX(tus) AS end_us
+      |  FROM (
+      |    SELECT user_id, event_id, tus,
+      |      SUM(new_session) OVER (PARTITION BY user_id
+      |        ORDER BY tus, event_id) AS session_seq
+      |    FROM (
+      |      SELECT user_id, event_id, epoch_us(ts) AS tus,
+      |        CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+      |          OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+      |          THEN 1 ELSE 0 END AS new_session
+      |      FROM events
+      |      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+      |    ) flagged
+      |  ) numbered
+      |  GROUP BY user_id, session_seq),
+      |deltas AS (
+      |  SELECT t_us, CAST(SUM(d) AS BIGINT) AS delta FROM (
+      |    SELECT start_us AS t_us, 1 AS d FROM sess
+      |    UNION ALL SELECT end_us + 1, -1 FROM sess)
+      |  GROUP BY t_us)
+      |SELECT t_us, delta,
+      |  CAST(SUM(delta) OVER (ORDER BY t_us) AS BIGINT) AS active
+      |FROM deltas ORDER BY t_us""".stripMargin
+
+  /** Running distinct-so-far per user — "how many distinct event types
+    * has this user exercised by each event": the feature-accumulation
+    * window shape (breadth of engagement over time). A running
+    * COUNT(DISTINCT) has no native frame form in either engine; the
+    * scalable identity is first-seen flag (1 on the first (user, type)
+    * occurrence) + running sum. Two window passes on user-keyed
+    * shuffles; no per-row distinct state anywhere. */
+  def qWindowRunningDistinct(s: SparkSession, dir: String): DataFrame = {
+    val tus = expr("ts div 1000")
+    val byUserType = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(tus, col("event_id"))
+    val byUser = Window.partitionBy(col("user_id")).orderBy(tus, col("event_id"))
+    Tables.events(s, dir)
+      .withColumn("first_seen",
+        when(lag(col("event_id"), 1).over(byUserType).isNull, 1L).otherwise(0L))
+      .select(col("event_id"), col("user_id"),
+        sum(col("first_seen")).over(byUser.rowsBetween(
+          Window.unboundedPreceding, 0)).cast(LongType).as("distinct_types"))
+      .orderBy("event_id")
+  }
+
+  private val qWindowRunningDistinctOracle =
+    """SELECT event_id, user_id,
+      |  CAST(SUM(first_seen) OVER (PARTITION BY user_id
+      |    ORDER BY tus, event_id) AS BIGINT) AS distinct_types
+      |FROM (
+      |  SELECT event_id, user_id, epoch_us(ts) AS tus,
+      |    CASE WHEN LAG(event_id) OVER (PARTITION BY user_id, event_type
+      |      ORDER BY epoch_us(ts), event_id) IS NULL THEN 1 ELSE 0 END
+      |      AS first_seen
+      |  FROM events)
+      |ORDER BY event_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_events_concurrency" -> (qEventsConcurrency _),
+    "q_window_running_distinct" -> (qWindowRunningDistinct _),
     "q_events_ewma" -> (qEventsEwma _),
     "q_events_attribution" -> (qEventsAttribution _),
     "q_scd2_build" -> (qScd2Build _),
@@ -848,6 +961,8 @@ object Events {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_events_concurrency" -> qEventsConcurrencyOracle,
+    "q_window_running_distinct" -> qWindowRunningDistinctOracle,
     "q_events_ewma" -> qEventsEwmaOracle,
     "q_events_attribution" -> qEventsAttributionOracle,
     "q_scd2_build" -> qScd2BuildOracle,

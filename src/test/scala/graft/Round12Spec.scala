@@ -76,6 +76,48 @@ class Round12Spec extends SparkSpec {
     assert((total - violating) >= 0)
   }
 
+  test("concurrency: sweep line starts/ends at zero, never negative, " +
+    "and peak is bounded by one session per user") {
+    val rows = Events.qEventsConcurrency(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(2) >= 0,
+      s"negative active count at t=${r.getLong(0)}"))
+    assert(rows.last.getLong(2) == 0, "timeline must close at 0")
+    val nUsers = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(rows.map(_.getLong(2)).max <= nUsers,
+      "sessions of one user never overlap, so peak <= user count")
+    // deltas sum to zero: every +1 has its -1
+    assert(rows.map(_.getLong(1)).sum == 0)
+  }
+
+  test("concurrency: the data-sized cumsum window is bucket-partitioned, " +
+    "not single-partition") {
+    val plan = Events.qEventsConcurrency(spark, sf)
+      .queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // the t_us-level cumsum must run under a bucket partition key …
+    assert(plan.contains("windowspecdefinition(bucket"),
+      s"expected a bucket-partitioned cumsum window, plan:\n$plan")
+    // … and the offsets join must broadcast (hours-sized side metadata)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected broadcast offsets join, plan:\n$plan")
+  }
+
+  test("running distinct: monotone per user, ends at the user's " +
+    "distinct type count") {
+    val rows = Events.qWindowRunningDistinct(spark, sf).collect()
+    val events = Tables.events(spark, sf)
+      .select("user_id", "event_type").collect()
+    val exact = events.groupBy(_.getLong(0))
+      .map { case (u, rs) => u -> rs.map(_.getString(1)).distinct.size }
+    val byUser = rows.groupBy(_.getLong(1))
+    byUser.foreach { case (u, rs) =>
+      val vals = rs.map(_.getLong(2))
+      assert(vals.max == exact(u),
+        s"user $u final distinct ${vals.max} != exact ${exact(u)}")
+      assert(vals.min >= 1)
+    }
+  }
+
   test("bpe apply: merges only ever shrink token counts, every word " +
     "still yields at least one token, and counts bound chars") {
     val rows = TextAnalysis.qBpeApply(spark, sf).collect()
