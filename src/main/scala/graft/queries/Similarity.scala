@@ -476,7 +476,111 @@ object Similarity {
 
   private val qEmbedCovarianceOracle = covarianceOracle(8)
 
+  /** Top-principal-direction estimate by POWER ITERATION on the exact
+    * covariance — the "what axis carries the variance" probe a
+    * dimensionality-reduction or whitening pass runs first, expressed
+    * as distributed linear algebra: the matrix lives as (i, j, cov)
+    * triples, matvec is a join + per-row fold, and the vector is a
+    * broadcast array. Two iterations from the all-ones start, reported
+    * with the Rayleigh-quotient eigenvalue estimate.
+    *
+    * Determinism: the covariance entries are the SAME round(·,8)
+    * doubles q_embed_covariance proves hash-exact; every matvec row
+    * sum, and the Rayleigh numerator/denominator, is a SEQUENTIAL
+    * index-ordered fold (`aggregate` over a sort_array'd collect —
+    * the VectorOps discipline DuckDB's list_reduce mirrors), so the
+    * floats are bit-identical across engines and partition counts —
+    * no rounding slack anywhere past the covariance itself.
+    *
+    * Scale: the triples matvec is ONE shuffle per iteration keyed on
+    * the row index (the pagerank join-aggregate shape on a dims²
+    * relation — tiny next to the corpus scan that built it); the
+    * vector is O(dims) and broadcasts; the dims-sized collects are the
+    * documented bounded pattern (centroid/BPE argmax). */
+  def qEmbedPcaPower(s: SparkSession, dir: String, dims: Int = 8): DataFrame = {
+    val sv = Tables.embeddings(s, dir)
+      .select(col("vec_id"),
+        posexplode(slice(col("embedding"), 1, dims)).as(Seq("pos", "v")))
+      .select(col("vec_id"), col("pos"),
+        round(col("v").cast(DoubleType) * 1000000.0, 0).cast(LongType).as("x"))
+    val pairs = sv.select(col("vec_id"), col("pos").as("i"), col("x").as("xi"))
+      .join(sv.select(col("vec_id"), col("pos").as("j"), col("x").as("xj")),
+        "vec_id")
+      .filter(col("i") <= col("j"))
+    val n = count(lit(1)).cast(DoubleType)
+    val sxy = sum(col("xi") * col("xj")).cast(DoubleType)
+    val sx = sum(col("xi")).cast(DoubleType)
+    val sy = sum(col("xj")).cast(DoubleType)
+    val cov = pairs.groupBy(col("i").cast(LongType).as("i"),
+        col("j").cast(LongType).as("j"))
+      .agg(round(((sxy - sx * sy / n) / (n - lit(1.0))) / 1e12, 8).as("cov"))
+    val full = cov.select(col("i"), col("j"), col("cov"))
+      .union(cov.filter(col("i") =!= col("j"))
+        .select(col("j").as("i"), col("i").as("j"), col("cov")))
+    // each row of C as a j-ordered dense array — matvec becomes a fold
+    val rows = full.groupBy("i")
+      .agg(transform(sort_array(collect_list(struct(col("j"), col("cov")))),
+        e => e.getField("cov")).as("rv"))
+    def fold(arr: org.apache.spark.sql.Column) =
+      aggregate(arr, lit(0.0), (a, x) => a + x)
+    val v1 = rows.select(col("i"), fold(col("rv")).as("v1"))
+    val v1arr = v1.agg(transform(sort_array(collect_list(
+      struct(col("i"), col("v1")))), e => e.getField("v1")).as("va"))
+    val v2 = rows.crossJoin(broadcast(v1arr))
+      .select(col("i"),
+        fold(zip_with(col("rv"), col("va"), (x, y) => x * y)).as("v2"))
+    val joined = v2.join(v1, "i")
+    val lam = joined
+      .agg(sort_array(collect_list(struct(col("i"),
+        (col("v1") * col("v2")).as("p"),
+        (col("v1") * col("v1")).as("q")))).as("arr"))
+      .select((fold(transform(col("arr"), e => e.getField("p"))) /
+        fold(transform(col("arr"), e => e.getField("q")))).as("lambda_est"))
+    joined.crossJoin(broadcast(lam))
+      .select(col("i").as("dim"), col("v2").as("loading"), col("lambda_est"))
+      .orderBy("dim")
+  }
+
+  private val qEmbedPcaPowerOracle =
+    """WITH sv AS (
+      |  SELECT vec_id, i - 1 AS pos,
+      |    CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS x
+      |  FROM embeddings CROSS JOIN range(1, 9) t(i)),
+      |p AS (
+      |  SELECT a.pos AS i, b.pos AS j, a.x AS xi, b.x AS xj
+      |  FROM sv a JOIN sv b USING (vec_id)
+      |  WHERE a.pos <= b.pos),
+      |cov AS (
+      |  SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+      |    round(((CAST(SUM(xi * xj) AS DOUBLE)
+      |        - CAST(SUM(xi) AS DOUBLE) * CAST(SUM(xj) AS DOUBLE)
+      |          / CAST(COUNT(*) AS DOUBLE))
+      |      / (CAST(COUNT(*) AS DOUBLE) - 1.0)) / 1e12, 8) AS cov
+      |  FROM p GROUP BY i, j),
+      |fullm AS (
+      |  SELECT i, j, cov FROM cov
+      |  UNION ALL SELECT j, i, cov FROM cov WHERE i <> j),
+      |rows_ AS (
+      |  SELECT i, list(cov ORDER BY j) AS rv FROM fullm GROUP BY i),
+      |v1 AS (
+      |  SELECT i, list_reduce(rv, (a, b) -> a + b) AS v1 FROM rows_),
+      |v1arr AS (SELECT list(v1 ORDER BY i) AS va FROM v1),
+      |v2 AS (
+      |  SELECT r.i, list_reduce(
+      |      list_transform(range(1, len(r.rv) + 1), k -> r.rv[k] * va[k]),
+      |      (a, b) -> a + b) AS v2
+      |  FROM rows_ r, v1arr),
+      |j AS (SELECT v2.i, v1.v1, v2.v2 FROM v2 JOIN v1 USING (i)),
+      |lam AS (
+      |  SELECT list_reduce(list(v1 * v2 ORDER BY i), (a, b) -> a + b) /
+      |         list_reduce(list(v1 * v1 ORDER BY i), (a, b) -> a + b)
+      |    AS lambda_est
+      |  FROM j)
+      |SELECT i AS dim, v2 AS loading, lambda_est
+      |FROM j, lam ORDER BY dim""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_embed_pca_power" -> ((s, d) => qEmbedPcaPower(s, d)),
     "q_embed_covariance" -> ((s, d) => qEmbedCovariance(s, d)),
     "q_embed_covariance_full" -> ((s, d) => covarianceFull(s, d)),
     "q_embed_centroid" -> ((s, d) => qEmbedCentroid(s, d)),
@@ -487,6 +591,7 @@ object Similarity {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_embed_pca_power" -> qEmbedPcaPowerOracle,
     "q_embed_covariance" -> qEmbedCovarianceOracle,
     "q_embed_covariance_full" -> covarianceOracle(64),
     "q_embed_centroid" -> qEmbedCentroidOracle,

@@ -131,6 +131,31 @@ class Round12Spec extends SparkSpec {
     assert(rows.map(_.getLong(3)).sum < rows.map(_.getLong(2)).sum)
   }
 
+  test("pca power: matches a driver-side dense power iteration on the " +
+    "collected covariance bit-for-bit, with a positive Rayleigh estimate") {
+    import graft.queries.Similarity
+    val out = Similarity.qEmbedPcaPower(spark, sf).collect()
+    assert(out.length == 8)
+    val lambda = out.head.getDouble(2)
+    assert(lambda > 0.0, s"top eigenvalue of a covariance must be > 0: $lambda")
+    // rebuild C from the oracle-green covariance query and replay the
+    // same two index-ordered folds locally
+    val covRows = Similarity.qEmbedCovariance(spark, sf).collect()
+    val c = Array.ofDim[Double](8, 8)
+    covRows.foreach { r =>
+      val (i, j, v) = (r.getLong(0).toInt, r.getLong(1).toInt, r.getDouble(3))
+      c(i)(j) = v; c(j)(i) = v
+    }
+    def matvec(v: Array[Double]): Array[Double] =
+      Array.tabulate(8)(i => (0 until 8).foldLeft(0.0)((a, j) => a + c(i)(j) * v(j)))
+    val v1 = Array.tabulate(8)(i => (0 until 8).foldLeft(0.0)((a, j) => a + c(i)(j)))
+    val v2 = matvec(v1)
+    out.foreach { r =>
+      assert(r.getDouble(1) == v2(r.getLong(0).toInt),
+        s"loading dim ${r.getLong(0)} diverges from the local fold")
+    }
+  }
+
   test("corr: matches Spark's built-in corr to float tolerance, and the " +
     "plan is one partial+final aggregate (no extra shuffle)") {
     val out = Profiling.qProfileCorr(spark, sf)
