@@ -46,7 +46,13 @@ object Explain {
     "q_dedup_canonical", "q_ingest_jsonl",
     // round-12 third wave: point-in-time SCD2 lookup, broadcast policy
     // nested-loop, single-pass drift report
-    "q_join_temporal", "q_curation_blocklist", "q_profile_drift")
+    "q_join_temporal", "q_curation_blocklist", "q_profile_drift",
+    // round-12 fourth wave: the 16-lag single-Window EWMA, the
+    // bucket-partitioned sweep-line prefix sum (+ broadcast offsets),
+    // the one-exchange exact-co-moment correlation, and the triples
+    // matvec with the broadcast O(dims) iterate
+    "q_events_ewma", "q_events_concurrency", "q_profile_corr",
+    "q_embed_pca_power")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

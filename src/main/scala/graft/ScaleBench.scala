@@ -114,7 +114,18 @@ object ScaleBench {
     // the bounded type×hours relation. The drift/blocklist/mode/NAAJ
     // entries are map-side or bounded-domain scans — not
     // scale-interesting, same rationale as the function suites.
-    "q_join_temporal", "q_multimodal_phash", "q_events_cusum")
+    "q_join_temporal", "q_multimodal_phash", "q_events_cusum",
+    // round-12 fourth wave: the user-keyed window family members (16-lag
+    // EWMA, last-touch attribution, running distinct), the sweep-line
+    // concurrency prefix sum, the corpus-wide BPE apply pass, and the
+    // dims²-relation PCA matvec. q_graph_bfs stays out for the
+    // q_graph_triangles reason (fact-vs-fixed-dim replication densifies
+    // the customer–supplier graph toward complete-bipartite — a graph
+    // regime change, not the operator; its scale row is cross-sf);
+    // q_curation_kanon scans the FIXED customer dim; q_profile_corr is
+    // a single map-side aggregation like the function suites.
+    "q_events_ewma", "q_events_attribution", "q_window_running_distinct",
+    "q_events_concurrency", "q_bpe_apply", "q_embed_pca_power")
 
   def buildScaledData(spark: SparkSession, src: String, out: String, factor: Int): Unit = {
     val KEY = 100000000L // key shift per copy: far above any sf0.1 key
