@@ -841,12 +841,15 @@ object Events {
     * relation) prefix-sum once and broadcast back as offsets — the
     * q_curation_global_index discipline applied to a running sum.
     * The oracle states the same timeline as one flat window cumsum. */
-  def qEventsConcurrency(s: SparkSession, dir: String): DataFrame = {
+  /** Session intervals (user_id, session_seq, start_us, end_us) — the
+    * 30-min-gap sessionization shared by the concurrency sweep line
+    * and the interval join. */
+  private def sessionIntervals(s: SparkSession, dir: String): DataFrame = {
     val gapUs = 30L * 60 * 1000000L
     val tus = expr("ts div 1000")
     val w = Window.partitionBy(col("user_id")).orderBy(tus, col("event_id"))
     val prev = lag(tus, 1).over(w)
-    val sessions = Tables.events(s, dir)
+    Tables.events(s, dir)
       .withColumn("new_session",
         when(prev.isNull || tus - prev > gapUs, 1L).otherwise(0L))
       .withColumn("session_seq",
@@ -854,6 +857,10 @@ object Events {
       .groupBy(col("user_id"), col("session_seq"))
       .agg(min(tus).cast(LongType).as("start_us"),
         max(tus).cast(LongType).as("end_us"))
+  }
+
+  def qEventsConcurrency(s: SparkSession, dir: String): DataFrame = {
+    val sessions = sessionIntervals(s, dir)
     val deltas = sessions
       .select(col("start_us").as("t_us"), lit(1L).as("d"))
       .union(sessions.select((col("end_us") + 1L).as("t_us"), lit(-1L).as("d")))
@@ -904,6 +911,71 @@ object Events {
       |  CAST(SUM(delta) OVER (ORDER BY t_us) AS BIGINT) AS active
       |FROM deltas ORDER BY t_us""".stripMargin
 
+  /** Bin-bucketed interval join — sessions × incident windows WITHOUT
+    * an equi-key: which user sessions overlap any system incident (an
+    * `error` event's 10-minute window). The naive form is a pure range
+    * predicate — a cartesian the optimizer can only nested-loop, the
+    * classic 100 TB range-join trap. The scalable identity: explode
+    * both interval sets onto HOUR buckets (bins bounded by interval
+    * length ÷ bucket width — pick the bucket near the median interval
+    * length), equi-join on the bucket, re-check the exact overlap, and
+    * dedup pairs that share several buckets. Every shuffle is a hash
+    * join on the bucket key; nothing is quadratic in either input.
+    * The oracle states the same pairs as the raw inequality join
+    * (DuckDB's IEJoin handles it at verification scale — deliberately
+    * a different algorithm than the plan under test). */
+  def qJoinInterval(s: SparkSession, dir: String): DataFrame = {
+    val hourUs = 3600L * 1000000L
+    val winUs = 600L * 1000000L
+    val sess = sessionIntervals(s, dir)
+    val inc = Tables.events(s, dir)
+      .filter(col("event_type") === "error")
+      .select(col("event_id"), expr("ts div 1000").as("i_start"),
+        (expr("ts div 1000") + winUs).as("i_end"))
+    val sessB = sess.withColumn("b",
+      explode(sequence(expr(s"start_us div $hourUs"), expr(s"end_us div $hourUs"))))
+    val incB = inc.withColumn("b",
+      explode(sequence(expr(s"i_start div $hourUs"), expr(s"i_end div $hourUs"))))
+    sessB.join(incB, "b")
+      .filter(col("start_us") <= col("i_end") && col("i_start") <= col("end_us"))
+      .select(col("user_id"), col("session_seq"), col("event_id"),
+        (least(col("end_us"), col("i_end")) -
+          greatest(col("start_us"), col("i_start"))).cast(LongType)
+          .as("overlap_us"))
+      .distinct()
+      .orderBy("user_id", "session_seq", "event_id")
+  }
+
+  private val qJoinIntervalOracle =
+    """WITH sess AS (
+      |  SELECT user_id, session_seq,
+      |    MIN(tus) AS start_us, MAX(tus) AS end_us
+      |  FROM (
+      |    SELECT user_id, event_id, tus,
+      |      SUM(new_session) OVER (PARTITION BY user_id
+      |        ORDER BY tus, event_id) AS session_seq
+      |    FROM (
+      |      SELECT user_id, event_id, epoch_us(ts) AS tus,
+      |        CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+      |          OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+      |          THEN 1 ELSE 0 END AS new_session
+      |      FROM events
+      |      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+      |    ) flagged
+      |  ) numbered
+      |  GROUP BY user_id, session_seq),
+      |inc AS (
+      |  SELECT event_id, epoch_us(ts) AS i_start,
+      |    epoch_us(ts) + 600000000 AS i_end
+      |  FROM events WHERE event_type = 'error')
+      |SELECT s.user_id, CAST(s.session_seq AS BIGINT) AS session_seq,
+      |  i.event_id,
+      |  CAST(least(s.end_us, i.i_end) - greatest(s.start_us, i.i_start)
+      |    AS BIGINT) AS overlap_us
+      |FROM sess s JOIN inc i
+      |  ON s.start_us <= i.i_end AND i.i_start <= s.end_us
+      |ORDER BY user_id, session_seq, event_id""".stripMargin
+
   /** Running distinct-so-far per user — "how many distinct event types
     * has this user exercised by each event": the feature-accumulation
     * window shape (breadth of engagement over time). A running
@@ -939,6 +1011,7 @@ object Events {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_events_concurrency" -> (qEventsConcurrency _),
+    "q_join_interval" -> (qJoinInterval _),
     "q_window_running_distinct" -> (qWindowRunningDistinct _),
     "q_events_ewma" -> (qEventsEwma _),
     "q_events_attribution" -> (qEventsAttribution _),
@@ -962,6 +1035,7 @@ object Events {
 
   def oracleSql: Map[String, String] = Map(
     "q_events_concurrency" -> qEventsConcurrencyOracle,
+    "q_join_interval" -> qJoinIntervalOracle,
     "q_window_running_distinct" -> qWindowRunningDistinctOracle,
     "q_events_ewma" -> qEventsEwmaOracle,
     "q_events_attribution" -> qEventsAttributionOracle,

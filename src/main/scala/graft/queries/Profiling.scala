@@ -561,7 +561,68 @@ object Profiling {
        |FROM a""".stripMargin
   }
 
+  /** Higher-moment profile — per-group skewness and excess kurtosis of
+    * the quantity distribution, the tail-shape signal outlier policies
+    * and mixture checks read. Same exactness ladder as q_profile_corr,
+    * tightened: l_quantity is integral 1..50, so the four power sums
+    * (Σx…Σx⁴) stay under 2⁵³ even at 100× this corpus — the
+    * decimal→double casts are EXACT, and the moment formulas avoid
+    * `pow` entirely (not correctly rounded, engine-divergent): every
+    * power is an explicit multiply and m₂^1.5 is m₂·√m₂, so the whole
+    * result is bit-identical across engines with NO rounding step.
+    *
+    * Scale: one combine-friendly aggregation; five numbers per group
+    * per partition reach the reduce. */
+  def qProfileMoments(s: SparkSession, dir: String): DataFrame = {
+    def big(c: Column) = c.cast(org.apache.spark.sql.types.DecimalType(25, 0))
+    val x = col("l_quantity").cast(LongType)
+    val agged = Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).cast(DoubleType).as("n"),
+        sum(big(x)).cast(DoubleType).as("s1"),
+        sum(big(x * x)).cast(DoubleType).as("s2"),
+        sum(big(x * x * x)).cast(DoubleType).as("s3"),
+        sum(big(x * x * x * x)).cast(DoubleType).as("s4"))
+    val n = col("n"); val m1 = col("s1") / n
+    val m2 = col("s2") / n - m1 * m1
+    val m3 = col("s3") / n - lit(3.0) * m1 * (col("s2") / n) +
+      lit(2.0) * m1 * m1 * m1
+    val m4 = col("s4") / n - lit(4.0) * m1 * (col("s3") / n) +
+      lit(6.0) * m1 * m1 * (col("s2") / n) - lit(3.0) * m1 * m1 * m1 * m1
+    agged.select(col("l_returnflag"),
+      n.cast(LongType).as("n_rows"),
+      m1.as("mean_qty"),
+      (m3 / (m2 * sqrt(m2))).as("skewness"),
+      (m4 / (m2 * m2) - lit(3.0)).as("kurtosis_excess"))
+      .orderBy("l_returnflag")
+  }
+
+  private val qProfileMomentsOracle =
+    """WITH a AS (
+      |  SELECT l_returnflag, CAST(COUNT(*) AS DOUBLE) AS n,
+      |    CAST(SUM(CAST(x AS DECIMAL(25,0))) AS DOUBLE) AS s1,
+      |    CAST(SUM(CAST(x * x AS DECIMAL(25,0))) AS DOUBLE) AS s2,
+      |    CAST(SUM(CAST(x * x * x AS DECIMAL(25,0))) AS DOUBLE) AS s3,
+      |    CAST(SUM(CAST(x * x * x * x AS DECIMAL(25,0))) AS DOUBLE) AS s4
+      |  FROM (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x
+      |        FROM lineitem)
+      |  GROUP BY l_returnflag),
+      |m AS (
+      |  SELECT l_returnflag, n, s1 / n AS m1,
+      |    s2 / n - (s1 / n) * (s1 / n) AS m2,
+      |    s3 / n - 3.0 * (s1 / n) * (s2 / n)
+      |      + 2.0 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+      |    s4 / n - 4.0 * (s1 / n) * (s3 / n)
+      |      + 6.0 * (s1 / n) * (s1 / n) * (s2 / n)
+      |      - 3.0 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
+      |  FROM a)
+      |SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows, m1 AS mean_qty,
+      |  m3 / (m2 * sqrt(m2)) AS skewness,
+      |  m4 / (m2 * m2) - 3.0 AS kurtosis_excess
+      |FROM m ORDER BY l_returnflag""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_profile_moments" -> (qProfileMoments _),
     "q_profile_corr" -> (qProfileCorr _),
     "q_agg_hll_merge" -> ((s, d) => qAggHllMerge(s, d)),
     "q_snapshot_diff" -> (qSnapshotDiff _),
@@ -576,6 +637,7 @@ object Profiling {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_profile_moments" -> qProfileMomentsOracle,
     "q_profile_corr" -> qProfileCorrOracle,
     "q_snapshot_diff" -> qSnapshotDiffOracle,
     "q_profile_drift" -> qProfileDriftOracle,

@@ -131,6 +131,49 @@ class Round12Spec extends SparkSpec {
     assert(rows.map(_.getLong(3)).sum < rows.map(_.getLong(2)).sum)
   }
 
+  test("moments: match Spark's built-in skewness/kurtosis to float " +
+    "tolerance") {
+    val out = Profiling.qProfileMoments(spark, sf).collect()
+    val ref = Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(skewness(col("l_quantity")).as("sk"),
+        kurtosis(col("l_quantity")).as("ku"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    out.foreach { r =>
+      val (sk, ku) = ref(r.getString(0))
+      assert(math.abs(r.getDouble(3) - sk) < 1e-6,
+        s"${r.getString(0)}: skew ${r.getDouble(3)} vs builtin $sk")
+      assert(math.abs(r.getDouble(4) - ku) < 1e-6,
+        s"${r.getString(0)}: kurt ${r.getDouble(4)} vs builtin $ku")
+    }
+  }
+
+  test("interval join: bucket equi-join plan (no cartesian, no " +
+    "nested loop), pairs match the brute-force overlap predicate") {
+    val df = Events.qJoinInterval(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"range join fell back to a product plan:\n$plan")
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // brute force at spec scale: every (session, incident) with true overlap
+    val sess = graft.queries.Events.qEventsSessions(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(4)))
+    val inc = Tables.events(spark, sf)
+      .filter(col("event_type") === "error")
+      .select(col("event_id"), expr("ts div 1000").as("t"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(1) + 600000000L))
+    val want = (for {
+      (u, sq, s0, s1) <- sess
+      (e, i0, i1) <- inc
+      if s0 <= i1 && i0 <= s1
+    } yield (u, sq, e, math.min(s1, i1) - math.max(s0, i0))).toSet
+    assert(got == want, s"got ${got.size} pairs, want ${want.size}")
+  }
+
   test("pca power: matches a driver-side dense power iteration on the " +
     "collected covariance bit-for-bit, with a positive Rayleigh estimate") {
     import graft.queries.Similarity
