@@ -772,7 +772,46 @@ object Curation {
        |GROUP BY 1, 2, 3 HAVING COUNT(*) < 5
        |ORDER BY nation, segment, bal_band""".stripMargin
 
+  /** Temperature-scaled mixture weights — the standard multilingual /
+    * multi-source rebalancing rule (w ∝ n^α, here α = 1/2): raw
+    * proportions over-sample the biggest source, uniform starves it,
+    * the temperature interpolates. Reports per-language weight, the
+    * normalized sampling probability, and the expected draw count at a
+    * 10k budget.
+    *
+    * Determinism: counts are exact; √n is the correctly-rounded IEEE
+    * sqrt; the normalizer Σ√nⱼ is an INDEX-ORDERED sequential fold
+    * over the (tiny, bounded) language list — the VectorOps discipline
+    * again, so the doubles are bit-identical with no rounding step.
+    * Scale: one combine-friendly count, a language-cardinality-sized
+    * fold, one broadcast back. */
+  def qDataMixTemperature(s: SparkSession, dir: String,
+                          budget: Long = 10000L): DataFrame = {
+    val counts = Tables.documents(s, dir)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .withColumn("w", sqrt(col("n").cast(DoubleType)))
+    val total = counts
+      .agg(sort_array(collect_list(struct(col("lang"), col("w")))).as("arr"))
+      .select(aggregate(transform(col("arr"), e => e.getField("w")),
+        lit(0.0), (a, x) => a + x).as("z"))
+    counts.crossJoin(broadcast(total))
+      .select(col("lang"), col("n"), col("w"),
+        (col("w") / col("z")).as("p"),
+        (col("w") / col("z") * budget).as("expected_docs"))
+      .orderBy("lang")
+  }
+
+  private val qDataMixTemperatureOracle =
+    """WITH c AS (
+      |  SELECT lang, COUNT(*) AS n, sqrt(CAST(COUNT(*) AS DOUBLE)) AS w
+      |  FROM documents GROUP BY lang),
+      |z AS (SELECT list_reduce(list(w ORDER BY lang), (a, b) -> a + b) AS z
+      |      FROM c)
+      |SELECT lang, n, w, w / z AS p, w / z * 10000 AS expected_docs
+      |FROM c, z ORDER BY lang""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_data_mix_temperature" -> ((s, d) => qDataMixTemperature(s, d)),
     "q_curation_kanon" -> ((s, d) => qCurationKanon(s, d)),
     "q_curation_global_index" -> ((s, d) => qCurationGlobalIndex(s, d)),
     "q_curation_partition_layout" -> (qCurationPartitionLayout _),
@@ -793,6 +832,7 @@ object Curation {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_data_mix_temperature" -> qDataMixTemperatureOracle,
     "q_curation_kanon" -> qCurationKanonOracle,
     "q_curation_global_index" -> qCurationGlobalIndexOracle,
     "q_curation_partition_layout" -> qCurationPartitionLayoutOracle,

@@ -1009,7 +1009,68 @@ object Events {
       |  FROM events)
       |ORDER BY event_id""".stripMargin
 
+  /** Robust anomaly detection — the MAD (median absolute deviation)
+    * twin of q_events_anomaly's z-score: median and MAD are unmoved by
+    * the outliers being hunted, so a burst hour can't inflate its own
+    * threshold the way it inflates a stddev. INTEGER-EXACT end-to-end:
+    * "median" is the LOWER median (the rank-⌈n/2⌉ value under a total
+    * (value, hour) order), so no interpolation, no floats — a flag is
+    * `dev > 3·MAD` in int64.
+    *
+    * Scale: both median passes are rank windows over the type×hours
+    * relation (bounded by the time range, not event volume — the
+    * q_events_cusum argument); the per-type medians join back
+    * broadcast. */
+  def qEventsAnomalyRobust(s: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(s, dir)
+      .groupBy(col("event_type"), expr("ts div 3600000000000").as("hr"))
+      .agg(count(lit(1)).as("c"))
+    val byType = Window.partitionBy(col("event_type"))
+    def lowerMedian(df: DataFrame, value: String): DataFrame = df
+      .withColumn("rn", row_number().over(byType.orderBy(col(value), col("hr"))))
+      .withColumn("k", (count(lit(1)).over(byType) + 1) / 2)
+      .filter(col("rn") === col("k").cast("int"))
+      .select(col("event_type"), col(value).as("m"))
+    val med = lowerMedian(hourly, "c").withColumnRenamed("m", "med")
+    val withDev = hourly.join(broadcast(med), "event_type")
+      .withColumn("dev", abs(col("c") - col("med")))
+    val mad = lowerMedian(withDev.select(col("event_type"), col("hr"),
+      col("dev")), "dev").withColumnRenamed("m", "mad")
+    withDev.join(broadcast(mad), "event_type")
+      .select(col("event_type"), col("hr").cast(LongType).as("hr"),
+        col("c"), col("med").cast(LongType).as("med"),
+        col("mad").cast(LongType).as("mad"),
+        (col("dev") > lit(3) * col("mad")).as("is_anomaly"))
+      .orderBy("event_type", "hr")
+  }
+
+  private val qEventsAnomalyRobustOracle =
+    """WITH hourly AS (
+      |  SELECT event_type, epoch_us(ts) // 3600000000 AS hr, COUNT(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |med AS (
+      |  SELECT event_type, c AS med FROM (
+      |    SELECT event_type, c,
+      |      row_number() OVER (PARTITION BY event_type ORDER BY c, hr) AS rn,
+      |      (COUNT(*) OVER (PARTITION BY event_type) + 1) // 2 AS k
+      |    FROM hourly) x WHERE rn = k),
+      |wd AS (
+      |  SELECT h.event_type, h.hr, h.c, m.med, abs(h.c - m.med) AS dev
+      |  FROM hourly h JOIN med m USING (event_type)),
+      |mad AS (
+      |  SELECT event_type, dev AS mad FROM (
+      |    SELECT event_type, dev, hr,
+      |      row_number() OVER (PARTITION BY event_type ORDER BY dev, hr) AS rn,
+      |      (COUNT(*) OVER (PARTITION BY event_type) + 1) // 2 AS k
+      |    FROM wd) x WHERE rn = k)
+      |SELECT w.event_type, CAST(w.hr AS BIGINT) AS hr, w.c,
+      |  CAST(w.med AS BIGINT) AS med, CAST(d.mad AS BIGINT) AS mad,
+      |  w.dev > 3 * d.mad AS is_anomaly
+      |FROM wd w JOIN mad d USING (event_type)
+      |ORDER BY event_type, hr""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_events_anomaly_robust" -> (qEventsAnomalyRobust _),
     "q_events_concurrency" -> (qEventsConcurrency _),
     "q_join_interval" -> (qJoinInterval _),
     "q_window_running_distinct" -> (qWindowRunningDistinct _),
@@ -1034,6 +1095,7 @@ object Events {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_events_anomaly_robust" -> qEventsAnomalyRobustOracle,
     "q_events_concurrency" -> qEventsConcurrencyOracle,
     "q_join_interval" -> qJoinIntervalOracle,
     "q_window_running_distinct" -> qWindowRunningDistinctOracle,

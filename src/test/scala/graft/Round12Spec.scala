@@ -131,6 +131,41 @@ class Round12Spec extends SparkSpec {
     assert(rows.map(_.getLong(3)).sum < rows.map(_.getLong(2)).sum)
   }
 
+  test("robust anomaly: median/MAD are genuine lower medians, and a " +
+    "planted burst flags under MAD but is what a stddev would absorb") {
+    val rows = Events.qEventsAnomalyRobust(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      val cs = rs.map(_.getLong(2)).sorted
+      val med = rs.head.getLong(3)
+      // lower median: rank ceil(n/2) of the sorted counts
+      assert(med == cs((cs.length + 1) / 2 - 1))
+      val devs = rs.map(r => math.abs(r.getLong(2) - med)).sorted
+      assert(rs.head.getLong(4) == devs((devs.length + 1) / 2 - 1))
+      rs.foreach { r =>
+        val dev = math.abs(r.getLong(2) - r.getLong(3))
+        assert(r.getBoolean(5) == (dev > 3 * r.getLong(4)))
+      }
+    }
+  }
+
+  test("temperature mix: probabilities sum to 1 within one ulp-fold, " +
+    "and sqrt damping sits between raw and uniform") {
+    val rows = Curation.qDataMixTemperature(spark, sf).collect()
+    val ps = rows.map(_.getDouble(3))
+    assert(math.abs(ps.sum - 1.0) < 1e-12)
+    val ns = rows.map(_.getLong(1).toDouble)
+    val total = ns.sum
+    rows.indices.foreach { i =>
+      val raw = ns(i) / total
+      val uniform = 1.0 / rows.length
+      val lo = math.min(raw, uniform) - 1e-12
+      val hi = math.max(raw, uniform) + 1e-12
+      assert(ps(i) >= lo && ps(i) <= hi,
+        s"lang ${rows(i).getString(0)}: p=${ps(i)} outside [$lo,$hi]")
+    }
+  }
+
   test("moments: match Spark's built-in skewness/kurtosis to float " +
     "tolerance") {
     val out = Profiling.qProfileMoments(spark, sf).collect()
