@@ -125,7 +125,15 @@ object ScaleBench {
     // q_curation_kanon scans the FIXED customer dim; q_profile_corr is
     // a single map-side aggregation like the function suites.
     "q_events_ewma", "q_events_attribution", "q_window_running_distinct",
-    "q_events_concurrency", "q_bpe_apply", "q_embed_pca_power")
+    "q_events_concurrency", "q_bpe_apply", "q_embed_pca_power",
+    // the bucketed range join, in its LINEAR-OUTPUT aggregate form —
+    // the enumeration twin q_join_interval is output-bound by
+    // construction (overlapping pairs grow factor² under replication:
+    // measured 40.2 s at 10x for ~100x the pairs, sublinear per pair)
+    // so the headline times the exposure report. The robust-anomaly /
+    // moments / temperature entries are bounded-domain or map-side
+    // aggregations (the kanon/corr rationale).
+    "q_join_interval_agg")
 
   def buildScaledData(spark: SparkSession, src: String, out: String, factor: Int): Unit = {
     val KEY = 100000000L // key shift per copy: far above any sf0.1 key

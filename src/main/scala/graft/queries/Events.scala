@@ -919,12 +919,29 @@ object Events {
     * both interval sets onto HOUR buckets (bins bounded by interval
     * length ÷ bucket width — pick the bucket near the median interval
     * length), equi-join on the bucket, re-check the exact overlap, and
-    * dedup pairs that share several buckets. Every shuffle is a hash
-    * join on the bucket key; nothing is quadratic in either input.
+    * count each pair in exactly ONE bucket — the one holding the
+    * overlap's START (`greatest(start, i_start) div hour`), the
+    * standard attribution trick that replaces a pair-volume DISTINCT
+    * shuffle with a map-side filter. Every shuffle is a hash join on
+    * the bucket key; nothing is quadratic in either INPUT. The OUTPUT
+    * is the overlapping-pair set itself, which genuinely grows with
+    * overlap density (factor² under the replicated-corpus 10× — the
+    * measured 40 s at 10× is ~100× the pairs, i.e. sublinear PER
+    * PAIR); the linear-output scale twin is [[qJoinIntervalAgg]].
     * The oracle states the same pairs as the raw inequality join
     * (DuckDB's IEJoin handles it at verification scale — deliberately
     * a different algorithm than the plan under test). */
-  def qJoinInterval(s: SparkSession, dir: String): DataFrame = {
+  def qJoinInterval(s: SparkSession, dir: String): DataFrame =
+    intervalPairs(s, dir)
+      .select(col("user_id"), col("session_seq"), col("event_id"),
+        (least(col("end_us"), col("i_end")) -
+          greatest(col("start_us"), col("i_start"))).cast(LongType)
+          .as("overlap_us"))
+      .orderBy("user_id", "session_seq", "event_id")
+
+  /** Overlapping (session, incident) pairs via the bucketed range join,
+    * each pair surviving in exactly one bucket. */
+  private def intervalPairs(s: SparkSession, dir: String): DataFrame = {
     val hourUs = 3600L * 1000000L
     val winUs = 600L * 1000000L
     val sess = sessionIntervals(s, dir)
@@ -937,14 +954,24 @@ object Events {
     val incB = inc.withColumn("b",
       explode(sequence(expr(s"i_start div $hourUs"), expr(s"i_end div $hourUs"))))
     sessB.join(incB, "b")
-      .filter(col("start_us") <= col("i_end") && col("i_start") <= col("end_us"))
-      .select(col("user_id"), col("session_seq"), col("event_id"),
-        (least(col("end_us"), col("i_end")) -
-          greatest(col("start_us"), col("i_start"))).cast(LongType)
-          .as("overlap_us"))
-      .distinct()
-      .orderBy("user_id", "session_seq", "event_id")
+      .filter(col("start_us") <= col("i_end") && col("i_start") <= col("end_us") &&
+        col("b") === expr(s"greatest(start_us, i_start) div $hourUs"))
   }
+
+  /** The linear-output form of the interval join — per-session incident
+    * exposure (how many incidents a session overlapped and for how
+    * long). The pair space still exists transiently inside the
+    * bucket join, but it reduces through a combine-friendly aggregation
+    * keyed on the session, so the SHUFFLED and MATERIALIZED volume is
+    * one row per session — the form a 100 TB exposure report runs. */
+  def qJoinIntervalAgg(s: SparkSession, dir: String): DataFrame =
+    intervalPairs(s, dir)
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(count(lit(1)).as("n_incidents"),
+        sum(least(col("end_us"), col("i_end")) -
+          greatest(col("start_us"), col("i_start"))).cast(LongType)
+          .as("total_overlap_us"))
+      .orderBy("user_id", "session_seq")
 
   private val qJoinIntervalOracle =
     """WITH sess AS (
@@ -975,6 +1002,24 @@ object Events {
       |FROM sess s JOIN inc i
       |  ON s.start_us <= i.i_end AND i.i_start <= s.end_us
       |ORDER BY user_id, session_seq, event_id""".stripMargin
+
+  private val qJoinIntervalAggOracle =
+    qJoinIntervalOracle.replace(
+      """SELECT s.user_id, CAST(s.session_seq AS BIGINT) AS session_seq,
+        |  i.event_id,
+        |  CAST(least(s.end_us, i.i_end) - greatest(s.start_us, i.i_start)
+        |    AS BIGINT) AS overlap_us
+        |FROM sess s JOIN inc i
+        |  ON s.start_us <= i.i_end AND i.i_start <= s.end_us
+        |ORDER BY user_id, session_seq, event_id""".stripMargin,
+      """SELECT s.user_id, CAST(s.session_seq AS BIGINT) AS session_seq,
+        |  COUNT(*) AS n_incidents,
+        |  CAST(SUM(least(s.end_us, i.i_end) - greatest(s.start_us, i.i_start))
+        |    AS BIGINT) AS total_overlap_us
+        |FROM sess s JOIN inc i
+        |  ON s.start_us <= i.i_end AND i.i_start <= s.end_us
+        |GROUP BY s.user_id, s.session_seq
+        |ORDER BY user_id, session_seq""".stripMargin)
 
   /** Running distinct-so-far per user — "how many distinct event types
     * has this user exercised by each event": the feature-accumulation
@@ -1073,6 +1118,7 @@ object Events {
     "q_events_anomaly_robust" -> (qEventsAnomalyRobust _),
     "q_events_concurrency" -> (qEventsConcurrency _),
     "q_join_interval" -> (qJoinInterval _),
+    "q_join_interval_agg" -> (qJoinIntervalAgg _),
     "q_window_running_distinct" -> (qWindowRunningDistinct _),
     "q_events_ewma" -> (qEventsEwma _),
     "q_events_attribution" -> (qEventsAttribution _),
@@ -1098,6 +1144,7 @@ object Events {
     "q_events_anomaly_robust" -> qEventsAnomalyRobustOracle,
     "q_events_concurrency" -> qEventsConcurrencyOracle,
     "q_join_interval" -> qJoinIntervalOracle,
+    "q_join_interval_agg" -> qJoinIntervalAggOracle,
     "q_window_running_distinct" -> qWindowRunningDistinctOracle,
     "q_events_ewma" -> qEventsEwmaOracle,
     "q_events_attribution" -> qEventsAttributionOracle,
