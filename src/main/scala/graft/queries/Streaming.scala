@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
 import graft.Tables
-import graft.streaming.{Correlate, LatestState, Scd2, Sessionize}
+import graft.streaming.{Attribution, Correlate, LatestState, Scd2, Sessionize}
 
 /** Streaming surfaces driven END-TO-END through the driver's DuckDB
   * hash gate (SURVEY.md §2.D; the reference's incremental consumers
@@ -816,7 +816,54 @@ object Streaming {
       |SELECT * FROM flush2
       |ORDER BY user_id, as_of_us""".stripMargin
 
+  /** Streaming last-touch attribution ([[graft.streaming.Attribution]]):
+    * per-user last non-purchase touch in ValueState, every purchase
+    * credited immediately — no watermark or timer, because attribution
+    * only looks BACKWARD (a purchase's credit is fixed on arrival).
+    * Hash-gated against the batch window form over the whole corpus:
+    * for the time-split feed, replaying each micro-batch's rows per key
+    * in (event-time, event_id) order makes the streamed changelog
+    * EQUAL the batch `last(…, ignoreNulls)` window — the same
+    * credit for every one of the corpus's purchases, not just
+    * watermark-closed ones. RocksDB provider forced as for the other
+    * transformWithState lifecycles. */
+  def qStreamAttribution(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(
+      col("user_id"), expr("ts div 1000").as("ts_us"), col("event_id"),
+      col("event_type"))
+    val mid = midpoint(ev, "ts_us")
+    val enc = Encoders.product[Attribution.Touch]
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = scala.util.Try(s.conf.get(providerKey)).toOption
+    s.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val sink =
+      try runTwoBatchStream(s, "q_stream_attribution",
+        ev.filter(col("ts_us") <= mid), ev.filter(col("ts_us") > mid),
+        enc.schema,
+        df => Attribution.creditStream(df.as[Attribution.Touch](enc)).toDF(),
+        "append")
+      finally prior match {
+        case Some(v) => s.conf.set(providerKey, v)
+        case None => s.conf.unset(providerKey)
+      }
+    sink.orderBy("event_id")
+  }
+
+  private val qStreamAttributionOracle =
+    """SELECT event_id, user_id, COALESCE(touch, 'direct') AS channel
+      |FROM (
+      |  SELECT event_id, user_id, event_type,
+      |    LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN event_type END
+      |      IGNORE NULLS) OVER (PARTITION BY user_id
+      |        ORDER BY epoch_us(ts), event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+      |  FROM events)
+      |WHERE event_type = 'purchase'
+      |ORDER BY event_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_attribution" -> (qStreamAttribution _),
     "q_stream_cdc" -> (qStreamCdc _),
     "q_stream_ingest" -> (qStreamIngest _),
     "q_stream_ingest_jsonl" -> (qStreamIngestJsonl _),
@@ -837,6 +884,7 @@ object Streaming {
     // incremental conversion must equal one-shot conversion: the stream
     // entries share the batch ingest oracles VERBATIM (textual identity
     // guaranteed by referencing the same map)
+    "q_stream_attribution" -> qStreamAttributionOracle,
     "q_stream_cdc" -> qStreamCdcOracle,
     "q_stream_ingest" -> Ingest.oracleSql("q_ingest_typed"),
     "q_stream_ingest_jsonl" -> Ingest.oracleSql("q_ingest_jsonl"),
