@@ -890,6 +890,66 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming attribution: split-invariant, interleaved ties, " +
+    "state is one touch per user") {
+    // Purchases credit the latest PRECEDING non-purchase under the
+    // (ts, event_id) total order — including a purchase and its touch
+    // in the SAME micro-batch (replay order), a purchase arriving as
+    // its batch's first row (credit carried from the previous batch's
+    // state), and a purchase with no touch at all ('direct'). The
+    // result must not depend on where the feed splits.
+    import graft.streaming.Attribution
+    val t0 = 1800000000000000L
+    def ev(uid: Long, off: Long, id: Long, tpe: String) =
+      (uid, t0 + off * 1000000L, id, tpe)
+    val rows = Seq(
+      ev(1, 0, 1, "purchase"),  // no touch yet → direct
+      ev(1, 1, 2, "click"),
+      ev(1, 2, 3, "purchase"),  // click
+      ev(1, 2, 4, "purchase"),  // same ts as id=3: still click (id 2 < 3,4)
+      ev(2, 0, 5, "view"),
+      ev(2, 5, 6, "purchase"),  // view
+      ev(2, 6, 7, "signup"),
+      ev(2, 7, 8, "purchase"))  // signup, not view
+    val want = Set((1L, 1L, "direct"), (3L, 1L, "click"), (4L, 1L, "click"),
+      (6L, 2L, "view"), (8L, 2L, "signup"))
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = scala.util.Try(spark.conf.get(providerKey)).toOption
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      for (splitAfter <- Seq(1, 4, 6)) { // adversarial feed splits
+        val (b1, b2) = rows.splitAt(splitAfter)
+        def frame(rs: Seq[(Long, Long, Long, String)]) =
+          rs.toDF("user_id", "ts_us", "event_id", "event_type")
+        val dir = java.nio.file.Files
+          .createTempDirectory(s"graft_attr$splitAfter").toString
+        stage(frame(b1), dir, "b1")
+        val enc = org.apache.spark.sql.Encoders.product[Attribution.Touch]
+        val q = Attribution.creditStream(
+            spark.readStream.schema(enc.schema).parquet(s"$dir/*")
+              .as[Attribution.Touch](enc))
+          .writeStream.outputMode("append").format("memory")
+          .queryName(s"attr_out$splitAfter").start()
+        try {
+          q.processAllAvailable()
+          stage(frame(b2), dir, "b2")
+          q.processAllAvailable()
+          val got = spark.table(s"attr_out$splitAfter").collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+          assert(got == want, s"split@$splitAfter: " +
+            s"missing=${want -- got} extra=${got -- want}")
+          // state: exactly one touch row per user that has any touch
+          val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+          assert(stateRows == 2, s"state rows $stateRows != 2 users")
+        } finally q.stop()
+      }
+    } finally prior match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None => spark.conf.unset(providerKey)
+    }
+  }
+
   test("session split core handles gaps and singletons") {
     val gap = Sessionize.DefaultGapUs
     val out = Sessionize.split(1L, Seq(0L, 10L, gap + 20L, gap + 30L, 3 * gap + 100L), gap)
