@@ -1114,7 +1114,73 @@ object Events {
       |FROM wd w JOIN mad d USING (event_type)
       |ORDER BY event_type, hr""".stripMargin
 
+  /** Session path-pattern mining — "which behavioral sequences occur,
+    * and how often": each session's ordered event types collapse into
+    * one path string, and patterns (adjacent click→purchase, an
+    * eventual signup…purchase, error-then-purchase recovery) count
+    * over the session relation. The sequence-mining primitive behind
+    * funnel discovery, expressed without a per-pattern self-join: ONE
+    * shuffle builds the paths (the same user-keyed sort every
+    * session operator rides), then pattern counts are a map-side
+    * LIKE/regexp projection plus one global aggregate.
+    *
+    * Path strings order by the (µs, event_id) total order via a
+    * sort_array'd struct collect — identical to the oracle's
+    * string_agg ORDER BY. Patterns stay in the RE2 ∩ Java dialect
+    * intersection (the q_pii_scrub discipline). */
+  def qEventsPaths(s: SparkSession, dir: String): DataFrame = {
+    val gapUs = 30L * 60 * 1000000L
+    val tus = expr("ts div 1000")
+    val w = Window.partitionBy(col("user_id")).orderBy(tus, col("event_id"))
+    val prev = lag(tus, 1).over(w)
+    val paths = Tables.events(s, dir)
+      .withColumn("new_session",
+        when(prev.isNull || tus - prev > gapUs, 1L).otherwise(0L))
+      .withColumn("session_seq",
+        sum(col("new_session")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(array_join(transform(
+        sort_array(collect_list(struct(tus.as("t"), col("event_id").as("e"),
+          col("event_type").as("y")))),
+        e => e.getField("y")), ">").as("path"))
+    paths.agg(
+      count(lit(1)).as("n_sessions"),
+      sum(when(col("path").like("%click>purchase%"), 1L).otherwise(0L))
+        .cast(LongType).as("n_click_then_purchase"),
+      sum(when(col("path").rlike("signup.*purchase"), 1L).otherwise(0L))
+        .cast(LongType).as("n_signup_to_purchase"),
+      sum(when(col("path").rlike("error.*purchase"), 1L).otherwise(0L))
+        .cast(LongType).as("n_error_recovery"))
+  }
+
+  private val qEventsPathsOracle =
+    """WITH g AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) AS tus,
+      |    CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+      |      OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+      |      THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+      |n AS (
+      |  SELECT user_id, event_id, event_type, tus,
+      |    SUM(new_session) OVER (PARTITION BY user_id
+      |      ORDER BY tus, event_id) AS session_seq
+      |  FROM g),
+      |paths AS (
+      |  SELECT user_id, session_seq,
+      |    string_agg(event_type, '>' ORDER BY tus, event_id) AS path
+      |  FROM n GROUP BY user_id, session_seq)
+      |SELECT COUNT(*) AS n_sessions,
+      |  CAST(SUM(CASE WHEN path LIKE '%click>purchase%' THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_click_then_purchase,
+      |  CAST(SUM(CASE WHEN regexp_matches(path, 'signup.*purchase')
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_signup_to_purchase,
+      |  CAST(SUM(CASE WHEN regexp_matches(path, 'error.*purchase')
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_error_recovery
+      |FROM paths""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_events_paths" -> (qEventsPaths _),
     "q_events_anomaly_robust" -> (qEventsAnomalyRobust _),
     "q_events_concurrency" -> (qEventsConcurrency _),
     "q_join_interval" -> (qJoinInterval _),
@@ -1141,6 +1207,7 @@ object Events {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_events_paths" -> qEventsPathsOracle,
     "q_events_anomaly_robust" -> qEventsAnomalyRobustOracle,
     "q_events_concurrency" -> qEventsConcurrencyOracle,
     "q_join_interval" -> qJoinIntervalOracle,

