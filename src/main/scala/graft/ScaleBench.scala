@@ -133,7 +133,13 @@ object ScaleBench {
     // so the headline times the exposure report. The robust-anomaly /
     // moments / temperature entries are bounded-domain or map-side
     // aggregations (the kanon/corr rationale).
-    "q_join_interval_agg")
+    "q_join_interval_agg",
+    // fifth wave: the bounded-domain counting percentile (the count
+    // aggregation scans 10x the corpus; the windows stay domain-sized),
+    // the session path builder (one user-keyed sort over 10x events),
+    // and the stateful attribution stream (one ValueState row per user
+    // at 10x the users).
+    "q_agg_percentile_counting", "q_events_paths", "q_stream_attribution")
 
   def buildScaledData(spark: SparkSession, src: String, out: String, factor: Int): Unit = {
     val KEY = 100000000L // key shift per copy: far above any sf0.1 key
