@@ -810,7 +810,62 @@ object Curation {
       |SELECT lang, n, w, w / z AS p, w / z * 10000 AS expected_docs
       |FROM c, z ORDER BY lang""".stripMargin
 
+  /** Weighted (probability-proportional-to-size) sampling WITHOUT
+    * randomness: systematic PPS over the doc_id order. Cumulative
+    * character weights lay the corpus on a [0, W) line; k equally
+    * spaced thresholds select the k documents that straddle them, so
+    * long documents are proportionally more likely to be drawn — the
+    * standard weighted-sampling rule made deterministic and
+    * re-runnable (the audit property a training-mix manifest needs).
+    * Selection is pure integer arithmetic: doc selected iff
+    * `(cum·k) div W > ((cum−w)·k) div W` (a threshold falls inside its
+    * weight span). Headroom: cum·k must stay inside int64 — at k=100
+    * that is 9·10¹⁶ total characters (~90 TB of text); past that,
+    * thresholds shard per bucket.
+    *
+    * The corpus-length prefix sum reuses the bucketed discipline
+    * (q_curation_global_index): within-bucket cumsums in parallel,
+    * bucket totals prefix-summed once and broadcast back. */
+  def qSampleWeighted(s: SparkSession, dir: String, k: Int = 100): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"),
+      col("n_chars").cast(LongType).as("w"))
+    val bounds = docs.agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"),
+      sum(col("w")).cast(LongType).as("total"))
+    val bucketed = docs.crossJoin(broadcast(bounds))
+      .withColumn("bucket", expr("(doc_id - mn) div ((mx - mn) div 64 + 1)"))
+    val offsets = bucketed.groupBy(col("bucket"))
+      .agg(sum(col("w")).as("tot"))
+      .withColumn("offset", coalesce(
+        sum(col("tot")).over(Window.orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bucket"), col("offset"))
+    bucketed
+      .withColumn("local", sum(col("w")).over(
+        Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .join(broadcast(offsets), "bucket")
+      .withColumn("cum", col("offset") + col("local"))
+      .filter(expr(s"(cum * $k) div total > ((cum - w) * $k) div total"))
+      .select(col("doc_id"), col("w"),
+        expr(s"(cum * $k) div total").cast(LongType).as("threshold_idx"))
+      .orderBy("doc_id")
+  }
+
+  private val qSampleWeightedOracle =
+    """WITH d AS (
+      |  SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+      |    SUM(CAST(n_chars AS BIGINT)) OVER (ORDER BY doc_id
+      |      ROWS UNBOUNDED PRECEDING) AS cum,
+      |    SUM(CAST(n_chars AS BIGINT)) OVER () AS total
+      |  FROM documents)
+      |SELECT doc_id, w,
+      |  CAST((cum * 100) // total AS BIGINT) AS threshold_idx
+      |FROM d
+      |WHERE (cum * 100) // total > ((cum - w) * 100) // total
+      |ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sample_weighted" -> ((s, d) => qSampleWeighted(s, d)),
     "q_data_mix_temperature" -> ((s, d) => qDataMixTemperature(s, d)),
     "q_curation_kanon" -> ((s, d) => qCurationKanon(s, d)),
     "q_curation_global_index" -> ((s, d) => qCurationGlobalIndex(s, d)),
@@ -832,6 +887,7 @@ object Curation {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_sample_weighted" -> qSampleWeightedOracle,
     "q_data_mix_temperature" -> qDataMixTemperatureOracle,
     "q_curation_kanon" -> qCurationKanonOracle,
     "q_curation_global_index" -> qCurationGlobalIndexOracle,

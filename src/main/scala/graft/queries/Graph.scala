@@ -267,13 +267,81 @@ object Graph {
       |SELECT u AS node_id, CAST(MIN(dist) AS BIGINT) AS dist
       |FROM lv GROUP BY u ORDER BY node_id""".stripMargin
 
+  /** Community detection by synchronous LABEL PROPAGATION — the
+    * third member of the iterative join-aggregate family (pagerank =
+    * weighted sum, BFS = min, label-prop = mode): every node adopts
+    * its neighborhood's most frequent label each round, smallest label
+    * on ties — fully deterministic, no randomized tie-breaking, so the
+    * DuckDB oracle can unroll the rounds exactly.
+    *
+    * Scale: each round is one edge join + one (node, label) count +
+    * one argmax window whose partitions are node-sized label sets
+    * (bounded by degree); per-round results localCheckpoint like the
+    * pagerank loop. Labels are node ids, so no label table ever
+    * exceeds the node relation. */
+  def qGraphLabelprop(s: SparkSession, dir: String, iters: Int = 2): DataFrame = {
+    val e0 = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_suppkey"))
+          .groupBy("l_orderkey")
+          .agg(collect_set(col("l_suppkey")).as("ss")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").cast(LongType).as("u"),
+        explode(col("ss")).as("s0"))
+      .select(col("u"), (col("s0") + lit(1000000L)).cast(LongType).as("v"))
+      .distinct()
+    val edges = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
+      .repartition(col("u"))
+      .localCheckpoint(true)
+    var labels = edges.select(col("u")).distinct()
+      .select(col("u"), col("u").as("lbl"))
+      .localCheckpoint(true)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("u"))
+    for (_ <- 1 to iters) {
+      labels = edges
+        .join(labels.select(col("u").as("n"), col("lbl")), col("v") === col("n"))
+        .groupBy(col("u"), col("lbl")).agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(
+          w.orderBy(col("c").desc, col("lbl").asc)))
+        .filter(col("rn") === 1)
+        .select(col("u"), col("lbl"))
+        .localCheckpoint(true)
+    }
+    labels.select(col("u").as("node_id"), col("lbl").cast(LongType).as("community"))
+      .orderBy("node_id")
+  }
+
+  private val qGraphLabelpropOracle = {
+    def step(prev: String, next: String) =
+      s"""$next AS (
+         |  SELECT u, lbl FROM (
+         |    SELECT e.u, $prev.lbl, COUNT(*) AS c,
+         |      row_number() OVER (PARTITION BY e.u
+         |        ORDER BY COUNT(*) DESC, $prev.lbl ASC) AS rn
+         |    FROM e JOIN $prev ON e.v = $prev.u
+         |    GROUP BY e.u, $prev.lbl) x
+         |  WHERE rn = 1)""".stripMargin
+    s"""WITH e0 AS (
+       |  SELECT DISTINCT o.o_custkey AS u, 1000000 + l.l_suppkey AS v
+       |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+       |e AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+       |l0 AS (SELECT DISTINCT u, u AS lbl FROM e),
+       |${step("l0", "l1")},
+       |${step("l1", "l2")}
+       |SELECT u AS node_id, CAST(lbl AS BIGINT) AS community
+       |FROM l2 ORDER BY node_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_graph_labelprop" -> ((s, d) => qGraphLabelprop(s, d)),
     "q_pagerank" -> ((s, d) => qPagerank(s, d)),
     "q_graph_triangles" -> ((s, d) => qGraphTriangles(s, d)),
     "q_graph_bfs" -> ((s, d) => qGraphBfs(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_graph_labelprop" -> qGraphLabelpropOracle,
     "q_pagerank" -> qPagerankOracle,
     "q_graph_triangles" -> qGraphTrianglesOracle,
     "q_graph_bfs" -> qGraphBfsOracle

@@ -131,6 +131,45 @@ class Round12Spec extends SparkSpec {
     assert(rows.map(_.getLong(3)).sum < rows.map(_.getLong(2)).sum)
   }
 
+  test("label prop: bipartite parity (even rounds return labels to " +
+    "their own side) and labels are graph node ids") {
+    val rows = Graph.qGraphLabelprop(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val nodes = rows.map(_.getLong(0)).toSet
+    rows.foreach { r =>
+      val (u, c) = (r.getLong(0), r.getLong(1))
+      assert(nodes.contains(c), s"community $c is not a graph node")
+      // customer<1e6 / supplier>=1e6; 2 propagation rounds = 2 hops,
+      // so every label comes from the node's own bipartite side
+      assert((u < 1000000L) == (c < 1000000L),
+        s"node $u got a cross-side label $c after an even round count")
+    }
+  }
+
+  test("weighted sampling: every threshold 1..k is covered by exactly " +
+    "one selected document, and selection is PPS") {
+    val k = 100
+    val sel = Curation.qSampleWeighted(spark, sf, k).collect()
+    assert(sel.nonEmpty && sel.length <= k)
+    // recompute spans on the driver from the flat cumsum
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("n_chars").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val total = docs.map(_._2).sum
+    var cum = 0L
+    val expect = docs.flatMap { case (id, w) =>
+      val lo = cum * k / total; cum += w
+      val hi = cum * k / total
+      if (hi > lo) Some(id) else None
+    }.toSet
+    assert(sel.map(_.getLong(0)).toSet == expect)
+    // PPS property on this corpus: mean selected weight above corpus mean
+    val meanSel = sel.map(_.getLong(1)).sum.toDouble / sel.length
+    val meanAll = total.toDouble / docs.length
+    assert(meanSel >= meanAll * 0.9,
+      s"selected mean weight $meanSel far below corpus mean $meanAll")
+  }
+
   test("counting percentile: equals the sort-based type-1 quantile, " +
     "and the plan has no per-group sort of raw rows") {
     import graft.queries.Relational
