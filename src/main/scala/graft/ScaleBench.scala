@@ -139,7 +139,11 @@ object ScaleBench {
     // the session path builder (one user-keyed sort over 10x events),
     // and the stateful attribution stream (one ValueState row per user
     // at 10x the users).
-    "q_agg_percentile_counting", "q_events_paths", "q_stream_attribution")
+    "q_agg_percentile_counting", "q_events_paths", "q_stream_attribution",
+    // the deterministic PPS sampler (bucketed weight cumsum over 10x
+    // docs). q_graph_labelprop stays out for the BFS/triangles
+    // densification reason — its scale row is cross-sf.
+    "q_sample_weighted")
 
   def buildScaledData(spark: SparkSession, src: String, out: String, factor: Int): Unit = {
     val KEY = 100000000L // key shift per copy: far above any sf0.1 key
