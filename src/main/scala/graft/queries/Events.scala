@@ -1179,7 +1179,55 @@ object Events {
       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_error_recovery
       |FROM paths""".stripMargin
 
+  /** Incremental aggregate maintenance — the materialized-view delta
+    * rule: yesterday's stored aggregate merges with the delta's
+    * partial aggregate instead of rescanning the corpus. Staged here
+    * as a SELF-CHECKING construction: the corpus splits at its time
+    * midpoint into "stored" and "delta" halves, each aggregates
+    * independently, and the merged result is REQUIRED to hash-equal
+    * the oracle's direct full-corpus aggregate — the oracle never
+    * sees the split, so the equality IS the re-aggregability proof.
+    * Counts add; value sums merge exactly because they are integer
+    * cents (the dsum discipline) — the same property that makes the
+    * nightly 100 TB maintenance job touch only the delta. The merge
+    * is a full-outer join on the group key (either half may lack a
+    * group), with the halves' decimal partials summed null-safely. */
+  def qAggIncremental(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_type"), expr("ts div 1000").as("tus"), col("value"))
+    val mx = ev.agg((min(col("tus")) +
+      (max(col("tus")) - min(col("tus"))) / 2).cast(LongType).as("mid"))
+    val staged = ev.crossJoin(broadcast(mx))
+    def half(cond: org.apache.spark.sql.Column) = staged.filter(cond)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), isumCents(col("value")).as("sc"))
+    val stored = half(col("tus") <= col("mid"))
+    val delta = half(col("tus") > col("mid"))
+    stored.select(col("event_type"), col("n").as("n1"), col("sc").as("sc1"))
+      .join(delta.select(col("event_type"), col("n").as("n2"), col("sc").as("sc2")),
+        Seq("event_type"), "full_outer")
+      .select(col("event_type"),
+        (coalesce(col("n1"), lit(0L)) + coalesce(col("n2"), lit(0L)))
+          .cast(LongType).as("n_events"),
+        ((coalesce(col("sc1"), lit(0).cast(org.apache.spark.sql.types
+          .DecimalType(20, 0))) + coalesce(col("sc2"), lit(0).cast(
+          org.apache.spark.sql.types.DecimalType(20, 0))))
+          .cast(DoubleType) / 100.0).as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  /** The partial half of dsum: the exact integer-cents decimal sum,
+    * mergeable across table versions. */
+  private def isumCents(c: org.apache.spark.sql.Column) =
+    sum(cents(c).cast(org.apache.spark.sql.types.DecimalType(20, 0)))
+
+  private val qAggIncrementalOracle =
+    s"""SELECT event_type, COUNT(*) AS n_events,
+       |  ${dsumSql("value")} AS sum_value
+       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_incremental" -> (qAggIncremental _),
     "q_events_paths" -> (qEventsPaths _),
     "q_events_anomaly_robust" -> (qEventsAnomalyRobust _),
     "q_events_concurrency" -> (qEventsConcurrency _),
@@ -1207,6 +1255,7 @@ object Events {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_agg_incremental" -> qAggIncrementalOracle,
     "q_events_paths" -> qEventsPathsOracle,
     "q_events_anomaly_robust" -> qEventsAnomalyRobustOracle,
     "q_events_concurrency" -> qEventsConcurrencyOracle,
