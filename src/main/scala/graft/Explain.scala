@@ -52,7 +52,13 @@ object Explain {
     // the one-exchange exact-co-moment correlation, and the triples
     // matvec with the broadcast O(dims) iterate
     "q_events_ewma", "q_events_concurrency", "q_profile_corr",
-    "q_embed_pca_power")
+    "q_embed_pca_power",
+    // fifth wave: the bucketed range join (hash join on hour buckets,
+    // start-bucket pair attribution), the counting percentile (one
+    // count agg below domain-sized windows), the mode-propagation
+    // label rounds, and the self-checking incremental-aggregate merge
+    "q_join_interval_agg", "q_agg_percentile_counting",
+    "q_graph_labelprop", "q_agg_incremental")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
