@@ -1226,7 +1226,76 @@ object Events {
        |  ${dsumSql("value")} AS sum_value
        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** TIME-BOUNDED conversion funnel — signup → click → purchase with
+    * each step within ONE HOUR of the previous (the unbounded ordering
+    * form is q_events_funnel; real funnels expire). No step-to-step
+    * self-join: each event carries the latest qualifying prior-step
+    * time via `last(…, ignoreNulls)` over the one user-keyed window
+    * every per-user operator shares — a click qualifies if a signup
+    * landed in its trailing hour, a purchase converts if a QUALIFIED
+    * click did. Chained carry-forward is exactly how a funnel runs at
+    * 100 TB: one shuffle, integer µs comparisons, one global count. */
+  def qEventsFunnelWindowed(s: SparkSession, dir: String): DataFrame = {
+    val hourUs = 3600L * 1000000L
+    val tus = expr("ts div 1000")
+    val w = Window.partitionBy(col("user_id")).orderBy(tus, col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ev = Tables.events(s, dir)
+      .withColumn("tus", tus)
+      .withColumn("last_signup",
+        last(when(col("event_type") === "signup", col("tus")),
+          ignoreNulls = true).over(w))
+    val qualClick = col("event_type") === "click" &&
+      col("last_signup").isNotNull && col("tus") - col("last_signup") <= hourUs
+    val staged = ev
+      .withColumn("last_qual_click",
+        last(when(qualClick, col("tus")), ignoreNulls = true).over(w))
+    val converts = col("event_type") === "purchase" &&
+      col("last_qual_click").isNotNull &&
+      col("tus") - col("last_qual_click") <= hourUs
+    staged.agg(
+      count_distinct(col("user_id")).as("n_users"),
+      sum(when(col("event_type") === "signup", 1L).otherwise(0L))
+        .cast(LongType).as("n_signups"),
+      sum(when(qualClick, 1L).otherwise(0L)).cast(LongType)
+        .as("n_qualified_clicks"),
+      sum(when(converts, 1L).otherwise(0L)).cast(LongType)
+        .as("n_conversions"))
+  }
+
+  private val qEventsFunnelWindowedOracle =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) AS tus,
+      |    LAST_VALUE(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END
+      |      IGNORE NULLS) OVER w AS last_signup
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+      |q AS (
+      |  SELECT *,
+      |    event_type = 'click' AND last_signup IS NOT NULL
+      |      AND tus - last_signup <= 3600000000 AS qual_click
+      |  FROM e),
+      |c AS (
+      |  SELECT *,
+      |    LAST_VALUE(CASE WHEN qual_click THEN tus END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY tus, event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |      AS last_qual_click
+      |  FROM q)
+      |SELECT COUNT(DISTINCT user_id) AS n_users,
+      |  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_signups,
+      |  CAST(SUM(CASE WHEN qual_click THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_qualified_clicks,
+      |  CAST(SUM(CASE WHEN event_type = 'purchase'
+      |    AND last_qual_click IS NOT NULL
+      |    AND tus - last_qual_click <= 3600000000 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_conversions
+      |FROM c""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_events_funnel_windowed" -> (qEventsFunnelWindowed _),
     "q_agg_incremental" -> (qAggIncremental _),
     "q_events_paths" -> (qEventsPaths _),
     "q_events_anomaly_robust" -> (qEventsAnomalyRobust _),
@@ -1255,6 +1324,7 @@ object Events {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_events_funnel_windowed" -> qEventsFunnelWindowedOracle,
     "q_agg_incremental" -> qAggIncrementalOracle,
     "q_events_paths" -> qEventsPathsOracle,
     "q_events_anomaly_robust" -> qEventsAnomalyRobustOracle,

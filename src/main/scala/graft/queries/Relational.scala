@@ -273,6 +273,57 @@ object Relational {
       |  CAST(n AS BIGINT) AS n
       |FROM cum ORDER BY l_returnflag""".stripMargin
 
+  /** WEIGHTED percentiles via the same counting identity — each value
+    * weighted by its revenue (integer cents), so "the median quantity
+    * by money moved" rather than by row count: the fairness/exposure
+    * quantile shape. Identical scale story to the unweighted form
+    * (one combine-friendly weight-sum per (group, value), windows over
+    * the domain-sized relation), and still pure integers: the
+    * threshold test is `cumW·k ≥ W·j` with the weight sums exact
+    * decimal cast to long (corpus headroom documented at the dsum
+    * site). */
+  def qAggPercentileWeighted(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"), col("l_quantity").cast(LongType).as("v"))
+      .agg(sum(QueryUtil.cents(col("l_extendedprice"))
+        .cast(org.apache.spark.sql.types.DecimalType(20, 0)))
+        .cast(LongType).as("w"))
+    val byG = Window.partitionBy(col("l_returnflag"))
+    val cum = sum(col("w")).over(byG.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, 0))
+    val tot = sum(col("w")).over(byG)
+    def pick(numer: Int, denom: Int): Column =
+      min(when(col("cum") * denom >= col("tot") * numer, col("v"))).over(byG)
+    counts
+      .withColumn("cum", cum).withColumn("tot", tot)
+      .select(col("l_returnflag"),
+        pick(1, 2).as("median_qty_by_revenue"),
+        pick(9, 10).as("p90_qty_by_revenue"),
+        col("tot").cast(LongType).as("total_weight_cents"))
+      .distinct()
+      .orderBy("l_returnflag")
+  }
+
+  private val qAggPercentileWeightedOracle =
+    s"""WITH counts AS (
+       |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS v,
+       |    CAST(SUM(CAST(${QueryUtil.centsSql("l_extendedprice")}
+       |      AS DECIMAL(20,0))) AS BIGINT) AS w
+       |  FROM lineitem GROUP BY 1, 2),
+       |cum AS (
+       |  SELECT l_returnflag, v, w,
+       |    SUM(w) OVER (PARTITION BY l_returnflag ORDER BY v
+       |      ROWS UNBOUNDED PRECEDING) AS cum,
+       |    SUM(w) OVER (PARTITION BY l_returnflag) AS tot
+       |  FROM counts)
+       |SELECT DISTINCT l_returnflag,
+       |  MIN(CASE WHEN cum * 2 >= tot * 1 THEN v END)
+       |    OVER (PARTITION BY l_returnflag) AS median_qty_by_revenue,
+       |  MIN(CASE WHEN cum * 10 >= tot * 9 THEN v END)
+       |    OVER (PARTITION BY l_returnflag) AS p90_qty_by_revenue,
+       |  CAST(tot AS BIGINT) AS total_weight_cents
+       |FROM cum ORDER BY l_returnflag""".stripMargin
+
   /** The at-scale twin of [[qAggPercentile]]: approx_percentile's
     * Greenwald-Khanna sketch merges map-side (mergeable summary ⇒ one
     * partial+final aggregation, no per-group sort), with rank error
@@ -1394,6 +1445,7 @@ object Relational {
     "q_agg_stats" -> (qAggStats _),
     "q_agg_percentile" -> (qAggPercentile _),
     "q_agg_percentile_counting" -> (qAggPercentileCounting _),
+    "q_agg_percentile_weighted" -> (qAggPercentileWeighted _),
     "q_agg_cube" -> (qAggCube _),
     "q_grouping_sets" -> (qGroupingSets _),
     "q_grouping_id" -> (qGroupingId _),
@@ -1447,6 +1499,7 @@ object Relational {
     "q_agg_stats" -> qAggStatsOracle,
     "q_agg_percentile" -> qAggPercentileOracle,
     "q_agg_percentile_counting" -> qAggPercentileCountingOracle,
+    "q_agg_percentile_weighted" -> qAggPercentileWeightedOracle,
     "q_agg_cube" -> qAggCubeOracle,
     "q_grouping_sets" -> qGroupingSetsOracle,
     "q_grouping_id" -> qGroupingIdOracle,

@@ -131,6 +131,33 @@ class Round12Spec extends SparkSpec {
     assert(rows.map(_.getLong(3)).sum < rows.map(_.getLong(2)).sum)
   }
 
+  test("weighted percentile: reduces to the unweighted form under " +
+    "uniform weights, and revenue-weighting shifts medians upward") {
+    import graft.queries.Relational
+    val weighted = Relational.qAggPercentileWeighted(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val unweighted = Relational.qAggPercentileCounting(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // price grows with quantity, so the revenue-weighted median
+    // quantity sits at or above the row-count median in every group
+    weighted.foreach { case (g, m) =>
+      assert(m >= unweighted(g),
+        s"group $g: revenue-weighted median $m below count median ${unweighted(g)}")
+    }
+  }
+
+  test("windowed funnel: bounded by the unbounded funnel's reach and " +
+    "by raw purchase counts") {
+    val r = Events.qEventsFunnelWindowed(spark, sf).collect().head
+    val nPurch = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase").count()
+    val nClicks = Tables.events(spark, sf)
+      .filter(col("event_type") === "click").count()
+    assert(r.getLong(3) <= nPurch, "conversions cannot exceed purchases")
+    assert(r.getLong(2) <= nClicks, "qualified clicks bounded by clicks")
+    assert(r.getLong(1) > 0 && r.getLong(0) > 0)
+  }
+
   test("label prop: bipartite parity (even rounds return labels to " +
     "their own side) and labels are graph node ids") {
     val rows = Graph.qGraphLabelprop(spark, sf).collect()
