@@ -143,7 +143,12 @@ object ScaleBench {
     // the deterministic PPS sampler (bucketed weight cumsum over 10x
     // docs). q_graph_labelprop stays out for the BFS/triangles
     // densification reason — its scale row is cross-sf.
-    "q_sample_weighted")
+    "q_sample_weighted",
+    // final wave: first-occurrence novelty (gram-keyed min + join over
+    // the per-copy-prefixed token space) and the hour-bounded funnel
+    // carries (user-keyed windows at 10x users). The weighted
+    // percentile shares q_agg_percentile_counting's exact plan shape.
+    "q_text_novelty", "q_events_funnel_windowed")
 
   def buildScaledData(spark: SparkSession, src: String, out: String, factor: Int): Unit = {
     val KEY = 100000000L // key shift per copy: far above any sf0.1 key

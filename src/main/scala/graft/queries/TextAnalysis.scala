@@ -952,6 +952,50 @@ object TextAnalysis {
        |FROM a4 GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+
+  /** N-gram NOVELTY scoring — what fraction of a document's word
+    * trigrams appear for the FIRST time in corpus order (by doc_id):
+    * the incremental-curation signal that separates genuinely new
+    * content from recombinations of what the corpus already holds
+    * (rarity scores frequency; novelty scores first occurrence).
+    *
+    * Scale: one gram-keyed aggregation finds each distinct gram's
+    * first document (min doc_id — combine-friendly), one broadcast-free
+    * equi-join back on the gram, one per-doc count reduce. Integer
+    * basis points (`(first·10000) div total`), no floats. */
+  def qTextNovelty(s: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(graft.functions.WordNgrams.grams(col("text"), 3)).as("g"))
+    val firstDoc = grams.groupBy(col("g"))
+      .agg(min(col("doc_id")).as("first_doc"))
+    grams.join(firstDoc, "g")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col("doc_id"), col("n_grams").cast(LongType).as("n_grams"),
+        col("n_novel").cast(LongType).as("n_novel"),
+        expr("(n_novel * 10000) div n_grams").cast(LongType)
+          .as("novelty_bp"))
+      .orderBy("doc_id")
+  }
+
+  private val qTextNoveltyOracle =
+    """WITH g AS (
+      |  SELECT doc_id, unnest(list_transform(
+      |    range(1, len(string_split_regex(trim(text), '\s+')) - 1),
+      |    i -> array_to_string(string_split_regex(trim(text), '\s+')[i:i+2], ' '))) AS g
+      |  FROM documents),
+      |fd AS (SELECT g, MIN(doc_id) AS first_doc FROM g GROUP BY g)
+      |SELECT doc_id, COUNT(*) AS n_grams,
+      |  CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_novel,
+      |  CAST((SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) * 10000)
+      |    // COUNT(*) AS BIGINT) AS novelty_bp
+      |FROM g JOIN fd USING (g)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // m is the operator's memory/accuracy knob, shared by the exact and
   // approx forms: exactness needs m > N/kth; the approx form's frequency
   // error is eps = 1/m of N.
@@ -1016,6 +1060,7 @@ object TextAnalysis {
     "q_text_rarity" -> (qTextRarity _),
     "q_text_collocations" -> ((s, d) => qTextCollocations(s, d)),
     "q_ngram_counts" -> ((s, d) => qNgramCounts(s, d)),
+    "q_text_novelty" -> (qTextNovelty _),
     // SPARK_GRAFT_HH_M exists for corpora whose top-k does NOT
     // concentrate as they grow — e.g. ScaleBench's key-shifted corpus,
     // which deliberately flattens the gram distribution (disjoint
@@ -1045,6 +1090,7 @@ object TextAnalysis {
     "q_text_rarity" -> qTextRarityOracle,
     "q_text_collocations" -> qTextCollocationsOracle,
     "q_ngram_counts" -> qNgramCountsOracle,
+    "q_text_novelty" -> qTextNoveltyOracle,
     "q_heavy_hitters" -> qHeavyHittersOracle,
     "q_text_postings" -> qTextPostingsOracle,
     "q_text_chunks" -> qTextChunksOracle,
