@@ -1294,7 +1294,57 @@ object Events {
       |    AS BIGINT) AS n_conversions
       |FROM c""".stripMargin
 
+  /** Inter-arrival gap profile per event type — the traffic-shape
+    * statistic capacity planning reads (how bursty is each stream):
+    * per-user consecutive gaps from one lag window, then per-type
+    * count / LOWER-median / max — the q_events_anomaly_robust median
+    * discipline (rank-⌈n/2⌉ under a total order), integer µs
+    * end-to-end. One user-keyed shuffle for the gaps; the median rank
+    * window runs over the gap relation partitioned by type. */
+  def qEventsInterarrival(s: SparkSession, dir: String): DataFrame = {
+    val tus = expr("ts div 1000")
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(tus, col("event_id"))
+    val gaps = Tables.events(s, dir)
+      .withColumn("gap", tus - lag(tus, 1).over(w))
+      .filter(col("gap").isNotNull)
+      .select(col("event_type"), col("event_id"), col("gap"))
+    val byType = Window.partitionBy(col("event_type"))
+    gaps
+      .withColumn("rn", row_number().over(
+        byType.orderBy(col("gap"), col("event_id"))))
+      .withColumn("n", count(lit(1)).over(byType))
+      .withColumn("med", max(when(col("rn") === ((col("n") + 1) / 2)
+        .cast("int"), col("gap"))).over(byType))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).cast(LongType).as("n_gaps"),
+        max(col("med")).cast(LongType).as("median_gap_us"),
+        max(col("gap")).cast(LongType).as("max_gap_us"))
+      .orderBy("event_type")
+  }
+
+  private val qEventsInterarrivalOracle =
+    """WITH g AS (
+      |  SELECT event_type, event_id,
+      |    epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+      |      PARTITION BY user_id, event_type
+      |      ORDER BY epoch_us(ts), event_id) AS gap
+      |  FROM events),
+      |gg AS (SELECT * FROM g WHERE gap IS NOT NULL),
+      |r AS (
+      |  SELECT event_type, gap,
+      |    row_number() OVER (PARTITION BY event_type
+      |      ORDER BY gap, event_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n
+      |  FROM gg)
+      |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+      |  CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN gap END) AS BIGINT)
+      |    AS median_gap_us,
+      |  CAST(MAX(gap) AS BIGINT) AS max_gap_us
+      |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_events_interarrival" -> (qEventsInterarrival _),
     "q_events_funnel_windowed" -> (qEventsFunnelWindowed _),
     "q_agg_incremental" -> (qAggIncremental _),
     "q_events_paths" -> (qEventsPaths _),
@@ -1324,6 +1374,7 @@ object Events {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_events_interarrival" -> qEventsInterarrivalOracle,
     "q_events_funnel_windowed" -> qEventsFunnelWindowedOracle,
     "q_agg_incremental" -> qAggIncrementalOracle,
     "q_events_paths" -> qEventsPathsOracle,

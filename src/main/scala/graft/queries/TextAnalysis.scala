@@ -996,6 +996,40 @@ object TextAnalysis {
       |FROM g JOIN fd USING (g)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+
+  /** Language-ID CONFUSION MATRIX — the model-evaluation readout for
+    * the trigram classifier: true label × predicted label counts plus
+    * per-cell integer basis points of the true-label row. The
+    * eval-harness primitive (precision/recall fall straight out), and
+    * at 100 TB it is ONE count aggregation over the classifier's
+    * output — the scoring pass is [[qLangidTrigram]]'s plan verbatim,
+    * the matrix is a (|langs|²)-bounded reduce on top. */
+  def qTextConfusion(s: SparkSession, dir: String): DataFrame = {
+    val pred = qLangidTrigram(s, dir)
+    val byLang = Window.partitionBy(col("lang"))
+    pred.groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("row_total", sum(col("n")).over(byLang))
+      .select(col("lang"), col("pred_lang"), col("n").cast(LongType).as("n"),
+        expr("(n * 10000) div row_total").cast(LongType).as("share_bp"))
+      .orderBy("lang", "pred_lang")
+  }
+
+  private val qTextConfusionOracle = {
+    // the trigram classifier oracle verbatim, demoted to a CTE (the
+    // comma splice closes the prior `pred` CTE before pred_out opens)
+    val inner = qLangidTrigramOracle
+      .replace("rn = 1)\nSELECT d2.doc_id, d2.lang,",
+        "rn = 1),\npred_out AS (SELECT d2.doc_id, d2.lang,")
+      .replace("ORDER BY d2.doc_id", ")")
+    s"""${inner}
+       |SELECT lang, pred_lang, COUNT(*) AS n,
+       |  CAST((COUNT(*) * 10000) //
+       |    (SUM(COUNT(*)) OVER (PARTITION BY lang)) AS BIGINT) AS share_bp
+       |FROM pred_out GROUP BY lang, pred_lang
+       |ORDER BY lang, pred_lang""".stripMargin
+  }
+
   // m is the operator's memory/accuracy knob, shared by the exact and
   // approx forms: exactness needs m > N/kth; the approx form's frequency
   // error is eps = 1/m of N.
@@ -1061,6 +1095,7 @@ object TextAnalysis {
     "q_text_collocations" -> ((s, d) => qTextCollocations(s, d)),
     "q_ngram_counts" -> ((s, d) => qNgramCounts(s, d)),
     "q_text_novelty" -> (qTextNovelty _),
+    "q_text_confusion" -> (qTextConfusion _),
     // SPARK_GRAFT_HH_M exists for corpora whose top-k does NOT
     // concentrate as they grow — e.g. ScaleBench's key-shifted corpus,
     // which deliberately flattens the gram distribution (disjoint
@@ -1091,6 +1126,7 @@ object TextAnalysis {
     "q_text_collocations" -> qTextCollocationsOracle,
     "q_ngram_counts" -> qNgramCountsOracle,
     "q_text_novelty" -> qTextNoveltyOracle,
+    "q_text_confusion" -> qTextConfusionOracle,
     "q_heavy_hitters" -> qHeavyHittersOracle,
     "q_text_postings" -> qTextPostingsOracle,
     "q_text_chunks" -> qTextChunksOracle,

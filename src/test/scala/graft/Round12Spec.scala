@@ -131,6 +131,42 @@ class Round12Spec extends SparkSpec {
     assert(rows.map(_.getLong(3)).sum < rows.map(_.getLong(2)).sum)
   }
 
+  test("confusion matrix: rows sum to per-language doc counts and " +
+    "basis points to ~10000") {
+    import graft.queries.TextAnalysis
+    val m = TextAnalysis.qTextConfusion(spark, sf).collect()
+    val docCounts = Tables.documents(spark, sf)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    m.groupBy(_.getString(0)).foreach { case (lang, cells) =>
+      assert(cells.map(_.getLong(2)).sum == docCounts(lang))
+      val bp = cells.map(_.getLong(3)).sum
+      assert(bp > 10000 - cells.length && bp <= 10000,
+        s"$lang basis points $bp (floor-division dust bound)")
+    }
+  }
+
+  test("interarrival: per-type median equals the driver-side lower " +
+    "median of the lag gaps") {
+    val out = Events.qEventsInterarrival(spark, sf).collect()
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), expr("ts div 1000"),
+        col("event_id")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    out.foreach { r =>
+      val tpe = r.getString(0)
+      val tg = ev.groupBy(t => (t._1, t._2)).filter(_._1._2 == tpe).values
+        .flatMap { rs =>
+          val s2 = rs.sortBy(t => (t._3, t._4)).map(_._3)
+          s2.zip(s2.drop(1)).map { case (a, b) => b - a }
+        }.toSeq.sorted
+      assert(r.getLong(1) == tg.length.toLong)
+      assert(r.getLong(2) == tg((tg.length + 1) / 2 - 1),
+        s"$tpe median mismatch")
+      assert(r.getLong(3) == tg.max)
+    }
+  }
+
   test("weighted percentile: reduces to the unweighted form under " +
     "uniform weights, and revenue-weighting shifts medians upward") {
     import graft.queries.Relational
