@@ -58,7 +58,14 @@ object Explain {
     // count agg below domain-sized windows), the mode-propagation
     // label rounds, and the self-checking incremental-aggregate merge
     "q_join_interval_agg", "q_agg_percentile_counting",
-    "q_graph_labelprop", "q_agg_incremental")
+    "q_graph_labelprop", "q_agg_incremental",
+    // sixth wave: quintile scoring through the bucket-partitioned
+    // two-level NTILE (no single-partition data window), the bounded
+    // per-order pair self-join with TakeOrdered top-k, the month-domain
+    // sweep-line census, and the ×24 support-explosion rewrite of a
+    // rolling count-distinct window
+    "q_agg_rfm", "q_market_basket", "q_orders_backlog",
+    "q_events_engagement")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -1343,7 +1343,53 @@ object Events {
       |  CAST(MAX(gap) AS BIGINT) AS max_gap_us
       |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Hourly engagement curve: HAU (distinct users active in the hour)
+    * and ROLLING-24H active users, with stickiness = HAU/rolling in
+    * integer basis points — the DAU/MAU health metric at this corpus's
+    * hourly cadence. Rolling DISTINCT over a trailing window has no
+    * combine-friendly window form (count-distinct windows aren't
+    * supported, and a 24-wide range self-join squares); the scale
+    * rewrite is SUPPORT EXPLOSION: each distinct (user, hour) activity
+    * fact supports the 24 hours [h, h+23], so explode it ×24, dedup,
+    * and count — a bounded constant-factor blowup feeding two-level
+    * distinct aggregation, shuffling on the hour key only. The inner
+    * join back to HAU restricts output to hours with real activity. */
+  def qEventsEngagement(s: SparkSession, dir: String): DataFrame = {
+    val ua = Tables.events(s, dir)
+      .select(col("user_id"), expr("ts div 3600000000000").as("hr")).distinct()
+    val hau = ua.groupBy(col("hr")).agg(count(lit(1)).as("hau"))
+    val rolling = ua
+      .select(col("user_id"),
+        explode(sequence(col("hr"), col("hr") + 23)).as("hr"))
+      .distinct()
+      .groupBy(col("hr")).agg(count(lit(1)).as("rolling_24h"))
+    hau.join(rolling, Seq("hr"))
+      .select(col("hr").cast(LongType).as("hr"),
+        col("hau").cast(LongType).as("hau"),
+        col("rolling_24h").cast(LongType).as("rolling_24h"),
+        expr("hau * 10000 div rolling_24h").cast(LongType)
+          .as("stickiness_bp"))
+      .orderBy("hr")
+  }
+
+  private val qEventsEngagementOracle =
+    """WITH ua AS (
+      |  SELECT DISTINCT user_id, epoch_ns(ts) // 3600000000000 AS hr
+      |  FROM events),
+      |h AS (SELECT hr, COUNT(*) AS hau FROM ua GROUP BY hr),
+      |sup AS (
+      |  SELECT DISTINCT user_id, hr FROM (
+      |    SELECT user_id,
+      |      unnest(generate_series(hr, hr + 23)) AS hr
+      |    FROM ua)),
+      |r AS (SELECT hr, COUNT(*) AS rolling_24h FROM sup GROUP BY hr)
+      |SELECT CAST(h.hr AS BIGINT) AS hr, CAST(hau AS BIGINT) AS hau,
+      |  CAST(rolling_24h AS BIGINT) AS rolling_24h,
+      |  CAST(hau * 10000 // rolling_24h AS BIGINT) AS stickiness_bp
+      |FROM h JOIN r ON h.hr = r.hr ORDER BY hr""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_events_engagement" -> (qEventsEngagement _),
     "q_events_interarrival" -> (qEventsInterarrival _),
     "q_events_funnel_windowed" -> (qEventsFunnelWindowed _),
     "q_agg_incremental" -> (qAggIncremental _),
@@ -1374,6 +1420,7 @@ object Events {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_events_engagement" -> qEventsEngagementOracle,
     "q_events_interarrival" -> qEventsInterarrivalOracle,
     "q_events_funnel_windowed" -> qEventsFunnelWindowedOracle,
     "q_agg_incremental" -> qAggIncrementalOracle,

@@ -1429,9 +1429,246 @@ object Relational {
       |HAVING COUNT(*) >= 3 AND round(SUM(o_totalprice), 2) > 500000.0
       |ORDER BY o_custkey""".stripMargin
 
+  // ── RFM segmentation (scalable NTILE) ─────────────────────────────
+
+  /** NTILE(`k`) by `(value, tie)` WITHOUT the single-partition global
+    * window: the [[graft.queries.Curation.qCurationGlobalIndex]]
+    * two-level discipline (monotone fixed-width buckets off a broadcast
+    * min/max, per-bucket counts prefix-summed into offsets over a
+    * ≤64-row side relation, local rank partitioned by bucket), then
+    * SQL NTILE's row distribution computed arithmetically from the
+    * global rank: with q = n div k and r = n mod k the first r tiles
+    * hold q+1 rows — `rn ≤ r(q+1) ⇒ ⌈rn/(q+1)⌉`, else
+    * `r + ⌈(rn − r(q+1))/q⌉`, all integer (`⌈a/b⌉ = (a+b−1) div b`).
+    * Matches NTILE exactly under the same total order, and every
+    * data-sized window is bucket-partitioned.
+    *
+    * The input is localCheckpoint'd: it feeds three subtrees (bounds
+    * aggregate, offset counts, the ranked output), and chained calls
+    * would otherwise compound that fan-out into exponential
+    * re-evaluation of the upstream plan — one dim-sized
+    * materialization per pass buys a linear total, the same lineage
+    * discipline as the CC/BPE iteration cuts. */
+  private def scalableNtile(df: DataFrame, value: Column, tie: Column,
+      k: Int, out: String): DataFrame = {
+    val in = df.withColumn("__v", value.cast(LongType)).localCheckpoint()
+    val bounds = in.agg(min(col("__v")).as("__mn"), max(col("__v")).as("__mx"),
+      count(lit(1)).as("__n"))
+    val bucketed = in.crossJoin(broadcast(bounds))
+      .withColumn("__bucket", expr("(__v - __mn) div ((__mx - __mn) div 64 + 1)"))
+    val offsets = bucketed.groupBy(col("__bucket"))
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__offset", coalesce(
+        sum(col("__cnt")).over(Window.orderBy(col("__bucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__bucket"), col("__offset"))
+    bucketed
+      .withColumn("__local", row_number().over(
+        Window.partitionBy(col("__bucket")).orderBy(col("__v"), tie)))
+      .join(broadcast(offsets), "__bucket")
+      .withColumn("__rn", col("__offset") + col("__local"))
+      .withColumn(out, expr(
+        s"""CASE WHEN __rn <= (__n % $k) * (__n div $k + 1)
+           |  THEN (__rn + __n div $k) div (__n div $k + 1)
+           |  ELSE (__n % $k) +
+           |    (__rn - (__n % $k) * (__n div $k + 1) + __n div $k - 1)
+           |      div (__n div $k)
+           |END""".stripMargin).cast(LongType))
+      .drop("__v", "__mn", "__mx", "__n", "__bucket", "__cnt", "__offset",
+        "__local", "__rn")
+  }
+
+  /** RFM customer segmentation — the marketing-analytics staple: per
+    * customer RECENCY (days since last order, vs the corpus max date),
+    * FREQUENCY (order count) and MONETARY (lifetime spend, integer
+    * cents), each quintile-scored (1 = most recent / most frequent /
+    * highest spend), then one segment rollup. The orders fact reduces
+    * to a customers-sized relation in ONE combine-friendly aggregation;
+    * each quintile score is a [[scalableNtile]] pass (no
+    * single-partition window anywhere), and the output is the ≤125-row
+    * (r,f,m) cube. Ties break by `o_custkey` so the oracle's NTILE
+    * sees the identical total order. */
+  def qAggRfm(s: SparkSession, dir: String): DataFrame = {
+    val percust = Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(max(to_date(col("o_orderdate"))).as("last_date"),
+        count(lit(1)).as("frequency"),
+        sum(QueryUtil.cents(col("o_totalprice")).cast(DecimalType(20, 0)))
+          .cast(LongType).as("monetary_cents"))
+    val ref = percust.agg(max(col("last_date")).as("ref_date"))
+    val dims = percust.crossJoin(broadcast(ref))
+      .withColumn("recency_days",
+        datediff(col("ref_date"), col("last_date")).cast(LongType))
+      .drop("ref_date", "last_date")
+    val scored = Seq[(Column, String)](
+      (col("recency_days"), "r_score"),
+      (-col("frequency"), "f_score"),
+      (-col("monetary_cents"), "m_score"))
+      .foldLeft(dims) { case (d, (v, name)) =>
+        scalableNtile(d, v, col("o_custkey"), 5, name)
+      }
+    scored.groupBy(col("r_score"), col("f_score"), col("m_score"))
+      .agg(count(lit(1)).cast(LongType).as("n_customers"),
+        sum(col("frequency")).cast(LongType).as("total_orders"),
+        sum(col("monetary_cents")).cast(LongType).as("monetary_cents"))
+      .orderBy("r_score", "f_score", "m_score")
+  }
+
+  private val qAggRfmOracle =
+    s"""WITH percust AS (
+       |  SELECT o_custkey,
+       |    MAX(CAST(o_orderdate AS DATE)) AS last_date,
+       |    COUNT(*) AS frequency,
+       |    CAST(SUM(${QueryUtil.centsSql("o_totalprice")}) AS BIGINT)
+       |      AS monetary_cents
+       |  FROM orders GROUP BY 1),
+       |ref AS (SELECT MAX(last_date) AS ref_date FROM percust),
+       |scored AS (
+       |  SELECT frequency, monetary_cents,
+       |    NTILE(5) OVER (ORDER BY datediff('day', last_date, ref_date),
+       |      o_custkey) AS r_score,
+       |    NTILE(5) OVER (ORDER BY -frequency, o_custkey) AS f_score,
+       |    NTILE(5) OVER (ORDER BY -monetary_cents, o_custkey) AS m_score
+       |  FROM percust CROSS JOIN ref)
+       |SELECT CAST(r_score AS BIGINT) AS r_score,
+       |  CAST(f_score AS BIGINT) AS f_score,
+       |  CAST(m_score AS BIGINT) AS m_score,
+       |  CAST(COUNT(*) AS BIGINT) AS n_customers,
+       |  CAST(SUM(frequency) AS BIGINT) AS total_orders,
+       |  CAST(SUM(monetary_cents) AS BIGINT) AS monetary_cents
+       |FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  // ── market-basket pair analysis ───────────────────────────────────
+
+  /** Market-basket association pairs: parts co-ordered in the same
+    * order, scored by SUPPORT (co-order count, ppm of all orders) and
+    * LIFT (observed/expected co-occurrence, integer basis points), top
+    * 20. The pair explosion is the textbook a.pk < b.pk self-join on
+    * the order key — bounded by (items-per-order choose 2), a CONSTANT
+    * per order, so the join output is linear in the fact table at any
+    * corpus size. Top-20 runs through TakeOrderedAndProject (orderBy +
+    * limit — no global window); the rank stamp after the limit is a
+    * 20-row window. Integer headroom: n_ab·n_orders·10⁴ < 2⁶³ holds
+    * while n_ab·n_orders < 9·10¹⁴ — at larger corpora promote the lift
+    * numerator to decimal(38,0). */
+  def qMarketBasket(s: SparkSession, dir: String): DataFrame = {
+    val op = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val pc = op.groupBy(col("pk")).agg(count(lit(1)).as("n_p"))
+    val no = op.agg(countDistinct(col("ok")).as("n_orders"))
+    val pairs = op.as("a")
+      .join(op.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("part_a"), col("b.pk").as("part_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= 2)
+    pairs
+      .join(pc.toDF("part_a", "n_a"), "part_a")
+      .join(pc.toDF("part_b", "n_b"), "part_b")
+      .crossJoin(broadcast(no))
+      .withColumn("support_ppm", expr("n_ab * 1000000 div n_orders"))
+      .withColumn("lift_bp", expr("n_ab * n_orders * 10000 div (n_a * n_b)"))
+      .orderBy(col("n_ab").desc, col("lift_bp").desc,
+        col("part_a"), col("part_b"))
+      .limit(20)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("n_ab").desc, col("lift_bp").desc,
+          col("part_a"), col("part_b"))).cast(LongType))
+      .select(col("rk"), col("part_a"), col("part_b"),
+        col("n_ab").cast(LongType).as("n_ab"),
+        col("support_ppm").cast(LongType).as("support_ppm"),
+        col("lift_bp").cast(LongType).as("lift_bp"))
+      .orderBy("rk")
+  }
+
+  private val qMarketBasketOracle =
+    """WITH op AS (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |pc AS (SELECT pk, COUNT(*) AS n_p FROM op GROUP BY pk),
+      |no AS (SELECT COUNT(DISTINCT ok) AS n_orders FROM op),
+      |pairs AS (
+      |  SELECT a.pk AS part_a, b.pk AS part_b, COUNT(*) AS n_ab
+      |  FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      |sc AS (
+      |  SELECT part_a, part_b, n_ab,
+      |    n_ab * 1000000 // n_orders AS support_ppm,
+      |    n_ab * n_orders * 10000 // (pa.n_p * pb.n_p) AS lift_bp
+      |  FROM pairs CROSS JOIN no
+      |    JOIN pc pa ON part_a = pa.pk
+      |    JOIN pc pb ON part_b = pb.pk),
+      |r AS (
+      |  SELECT *, row_number() OVER (ORDER BY n_ab DESC, lift_bp DESC,
+      |    part_a, part_b) AS rk FROM sc)
+      |SELECT CAST(rk AS BIGINT) AS rk, part_a, part_b,
+      |  CAST(n_ab AS BIGINT) AS n_ab,
+      |  CAST(support_ppm AS BIGINT) AS support_ppm,
+      |  CAST(lift_bp AS BIGINT) AS lift_bp
+      |FROM r WHERE rk <= 20 ORDER BY rk""".stripMargin
+
+  // ── open-order backlog sweep-line ─────────────────────────────────
+
+  /** Monthly open-order backlog: an order OPENS at `o_orderdate` and
+    * CLOSES when its last lineitem ships (max `l_shipdate`) — the
+    * sweep-line +1/−1 census, reported per calendar month (integer
+    * month index year·12+month) with the running backlog. Two
+    * combine-friendly aggregations (per-order close date, then
+    * per-month open/close counts via one full-outer month join) reduce
+    * the facts to a MONTH-DOMAIN relation; only that ~domain-sized
+    * relation flows through the cumulative window, so the single
+    * partition it sorts holds ≤ a few hundred rows at any corpus
+    * size. */
+  def qOrdersBacklog(s: SparkSession, dir: String): DataFrame = {
+    def monthIdx(c: Column): Column = (year(c) * 12 + month(c)).cast(LongType)
+    val spans = Tables.orders(s, dir)
+      .join(Tables.lineitem(s, dir).groupBy(col("l_orderkey"))
+          .agg(max(col("l_shipdate")).as("done_ts")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(monthIdx(col("o_orderdate")).as("m_open"),
+        monthIdx(col("done_ts")).as("m_close"))
+    val opened = spans.groupBy(col("m_open").as("m"))
+      .agg(count(lit(1)).as("opened"))
+    val closed = spans.groupBy(col("m_close").as("m"))
+      .agg(count(lit(1)).as("closed"))
+    opened.join(closed, Seq("m"), "full_outer")
+      .select(col("m"), coalesce(col("opened"), lit(0L)).as("opened"),
+        coalesce(col("closed"), lit(0L)).as("closed"))
+      .withColumn("backlog", sum(col("opened") - col("closed")).over(
+        Window.orderBy(col("m")).rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("m").as("month_idx"),
+        col("opened").cast(LongType).as("n_opened"),
+        col("closed").cast(LongType).as("n_closed"),
+        col("backlog").cast(LongType).as("backlog"))
+      .orderBy("month_idx")
+  }
+
+  private val qOrdersBacklogOracle =
+    """WITH done AS (
+      |  SELECT l_orderkey, MAX(l_shipdate) AS done_ts
+      |  FROM lineitem GROUP BY 1),
+      |sp AS (
+      |  SELECT year(o_orderdate) * 12 + month(o_orderdate) AS m_open,
+      |    year(done_ts) * 12 + month(done_ts) AS m_close
+      |  FROM orders JOIN done ON o_orderkey = l_orderkey),
+      |op AS (SELECT m_open AS m, COUNT(*) AS opened FROM sp GROUP BY 1),
+      |cl AS (SELECT m_close AS m, COUNT(*) AS closed FROM sp GROUP BY 1),
+      |mm AS (
+      |  SELECT COALESCE(op.m, cl.m) AS m, COALESCE(opened, 0) AS opened,
+      |    COALESCE(closed, 0) AS closed
+      |  FROM op FULL OUTER JOIN cl ON op.m = cl.m)
+      |SELECT CAST(m AS BIGINT) AS month_idx,
+      |  CAST(opened AS BIGINT) AS n_opened,
+      |  CAST(closed AS BIGINT) AS n_closed,
+      |  CAST(SUM(opened - closed) OVER (ORDER BY m
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS backlog
+      |FROM mm ORDER BY month_idx""".stripMargin
+
   // ── registry ──────────────────────────────────────────────────────
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_rfm" -> (qAggRfm _),
+    "q_market_basket" -> (qMarketBasket _),
+    "q_orders_backlog" -> (qOrdersBacklog _),
     "q_agg_having" -> (qAggHaving _),
     "q_agg_bool" -> (qAggBool _),
     "q_null_semantics" -> (qNullSemantics _),
@@ -1486,6 +1723,9 @@ object Relational {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_agg_rfm" -> qAggRfmOracle,
+    "q_market_basket" -> qMarketBasketOracle,
+    "q_orders_backlog" -> qOrdersBacklogOracle,
     "q_agg_having" -> qAggHavingOracle,
     "q_agg_bool" -> qAggBoolOracle,
     "q_null_semantics" -> qNullSemanticsOracle,

@@ -167,6 +167,84 @@ class Round12Spec extends SparkSpec {
     }
   }
 
+  test("rfm: bucketed two-level NTILE matches Spark's own ntile() under " +
+    "the identical total order, and segments partition the customers") {
+    import graft.queries.Relational
+    import org.apache.spark.sql.expressions.Window
+    val out = Relational.qAggRfm(spark, sf).collect()
+    // re-derive with the single-partition ntile() Spark ships — the
+    // arithmetic the scalable form must reproduce exactly
+    val percust = Tables.orders(spark, sf)
+      .groupBy(col("o_custkey"))
+      .agg(max(to_date(col("o_orderdate"))).as("last_date"),
+        count(lit(1)).as("frequency"),
+        sum(floor(col("o_totalprice") * 100 + lit(0.5)).cast("long")
+          .cast("decimal(20,0)")).cast("long").as("monetary_cents"))
+    val ref = percust.agg(max(col("last_date")).as("ref_date"))
+    val want = percust.crossJoin(broadcast(ref))
+      .withColumn("recency_days", datediff(col("ref_date"), col("last_date")))
+      .withColumn("r_score", ntile(5).over(
+        Window.orderBy(col("recency_days"), col("o_custkey"))))
+      .withColumn("f_score", ntile(5).over(
+        Window.orderBy(col("frequency").desc, col("o_custkey"))))
+      .withColumn("m_score", ntile(5).over(
+        Window.orderBy(col("monetary_cents").desc, col("o_custkey"))))
+      .groupBy("r_score", "f_score", "m_score")
+      .agg(count(lit(1)).as("n_customers"))
+      .collect()
+      .map(r => (r.getInt(0).toLong, r.getInt(1).toLong, r.getInt(2).toLong)
+        -> r.getLong(3)).toMap
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))
+      -> r.getLong(3)).toMap == want)
+    val nCust = Tables.orders(spark, sf)
+      .select(countDistinct(col("o_custkey"))).head.getLong(0)
+    assert(out.map(_.getLong(3)).sum == nCust)
+  }
+
+  test("backlog: opens equal closes overall, the running census never " +
+    "dips negative, and the final month drains to zero") {
+    import graft.queries.Relational
+    val rows = Relational.qOrdersBacklog(spark, sf).collect()
+    assert(rows.map(_.getLong(1)).sum == rows.map(_.getLong(2)).sum)
+    assert(rows.forall(_.getLong(3) >= 0L))
+    assert(rows.last.getLong(3) == 0L)
+    assert(rows.map(_.getLong(0)).toSeq == rows.map(_.getLong(0)).sorted.toSeq)
+  }
+
+  test("market basket: top pair's support and lift recompute exactly " +
+    "from the raw co-order counts") {
+    import graft.queries.Relational
+    val out = Relational.qMarketBasket(spark, sf).collect()
+    assert(out.length == 20 && out.map(_.getLong(0)).toSeq == (1L to 20L))
+    val op = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byOrder = op.groupBy(_._1).map { case (_, xs) => xs.map(_._2).toSet }
+    val partCount = op.groupBy(_._2).map { case (p, xs) => p -> xs.length.toLong }
+    val nOrders = byOrder.size.toLong
+    val top = out.head
+    val (pa, pb) = (top.getLong(1), top.getLong(2))
+    val nAb = byOrder.count(s => s(pa) && s(pb)).toLong
+    assert(top.getLong(3) == nAb)
+    assert(top.getLong(4) == nAb * 1000000L / nOrders)
+    assert(top.getLong(5) ==
+      nAb * nOrders * 10000L / (partCount(pa) * partCount(pb)))
+  }
+
+  test("engagement: rolling-24h at each hour is the driver-side distinct " +
+    "of the trailing window, and stickiness never exceeds 10000") {
+    val out = Events.qEventsEngagement(spark, sf).collect()
+    val ua = Tables.events(spark, sf)
+      .select(col("user_id"), expr("ts div 3600000000000").as("hr"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    out.foreach { r =>
+      val h = r.getLong(0)
+      val want = ua.filter(t => t._2 <= h && t._2 > h - 24).map(_._1).distinct.length
+      assert(r.getLong(2) == want.toLong, s"hour $h rolling mismatch")
+      assert(r.getLong(3) <= 10000L && r.getLong(3) > 0L)
+    }
+  }
+
   test("weighted percentile: reduces to the unweighted form under " +
     "uniform weights, and revenue-weighting shifts medians upward") {
     import graft.queries.Relational
