@@ -148,7 +148,15 @@ object ScaleBench {
     // the per-copy-prefixed token space) and the hour-bounded funnel
     // carries (user-keyed windows at 10x users). The weighted
     // percentile shares q_agg_percentile_counting's exact plan shape.
-    "q_text_novelty", "q_events_funnel_windowed")
+    "q_text_novelty", "q_events_funnel_windowed",
+    // sixth wave: the three-pass bucketed NTILE over the per-customer
+    // reduce of 10x orders, the bounded pair self-join on 10x baskets,
+    // the month-domain sweep-line over 10x facts, and the x24
+    // support-explosion engagement curve / lag-window gap profile at
+    // 10x users. q_text_confusion stays out: its plan is
+    // q_langid_trigram (already rowed) plus a |langs|²-bounded reduce.
+    "q_agg_rfm", "q_market_basket", "q_orders_backlog",
+    "q_events_engagement", "q_events_interarrival")
 
   def buildScaledData(spark: SparkSession, src: String, out: String, factor: Int): Unit = {
     val KEY = 100000000L // key shift per copy: far above any sf0.1 key
