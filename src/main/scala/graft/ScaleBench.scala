@@ -156,7 +156,12 @@ object ScaleBench {
     // 10x users. q_text_confusion stays out: its plan is
     // q_langid_trigram (already rowed) plus a |langs|²-bounded reduce.
     "q_agg_rfm", "q_market_basket", "q_orders_backlog",
-    "q_events_engagement", "q_events_interarrival")
+    "q_events_engagement", "q_events_interarrival",
+    // the cohort triangle: user-keyed first-active join + distinct at
+    // 10x users. q_events_seasonality stays out — one map-side
+    // aggregation to a FIXED 168-cell matrix (the kanon/corr
+    // rationale).
+    "q_events_cohorts")
 
   def buildScaledData(spark: SparkSession, src: String, out: String, factor: Int): Unit = {
     val KEY = 100000000L // key shift per copy: far above any sf0.1 key

@@ -1388,7 +1388,103 @@ object Events {
       |  CAST(hau * 10000 // rolling_24h AS BIGINT) AS stickiness_bp
       |FROM h JOIN r ON h.hr = r.hr ORDER BY hr""".stripMargin
 
+  /** Cohort retention matrix — the classic signup-cohort × day-offset
+    * triangle: users grouped by FIRST-ACTIVE day, each later active day
+    * recorded at its offset, cells scored n_active / cohort_size in
+    * integer basis points. Three combine-friendly aggregations and one
+    * user-keyed join (distinct activity → per-user min → activity
+    * joined back on user_id, co-partitioned); cohort sizes are a
+    * day-domain relation, broadcast back onto the matrix. Nothing in
+    * the plan grows faster than the (days × offsets) triangle. */
+  def qEventsCohorts(s: SparkSession, dir: String): DataFrame = {
+    val ua = Tables.events(s, dir)
+      .select(col("user_id"), expr("ts div 3600000000000").as("hr")).distinct()
+    val first = ua.groupBy(col("user_id"))
+      .agg(expr("min(hr) div 24").as("cohort_day"))
+    val act = ua.join(first, "user_id")
+      .select(col("user_id"), col("cohort_day"),
+        (expr("hr div 24") - col("cohort_day")).as("offset_day"))
+      .distinct()
+    val sizes = first.groupBy(col("cohort_day"))
+      .agg(count(lit(1)).as("cohort_size"))
+    act.groupBy(col("cohort_day"), col("offset_day"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(broadcast(sizes), "cohort_day")
+      .select(col("cohort_day").cast(LongType).as("cohort_day"),
+        col("offset_day").cast(LongType).as("offset_day"),
+        col("n_active").cast(LongType).as("n_active"),
+        col("cohort_size").cast(LongType).as("cohort_size"),
+        expr("n_active * 10000 div cohort_size").cast(LongType)
+          .as("retention_bp"))
+      .orderBy("cohort_day", "offset_day")
+  }
+
+  private val qEventsCohortsOracle =
+    """WITH ua AS (
+      |  SELECT DISTINCT user_id, epoch_ns(ts) // 3600000000000 AS hr
+      |  FROM events),
+      |f AS (
+      |  SELECT user_id, MIN(hr) // 24 AS cohort_day FROM ua GROUP BY 1),
+      |act AS (
+      |  SELECT DISTINCT a.user_id, f.cohort_day,
+      |    a.hr // 24 - f.cohort_day AS offset_day
+      |  FROM ua a JOIN f USING (user_id)),
+      |cs AS (SELECT cohort_day, COUNT(*) AS cohort_size FROM f GROUP BY 1),
+      |m AS (
+      |  SELECT cohort_day, offset_day, COUNT(*) AS n_active
+      |  FROM act GROUP BY 1, 2)
+      |SELECT CAST(m.cohort_day AS BIGINT) AS cohort_day,
+      |  CAST(offset_day AS BIGINT) AS offset_day,
+      |  CAST(n_active AS BIGINT) AS n_active,
+      |  CAST(cohort_size AS BIGINT) AS cohort_size,
+      |  CAST(n_active * 10000 // cohort_size AS BIGINT) AS retention_bp
+      |FROM m JOIN cs USING (cohort_day)
+      |ORDER BY cohort_day, offset_day""".stripMargin
+
+  /** Hour-of-day × day-of-week seasonality heatmap with per-day-of-week
+    * basis-point shares — the load-shape profile capacity planning and
+    * anomaly baselines read. Bucketing is PURE INTEGER arithmetic on
+    * the epoch-ns contract (hod = hours-since-epoch mod 24, dow 0=Mon
+    * via the +3-day Thursday shift) — no calendar/timezone functions,
+    * so both engines bucket identically by construction. One
+    * combine-friendly aggregation to the fixed 168-cell matrix; the
+    * share window runs over that domain relation. */
+  def qEventsSeasonality(s: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.events(s, dir)
+      .select(expr("(ts div 86400000000000 + 3) % 7").as("dow"),
+        expr("(ts div 3600000000000) % 24").as("hod"),
+        col("user_id"))
+      .groupBy(col("dow"), col("hod"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+    cells
+      .withColumn("day_total",
+        sum(col("n_events")).over(Window.partitionBy(col("dow"))))
+      .select(col("dow").cast(LongType).as("dow"),
+        col("hod").cast(LongType).as("hod"),
+        col("n_events").cast(LongType).as("n_events"),
+        col("n_users").cast(LongType).as("n_users"),
+        expr("n_events * 10000 div day_total").cast(LongType)
+          .as("share_bp"))
+      .orderBy("dow", "hod")
+  }
+
+  private val qEventsSeasonalityOracle =
+    """WITH c AS (
+      |  SELECT (epoch_ns(ts) // 86400000000000 + 3) % 7 AS dow,
+      |    (epoch_ns(ts) // 3600000000000) % 24 AS hod,
+      |    COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users
+      |  FROM events GROUP BY 1, 2)
+      |SELECT CAST(dow AS BIGINT) AS dow, CAST(hod AS BIGINT) AS hod,
+      |  CAST(n_events AS BIGINT) AS n_events,
+      |  CAST(n_users AS BIGINT) AS n_users,
+      |  CAST(n_events * 10000 //
+      |    (SUM(n_events) OVER (PARTITION BY dow)) AS BIGINT) AS share_bp
+      |FROM c ORDER BY dow, hod""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_events_cohorts" -> (qEventsCohorts _),
+    "q_events_seasonality" -> (qEventsSeasonality _),
     "q_events_engagement" -> (qEventsEngagement _),
     "q_events_interarrival" -> (qEventsInterarrival _),
     "q_events_funnel_windowed" -> (qEventsFunnelWindowed _),
@@ -1420,6 +1516,8 @@ object Events {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_events_cohorts" -> qEventsCohortsOracle,
+    "q_events_seasonality" -> qEventsSeasonalityOracle,
     "q_events_engagement" -> qEventsEngagementOracle,
     "q_events_interarrival" -> qEventsInterarrivalOracle,
     "q_events_funnel_windowed" -> qEventsFunnelWindowedOracle,

@@ -245,6 +245,33 @@ class Round12Spec extends SparkSpec {
     }
   }
 
+  test("cohorts: the offset-0 diagonal is the cohort itself (10000 bp), " +
+    "and offsets never precede the first-active day") {
+    val rows = Events.qEventsCohorts(spark, sf).collect()
+    assert(rows.forall(_.getLong(1) >= 0L))
+    val diag = rows.filter(_.getLong(1) == 0L)
+    assert(diag.nonEmpty)
+    diag.foreach { r =>
+      assert(r.getLong(2) == r.getLong(3), s"cohort ${r.getLong(0)} diagonal")
+      assert(r.getLong(4) == 10000L)
+    }
+    val nUsers = Tables.events(spark, sf)
+      .select(countDistinct(col("user_id"))).head.getLong(0)
+    assert(diag.map(_.getLong(3)).sum == nUsers)
+  }
+
+  test("seasonality: cells cover every event once and per-day shares " +
+    "sum to 10000 minus floor dust") {
+    val rows = Events.qEventsSeasonality(spark, sf).collect()
+    assert(rows.map(_.getLong(2)).sum == Tables.events(spark, sf).count())
+    assert(rows.forall(r => r.getLong(0) >= 0 && r.getLong(0) < 7 &&
+      r.getLong(1) >= 0 && r.getLong(1) < 24))
+    rows.groupBy(_.getLong(0)).foreach { case (dow, cells) =>
+      val bp = cells.map(_.getLong(4)).sum
+      assert(bp > 10000 - cells.length && bp <= 10000, s"dow $dow shares $bp")
+    }
+  }
+
   test("weighted percentile: reduces to the unweighted form under " +
     "uniform weights, and revenue-weighting shifts medians upward") {
     import graft.queries.Relational
