@@ -65,7 +65,7 @@ object Explain {
     // sweep-line census, and the ×24 support-explosion rewrite of a
     // rolling count-distinct window
     "q_agg_rfm", "q_market_basket", "q_orders_backlog",
-    "q_events_engagement")
+    "q_events_engagement", "q_events_cohorts")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
