@@ -1433,15 +1433,31 @@ object Relational {
 
   /** NTILE(`k`) by `(value, tie)` WITHOUT the single-partition global
     * window: the [[graft.queries.Curation.qCurationGlobalIndex]]
-    * two-level discipline (monotone fixed-width buckets off a broadcast
-    * min/max, per-bucket counts prefix-summed into offsets over a
-    * ≤64-row side relation, local rank partitioned by bucket), then
-    * SQL NTILE's row distribution computed arithmetically from the
-    * global rank: with q = n div k and r = n mod k the first r tiles
-    * hold q+1 rows — `rn ≤ r(q+1) ⇒ ⌈rn/(q+1)⌉`, else
-    * `r + ⌈(rn − r(q+1))/q⌉`, all integer (`⌈a/b⌉ = (a+b−1) div b`).
-    * Matches NTILE exactly under the same total order, and every
-    * data-sized window is bucket-partitioned.
+    * two-level discipline (monotone EQUAL-DEPTH buckets off a broadcast
+    * 63-point `approx_percentile` sketch, per-bucket counts
+    * prefix-summed into offsets over a ≤64-row side relation, local
+    * rank partitioned by bucket), then SQL NTILE's row distribution
+    * computed arithmetically from the global rank: with q = n div k
+    * and r = n mod k the first r tiles hold q+1 rows —
+    * `rn ≤ r(q+1) ⇒ ⌈rn/(q+1)⌉`, else `r + ⌈(rn − r(q+1))/q⌉`, all
+    * integer (`⌈a/b⌉ = (a+b−1) div b`). Matches NTILE exactly under
+    * the same total order, and every data-sized window is
+    * bucket-partitioned.
+    *
+    * Skew robustness: `__bucket = #{splits < __v}` is a monotone
+    * function of `__v`, and the downstream arithmetic is exact for ANY
+    * such bucketing — split-point values never affect the answer, only
+    * bucket balance. Equal-depth splits from the mergeable
+    * Greenwald–Khanna sketch (accuracy 10⁴ ⇒ rank error ≤ n/10⁴)
+    * bound every bucket at ≈ n/64 + 2n/10⁴ rows REGARDLESS of the
+    * value distribution — long-tailed columns (e.g. RFM's right-skewed
+    * monetary sum) no longer collapse into the lowest few equal-width
+    * buckets and degenerate the per-bucket window toward a single-task
+    * sort. The one irreducible case is a single value carrying > n/64
+    * duplicates (its bucket must hold them all; SQL NTILE has no
+    * answer below a value-granularity bucket either). Sketch merges
+    * are order-dependent so split VALUES may vary run to run; the
+    * output does not.
     *
     * The input is localCheckpoint'd: it feeds three subtrees (bounds
     * aggregate, offset counts, the ranked output), and chained calls
@@ -1449,13 +1465,24 @@ object Relational {
     * re-evaluation of the upstream plan — one dim-sized
     * materialization per pass buys a linear total, the same lineage
     * discipline as the CC/BPE iteration cuts. */
-  private def scalableNtile(df: DataFrame, value: Column, tie: Column,
+  /** Equal-depth bucket assignment for [[scalableNtile]]: stamps
+    * `__n` (total rows) and `__bucket` (count of broadcast equal-depth
+    * split points strictly below `__v`) onto a relation that already
+    * carries a long `__v`. Exposed package-private so the skew spec
+    * can assert bucket balance on a planted long-tailed column. */
+  private[graft] def ntileBuckets(in: DataFrame): DataFrame = {
+    val fracs = (1 until 64).map(i => s"${i}D / 64").mkString(", ")
+    val bounds = in.agg(count(lit(1)).as("__n"),
+      expr(s"approx_percentile(__v, array($fracs), 10000)").as("__spl"))
+    in.crossJoin(broadcast(bounds))
+      .withColumn("__bucket",
+        expr("size(filter(__spl, t -> t < __v))").cast(LongType))
+  }
+
+  private[graft] def scalableNtile(df: DataFrame, value: Column, tie: Column,
       k: Int, out: String): DataFrame = {
     val in = df.withColumn("__v", value.cast(LongType)).localCheckpoint()
-    val bounds = in.agg(min(col("__v")).as("__mn"), max(col("__v")).as("__mx"),
-      count(lit(1)).as("__n"))
-    val bucketed = in.crossJoin(broadcast(bounds))
-      .withColumn("__bucket", expr("(__v - __mn) div ((__mx - __mn) div 64 + 1)"))
+    val bucketed = ntileBuckets(in)
     val offsets = bucketed.groupBy(col("__bucket"))
       .agg(count(lit(1)).as("__cnt"))
       .withColumn("__offset", coalesce(
@@ -1474,7 +1501,7 @@ object Relational {
            |    (__rn - (__n % $k) * (__n div $k + 1) + __n div $k - 1)
            |      div (__n div $k)
            |END""".stripMargin).cast(LongType))
-      .drop("__v", "__mn", "__mx", "__n", "__bucket", "__cnt", "__offset",
+      .drop("__v", "__spl", "__n", "__bucket", "__cnt", "__offset",
         "__local", "__rn")
   }
 

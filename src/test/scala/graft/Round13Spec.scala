@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.queries.Relational
+
+/** Round-13 invariants. Value correctness of the public entries is
+  * oracle-gated at three scales in Verify/check; these pin the
+  * semantics and scale properties the oracle can't see.
+  */
+class Round13Spec extends SparkSpec {
+
+  import spark.implicits._
+
+  // ── scalableNtile: skew-proof equal-depth buckets ─────────────────
+
+  /** Zipf-ish long tail: value = floor(C / rank) so a handful of rows
+    * carry values orders of magnitude above the mass — the shape that
+    * collapsed the old equal-width buckets into the lowest few. */
+  private def zipfDf(n: Int) =
+    spark.range(1, n + 1L).toDF("id")
+      .withColumn("v", (lit(100000000L) / col("id")).cast("long"))
+
+  test("scalableNtile: equal-depth buckets stay balanced on a planted " +
+    "zipf column (max bucket ≤ 2n/64)") {
+    val n = 20000
+    val bucketed = Relational.ntileBuckets(
+      zipfDf(n).withColumn("__v", col("v")))
+    val counts = bucketed.groupBy("__bucket").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val maxPop = counts.values.max
+    assert(maxPop <= 2L * n / 64,
+      s"max bucket population $maxPop exceeds 2n/64 = ${2L * n / 64}; " +
+        s"buckets: ${counts.toSeq.sortBy(_._1)}")
+    // and the buckets genuinely spread: far more than the handful the
+    // old equal-width scheme produced on this shape
+    assert(counts.size >= 32, s"only ${counts.size} non-empty buckets")
+  }
+
+  test("scalableNtile: equal-width buckets WOULD have collapsed on the " +
+    "same zipf column (regression contrast)") {
+    val n = 20000
+    val df = zipfDf(n)
+    val row = df.agg(min("v"), max("v")).head
+    val (mn, mx) = (row.getLong(0), row.getLong(1))
+    val width = (mx - mn) / 64 + 1
+    val worst = df
+      .withColumn("b", ((col("v") - mn) / width).cast("long"))
+      .groupBy("b").count().agg(max("count")).head.getLong(0)
+    assert(worst > 2L * n / 64,
+      s"contrast premise broken: equal-width worst bucket $worst")
+  }
+
+  test("scalableNtile matches SQL NTILE on the zipf column for k=5 and k=7") {
+    for (k <- Seq(5, 7)) {
+      val got = Relational.scalableNtile(
+          zipfDf(5000), col("v"), col("id"), k, "tile")
+        .select(col("id"), col("tile"))
+      val want = zipfDf(5000)
+        .withColumn("tile",
+          ntile(k).over(Window.orderBy(col("v"), col("id"))).cast("long"))
+        .select(col("id"), col("tile"))
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        s"ntile mismatch for k=$k")
+    }
+  }
+
+  test("scalableNtile: all-equal values degenerate to one bucket but " +
+    "still match NTILE") {
+    def df = spark.range(1, 101).toDF("id").withColumn("v", lit(42L))
+    val got = Relational.scalableNtile(df, col("v"), col("id"), 4, "tile")
+      .select(col("id"), col("tile"))
+    val want = df.withColumn("tile",
+        ntile(4).over(Window.orderBy(col("v"), col("id"))).cast("long"))
+      .select(col("id"), col("tile"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+}
