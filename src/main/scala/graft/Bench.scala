@@ -34,6 +34,11 @@ object Bench {
       .mode("overwrite").format("noop").save()
     graft.queries.Ingest.ensureStaged(spark, sfDir)
     graft.queries.Ingest.ensureStagedJsonl(spark, sfDir)
+    // likewise the two-batch feed chunks for the streaming-ingest
+    // entries: a corpus-sized Spark write that is feed PRODUCTION, not
+    // the incremental conversion under test (per-run staging is then
+    // hard-links only)
+    graft.queries.Streaming.prewarmIngestFeeds(spark, sfDir)
 
     // Optional args = run only these queries (local iteration aid; the
     // driver invokes with no args and gets the full registry).

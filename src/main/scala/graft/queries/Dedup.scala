@@ -91,7 +91,13 @@ object Dedup {
     * then verify with exact bigram Jaccard. No O(n²) anywhere: at 100 TB
     * the band buckets bound the candidate set.
     */
-  def qDedupMinhash(s: SparkSession, dir: String): DataFrame = {
+  /** MinHash band index for a `(doc_id, text)` relation: 32 affine
+    * permutations over positive xxhash64 bigram hashes, min per doc,
+    * banded 8×4 into `(doc_id, band, bucket)` rows. Shared by the
+    * full-corpus pass [[qDedupMinhash]] and the incremental probe
+    * [[qDedupIncrementalNear]] so both sides of a probe join carry
+    * byte-identical signatures. */
+  private def minhashBanded(docs: DataFrame): DataFrame = {
     val nHash = 32
     val bands = 8
     val rowsPerBand = nHash / bands
@@ -99,23 +105,26 @@ object Dedup {
     val p = 2147483647L
     val rng = new scala.util.Random(42)
     val coef = Seq.fill(nHash)((math.abs(rng.nextLong()) % p | 1L, math.abs(rng.nextLong()) % p))
-
-    val docs = Tables.documents(s, dir)
-      .select(col("doc_id"), bigrams(col("text")).as("toks"))
+    val toks = docs.select(col("doc_id"), bigrams(col("text")).as("toks"))
     // token -> positive base hash, then 32 affine permutations, min per doc
     val minAggs = (0 until nHash).map { i =>
       val (a, b) = coef(i)
       min(pmod(col("h") * a + b, lit(p))).as(s"m$i")
     }
-    val sig = docs.select(col("doc_id"), explode(col("toks")).as("tok"))
+    val sig = toks.select(col("doc_id"), explode(col("toks")).as("tok"))
       .withColumn("h", pmod(xxhash64(col("tok")), lit(p)))
       .groupBy(col("doc_id"))
       .agg(minAggs.head, minAggs.tail: _*)
     // band key = hash of the band's minhash tuple
-    val banded = sig.select(col("doc_id"),
+    sig.select(col("doc_id"),
       posexplode(array((0 until bands).map { bIdx =>
         xxhash64((bIdx * rowsPerBand until (bIdx + 1) * rowsPerBand).map(i => col(s"m$i")): _*)
       }: _*)).as(Seq("band", "bucket")))
+  }
+
+  def qDedupMinhash(s: SparkSession, dir: String): DataFrame = {
+    val banded = minhashBanded(
+      Tables.documents(s, dir).select(col("doc_id"), col("text")))
     val cand = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -723,8 +732,84 @@ object Dedup {
       |    AS admitted_key_sum
       |FROM marked GROUP BY source ORDER BY source""".stripMargin
 
+  // ── incremental NEAR-dup: probe a batch against a persisted index ──
+
+  /** The nightly near-dup job a growing corpus actually runs: the
+    * corpus MinHash band index is built ONCE and persisted (the
+    * localCheckpoint stands in for the parquet-backed index — at
+    * production scale it is written next to the corpus and only
+    * APPENDED to as batches are admitted); each new batch computes
+    * signatures for ITS documents only and probes them against the
+    * index with one equi-join on `(band, bucket)`, so per-night cost
+    * scales with the batch, never the corpus. Candidates verify by
+    * exact bigram Jaccard, fetching gram sets only for the bounded
+    * candidate doc ids (at scale: a semi-join-pruned lookup into the
+    * corpus, not a rescan). Intra-batch near-dups are deliberately out
+    * of scope — that is a separate single-batch [[qDedupMinhash]] pass.
+    *
+    * The feed plants near-dup replays (every 5th corpus doc re-crawled
+    * with one appended token ⇒ bigram Jaccard g/(g+1) ≥ 0.9 at the
+    * corpus' ≥10-word floor); banding at 8×4 catches a 0.9 pair with
+    * miss probability ≈2·10⁻⁴ and candidate generation is
+    * deterministic (fixed permutation constants), so the brute-force
+    * batch×corpus DuckDB oracle is a genuine end-to-end hash gate, not
+    * a coin flip — a banding regression that dropped a true pair
+    * hash-fails this entry. */
+  def qDedupIncrementalNear(s: SparkSession, dir: String, thr: Long = 300,
+      threshold: Double = 0.5): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val corpus = docs.filter(col("doc_id") < thr).select(col("doc_id"), col("text"))
+    val replays = corpus.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + lit(100000L)).as("doc_id"),
+        concat(col("text"), lit(" qq7")).as("text"))
+    val batch = docs.filter(col("doc_id") >= thr)
+      .select(col("doc_id"), col("text"))
+      .unionByName(replays)
+    val corpusIndex = minhashBanded(corpus).localCheckpoint()
+    val cand = minhashBanded(batch).as("x").join(corpusIndex.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket"))
+      .select(col("x.doc_id").as("batch_id"), col("y.doc_id").as("corpus_id"))
+      .distinct()
+    val bGrams = batch.select(col("doc_id").as("batch_id"),
+      bigrams(col("text")).as("b_grams"))
+    val cGrams = corpus.select(col("doc_id").as("corpus_id"),
+      bigrams(col("text")).as("c_grams"))
+    val inter = size(array_intersect(col("b_grams"), col("c_grams"))).cast(DoubleType)
+    val uni = size(array_union(col("b_grams"), col("c_grams"))).cast(DoubleType)
+    cand
+      .join(bGrams, "batch_id")
+      .join(cGrams, "corpus_id")
+      .select(col("batch_id"), col("corpus_id"), round(inter / uni, 6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .orderBy("batch_id", "corpus_id")
+  }
+
+  private val qDedupIncrementalNearOracle = {
+    val grams =
+      """list_distinct(list_transform(
+        |  range(1, len(string_split_regex(trim(text), '\s+'))),
+        |  i -> string_split_regex(trim(text), '\s+')[i] || ' ' ||
+        |       string_split_regex(trim(text), '\s+')[i+1]))""".stripMargin
+    s"""WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+       |batch AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id >= 300
+       |  UNION ALL
+       |  SELECT doc_id + 100000 AS doc_id, text || ' qq7' AS text
+       |  FROM corpus WHERE doc_id % 5 = 0),
+       |bg AS (SELECT doc_id, $grams AS grams FROM batch),
+       |cg AS (SELECT doc_id, $grams AS grams FROM corpus)
+       |SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id,
+       |  round(CAST(len(list_intersect(b.grams, c.grams)) AS DOUBLE) /
+       |        CAST(len(list_distinct(list_concat(b.grams, c.grams))) AS DOUBLE), 6) AS jaccard
+       |FROM bg b CROSS JOIN cg c
+       |WHERE round(CAST(len(list_intersect(b.grams, c.grams)) AS DOUBLE) /
+       |        CAST(len(list_distinct(list_concat(b.grams, c.grams))) AS DOUBLE), 6) >= 0.5
+       |ORDER BY batch_id, corpus_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_incremental" -> ((s, d) => qDedupIncremental(s, d)),
+    "q_dedup_incremental_near" -> ((s, d) => qDedupIncrementalNear(s, d)),
     "q_dedup_edit" -> ((s, d) => qDedupEdit(s, d)),
     "q_dedup_paragraph" -> ((s, d) => qDedupParagraph(s, d)),
     "q_dedup_containment" -> (qDedupContainment _),
@@ -741,6 +826,7 @@ object Dedup {
 
   def oracleSql: Map[String, String] = Map(
     "q_dedup_incremental" -> qDedupIncrementalOracle,
+    "q_dedup_incremental_near" -> qDedupIncrementalNearOracle,
     "q_dedup_edit" -> qDedupEditOracle,
     "q_dedup_paragraph" -> qDedupParagraphOracle,
     "q_dedup_containment" -> qDedupContainmentOracle,

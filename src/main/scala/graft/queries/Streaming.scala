@@ -633,8 +633,17 @@ object Streaming {
     * VERIFICATION-scale gate only; the at-scale sink is the parquet
     * file sink with a checkpoint, whose exactly-once restart contract
     * StreamingSpec's "streaming ingest e2e" case pins. */
-  def qStreamIngest(s: SparkSession, dir: String): DataFrame =
-    streamIngestLifecycle(s, "q_stream_ingest",
+  /** Bundle of the per-format feed-staging + stream-building lambdas
+    * shared by [[streamIngestLifecycle]] and the bench warmup path
+    * [[prewarmIngestFeeds]]. */
+  private final case class IngestFeed(name: String, stagedPath: String,
+      readStaged: String => DataFrame,
+      splitKey: Unit => org.apache.spark.sql.Column,
+      writeChunk: (DataFrame, String) => Unit,
+      buildStream: (String, String) => DataFrame)
+
+  private def tsvFeed(s: SparkSession, dir: String): IngestFeed =
+    IngestFeed("q_stream_ingest",
       stagedPath = Ingest.ensureStaged(s, dir),
       readStaged = p => s.read.option("header", "true").option("sep", "\t")
         .option("inferSchema", "false").option("escape", "\"").csv(p),
@@ -648,12 +657,8 @@ object Streaming {
           delimiter = Some('\t'), schema = Some(pinned))
       })
 
-  /** The JSONL twin: `JsonlIngest.convertStream` over the staged NDJSON
-    * orders feed, hash-gated against q_ingest_jsonl's oracle. Key
-    * discovery + types pin from batch 1; batch 2's raw token lines flow
-    * through the pinned `from_json` + cast projection. */
-  def qStreamIngestJsonl(s: SparkSession, dir: String): DataFrame =
-    streamIngestLifecycle(s, "q_stream_ingest_jsonl",
+  private def jsonlFeed(s: SparkSession, dir: String): IngestFeed =
+    IngestFeed("q_stream_ingest_jsonl",
       stagedPath = Ingest.ensureStagedJsonl(s, dir),
       readStaged = p => s.read.text(p),
       splitKey = r => get_json_object(col("value"), "$.o_orderkey").cast("long"),
@@ -665,6 +670,29 @@ object Streaming {
         graft.ingest.JsonlIngest.convertStream(s, glob, schema = Some(pinned))
       })
 
+  def qStreamIngest(s: SparkSession, dir: String): DataFrame =
+    streamIngestLifecycle(s, tsvFeed(s, dir))
+
+  /** The JSONL twin: `JsonlIngest.convertStream` over the staged NDJSON
+    * orders feed, hash-gated against q_ingest_jsonl's oracle. Key
+    * discovery + types pin from batch 1; batch 2's raw token lines flow
+    * through the pinned `from_json` + cast projection. */
+  def qStreamIngestJsonl(s: SparkSession, dir: String): DataFrame =
+    streamIngestLifecycle(s, jsonlFeed(s, dir))
+
+  /** Bench warmup hook: build the chunked feed caches for both
+    * streaming-ingest entries OUTSIDE any timed span. Producing the
+    * feed input (a Spark CSV/JSONL write of the staged corpus split at
+    * its key midpoint) is environment setup, not the incremental
+    * conversion being measured — without this, the first timed run of
+    * each entry paid a corpus-sized filesystem write and the bench's
+    * most expensive line was measuring `/tmp` throughput, not the
+    * operator (round-12 A/B: 9.4 s vs 5.4 s across identical runs). */
+  def prewarmIngestFeeds(s: SparkSession, dir: String): Unit = {
+    ensureFeedChunks(s, tsvFeed(s, dir))
+    ensureFeedChunks(s, jsonlFeed(s, dir))
+  }
+
   /** Shared two-batch lifecycle for the streaming INGEST entries, whose
     * feed is text files (CSV/JSONL) rather than the parquet chunks
     * runTwoBatchFeed stages: split the staged corpus at the key
@@ -675,36 +703,51 @@ object Streaming {
     *
     * The two chunk dirs are MATERIALIZED ONCE per (entry, corpus) into
     * a keyed cache dir — like `Ingest.ensureStaged`, producing the feed
-    * input is environment setup, not the operator under test — and each
-    * run file-copies them into a fresh watched dir (cheap fs copy vs a
-    * full Spark CSV write per bench rerun). */
-  private def streamIngestLifecycle(s: SparkSession, name: String,
-      stagedPath: String,
-      readStaged: String => DataFrame,
-      splitKey: Unit => org.apache.spark.sql.Column,
-      writeChunk: (DataFrame, String) => Unit,
-      buildStream: (String, String) => DataFrame): DataFrame = {
-    import java.nio.file.{Files, Path, Paths, StandardCopyOption}
-    import scala.jdk.CollectionConverters._
-    s.catalog.dropTempView(name)
-    val key = stagedPath.replaceAll("[^A-Za-z0-9._-]", "_")
-    val cache = Paths.get(sys.props("java.io.tmpdir"), s"graft_feed_${name}_$key")
+    * input is environment setup, not the operator under test (the bench
+    * builds them in its warmup via [[prewarmIngestFeeds]]) — and each
+    * run HARD-LINKS them into a fresh watched dir: O(#files) metadata
+    * ops instead of an O(bytes) copy, so per-run staging cost is
+    * negligible at any corpus size and the timed span measures the
+    * incremental conversion, not `/tmp` throughput. */
+  /** Materialize the two-batch feed chunks for `feedCfg` once per
+    * (entry, corpus) into a keyed cache dir and return its path: split
+    * the staged corpus at the key midpoint and write each half with the
+    * entry's chunk writer. Idempotent via the `_STAGED` marker. */
+  private def ensureFeedChunks(s: SparkSession, feedCfg: IngestFeed): java.nio.file.Path = {
+    import java.nio.file.{Files, Paths}
+    val key = feedCfg.stagedPath.replaceAll("[^A-Za-z0-9._-]", "_")
+    val cache = Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_feed_${feedCfg.name}_$key")
     if (!Files.exists(cache.resolve("_STAGED"))) {
-      val keyed = readStaged(stagedPath).withColumn("_k", splitKey(()))
+      val keyed = feedCfg.readStaged(feedCfg.stagedPath)
+        .withColumn("_k", feedCfg.splitKey(()))
       val mid = midpoint(keyed, "_k")
       Files.createDirectories(cache)
-      writeChunk(keyed.filter(col("_k") <= mid).drop("_k"),
+      feedCfg.writeChunk(keyed.filter(col("_k") <= mid).drop("_k"),
         cache.resolve("b1").toString)
-      writeChunk(keyed.filter(col("_k") > mid).drop("_k"),
+      feedCfg.writeChunk(keyed.filter(col("_k") > mid).drop("_k"),
         cache.resolve("b2").toString)
       Files.createFile(cache.resolve("_STAGED"))
     }
-    def copyDir(src: Path, dst: Path): Unit = {
+    cache
+  }
+
+  private def streamIngestLifecycle(s: SparkSession, feedCfg: IngestFeed): DataFrame = {
+    import java.nio.file.{Files, Path, StandardCopyOption}
+    import scala.jdk.CollectionConverters._
+    val name = feedCfg.name
+    s.catalog.dropTempView(name)
+    val cache = ensureFeedChunks(s, feedCfg)
+    def linkDir(src: Path, dst: Path): Unit = {
       val walk = Files.walk(src)
       try walk.iterator().asScala.foreach { p =>
         val t = dst.resolve(src.relativize(p).toString)
         if (Files.isDirectory(p)) Files.createDirectories(t)
-        else Files.copy(p, t, StandardCopyOption.REPLACE_EXISTING)
+        else
+          try Files.createLink(t, p)
+          catch { case _: UnsupportedOperationException | _: java.io.IOException =>
+            Files.copy(p, t, StandardCopyOption.REPLACE_EXISTING)
+          }
       } finally walk.close()
     }
     val feed = Files.createTempDirectory(s"graft_$name")
@@ -713,12 +756,12 @@ object Streaming {
         val tmpRoot = Files.createTempDirectory(s"graft_${name}_stage")
         try {
           val tmp = tmpRoot.resolve(sub)
-          copyDir(cache.resolve(sub), tmp)
+          linkDir(cache.resolve(sub), tmp)
           Files.move(tmp, feed.resolve(sub), StandardCopyOption.ATOMIC_MOVE)
         } finally Files.deleteIfExists(tmpRoot)
       }
       stage("b1")
-      val stream = buildStream(s"$feed/*", feed.resolve("b1").toString)
+      val stream = feedCfg.buildStream(s"$feed/*", feed.resolve("b1").toString)
       val q = stream.writeStream.outputMode("append")
         .format("memory").queryName(name).start()
       try {
