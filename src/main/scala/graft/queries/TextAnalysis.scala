@@ -113,7 +113,12 @@ object TextAnalysis {
         .orderBy(col("c").desc, col("tri").asc)))
       .filter(col("rk") <= k)
       .select(col("lang").as("p_lang"), col("tri"))
-    val hits = triCounts.join(profile, "tri")
+    // explicit broadcast: the profile is ≤ k·|langs| rows but sits
+    // behind a window+filter, so the optimizer's size estimate is the
+    // corpus-sized child and it planned a full shuffle of the trigram
+    // counts at 10× (round-13 A/B: 15.1 s → 8.1 s with the hint; the
+    // probe join was 81% of the entry's cost)
+    val hits = triCounts.join(broadcast(profile), "tri")
       .groupBy(col("doc_id"), col("p_lang"))
       .agg(sum(col("c")).cast(LongType).as("hits"))
     val pred = hits
