@@ -282,7 +282,85 @@ object ScaleBench {
     }
   }
 
+  /** Byte-range split parallelism evidence (`runMain graft.ScaleBench
+    * splits`): the sf0.1 lineitem TSV staged as ONE uncompressed file,
+    * full-scanned through the graft DSv2 source twice — once with
+    * `spark.sql.files.maxPartitionBytes` above the file size (1 input
+    * partition, the pre-round-12 behavior for any single file) and once
+    * with it forced to filesize/24 (byte-range splits). Correctness of
+    * the splits is GraftSplitSpec's multiset equality; this measures
+    * the performance half: the split read should approach the
+    * parallel-scan speedup the splits exist to buy. Recorded in
+    * SCALE.md. */
+  def splitEvidence(spark: SparkSession): Unit = {
+    val srcDir = sys.env.getOrElse("SPARK_GRAFT_SRC", "/root/testdata/sf0.1")
+    val key = srcDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val dir = new java.io.File(sys.props("java.io.tmpdir"), s"graft_onefile_$key")
+    val marker = new java.io.File(dir, "_DONE")
+    if (!marker.exists()) {
+      val staging = new java.io.File(dir, "staging").toString
+      graft.Tables.lineitem(spark, srcDir)
+        .select(
+          col("l_orderkey").cast("string"),
+          col("l_partkey").cast("string"),
+          col("l_quantity").cast("string"),
+          col("l_extendedprice").cast("string"),
+          col("l_returnflag"),
+          date_format(col("l_shipdate"), "yyyy-MM-dd HH:mm:ss").as("l_shipdate"))
+        .coalesce(1)
+        .write.mode("overwrite").option("header", "true").option("sep", "\t")
+        .csv(staging)
+      val part = new java.io.File(staging).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".csv"))
+        .getOrElse(sys.error(s"no part file under $staging"))
+      java.nio.file.Files.move(part.toPath,
+        new java.io.File(dir, "lineitem_onefile.tsv").toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      marker.createNewFile()
+    }
+    val file = new java.io.File(dir, "lineitem_onefile.tsv")
+    val bytes = file.length()
+
+    def timedScan(): Double = {
+      val t0 = System.nanoTime()
+      spark.read.format("graft").load(file.toString)
+        .write.mode("overwrite").format("noop").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def partsNow(): Int =
+      spark.read.format("graft").load(file.toString).rdd.getNumPartitions
+
+    timedScan() // warm fs cache + codegen
+    val prior = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", (bytes + 1024L).toString)
+      val unsplitParts = partsNow()
+      val unsplitSec = Seq(timedScan(), timedScan()).min
+      spark.conf.set("spark.sql.files.maxPartitionBytes", (bytes / 24 + 1).toString)
+      val splitParts = partsNow()
+      val splitSec = Seq(timedScan(), timedScan()).min
+      println(s"""{"metric":"byte_range_split_evidence","file_bytes":$bytes,""" +
+        s""""unsplit_partitions":$unsplitParts,"unsplit_sec":$unsplitSec,""" +
+        s""""split_partitions":$splitParts,"split_sec":$splitSec,""" +
+        f""""speedup":${unsplitSec / splitSec}%.2f}""")
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prior)
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("splits")) {
+      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+      val spark = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      splitEvidence(spark)
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("skew")) {
       val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
       val spark = SparkSession.builder()
