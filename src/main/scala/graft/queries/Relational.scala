@@ -338,6 +338,77 @@ object Relational {
         count(lit(1)).as("n"))
       .orderBy("l_returnflag")
 
+  /** The registry form of [[qAggPercentileApprox]], oracle-GATED
+    * (round-13): the Greenwald–Khanna sketch's published contract —
+    * the returned value's exact rank is within n/accuracy of the
+    * target rank p·n — is checked EXACTLY inside the query. One extra
+    * counting aggregation joins the fact against the broadcast ≤|groups|
+    * sketch row and counts, per group, how many values fall strictly
+    * below / at-or-below each returned quantile; the ok flags then
+    * assert the rank interval `[below+1, at_or_below]` intersects
+    * `[p·n − n/acc − 1, p·n + n/acc + 1]`, all in exact integer
+    * arithmetic (common denominator 20, scaled by the accuracy — no
+    * floats in the decision). The DuckDB oracle is the all-ones
+    * relation with exact group counts, so the hash gate passes iff
+    * every sketch answer honors its rank bound: a sketch regression
+    * produces a 0 flag and FAILS the entry, which is what moves this
+    * from `no_oracle`-by-contract to driver-gated (the heavy-hitters
+    * guard move). At 100 TB the sketch alone ([[qAggPercentileApprox]])
+    * is the production form — mergeable summaries, one partial+final
+    * aggregation; this gated twin adds one combine-friendly counting
+    * pass and is what a nightly validation run executes. */
+  def qAggPercentileApproxGated(s: SparkSession, dir: String): DataFrame = {
+    val acc = 1000L
+    val li = Tables.lineitem(s, dir).select(col("l_returnflag"),
+      col("l_extendedprice"), col("l_quantity"))
+    val appx = li.groupBy(col("l_returnflag"))
+      .agg(expr(s"approx_percentile(l_extendedprice, 0.5, $acc)").as("vm"),
+        expr(s"approx_percentile(l_extendedprice, 0.9, $acc)").as("vp"),
+        expr(s"approx_percentile(l_quantity, 0.25, $acc)").as("vq"),
+        count(lit(1)).as("n"))
+    val counts = li.join(broadcast(appx), "l_returnflag")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(when(col("l_extendedprice") < col("vm"), 1L).otherwise(0L)).as("bm"),
+        sum(when(col("l_extendedprice") <= col("vm"), 1L).otherwise(0L)).as("am"),
+        sum(when(col("l_extendedprice") < col("vp"), 1L).otherwise(0L)).as("bp"),
+        sum(when(col("l_extendedprice") <= col("vp"), 1L).otherwise(0L)).as("ap"),
+        sum(when(col("l_quantity") < col("vq"), 1L).otherwise(0L)).as("bq"),
+        sum(when(col("l_quantity") <= col("vq"), 1L).otherwise(0L)).as("aq"),
+        first(col("n")).as("n"))
+    def ok(below: Column, atOrBelow: Column, pNum20: Long): Column =
+      rankOk(below, atOrBelow, col("n"), pNum20, acc)
+    counts.select(col("l_returnflag"),
+      ok(col("bm"), col("am"), 10L).as("ok_median"),
+      ok(col("bp"), col("ap"), 18L).as("ok_p90"),
+      ok(col("bq"), col("aq"), 5L).as("ok_q1"),
+      col("n"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Rank-interval vs target-interval intersection for the
+    * approx-percentile gate, ×(20·acc) exact integer arithmetic:
+    * 1 iff `[below+1, atOrBelow]` intersects
+    * `[n·p − n/acc − 1, n·p + n/acc + 1]`, where p = pNum20/20.
+    * Package-private so the spec can assert both the accept and the
+    * REJECT side with planted counts. */
+  private[graft] def rankOk(below: Column, atOrBelow: Column, n: Column,
+      pNum20: Long, acc: Long): Column = {
+    val d = 20L * acc
+    val target = n * pNum20 * acc
+    val slack = n * 20L + d
+    when((below + 1L) * d <= target + slack &&
+      atOrBelow * d >= target - slack, 1L).otherwise(0L)
+  }
+
+  private val qAggPercentileApproxGatedOracle =
+    """SELECT l_returnflag,
+      |  CAST(1 AS BIGINT) AS ok_median,
+      |  CAST(1 AS BIGINT) AS ok_p90,
+      |  CAST(1 AS BIGINT) AS ok_q1,
+      |  COUNT(*) AS n
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Explicit grouping sets: by flag, by status, and grand total. */
   def qGroupingSets(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
@@ -1742,7 +1813,7 @@ object Relational {
     "q_window_lag" -> (qWindowLag _),
     "q_window_analytic" -> (qWindowAnalytic _),
     "q_agg_approx" -> (qAggApprox _),
-    "q_agg_percentile_approx" -> (qAggPercentileApprox _),
+    "q_agg_percentile_approx" -> (qAggPercentileApproxGated _),
     "q_sort_topk" -> (qSortTopk _),
     "q_set_union" -> (qSetUnion _),
     "q_set_intersect" -> (qSetIntersect _),
@@ -1765,6 +1836,7 @@ object Relational {
     "q_agg_rollup" -> qAggRollupOracle,
     "q_agg_stats" -> qAggStatsOracle,
     "q_agg_percentile" -> qAggPercentileOracle,
+    "q_agg_percentile_approx" -> qAggPercentileApproxGatedOracle,
     "q_agg_percentile_counting" -> qAggPercentileCountingOracle,
     "q_agg_percentile_weighted" -> qAggPercentileWeightedOracle,
     "q_agg_cube" -> qAggCubeOracle,

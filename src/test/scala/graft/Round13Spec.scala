@@ -65,6 +65,35 @@ class Round13Spec extends SparkSpec {
     }
   }
 
+  // ── approx-percentile rank gate ───────────────────────────────────
+
+  test("percentile rank gate: accepts in-bound ranks, REJECTS a sketch " +
+    "value whose rank violates n/acc") {
+    // n=100000, p=0.5 (pNum20=10), acc=1000 ⇒ target rank 50000,
+    // slack n/acc + 1 = 101
+    val df = Seq(
+      (49999L, 50001L, 100000L), // exact median: inside
+      (50100L, 50101L, 100000L), // +100 ranks: inside the 101 slack
+      (49898L, 49899L, 100000L), // -101..: boundary, inside
+      (51000L, 51001L, 100000L), // +1000 ranks: OUTSIDE
+      (10000L, 10001L, 100000L)  // way off: OUTSIDE
+    ).toDF("below", "at_or_below", "n")
+    val flags = df.select(Relational.rankOk(col("below"),
+      col("at_or_below"), col("n"), 10L, 1000L).as("ok"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(flags == Seq(1L, 1L, 1L, 0L, 0L), s"got $flags")
+  }
+
+  test("q_agg_percentile_approx (gated form): every flag is 1 on the " +
+    "real corpus") {
+    val rows = Relational.qAggPercentileApproxGated(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) == 1L && r.getLong(2) == 1L && r.getLong(3) == 1L,
+        s"sketch rank bound violated: $r")
+    }
+  }
+
   test("scalableNtile: all-equal values degenerate to one bucket but " +
     "still match NTILE") {
     def df = spark.range(1, 101).toDF("id").withColumn("v", lit(42L))
