@@ -1278,6 +1278,47 @@ object Relational {
       |EXCEPT SELECT o_custkey FROM orders WHERE o_totalprice > 150000.0
       |ORDER BY key""".stripMargin
 
+  /** Multiset (bag) set operations — the ALL variants the distinct
+    * forms above don't cover, closing the ANSI set-op family:
+    * `INTERSECT ALL` keeps each key min(multiplicity-left,
+    * multiplicity-right) times, `EXCEPT ALL` subtracts multiplicities
+    * (both directions shown — bag difference is asymmetric), and
+    * `UNION ALL` concatenates. Sides are two overlapping multiset
+    * projections of the same fact (quantity > 25 vs returned lines) so
+    * every duplicate-count path is exercised.
+    *
+    * Scale: Catalyst rewrites INTERSECT/EXCEPT ALL into per-side count
+    * aggregation + replication (`RewriteIntersectAll`/
+    * `RewriteExceptAll`) — one shuffle on the key with map-side partial
+    * counts, then a generate to re-expand; never a row-pairing join, so
+    * the plan is the same combine-friendly shape as any groupBy at
+    * 100 TB. UNION ALL is a zero-shuffle concatenation. */
+  def qSetOpsAll(s: SparkSession, dir: String): DataFrame = {
+    def a = Tables.lineitem(s, dir).filter(col("l_quantity") > 25)
+      .select(col("l_partkey").as("key"))
+    def b = Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
+      .select(col("l_partkey").as("key"))
+    a.unionAll(b).withColumn("op", lit("union_all"))
+      .unionByName(a.intersectAll(b).withColumn("op", lit("intersect_all")))
+      .unionByName(a.exceptAll(b).withColumn("op", lit("except_all")))
+      .unionByName(b.exceptAll(a).withColumn("op", lit("except_all_rev")))
+      .select(col("op"), col("key"))
+      .orderBy("op", "key")
+  }
+
+  private val qSetOpsAllOracle =
+    """WITH a AS (SELECT l_partkey AS key FROM lineitem WHERE l_quantity > 25),
+      |b AS (SELECT l_partkey AS key FROM lineitem WHERE l_returnflag = 'R')
+      |SELECT 'union_all' AS op, key FROM
+      |  (SELECT key FROM a UNION ALL SELECT key FROM b)
+      |UNION ALL SELECT 'intersect_all' AS op, key FROM
+      |  (SELECT key FROM a INTERSECT ALL SELECT key FROM b)
+      |UNION ALL SELECT 'except_all' AS op, key FROM
+      |  (SELECT key FROM a EXCEPT ALL SELECT key FROM b)
+      |UNION ALL SELECT 'except_all_rev' AS op, key FROM
+      |  (SELECT key FROM b EXCEPT ALL SELECT key FROM a)
+      |ORDER BY op, key""".stripMargin
+
   // ── round-5 relational additions ──────────────────────────────────
 
   /** RIGHT OUTER join: every customer row survives, orders aggregate
@@ -1817,7 +1858,8 @@ object Relational {
     "q_sort_topk" -> (qSortTopk _),
     "q_set_union" -> (qSetUnion _),
     "q_set_intersect" -> (qSetIntersect _),
-    "q_set_except" -> (qSetExcept _)
+    "q_set_except" -> (qSetExcept _),
+    "q_set_ops_all" -> (qSetOpsAll _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1872,6 +1914,7 @@ object Relational {
     "q_window_analytic" -> qWindowAnalyticOracle,
     "q_sort_topk" -> qSortTopkOracle,
     "q_set_union" -> qSetUnionOracle,
+    "q_set_ops_all" -> qSetOpsAllOracle,
     "q_set_intersect" -> qSetIntersectOracle,
     "q_set_except" -> qSetExceptOracle
   )

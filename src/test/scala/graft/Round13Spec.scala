@@ -65,6 +65,25 @@ class Round13Spec extends SparkSpec {
     }
   }
 
+  // ── multiset set-ops ──────────────────────────────────────────────
+
+  test("q_set_ops_all: bag identities hold and the plan is aggregate-" +
+    "rewritten, not a row-pairing join") {
+    val out = Relational.qSetOpsAll(spark, sf)
+    val by = out.groupBy("op").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // |A ∩all B| + |A \all B| = |A|, and symmetrically for B
+    val nA = by("intersect_all") + by("except_all")
+    val nB = by("intersect_all") + by("except_all_rev")
+    assert(by("union_all") == nA + nB,
+      s"bag identity broken: $by")
+    // RewriteIntersectAll/RewriteExceptAll: count-aggregate + generate,
+    // never a SortMergeJoin/ShuffledHashJoin pairing rows
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"unexpected join in set-op plan:\n${plan.take(800)}")
+  }
+
   // ── approx-percentile rank gate ───────────────────────────────────
 
   test("percentile rank gate: accepts in-bound ranks, REJECTS a sketch " +
