@@ -1687,9 +1687,14 @@ object Relational {
     * per order, so the join output is linear in the fact table at any
     * corpus size. Top-20 runs through TakeOrderedAndProject (orderBy +
     * limit — no global window); the rank stamp after the limit is a
-    * 20-row window. Integer headroom: n_ab·n_orders·10⁴ < 2⁶³ holds
-    * while n_ab·n_orders < 9·10¹⁴ — at larger corpora promote the lift
-    * numerator to decimal(38,0). */
+    * 20-row window. The lift ratio rides DECIMAL(38,0) on both the
+    * numerator (n_ab·n_orders·10⁴) and denominator (n_a·n_b): with
+    * longs, Spark's non-ANSI multiply would WRAP silently past
+    * n_ab·n_orders ≈ 9·10¹⁴ while the DuckDB oracle's hugeint would
+    * not — a divergence that only a corpus-scale gate run would catch.
+    * Decimal keeps both sides exact to 38 digits (n_orders ≤ 10¹⁰ at
+    * 100 TB ⇒ products ≤ 10²⁴), for one widened column in a 20-row
+    * output stage — negligible cost. */
   def qMarketBasket(s: SparkSession, dir: String): DataFrame = {
     val op = Tables.lineitem(s, dir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
@@ -1706,7 +1711,9 @@ object Relational {
       .join(pc.toDF("part_b", "n_b"), "part_b")
       .crossJoin(broadcast(no))
       .withColumn("support_ppm", expr("n_ab * 1000000 div n_orders"))
-      .withColumn("lift_bp", expr("n_ab * n_orders * 10000 div (n_a * n_b)"))
+      .withColumn("lift_bp", expr(
+        "CAST(n_ab AS DECIMAL(38,0)) * n_orders * 10000" +
+          " div (CAST(n_a AS DECIMAL(38,0)) * n_b)"))
       .orderBy(col("n_ab").desc, col("lift_bp").desc,
         col("part_a"), col("part_b"))
       .limit(20)
@@ -1732,7 +1739,8 @@ object Relational {
       |sc AS (
       |  SELECT part_a, part_b, n_ab,
       |    n_ab * 1000000 // n_orders AS support_ppm,
-      |    n_ab * n_orders * 10000 // (pa.n_p * pb.n_p) AS lift_bp
+      |    CAST(n_ab AS HUGEINT) * n_orders * 10000
+      |      // (CAST(pa.n_p AS HUGEINT) * pb.n_p) AS lift_bp
       |  FROM pairs CROSS JOIN no
       |    JOIN pc pa ON part_a = pa.pk
       |    JOIN pc pb ON part_b = pb.pk),

@@ -1020,13 +1020,26 @@ object TextAnalysis {
       .orderBy("lang", "pred_lang")
   }
 
+  /** `String.replace` that REQUIRES the needle to be present — a
+    * reformat of the source oracle would otherwise turn the surgery
+    * into a silent no-op yielding malformed SQL that only the next
+    * gate run would catch. Failing at class-init time instead surfaces
+    * it in every test run. */
+  private def replaceRequired(src: String, find: String, repl: String): String = {
+    require(src.contains(find),
+      s"oracle surgery needle not found (source oracle reformatted?): " +
+        s"'${find.take(60)}'")
+    src.replace(find, repl)
+  }
+
   private val qTextConfusionOracle = {
     // the trigram classifier oracle verbatim, demoted to a CTE (the
     // comma splice closes the prior `pred` CTE before pred_out opens)
-    val inner = qLangidTrigramOracle
-      .replace("rn = 1)\nSELECT d2.doc_id, d2.lang,",
-        "rn = 1),\npred_out AS (SELECT d2.doc_id, d2.lang,")
-      .replace("ORDER BY d2.doc_id", ")")
+    val inner = replaceRequired(
+      replaceRequired(qLangidTrigramOracle,
+        "rn = 1)\nSELECT d2.doc_id, d2.lang,",
+        "rn = 1),\npred_out AS (SELECT d2.doc_id, d2.lang,"),
+      "ORDER BY d2.doc_id", ")")
     s"""${inner}
        |SELECT lang, pred_lang, COUNT(*) AS n,
        |  CAST((COUNT(*) * 10000) //
