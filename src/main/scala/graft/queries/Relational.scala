@@ -1753,6 +1753,75 @@ object Relational {
       |  CAST(lift_bp AS BIGINT) AS lift_bp
       |FROM r WHERE rk <= 20 ORDER BY rk""".stripMargin
 
+  // ── per-group OLS trend ───────────────────────────────────────────
+
+  /** Per-segment revenue TREND — ordinary-least-squares slope of
+    * monthly revenue against the month index, the analytics staple
+    * behind "is this segment growing" dashboards (ANSI `REGR_SLOPE`
+    * territory, but float aggregation there is summation-order-
+    * dependent; this is the exact-arithmetic form). Revenue reduces to
+    * integer cents per (segment, month) in one combine-friendly
+    * aggregation (month domain ≈ 80 cells/segment), then the classic
+    * closed form slope = (n·Σxy − Σx·Σy) / (n·Σxx − Σx²) is computed
+    * from five integer sums over that domain-sized relation —
+    * order-independent, no window, no float anywhere. The ratio rides
+    * DECIMAL(38,0)/HUGEINT (the q_market_basket wrap-guard discipline)
+    * and is emitted in basis points with explicit sign-split so both
+    * engines truncate toward zero identically on negative slopes.
+    * Scale: one fact-sized aggregation + one ≈|segments|·|months|
+    * reduce; nothing else grows. */
+  def qAggTrend(s: SparkSession, dir: String): DataFrame = {
+    val monthly = Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("segment"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1)
+          .cast(LongType).as("x"),
+        QueryUtil.cents(col("o_totalprice")).as("cents"))
+      .groupBy(col("segment"), col("x"))
+      .agg(sum(col("cents").cast(DecimalType(20, 0))).cast(LongType).as("y"))
+    monthly.groupBy(col("segment"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"),
+        sum(col("y").cast(DecimalType(38, 0))).as("sy"),
+        sum(col("x") * col("y").cast(DecimalType(38, 0))).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .withColumn("num", expr(
+        "CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy"))
+      .withColumn("den", expr(
+        "CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx"))
+      .select(col("segment"), col("n").cast(LongType).as("n_months"),
+        col("sy").cast(LongType).as("total_cents"),
+        expr("""CASE WHEN num >= 0 THEN CAST((num * 10000) div den AS BIGINT)
+               |  ELSE -CAST(((-num) * 10000) div den AS BIGINT) END"""
+          .stripMargin).as("slope_cents_per_month_bp"))
+      .orderBy("segment")
+  }
+
+  private val qAggTrendOracle =
+    s"""WITH monthly AS (
+       |  SELECT c_mktsegment AS segment,
+       |    CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT) AS x,
+       |    CAST(SUM(${QueryUtil.centsSql("o_totalprice")}) AS BIGINT) AS y
+       |  FROM orders JOIN customer ON o_custkey = c_custkey
+       |  GROUP BY 1, 2),
+       |st AS (
+       |  SELECT segment, COUNT(*) AS n, SUM(x) AS sx,
+       |    SUM(CAST(y AS HUGEINT)) AS sy,
+       |    SUM(x * CAST(y AS HUGEINT)) AS sxy,
+       |    SUM(x * x) AS sxx
+       |  FROM monthly GROUP BY 1),
+       |sl AS (
+       |  SELECT segment, n, sy,
+       |    CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS num,
+       |    CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS den
+       |  FROM st)
+       |SELECT segment, CAST(n AS BIGINT) AS n_months,
+       |  CAST(sy AS BIGINT) AS total_cents,
+       |  CASE WHEN num >= 0 THEN CAST((num * 10000) // den AS BIGINT)
+       |    ELSE -CAST(((-num) * 10000) // den AS BIGINT) END
+       |    AS slope_cents_per_month_bp
+       |FROM sl ORDER BY segment""".stripMargin
+
   // ── open-order backlog sweep-line ─────────────────────────────────
 
   /** Monthly open-order backlog: an order OPENS at `o_orderdate` and
@@ -1867,7 +1936,8 @@ object Relational {
     "q_set_union" -> (qSetUnion _),
     "q_set_intersect" -> (qSetIntersect _),
     "q_set_except" -> (qSetExcept _),
-    "q_set_ops_all" -> (qSetOpsAll _)
+    "q_set_ops_all" -> (qSetOpsAll _),
+    "q_agg_trend" -> (qAggTrend _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1923,6 +1993,7 @@ object Relational {
     "q_sort_topk" -> qSortTopkOracle,
     "q_set_union" -> qSetUnionOracle,
     "q_set_ops_all" -> qSetOpsAllOracle,
+    "q_agg_trend" -> qAggTrendOracle,
     "q_set_intersect" -> qSetIntersectOracle,
     "q_set_except" -> qSetExceptOracle
   )

@@ -579,7 +579,48 @@ object Similarity {
       |SELECT i AS dim, v2 AS loading, lambda_est
       |FROM j, lam ORDER BY dim""".stripMargin
 
+  // ── batch radius search ───────────────────────────────────────────
+
+  /** Batch RADIUS search — the retrieval twin of [[qEmbedCosineTopk]]:
+    * a bounded SET of query vectors (every 50th id), each returning ALL
+    * corpus vectors within cosine ≥ τ rather than a fixed k. This is
+    * the "find everything similar enough" primitive behind
+    * recommendation candidate pools and eval-set leakage sweeps, and
+    * its at-scale plan is deliberately NOT the LSH index: when the
+    * query batch is corpus-small, broadcasting the normalized query
+    * block and scanning the corpus ONCE map-side (one codegen'd dot
+    * fold per (corpus row, query) — no shuffle before the final sort)
+    * beats building band buckets, which only pay when BOTH sides are
+    * corpus-sized (that regime is [[graft.queries.Dedup.qDedupEmbed]]).
+    * Normalization is factored out per vector ([[VectorOps.normalized]],
+    * 1 fold per pair), and the sequential fold is bit-identical to the
+    * DuckDB oracle's list_reduce, so the τ comparison can never
+    * straddle an engine-specific ulp. */
+  def qAnnRange(s: SparkSession, dir: String, tau: Double = 0.3): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), VectorOps.normalized(col("embedding")).as("nvec"))
+    val q = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("nvec").as("q_vec"))
+    e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        VectorOps.dotD(col("nvec"), col("q_vec")).as("cosine"))
+      .filter(col("cosine") >= tau)
+      .orderBy("query_id", "vec_id")
+  }
+
+  private val qAnnRangeOracle = {
+    val cos = VectorOps.dotDSql("c.nvec", "q.nvec")
+    s"""WITH n AS (SELECT vec_id, ${VectorOps.normalizedSql("embedding")} AS nvec
+       |  FROM embeddings)
+       |SELECT q.vec_id AS query_id, c.vec_id, $cos AS cosine
+       |FROM n c CROSS JOIN (SELECT * FROM n WHERE vec_id % 50 = 0) q
+       |WHERE c.vec_id <> q.vec_id AND $cos >= 0.3
+       |ORDER BY query_id, c.vec_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ann_range" -> ((s, d) => qAnnRange(s, d)),
     "q_embed_pca_power" -> ((s, d) => qEmbedPcaPower(s, d)),
     "q_embed_covariance" -> ((s, d) => qEmbedCovariance(s, d)),
     "q_embed_covariance_full" -> ((s, d) => covarianceFull(s, d)),
@@ -591,6 +632,7 @@ object Similarity {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_ann_range" -> qAnnRangeOracle,
     "q_embed_pca_power" -> qEmbedPcaPowerOracle,
     "q_embed_covariance" -> qEmbedCovarianceOracle,
     "q_embed_covariance_full" -> covarianceOracle(64),
