@@ -686,6 +686,71 @@ object Curation {
       |FROM documents, b
       |ORDER BY doc_id""".stripMargin
 
+  // ── per-source token budget ───────────────────────────────────────
+
+  /** Per-source TOKEN-BUDGET enforcement — the mix-pipeline op after
+    * proportions are chosen: each source contributes at most `budget`
+    * tokens, selected as a PREFIX of its documents in a deterministic
+    * pseudo-random priority (the q_sample_hash multiplicative key, tie
+    * doc_id) so reruns and backfills cut at the identical boundary. A
+    * doc that would cross the budget is dropped and so is everything
+    * after it — the prefix rule, chosen over best-fit packing because
+    * it is order-stable under corpus growth (new docs can only append
+    * to the tail of the priority order... and the kept set never
+    * reshuffles).
+    *
+    * The running token sum uses the TWO-LEVEL prefix-sum discipline
+    * (q_curation_global_index): the priority key is uniform on
+    * [0, 10⁹+7), so 64 equal-width key buckets are balanced BY
+    * CONSTRUCTION (no value-skew caveat — contrast scalableNtile,
+    * which needs sketch bounds because data values skew); per-(source,
+    * bucket) partials prefix-sum over a ≤64-row side relation per
+    * source, and every data-sized window is (source, bucket)-
+    * partitioned. A dominant source therefore costs its rows/64 per
+    * task, never a single-task sort. */
+  def qCurationTokenBudget(s: SparkSession, dir: String,
+      budget: Long = 800, buckets: Int = 64): DataFrame = {
+    val p = 1000000007L
+    val pri = pmod(pmod(col("doc_id"), lit(p)) * lit(2654435761L), lit(p))
+    val toks = Tables.documents(s, dir).select(col("doc_id"), col("source"),
+      size(split(trim(col("text")), "\\s+")).cast(LongType).as("n_tokens"),
+      pri.as("pri"))
+      .withColumn("bucket", expr(s"pri div ${p / buckets + 1L}"))
+    val offsets = toks.groupBy(col("source"), col("bucket"))
+      .agg(sum(col("n_tokens")).as("btok"))
+      .withColumn("offset", coalesce(
+        sum(col("btok")).over(Window.partitionBy(col("source"))
+          .orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("source"), col("bucket"), col("offset"))
+    toks
+      .withColumn("local", sum(col("n_tokens")).over(
+        Window.partitionBy(col("source"), col("bucket"))
+          .orderBy(col("pri"), col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .join(broadcast(offsets), Seq("source", "bucket"))
+      .withColumn("cum_tokens", col("offset") + col("local"))
+      .filter(col("cum_tokens") <= budget)
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("cum_tokens").cast(LongType).as("cum_tokens"))
+      .orderBy("source", "cum_tokens", "doc_id")
+  }
+
+  private val qCurationTokenBudgetOracle =
+    """WITH t AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+      |    ((doc_id % 1000000007) * 2654435761) % 1000000007 AS pri
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, source, n_tokens,
+      |    SUM(n_tokens) OVER (PARTITION BY source ORDER BY pri, doc_id
+      |      ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      |  FROM t)
+      |SELECT doc_id, source, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+      |FROM c WHERE cum_tokens <= 800
+      |ORDER BY source, cum_tokens, doc_id""".stripMargin
+
   // ── hive-partitioned output layout ─────────────────────────────────
 
   /** Hive-partitioned corpus layout: write `partitionBy(lang)`, read the
@@ -865,6 +930,7 @@ object Curation {
       |ORDER BY doc_id""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_curation_token_budget" -> ((s, d) => qCurationTokenBudget(s, d)),
     "q_sample_weighted" -> ((s, d) => qSampleWeighted(s, d)),
     "q_data_mix_temperature" -> ((s, d) => qDataMixTemperature(s, d)),
     "q_curation_kanon" -> ((s, d) => qCurationKanon(s, d)),
@@ -887,6 +953,7 @@ object Curation {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_curation_token_budget" -> qCurationTokenBudgetOracle,
     "q_sample_weighted" -> qSampleWeightedOracle,
     "q_data_mix_temperature" -> qDataMixTemperatureOracle,
     "q_curation_kanon" -> qCurationKanonOracle,

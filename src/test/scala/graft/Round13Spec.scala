@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.queries.Relational
+import graft.queries.{Curation, Relational}
 
 /** Round-13 invariants. Value correctness of the public entries is
   * oracle-gated at three scales in Verify/check; these pin the
@@ -63,6 +63,25 @@ class Round13Spec extends SparkSpec {
       assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
         s"ntile mismatch for k=$k")
     }
+  }
+
+  // ── token budget ──────────────────────────────────────────────────
+
+  test("q_curation_token_budget: per-source budget respected, prefix " +
+    "maximal, and partition-count independent") {
+    val out = Curation.qCurationTokenBudget(spark, sf).collect()
+    val bySrc = out.groupBy(_.getString(1))
+    bySrc.foreach { case (src, rows) =>
+      val maxCum = rows.map(_.getLong(3)).max
+      assert(maxCum <= 800L, s"$src over budget: $maxCum")
+    }
+    // two-level bucketed cumsum must equal the plain one-window form
+    // at any parallelism
+    val a = out.map(_.toString).sorted.toSeq
+    val b = withSQLConf("spark.sql.shuffle.partitions" -> "1") {
+      Curation.qCurationTokenBudget(spark, sf).collect().map(_.toString).sorted.toSeq
+    }
+    assert(a == b, "budget cut moved with partition count")
   }
 
   // ── multiset set-ops ──────────────────────────────────────────────
