@@ -65,7 +65,17 @@ object Explain {
     // sweep-line census, and the ×24 support-explosion rewrite of a
     // rolling count-distinct window
     "q_agg_rfm", "q_market_basket", "q_orders_backlog",
-    "q_events_engagement", "q_events_cohorts")
+    "q_events_engagement", "q_events_cohorts",
+    // round 13: the band-index probe join of the incremental near-dup
+    // (corpus index one side, batch signatures the other), the
+    // count-aggregate rewrite of INTERSECT/EXCEPT ALL (no join node),
+    // the broadcast-query radius scan (no shuffle before the sort),
+    // the (source,bucket)-partitioned token-budget prefix sum, the
+    // rank-gated approx-percentile (sketch + one counting pass), and
+    // the explicitly-broadcast langid profile probe
+    "q_dedup_incremental_near", "q_set_ops_all", "q_ann_range",
+    "q_curation_token_budget", "q_agg_percentile_approx",
+    "q_langid_trigram")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

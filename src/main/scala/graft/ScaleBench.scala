@@ -161,7 +161,18 @@ object ScaleBench {
     // 10x users. q_events_seasonality stays out — one map-side
     // aggregation to a FIXED 168-cell matrix (the kanon/corr
     // rationale).
-    "q_events_cohorts")
+    "q_events_cohorts",
+    // round 13: the incremental near-dup probe (fixed 300-doc corpus
+    // index at BOTH scales — the 10× ratio therefore isolates the
+    // batch-side growth the nightly-job contract claims), the
+    // count-aggregate-rewritten multiset set-ops over 10× facts, the
+    // broadcast-query radius scan, the per-source token-budget prefix
+    // sum at 10× docs, and the skew-proofed RFM NTILE re-measure rides
+    // the existing q_agg_rfm row. q_agg_trend stays out: one
+    // fact-sized aggregation to a |segments|·|months| domain — the
+    // kanon/corr map-side rationale.
+    "q_dedup_incremental_near", "q_set_ops_all", "q_ann_range",
+    "q_curation_token_budget")
 
   def buildScaledData(spark: SparkSession, src: String, out: String, factor: Int): Unit = {
     val KEY = 100000000L // key shift per copy: far above any sf0.1 key

@@ -1687,14 +1687,18 @@ object Relational {
     * per order, so the join output is linear in the fact table at any
     * corpus size. Top-20 runs through TakeOrderedAndProject (orderBy +
     * limit — no global window); the rank stamp after the limit is a
-    * 20-row window. The lift ratio rides DECIMAL(38,0) on both the
-    * numerator (n_ab·n_orders·10⁴) and denominator (n_a·n_b): with
+    * 20-row window. Integer headroom is ENFORCED, not assumed: with
     * longs, Spark's non-ANSI multiply would WRAP silently past
-    * n_ab·n_orders ≈ 9·10¹⁴ while the DuckDB oracle's hugeint would
-    * not — a divergence that only a corpus-scale gate run would catch.
-    * Decimal keeps both sides exact to 38 digits (n_orders ≤ 10¹⁰ at
-    * 100 TB ⇒ products ≤ 10²⁴), for one widened column in a 20-row
-    * output stage — negligible cost. */
+    * n_ab·n_orders·10⁴ ≈ 2⁶³ while the DuckDB oracle's hugeint would
+    * not — a divergence only a corpus-scale gate run would catch. Since
+    * n_ab ≤ n_orders, the whole product is bounded by n_orders²·10⁴,
+    * so one broadcast assert_true on n_orders ≤ 3·10⁷ (≈ the wrap
+    * point) guards every row for free; past it the query fails LOUDLY
+    * naming the fix (promote the ratio to DECIMAL(38,0) — measured
+    * round 13: the always-decimal form tripled the 10× sweep cost to
+    * 22.8 s by dragging every pair row through the checked-overflow
+    * decimal path, so the fast long path + loud guard is the right
+    * trade until a corpus actually crosses it). */
   def qMarketBasket(s: SparkSession, dir: String): DataFrame = {
     val op = Tables.lineitem(s, dir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
@@ -1711,9 +1715,11 @@ object Relational {
       .join(pc.toDF("part_b", "n_b"), "part_b")
       .crossJoin(broadcast(no))
       .withColumn("support_ppm", expr("n_ab * 1000000 div n_orders"))
-      .withColumn("lift_bp", expr(
-        "CAST(n_ab AS DECIMAL(38,0)) * n_orders * 10000" +
-          " div (CAST(n_a AS DECIMAL(38,0)) * n_b)"))
+      .withColumn("_hr", assert_true(col("n_orders") <= 30000000L,
+        lit("q_market_basket int64 lift headroom: n_orders > 3e7 - " +
+          "promote lift_bp to DECIMAL(38,0)")))
+      .filter(col("_hr").isNull).drop("_hr")
+      .withColumn("lift_bp", expr("n_ab * n_orders * 10000 div (n_a * n_b)"))
       .orderBy(col("n_ab").desc, col("lift_bp").desc,
         col("part_a"), col("part_b"))
       .limit(20)
@@ -1739,8 +1745,7 @@ object Relational {
       |sc AS (
       |  SELECT part_a, part_b, n_ab,
       |    n_ab * 1000000 // n_orders AS support_ppm,
-      |    CAST(n_ab AS HUGEINT) * n_orders * 10000
-      |      // (CAST(pa.n_p AS HUGEINT) * pb.n_p) AS lift_bp
+      |    n_ab * n_orders * 10000 // (pa.n_p * pb.n_p) AS lift_bp
       |  FROM pairs CROSS JOIN no
       |    JOIN pc pa ON part_a = pa.pk
       |    JOIN pc pb ON part_b = pb.pk),

