@@ -310,14 +310,7 @@ object ScaleBench {
     val marker = new java.io.File(dir, "_DONE")
     if (!marker.exists()) {
       val staging = new java.io.File(dir, "staging").toString
-      graft.Tables.lineitem(spark, srcDir)
-        .select(
-          col("l_orderkey").cast("string"),
-          col("l_partkey").cast("string"),
-          col("l_quantity").cast("string"),
-          col("l_extendedprice").cast("string"),
-          col("l_returnflag"),
-          date_format(col("l_shipdate"), "yyyy-MM-dd HH:mm:ss").as("l_shipdate"))
+      graft.queries.Ingest.stagedTsvProjection(spark, srcDir)
         .coalesce(1)
         .write.mode("overwrite").option("header", "true").option("sep", "\t")
         .csv(staging)

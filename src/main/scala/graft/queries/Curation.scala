@@ -713,7 +713,7 @@ object Curation {
     val p = 1000000007L
     val pri = pmod(pmod(col("doc_id"), lit(p)) * lit(2654435761L), lit(p))
     val toks = Tables.documents(s, dir).select(col("doc_id"), col("source"),
-      size(split(trim(col("text")), "\\s+")).cast(LongType).as("n_tokens"),
+      size(words(col("text"))).cast(LongType).as("n_tokens"),
       pri.as("pri"))
       .withColumn("bucket", expr(s"pri div ${p / buckets + 1L}"))
     val offsets = toks.groupBy(col("source"), col("bucket"))

@@ -754,7 +754,18 @@ object Dedup {
     * deterministic (fixed permutation constants), so the brute-force
     * batch×corpus DuckDB oracle is a genuine end-to-end hash gate, not
     * a coin flip — a banding regression that dropped a true pair
-    * hash-fails this entry. */
+    * hash-fails this entry.
+    *
+    * Gate precondition (shared with [[qDedupMinhashVerified]], whose
+    * identical signatures over the SAME original texts already gate
+    * every ≥0.5 pair corpus-wide): the hash-equality claim needs
+    * banding recall 1 on the pairs the oracle keeps, which holds here
+    * because the corpus' qualifying cross-split pairs measure ≥0.9
+    * (one 0.65 pair at sf0.001, caught) — a pair at J≈0.5 would
+    * collide with only ~0.40 probability, so REGENERATED test data
+    * with organic mid-band pairs would fail this gate persistently
+    * for a non-regression; re-verify the pair spectrum (or raise
+    * `threshold`) before pointing the gate at a new corpus. */
   def qDedupIncrementalNear(s: SparkSession, dir: String, thr: Long = 300,
       threshold: Double = 0.5): DataFrame = {
     val docs = Tables.documents(s, dir)

@@ -21,6 +21,20 @@ object Ingest {
   /** Stage the TSV once per sf dir and return its path — materializing
     * the input is test-harness work, not part of the conversion
     * pipeline being measured, so Bench warms it up before timing. */
+  /** The reference-style stringified lineitem projection every staged
+    * TSV is built from — shared by [[ensureStaged]] and ScaleBench's
+    * split-parallelism evidence so the measured workload can never
+    * drift from the gated ingest entries' input. */
+  def stagedTsvProjection(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    Tables.lineitem(s, dir)
+      .select(
+        col("l_orderkey").cast("string"),
+        col("l_partkey").cast("string"),
+        col("l_quantity").cast("string"),
+        col("l_extendedprice").cast("string"),
+        col("l_returnflag"),
+        date_format(col("l_shipdate"), "yyyy-MM-dd HH:mm:ss").as("l_shipdate"))
+
   def ensureStaged(s: SparkSession, dir: String): String = {
     // key the staging dir on the sanitized path itself — hashCode could
     // collide across distinct sf dirs and silently reuse the wrong TSV
@@ -28,14 +42,7 @@ object Ingest {
     val tsvDir = new java.io.File(
       sys.props("java.io.tmpdir"), s"graft_ingest_tsv_$key").toString
     if (!new java.io.File(tsvDir, "_SUCCESS").exists()) {
-      Tables.lineitem(s, dir)
-        .select(
-          col("l_orderkey").cast("string"),
-          col("l_partkey").cast("string"),
-          col("l_quantity").cast("string"),
-          col("l_extendedprice").cast("string"),
-          col("l_returnflag"),
-          date_format(col("l_shipdate"), "yyyy-MM-dd HH:mm:ss").as("l_shipdate"))
+      stagedTsvProjection(s, dir)
         .write.mode("overwrite")
         .option("header", "true").option("sep", "\t")
         .csv(tsvDir)

@@ -1584,8 +1584,16 @@ object Relational {
     * can assert bucket balance on a planted long-tailed column. */
   private[graft] def ntileBuckets(in: DataFrame): DataFrame = {
     val fracs = (1 until 64).map(i => s"${i}D / 64").mkString(", ")
+    // The 1-row sketch aggregate is localCheckpoint'd because it feeds
+    // TWO independent subtrees (the offsets counts and the ranked
+    // output) and GK merges are shuffle-order-dependent: without the
+    // pin, correctness would silently hinge on exchange reuse
+    // deduplicating the two evaluations — two different split arrays
+    // would bucket the offsets and the ranks inconsistently. One
+    // 1-row materialization makes the splits a constant.
     val bounds = in.agg(count(lit(1)).as("__n"),
       expr(s"approx_percentile(__v, array($fracs), 10000)").as("__spl"))
+      .localCheckpoint()
     in.crossJoin(broadcast(bounds))
       .withColumn("__bucket",
         expr("size(filter(__spl, t -> t < __v))").cast(LongType))
