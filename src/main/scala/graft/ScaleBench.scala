@@ -172,7 +172,10 @@ object ScaleBench {
     // fact-sized aggregation to a |segments|·|months| domain — the
     // kanon/corr map-side rationale.
     "q_dedup_incremental_near", "q_set_ops_all", "q_ann_range",
-    "q_curation_token_budget")
+    "q_curation_token_budget",
+    // the streaming near-dup probe: stream-static broadcast joins +
+    // per-row fold signatures — stateless except candidate dedup
+    "q_stream_dedup_near")
 
   def buildScaledData(spark: SparkSession, src: String, out: String, factor: Int): Unit = {
     val KEY = 100000000L // key shift per copy: far above any sf0.1 key

@@ -97,7 +97,7 @@ object Dedup {
     * full-corpus pass [[qDedupMinhash]] and the incremental probe
     * [[qDedupIncrementalNear]] so both sides of a probe join carry
     * byte-identical signatures. */
-  private def minhashBanded(docs: DataFrame): DataFrame = {
+  private[queries] def minhashBanded(docs: DataFrame): DataFrame = {
     val nHash = 32
     val bands = 8
     val rowsPerBand = nHash / bands
@@ -121,6 +121,45 @@ object Dedup {
         xxhash64((bIdx * rowsPerBand until (bIdx + 1) * rowsPerBand).map(i => col(s"m$i")): _*)
       }: _*)).as(Seq("band", "bucket")))
   }
+
+  /** Per-ROW MinHash band keys as one fold expression — the shuffle-free
+    * twin of [[minhashBanded]] for sides that must not aggregate (a
+    * streaming probe in append mode): the 32 permutation minima ride a
+    * single `aggregate` pass over the row's bigram hashes
+    * (`zip_with` against the literal coefficient array updates all 32
+    * running minima per gram — one walk of the grams, not 32), then the
+    * same 4-arg xxhash64 per band as the aggregation form, so the
+    * minima — min over the same multiset — and therefore the band keys
+    * are BYTE-IDENTICAL to [[minhashBanded]]'s (Round13Spec pins the
+    * equality). Returns an array of (band, bucket) structs ready for
+    * `explode`. */
+  private[queries] def minhashBandsPerRow(text: Column): Column = {
+    val nHash = 32
+    val bands = 8
+    val rowsPerBand = nHash / bands
+    val p = 2147483647L
+    val rng = new scala.util.Random(42)
+    val coef = Seq.fill(nHash)((math.abs(rng.nextLong()) % p | 1L, math.abs(rng.nextLong()) % p))
+    val coefArr = array(coef.map { case (a, b) =>
+      struct(lit(a).as("a"), lit(b).as("b")) }: _*)
+    val hs = transform(bigrams(text), t => pmod(xxhash64(t), lit(p)))
+    val ms = aggregate(hs, array_repeat(lit(p), nHash), (acc, h) =>
+      zip_with(acc, coefArr, (m, c) =>
+        least(m, pmod(h * c.getField("a") + c.getField("b"), lit(p)))))
+    array((0 until bands).map { bIdx =>
+      struct(lit(bIdx).as("band"),
+        xxhash64((bIdx * rowsPerBand until (bIdx + 1) * rowsPerBand)
+          .map(i => element_at(ms, i + 1)): _*).as("bucket"))
+    }: _*)
+  }
+
+  /** The brute-force batch×corpus oracle, shared with the streaming
+    * probe twin (same pair set, same planted replays). */
+  private[queries] def incrementalNearOracle: String = qDedupIncrementalNearOracle
+
+  /** The distinct-word-bigram kernel, exposed for the streaming probe
+    * twin so both sides of every gate share one tokenization. */
+  private[queries] def docBigrams(text: Column): Column = bigrams(text)
 
   def qDedupMinhash(s: SparkSession, dir: String): DataFrame = {
     val banded = minhashBanded(

@@ -575,6 +575,67 @@ object Streaming {
   private val qStreamDedupOracle =
     """SELECT DISTINCT user_id FROM events ORDER BY user_id""".stripMargin
 
+  /** STREAMING near-dup admission — the realtime twin of
+    * [[graft.queries.Dedup.qDedupIncrementalNear]]'s nightly job: the
+    * corpus MinHash band index and gram sets are STATIC relations
+    * (built once, localCheckpoint standing in for the persisted
+    * parquet index), and the incoming document stream probes them with
+    * stream-static broadcast joins. The stream side computes its band
+    * keys PER ROW ([[graft.queries.Dedup.minhashBandsPerRow]] — the 32
+    * permutation minima as one fold over the row's bigram hashes), so
+    * the probe is STATELESS map-side work except the candidate-pair
+    * `dropDuplicates` (state = one key per surviving candidate pair,
+    * bounded by candidate volume, the same unbounded-dedup contract as
+    * q_stream_dedup; the watermarked bounded form would age pairs out).
+    * Candidates verify by exact bigram Jaccard against the broadcast
+    * corpus gram sets — identical semantics, identical oracle, and a
+    * hash gate that the streamed pair set equals the nightly batch
+    * job's. At 100 TB: index broadcasts once per micro-batch (or
+    * becomes a shuffled join keyed on (band,bucket) with the SAME
+    * query text); per-event cost is O(grams + bands), no corpus
+    * rescan ever. */
+  def qStreamDedupNear(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val corpus = docs.filter(col("doc_id") < 300).select(col("doc_id"), col("text"))
+    val corpusIndex = corpus
+      .select(col("doc_id").as("corpus_id"),
+        explode(graft.queries.Dedup.minhashBandsPerRow(col("text"))).as("bk"))
+      .select(col("corpus_id"), col("bk.band").as("band"),
+        col("bk.bucket").as("bucket"))
+      .localCheckpoint()
+    val corpusGrams = corpus
+      .select(col("doc_id").as("corpus_id"),
+        graft.queries.Dedup.docBigrams(col("text")).as("c_grams"))
+      .localCheckpoint()
+    val replays = corpus.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + lit(100000L)).as("doc_id"),
+        concat(col("text"), lit(" qq7")).as("text"))
+    val batch = docs.filter(col("doc_id") >= 300)
+      .select(col("doc_id"), col("text"))
+      .unionByName(replays)
+    val mid = midpoint(batch, "doc_id")
+    val inter = size(array_intersect(col("b_grams"), col("c_grams"))).cast("double")
+    val uni = size(array_union(col("b_grams"), col("c_grams"))).cast("double")
+    runTwoBatchStream(s, "q_stream_dedup_near",
+      batch.filter(col("doc_id") <= mid), batch.filter(col("doc_id") > mid),
+      batch.schema,
+      df => df
+        .select(col("doc_id").as("batch_id"), col("text"),
+          explode(graft.queries.Dedup.minhashBandsPerRow(col("text"))).as("bk"))
+        .select(col("batch_id"), col("text"),
+          col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+        .join(broadcast(corpusIndex), Seq("band", "bucket"))
+        .select(col("batch_id"), col("corpus_id"), col("text"))
+        .dropDuplicates("batch_id", "corpus_id")
+        .withColumn("b_grams", graft.queries.Dedup.docBigrams(col("text")))
+        .join(broadcast(corpusGrams), "corpus_id")
+        .select(col("batch_id"), col("corpus_id"),
+          round(inter / uni, 6).as("jaccard"))
+        .filter(col("jaccard") >= 0.5),
+      "append")
+      .orderBy("batch_id", "corpus_id")
+  }
+
   private val qStreamNgramsOracle =
     """WITH g AS (
       |  SELECT unnest(list_transform(
@@ -920,7 +981,8 @@ object Streaming {
     "q_stream_scd2" -> (qStreamScd2 _),
     "q_stream_ngrams" -> (qStreamNgrams _),
     "q_stream_ngrams_sink" -> (qStreamNgramsSink _),
-    "q_stream_dedup" -> (qStreamDedup _)
+    "q_stream_dedup" -> (qStreamDedup _),
+    "q_stream_dedup_near" -> (qStreamDedupNear _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -941,6 +1003,7 @@ object Streaming {
     "q_stream_scd2" -> qStreamScd2Oracle,
     "q_stream_ngrams" -> qStreamNgramsOracle,
     "q_stream_ngrams_sink" -> qStreamNgramsOracle,
-    "q_stream_dedup" -> qStreamDedupOracle
+    "q_stream_dedup" -> qStreamDedupOracle,
+    "q_stream_dedup_near" -> graft.queries.Dedup.incrementalNearOracle
   )
 }

@@ -1,0 +1,29 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+/** Pins [[Dedup.minhashBandsPerRow]] (the shuffle-free fold form the
+  * streaming probe uses) byte-identical to [[Dedup.minhashBanded]]'s
+  * aggregation form: same permutation minima (min over the same
+  * multiset), same 4-arg xxhash64 band keys — a drift between the two
+  * would silently zero the stream probe's recall against a corpus
+  * index built by the batch form.
+  */
+class MinhashRowBandsSpec extends graft.SparkSpec {
+
+  test("per-row fold band keys == aggregation-form band keys on the corpus") {
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+    val agg = Dedup.minhashBanded(docs)
+      .select(col("doc_id"), col("band"), col("bucket"))
+      .collect().map(_.toString).sorted.toSeq
+    val row = docs
+      .select(col("doc_id"),
+        explode(Dedup.minhashBandsPerRow(col("text"))).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"),
+        col("bk.bucket").as("bucket"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(agg.nonEmpty && agg == row,
+      s"band-key drift: agg ${agg.take(2)} vs row ${row.take(2)}")
+  }
+}
