@@ -599,9 +599,8 @@ object Streaming {
     val corpus = docs.filter(col("doc_id") < 300).select(col("doc_id"), col("text"))
     val corpusIndex = corpus
       .select(col("doc_id").as("corpus_id"),
-        explode(graft.queries.Dedup.minhashBandsPerRow(col("text"))).as("bk"))
-      .select(col("corpus_id"), col("bk.band").as("band"),
-        col("bk.bucket").as("bucket"))
+        posexplode(graft.queries.Dedup.minhashBandsPerRow(col("text")))
+          .as(Seq("band", "bucket")))
       .localCheckpoint()
     val corpusGrams = corpus
       .select(col("doc_id").as("corpus_id"),
@@ -621,9 +620,8 @@ object Streaming {
       batch.schema,
       df => df
         .select(col("doc_id").as("batch_id"), col("text"),
-          explode(graft.queries.Dedup.minhashBandsPerRow(col("text"))).as("bk"))
-        .select(col("batch_id"), col("text"),
-          col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+          posexplode(graft.queries.Dedup.minhashBandsPerRow(col("text")))
+            .as(Seq("band", "bucket")))
         .join(broadcast(corpusIndex), Seq("band", "bucket"))
         .select(col("batch_id"), col("corpus_id"), col("text"))
         .dropDuplicates("batch_id", "corpus_id")

@@ -19,9 +19,8 @@ class MinhashRowBandsSpec extends graft.SparkSpec {
       .collect().map(_.toString).sorted.toSeq
     val row = docs
       .select(col("doc_id"),
-        explode(Dedup.minhashBandsPerRow(col("text"))).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"),
-        col("bk.bucket").as("bucket"))
+        posexplode(Dedup.minhashBandsPerRow(col("text")))
+          .as(Seq("band", "bucket")))
       .collect().map(_.toString).sorted.toSeq
     assert(agg.nonEmpty && agg == row,
       s"band-key drift: agg ${agg.take(2)} vs row ${row.take(2)}")
