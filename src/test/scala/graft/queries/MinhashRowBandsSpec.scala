@@ -25,4 +25,19 @@ class MinhashRowBandsSpec extends graft.SparkSpec {
     assert(agg.nonEmpty && agg == row,
       s"band-key drift: agg ${agg.take(2)} vs row ${row.take(2)}")
   }
+
+  test("shingle-less docs yield NULL bands (absent-from-index semantics)") {
+    import spark.implicits._
+    // one-word docs have zero bigrams; the agg form emits no signature
+    // row for them, so the per-row form must posexplode to NOTHING
+    val docs = Seq((1L, "single"), (2L, "two words here")).toDF("doc_id", "text")
+    val out = docs
+      .select(col("doc_id"),
+        posexplode(Dedup.minhashBandsPerRow(col("text")))
+          .as(Seq("band", "bucket")))
+      .groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(!out.contains(1L), s"shingle-less doc produced bands: $out")
+    assert(out(2L) == 8L, s"expected 8 bands for doc 2: $out")
+  }
 }
