@@ -132,6 +132,28 @@ class Round13Spec extends SparkSpec {
     }
   }
 
+  test("scalableNtile matches SQL NTILE across distribution shapes and k " +
+    "(seeded property sweep)") {
+    val rng = new scala.util.Random(1313)
+    val shapes: Seq[(String, Int => Long)] = Seq(
+      ("uniform", _ => rng.nextInt(1000000).toLong),
+      ("constant-heavy", i => if (rng.nextInt(10) < 7) 42L else rng.nextInt(100).toLong),
+      ("bimodal", _ => if (rng.nextBoolean()) rng.nextInt(100).toLong
+        else 1000000000L + rng.nextInt(100)),
+      ("negative-skew", _ => -math.round(math.exp(rng.nextDouble() * 12))))
+    for ((name, gen) <- shapes; k <- Seq(3, 8)) {
+      val rows = (1 to 3000).map(i => (i.toLong, gen(i)))
+      def df = spark.createDataFrame(rows).toDF("id", "v")
+      val got = Relational.scalableNtile(df, col("v"), col("id"), k, "tile")
+        .select(col("id"), col("tile"))
+      val want = df.withColumn("tile",
+          ntile(k).over(Window.orderBy(col("v"), col("id"))).cast("long"))
+        .select(col("id"), col("tile"))
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        s"ntile mismatch for shape=$name k=$k")
+    }
+  }
+
   test("scalableNtile: all-equal values degenerate to one bucket but " +
     "still match NTILE") {
     def df = spark.range(1, 101).toDF("id").withColumn("v", lit(42L))
