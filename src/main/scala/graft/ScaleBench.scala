@@ -175,7 +175,9 @@ object ScaleBench {
     "q_curation_token_budget",
     // the streaming near-dup probe: stream-static broadcast joins +
     // per-row fold signatures — stateless except candidate dedup
-    "q_stream_dedup_near")
+    "q_stream_dedup_near",
+    // the two-night index-append loop (per-night cost batch-sized)
+    "q_dedup_index_append")
 
   def buildScaledData(spark: SparkSession, src: String, out: String, factor: Int): Unit = {
     val KEY = 100000000L // key shift per copy: far above any sf0.1 key

@@ -843,8 +843,117 @@ object Dedup {
        |ORDER BY batch_id, corpus_id""".stripMargin
   }
 
+  // ── two-wave index APPEND (the nightly loop closed) ───────────────
+
+  /** The nightly near-dup loop run for TWO nights — what
+    * [[qDedupIncrementalNear]]'s "the index is only APPENDED to as
+    * batches are admitted" claim actually means, executed: wave 1
+    * probes the corpus band index and docs with NO ≥τ match are
+    * ADMITTED — their band signatures are unioned into the index
+    * (append, no rebuild, no corpus rescan); wave 2 then probes the
+    * GROWN index, so a wave-2 doc can match either a corpus doc or a
+    * wave-1 admit. The feed plants replays of both kinds: corpus
+    * re-crawls in wave 1 (rejected against the original index) and
+    * re-crawls of NOVEL wave-1 docs in wave 2 (caught ONLY IF the
+    * append really happened — an index-append regression hash-fails
+    * the gate through the missing wave-2 pairs). Output: every
+    * verified pair tagged by wave.
+    *
+    * Scale: per night, signature cost is batch-sized, the index grows
+    * by |admitted| band rows (8/doc), and the probe is one
+    * (band,bucket) equi-join — identical shape both nights; the
+    * admitted side's gram fetch is candidate-bounded. The two
+    * localCheckpoints stand in for the persisted index parquet between
+    * nights. Gate precondition as [[qDedupIncrementalNear]]: qualifying
+    * pairs in this corpus sit ≥0.9 where banding recall is
+    * deterministic-complete. */
+  def qDedupIndexAppend(s: SparkSession, dir: String, thr: Long = 300,
+      threshold: Double = 0.5): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val corpus = docs.filter(col("doc_id") < thr).select(col("doc_id"), col("text"))
+    val novel = docs.filter(col("doc_id") >= thr).select(col("doc_id"), col("text"))
+    val mid = 2L * thr // sf-stable split of the novel stream into two waves
+    val wave1 = novel.filter(col("doc_id") < mid)
+      .unionByName(corpus.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + lit(100000L)).as("doc_id"),
+          concat(col("text"), lit(" qq7")).as("text")))
+    val wave2 = novel.filter(col("doc_id") >= mid)
+      .unionByName(novel.filter(col("doc_id") < mid && col("doc_id") % 7 === 0)
+        .select((col("doc_id") + lit(200000L)).as("doc_id"),
+          concat(col("text"), lit(" vv8")).as("text")))
+
+    def verifiedPairs(batch: DataFrame, index: DataFrame,
+        indexDocs: DataFrame): DataFrame = {
+      val cand = minhashBanded(batch).as("x").join(index.as("y"),
+          col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket"))
+        .select(col("x.doc_id").as("batch_id"), col("y.doc_id").as("partner_id"))
+        .distinct()
+      val bG = batch.select(col("doc_id").as("batch_id"), bigrams(col("text")).as("b_grams"))
+      val iG = indexDocs.select(col("doc_id").as("partner_id"), bigrams(col("text")).as("i_grams"))
+      val inter = size(array_intersect(col("b_grams"), col("i_grams"))).cast(DoubleType)
+      val uni = size(array_union(col("b_grams"), col("i_grams"))).cast(DoubleType)
+      cand.join(bG, "batch_id").join(iG, "partner_id")
+        .select(col("batch_id"), col("partner_id"), round(inter / uni, 6).as("jaccard"))
+        .filter(col("jaccard") >= threshold)
+    }
+
+    val index1 = minhashBanded(corpus).localCheckpoint()
+    val pairs1 = verifiedPairs(wave1, index1, corpus).localCheckpoint()
+    val admitted1 = wave1.join(pairs1.select(col("batch_id").as("doc_id")).distinct(),
+      Seq("doc_id"), "left_anti")
+    val index2 = index1.unionByName(minhashBanded(admitted1)).localCheckpoint()
+    val indexDocs2 = corpus.unionByName(admitted1)
+    val pairs2 = verifiedPairs(wave2, index2, indexDocs2)
+    pairs1.withColumn("wave", lit(1L))
+      .unionByName(pairs2.withColumn("wave", lit(2L)))
+      .select(col("wave"), col("batch_id"), col("partner_id"), col("jaccard"))
+      .orderBy("wave", "batch_id", "partner_id")
+  }
+
+  private val qDedupIndexAppendOracle = {
+    val grams =
+      """list_distinct(list_transform(
+        |  range(1, len(string_split_regex(trim(text), '\s+'))),
+        |  i -> string_split_regex(trim(text), '\s+')[i] || ' ' ||
+        |       string_split_regex(trim(text), '\s+')[i+1]))""".stripMargin
+    val jac = """round(CAST(len(list_intersect(b.grams, p.grams)) AS DOUBLE) /
+                |        CAST(len(list_distinct(list_concat(b.grams, p.grams))) AS DOUBLE), 6)""".stripMargin
+    s"""WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+       |novel AS (SELECT doc_id, text FROM documents WHERE doc_id >= 300),
+       |wave1 AS (
+       |  SELECT doc_id, text FROM novel WHERE doc_id < 600
+       |  UNION ALL
+       |  SELECT doc_id + 100000 AS doc_id, text || ' qq7' AS text
+       |  FROM corpus WHERE doc_id % 5 = 0),
+       |wave2 AS (
+       |  SELECT doc_id, text FROM novel WHERE doc_id >= 600
+       |  UNION ALL
+       |  SELECT doc_id + 200000 AS doc_id, text || ' vv8' AS text
+       |  FROM novel WHERE doc_id < 600 AND doc_id % 7 = 0),
+       |w1g AS (SELECT doc_id, $grams AS grams FROM wave1),
+       |cg AS (SELECT doc_id, $grams AS grams FROM corpus),
+       |pairs1 AS (
+       |  SELECT b.doc_id AS batch_id, p.doc_id AS partner_id, $jac AS jaccard
+       |  FROM w1g b CROSS JOIN cg p WHERE $jac >= 0.5),
+       |admitted1 AS (
+       |  SELECT doc_id, text FROM wave1
+       |  WHERE doc_id NOT IN (SELECT batch_id FROM pairs1)),
+       |idx2 AS (
+       |  SELECT doc_id, $grams AS grams FROM
+       |    (SELECT * FROM corpus UNION ALL SELECT * FROM admitted1)),
+       |w2g AS (SELECT doc_id, $grams AS grams FROM wave2),
+       |pairs2 AS (
+       |  SELECT b.doc_id AS batch_id, p.doc_id AS partner_id, $jac AS jaccard
+       |  FROM w2g b CROSS JOIN idx2 p WHERE $jac >= 0.5)
+       |SELECT CAST(1 AS BIGINT) AS wave, batch_id, partner_id, jaccard FROM pairs1
+       |UNION ALL
+       |SELECT CAST(2 AS BIGINT) AS wave, batch_id, partner_id, jaccard FROM pairs2
+       |ORDER BY wave, batch_id, partner_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_incremental" -> ((s, d) => qDedupIncremental(s, d)),
+    "q_dedup_index_append" -> ((s, d) => qDedupIndexAppend(s, d)),
     "q_dedup_incremental_near" -> ((s, d) => qDedupIncrementalNear(s, d)),
     "q_dedup_edit" -> ((s, d) => qDedupEdit(s, d)),
     "q_dedup_paragraph" -> ((s, d) => qDedupParagraph(s, d)),
@@ -863,6 +972,7 @@ object Dedup {
   def oracleSql: Map[String, String] = Map(
     "q_dedup_incremental" -> qDedupIncrementalOracle,
     "q_dedup_incremental_near" -> qDedupIncrementalNearOracle,
+    "q_dedup_index_append" -> qDedupIndexAppendOracle,
     "q_dedup_edit" -> qDedupEditOracle,
     "q_dedup_paragraph" -> qDedupParagraphOracle,
     "q_dedup_containment" -> qDedupContainmentOracle,

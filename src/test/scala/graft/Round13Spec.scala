@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.queries.{Curation, Relational}
+import graft.queries.{Curation, Dedup, Relational}
 
 /** Round-13 invariants. Value correctness of the public entries is
   * oracle-gated at three scales in Verify/check; these pin the
@@ -82,6 +82,25 @@ class Round13Spec extends SparkSpec {
       Curation.qCurationTokenBudget(spark, sf).collect().map(_.toString).sorted.toSeq
     }
     assert(a == b, "budget cut moved with partition count")
+  }
+
+  // ── index append ──────────────────────────────────────────────────
+
+  test("q_dedup_index_append: wave-2 replays match WAVE-1 ADMITS through " +
+    "the appended index, not just the original corpus") {
+    val rows = Dedup.qDedupIndexAppend(spark, sf).collect()
+    val wave2 = rows.filter(_.getLong(0) == 2L)
+    // replay-2 docs (ids +200000) whose partner is a wave-1 novel doc
+    // (300 <= id < 600): these pairs exist ONLY because admitted wave-1
+    // signatures were appended to the index
+    val viaAppend = wave2.filter(r => r.getLong(1) >= 200000L &&
+      r.getLong(2) >= 300L && r.getLong(2) < 600L)
+    assert(viaAppend.nonEmpty,
+      s"no wave-2 pair rides the appended index: ${wave2.take(5).toSeq}")
+    // and wave-1 corpus replays were REJECTED (caught against the
+    // original index), so none of them reappear as wave-2 partners
+    assert(wave2.forall(r => r.getLong(2) < 100000L),
+      "a rejected wave-1 replay leaked into the index")
   }
 
   // ── multiset set-ops ──────────────────────────────────────────────
