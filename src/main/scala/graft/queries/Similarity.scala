@@ -517,13 +517,17 @@ object Similarity {
     val full = cov.select(col("i"), col("j"), col("cov"))
       .union(cov.filter(col("i") =!= col("j"))
         .select(col("j").as("i"), col("i").as("j"), col("cov")))
-    // each row of C as a j-ordered dense array — matvec becomes a fold
+    // each row of C as a j-ordered dense array — matvec becomes a fold.
+    // localCheckpoint: `rows` (dims rows) feeds THREE passes (v1, v2,
+    // Rayleigh) — without it each pass re-runs the corpus-sized
+    // covariance shuffle (the scalableNtile multi-pass discipline).
     val rows = full.groupBy("i")
       .agg(transform(sort_array(collect_list(struct(col("j"), col("cov")))),
         e => e.getField("cov")).as("rv"))
+      .localCheckpoint()
     def fold(arr: org.apache.spark.sql.Column) =
       aggregate(arr, lit(0.0), (a, x) => a + x)
-    val v1 = rows.select(col("i"), fold(col("rv")).as("v1"))
+    val v1 = rows.select(col("i"), fold(col("rv")).as("v1")).localCheckpoint()
     val v1arr = v1.agg(transform(sort_array(collect_list(
       struct(col("i"), col("v1")))), e => e.getField("v1")).as("va"))
     val v2 = rows.crossJoin(broadcast(v1arr))
