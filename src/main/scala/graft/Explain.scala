@@ -125,6 +125,21 @@ object Explain {
       .groupBy(col("name")).agg(count(lit(1)), max(col("id")), avg(col("score")))
       .queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))
+
+    // SQL-registered native functions: a pure-SQL user's near-dup probe
+    // plan — graft_minhash_bands / graft_word_ngrams appear as native
+    // expressions inside the project (no UDF node, no HOF fold).
+    println("\n===== SQL-form native functions (graft_minhash_bands) =====")
+    graft.functions.GraftFunctions.register(spark)
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .createOrReplaceTempView("documents_sql")
+    println(spark.sql(
+      """SELECT doc_id, b.pos AS band, b.col AS bucket
+        |FROM documents_sql
+        |LATERAL VIEW posexplode(graft_minhash_bands(
+        |  array_distinct(graft_word_ngrams(text, 2)))) b""".stripMargin)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
     spark.stop()
   }
 }

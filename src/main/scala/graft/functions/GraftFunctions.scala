@@ -43,6 +43,32 @@ object GraftFunctions {
       val bits = if (exprs.length > 3) intArg(exprs(3), "bits") else 10
       val seed = if (exprs.length > 4) intArg(exprs(4), "seed").toLong else 97L
       LshSignature(exprs.head, dims, bands, bits, seed)
+    },
+    // graft_minhash_bands(grams[, nHash, bands, seed]) — knob args must
+    // be literals (they parameterize the plan-constant permutation set)
+    "graft_minhash_bands" -> { exprs =>
+      val nHash = if (exprs.length > 1) intArg(exprs(1), "nHash") else 32
+      val bands = if (exprs.length > 2) intArg(exprs(2), "bands") else 8
+      val seed = if (exprs.length > 3) intArg(exprs(3), "seed").toLong else 42L
+      MinhashBands(exprs.head, nHash, bands, seed)
+    },
+    // graft_argmax_dot(vec, flat_matrix, dims) — the k×dims centroid
+    // matrix arrives as a LITERAL flattened array<double> (it is a plan
+    // constant in the Column form too) plus a literal dims
+    "graft_argmax_dot" -> { exprs =>
+      require(exprs(1).foldable, "graft: matrix must be a literal array")
+      // SQL numeric literals arrive as DECIMAL — normalize the whole
+      // literal matrix through a fold-time cast to array<double>
+      val asDouble = org.apache.spark.sql.catalyst.expressions.Cast(
+        exprs(1), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType))
+      val flat = asDouble.eval() match {
+        case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+          a.toDoubleArray()
+        case other => throw new IllegalArgumentException(
+          s"graft: matrix must evaluate to array<double>, got $other")
+      }
+      ArgmaxDot(exprs.head, flat, intArg(exprs(2), "dims"))
     })
 
   def register(spark: SparkSession): Unit =

@@ -42,8 +42,18 @@ case class MinhashBands(child: Expression, nHash: Int, bands: Int, seed: Long)
   private val rowsPerBand = nHash / bands
   require(nHash % bands == 0, "nHash must be a multiple of bands")
 
+  // containsNull is REJECTED, not tolerated: the aggregation twin
+  // (explode + xxhash64) hashes a null token to the seed and folds
+  // pmod(42,p) into every permutation minimum, while a skip-nulls eval
+  // here would silently drift from a batch-built index. All engine
+  // call sites feed WordNgrams output (containsNull=false by dataType);
+  // anything else must prove the same before using this expression.
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(StringType, false) => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(StringType, true) => TypeCheckResult.TypeCheckFailure(
+      "graft_minhash_bands requires ARRAY<STRING> with containsNull=false: " +
+        "null elements would make row-form band keys diverge from the " +
+        "aggregation-built index (which hashes null tokens to the seed)")
     case dt => TypeCheckResult.TypeCheckFailure(
       s"graft_minhash_bands expects ARRAY<STRING>, got ${dt.catalogString}")
   }
@@ -61,6 +71,8 @@ case class MinhashBands(child: Expression, nHash: Int, bands: Int, seed: Long)
     var seen = false
     var i = 0
     while (i < n) {
+      // checkInputDataTypes rejects containsNull=true schemas; this
+      // guard only defends against a misdeclared schema at runtime
       if (!arr.isNullAt(i)) {
         seen = true
         val h0 = XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)

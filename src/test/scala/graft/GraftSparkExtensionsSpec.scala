@@ -35,6 +35,18 @@ class GraftSparkExtensionsSpec extends SparkSpec {
         "SELECT size(graft_word_ngrams('a b c d', 2)) AS n")
         .collect().head.getInt(0)
       assert(n == 3)
+      // round-14 builders: the minhash band kernel (default knobs) and
+      // the literal-matrix centroid assignment resolve through the
+      // same injection
+      val nb = s2.sql(
+        "SELECT size(graft_minhash_bands(array('a b', 'b c'))) AS nb")
+        .collect().head.getInt(0)
+      assert(nb == 8, s"expected 8 band keys, got $nb")
+      val c = s2.sql(
+        "SELECT graft_argmax_dot(array(0.0d, 1.0d), " +
+          "array(1.0d, 0.0d, 0.0d, 1.0d), 2) AS c")
+        .collect().head.getInt(0)
+      assert(c == 1, s"expected centroid 1, got $c")
     } finally {
       SparkSession.setDefaultSession(orig)
       SparkSession.setActiveSession(orig)

@@ -26,6 +26,64 @@ class MinhashRowBandsSpec extends graft.SparkSpec {
       s"band-key drift: agg ${agg.take(2)} vs row ${row.take(2)}")
   }
 
+  test("SQL-form graft_minhash_bands == Column form byte-identically on the corpus") {
+    graft.functions.GraftFunctions.register(spark)
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+    docs.createOrReplaceTempView("mh_docs")
+    // the SQL registration path must produce the SAME band keys as the
+    // Column bridge — a drift here would let spark.sql users build an
+    // index the Scala probe can't hit
+    val sqlForm = spark.sql(
+      """SELECT doc_id, b.pos AS band, b.col AS bucket
+        |FROM mh_docs
+        |LATERAL VIEW posexplode(graft_minhash_bands(
+        |  array_distinct(graft_word_ngrams(text, 2)))) b""".stripMargin)
+      .collect().map(_.toString).sorted.toSeq
+    val colForm = docs
+      .select(col("doc_id"),
+        posexplode(Dedup.minhashBandsPerRow(col("text")))
+          .as(Seq("band", "bucket")))
+      .collect().map(_.toString).sorted.toSeq
+    assert(sqlForm.nonEmpty && sqlForm == colForm,
+      s"SQL/Column drift: ${sqlForm.take(2)} vs ${colForm.take(2)}")
+  }
+
+  test("SQL-form graft_argmax_dot == Column form on the embeddings corpus") {
+    graft.functions.GraftFunctions.register(spark)
+    val cents = Seq(Array(1.0, 0.0, 0.5, 0.0), Array(0.0, 1.0, 0.0, 0.5),
+      Array(0.25, 0.25, 0.25, 0.25))
+    val emb = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"),
+        transform(slice(col("embedding"), 1, 4),
+          x => x.cast("double")).as("v"))
+    emb.createOrReplaceTempView("ad_vecs")
+    val matSql = cents.flatten.mkString("array(", ", ", ")")
+    val sqlForm = spark.sql(
+      s"SELECT vec_id, graft_argmax_dot(v, $matSql, 4) AS c FROM ad_vecs")
+      .collect().map(_.toString).sorted.toSeq
+    val colForm = emb
+      .select(col("vec_id"),
+        graft.functions.ArgmaxDot.argmaxDot(col("v"), cents).as("c"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(sqlForm.nonEmpty && sqlForm == colForm)
+  }
+
+  test("graft_minhash_bands REJECTS containsNull=true arrays at analysis") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // Seq[String] encodes as ARRAY<STRING> containsNull=true — exactly
+    // the schema whose null elements would drift from the aggregation
+    // twin (which hashes null tokens to the seed); the expression must
+    // fail analysis loudly instead of silently skipping nulls
+    val df = Seq(Seq("a b", "b c")).toDF("grams")
+    df.createOrReplaceTempView("mh_nullable")
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_minhash_bands(grams) FROM mh_nullable").collect()
+    }
+    assert(e.getMessage.contains("containsNull"), s"got: ${e.getMessage}")
+  }
+
   test("shingle-less docs yield NULL bands (absent-from-index semantics)") {
     import spark.implicits._
     // one-word docs have zero bigrams; the agg form emits no signature
