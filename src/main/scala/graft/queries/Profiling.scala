@@ -205,6 +205,53 @@ object Profiling {
       .orderBy("bucket")
   }
 
+  /** The registry form of [[qHistEquidepthApprox]], oracle-GATED
+    * (round-14, the q_agg_percentile_approx rank-bracket move): each of
+    * the k−1 sketch split points must honor the published GK rank
+    * contract — its exact rank sits within n/accuracy of the target
+    * rank i·n/k. One extra counting aggregation (strictly-below /
+    * at-or-below per split, 2(k−1) combine-friendly sums in ONE pass)
+    * feeds [[Relational.rankOk]]'s exact integer interval check; the
+    * DuckDB oracle is the all-ones relation over range(1,k), so the
+    * hash gate passes iff every split honors its bound. A sketch
+    * regression produces a 0 flag and FAILS the entry — this is what
+    * moves the entry from `no_oracle`-by-contract to driver-gated.
+    * At 100 TB the histogram itself ([[qHistEquidepthApprox]]) is the
+    * production form; this gate adds one counting pass (shuffle: 2(k−1)
+    * longs per partition) and is what a nightly validation executes. */
+  def qHistEquidepthApproxGated(s: SparkSession, dir: String,
+      buckets: Int = 10, accuracy: Int = 10000): DataFrame = {
+    val li = Tables.lineitem(s, dir).select(col("l_extendedprice"))
+    val probs = (1 until buckets).map(i => i.toDouble / buckets)
+    val bounds = li.agg(expr(
+      s"approx_percentile(l_extendedprice, array(${probs.mkString(",")}), $accuracy)")
+      .as("splits"))
+    val aggs = (1 until buckets).flatMap { i =>
+      val sp = col("splits").getItem(i - 1)
+      Seq(sum(when(col("l_extendedprice") < sp, 1L).otherwise(0L)).as(s"b$i"),
+        sum(when(col("l_extendedprice") <= sp, 1L).otherwise(0L)).as(s"a$i"))
+    } :+ count(lit(1)).as("n")
+    val counts = li.join(broadcast(bounds)).agg(aggs.head, aggs.tail: _*)
+    // p = i/k = (20·i/k)/20 exactly when k divides 20·i — true for
+    // k=10 (pNum20 = 2i); guard so a non-divisor bucket count can't
+    // silently shift the target rank
+    require(20 % buckets == 0, s"buckets must divide 20, got $buckets")
+    counts.select(explode(array((1 until buckets).map { i =>
+        struct(lit(i.toLong).as("split_idx"),
+          Relational.rankOk(col(s"b$i"), col(s"a$i"), col("n"),
+            20L * i / buckets, accuracy.toLong).as("ok_rank"),
+          col("n").as("n"))
+      }: _*)).as("r"))
+      .select(col("r.split_idx"), col("r.ok_rank"), col("r.n"))
+      .orderBy("split_idx")
+  }
+
+  private val qHistEquidepthApproxGatedOracle =
+    """SELECT CAST(i AS BIGINT) AS split_idx,
+      |  CAST(1 AS BIGINT) AS ok_rank,
+      |  (SELECT COUNT(*) FROM lineitem) AS n
+      |FROM range(1, 10) t(i) ORDER BY split_idx""".stripMargin
+
   /** Scale-safe winsorized profile — the 100 TB form of [[qWinsorize]]:
     * identical output shape, but the per-group 5/95% bounds come from
     * `approx_percentile`'s mergeable sketch instead of the exact
@@ -237,6 +284,48 @@ object Profiling {
           .as("trimmed_mean"))
       .orderBy("l_returnflag")
   }
+
+  /** The registry form of [[qWinsorizeApprox]], oracle-GATED (round-14):
+    * the per-group 5 %/95 % sketch bounds must honor the GK rank
+    * contract exactly — `[below+1, at_or_below]` of each returned bound
+    * intersects `[p·n_g − n_g/acc − 1, p·n_g + n_g/acc + 1]` in integer
+    * arithmetic (p = 1/20 and 19/20 — exact twentieths, no float in the
+    * decision). Same plan shape as the production trim pass: the ≤|groups|
+    * bounds row broadcasts back onto the scan, one combine-friendly
+    * counting aggregation per group. The DuckDB oracle is the all-ones
+    * relation with exact group counts — a sketch regression FAILS the
+    * hash gate instead of hiding behind a declared error bound. */
+  def qWinsorizeApproxGated(s: SparkSession, dir: String,
+      accuracy: Int = 10000): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_returnflag"), col("l_extendedprice"))
+    val bounds = li.groupBy(col("l_returnflag")).agg(
+      expr(s"approx_percentile(l_extendedprice, 0.05, $accuracy)").as("lo"),
+      expr(s"approx_percentile(l_extendedprice, 0.95, $accuracy)").as("hi"))
+    val price = col("l_extendedprice")
+    li.join(broadcast(bounds), "l_returnflag")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(when(price < col("lo"), 1L).otherwise(0L)).as("bl"),
+        sum(when(price <= col("lo"), 1L).otherwise(0L)).as("al"),
+        sum(when(price < col("hi"), 1L).otherwise(0L)).as("bh"),
+        sum(when(price <= col("hi"), 1L).otherwise(0L)).as("ah"),
+        count(lit(1)).as("n"))
+      .select(col("l_returnflag"),
+        Relational.rankOk(col("bl"), col("al"), col("n"), 1L,
+          accuracy.toLong).as("ok_lo"),
+        Relational.rankOk(col("bh"), col("ah"), col("n"), 19L,
+          accuracy.toLong).as("ok_hi"),
+        col("n"))
+      .orderBy("l_returnflag")
+  }
+
+  private val qWinsorizeApproxGatedOracle =
+    """SELECT l_returnflag,
+      |  CAST(1 AS BIGINT) AS ok_lo,
+      |  CAST(1 AS BIGINT) AS ok_hi,
+      |  COUNT(*) AS n
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** Data-quality audit — the constraint-validation pass a production
     * pipeline gates every load on: key uniqueness, referential
@@ -631,9 +720,9 @@ object Profiling {
     "q_profile_stats" -> (qProfileStats _),
     "q_profile_hist" -> (qProfileHist _),
     "q_hist_equidepth" -> ((s, d) => qHistEquidepth(s, d)),
-    "q_hist_equidepth_approx" -> ((s, d) => qHistEquidepthApprox(s, d)),
+    "q_hist_equidepth_approx" -> ((s, d) => qHistEquidepthApproxGated(s, d)),
     "q_winsorize" -> (qWinsorize _),
-    "q_winsorize_approx" -> ((s, d) => qWinsorizeApprox(s, d))
+    "q_winsorize_approx" -> ((s, d) => qWinsorizeApproxGated(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -645,6 +734,8 @@ object Profiling {
     "q_profile_stats" -> qProfileStatsOracle,
     "q_profile_hist" -> qProfileHistOracle,
     "q_hist_equidepth" -> qHistEquidepthOracle,
-    "q_winsorize" -> qWinsorizeOracle
+    "q_hist_equidepth_approx" -> qHistEquidepthApproxGatedOracle,
+    "q_winsorize" -> qWinsorizeOracle,
+    "q_winsorize_approx" -> qWinsorizeApproxGatedOracle
   )
 }
