@@ -75,7 +75,12 @@ object Explain {
     // the explicitly-broadcast langid profile probe
     "q_dedup_incremental_near", "q_set_ops_all", "q_ann_range",
     "q_curation_token_budget", "q_agg_percentile_approx",
-    "q_langid_trigram")
+    "q_langid_trigram",
+    // round 14: the embedding-space nightly probe (checkpointed band
+    // index one side, batch signatures the other); the promoted
+    // rank-gated sketch twins already dump above (round-6 entries —
+    // their registry forms now show sketch + ONE counting pass)
+    "q_dedup_embed_incremental")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -177,7 +177,10 @@ object ScaleBench {
     // per-row fold signatures — stateless except candidate dedup
     "q_stream_dedup_near",
     // the two-night index-append loop (per-night cost batch-sized)
-    "q_dedup_index_append")
+    "q_dedup_index_append",
+    // round 14: the embedding-space nightly probe — fixed persisted ANN
+    // index (thr=300 corpus), batch-sized signature + probe cost
+    "q_dedup_embed_incremental")
 
   def buildScaledData(spark: SparkSession, src: String, out: String, factor: Int): Unit = {
     val KEY = 100000000L // key shift per copy: far above any sf0.1 key

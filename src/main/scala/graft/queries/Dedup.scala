@@ -843,6 +843,105 @@ object Dedup {
        |ORDER BY batch_id, corpus_id""".stripMargin
   }
 
+  // ── incremental EMBEDDING near-dup: probe a persisted ANN index ───
+
+  /** Semantic dedup at ingestion — the embedding-space mirror of
+    * [[qDedupIncrementalNear]]: the corpus' random-hyperplane LSH band
+    * index is built ONCE and persisted (localCheckpoint standing in
+    * for the parquet-backed index, exactly as the text-side nightly
+    * job); each new batch signs ITS vectors only and probes the index
+    * with one `(band, bucket)` equi-join, so per-night cost tracks the
+    * BATCH, never the corpus — [[qDedupEmbed]] by contrast re-buckets
+    * the whole corpus every run. Candidates verify by exact cosine ≥
+    * `threshold` over pre-normalized vectors (the bit-identical
+    * sequential fold q_dedup_embed's oracle mirrors), so false
+    * candidates never reach the output.
+    *
+    * The feed plants re-encoded replays: every 5th corpus vector
+    * re-submitted under a fresh id with a uniform +0.02 coordinate
+    * shift — the "same content, new encoder run" drift semantic dedup
+    * exists to catch (cosine to the original stays ≈1). The replay id
+    * offset is DERIVED as max(vec_id)+1 (one 1-row driver agg, the
+    * documented bounded pattern), so replays can never conflate with
+    * organic ids on ANY corpus — including the key-shifted 10×/100×
+    * sweeps whose ids reach 10⁹; the DuckDB oracle mirrors the same
+    * `MAX(vec_id)+1` arithmetic.
+    *
+    * Banding knobs are fixed from the CORPUS size (the persisted
+    * index's plan constants): bits ~ log₂(n)−1 keeps random collisions
+    * O(1) per bucket as the index grows. Candidate generation is
+    * deterministic (seeded plane matrix), and the brute-force
+    * batch×corpus DuckDB oracle gates END-TO-END at all three SFs —
+    * a banding regression that drops a true ≥τ pair hash-fails the
+    * entry. At 100 TB: the index is bucketed parquet keyed on
+    * (band, bucket); the probe co-locates with it, signatures are
+    * map-side, and the verify stage is bounded by the candidate set. */
+  def qDedupEmbedIncremental(s: SparkSession, dir: String, thr: Long = 300,
+      threshold: Double = 0.95, dims: Int = 64): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    // collision-proof by construction: replays live strictly above the
+    // organic id range (1-row driver agg; oracle mirrors MAX(vec_id)+1)
+    val replayOffset = emb.agg(max(col("vec_id"))).head.getLong(0) + 1L
+    val corpus = emb.filter(col("vec_id") < thr)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast(DoubleType)).as("vec"))
+    val replays = corpus.filter(col("vec_id") % 5 === 0)
+      .select((col("vec_id") + lit(replayOffset)).as("vec_id"),
+        transform(col("vec"), x => x + lit(0.02)).as("vec"))
+    val batch = Tables.embeddings(s, dir)
+      .filter(col("vec_id") >= thr)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast(DoubleType)).as("vec"))
+      .unionByName(replays)
+    // index plan constants are sized once from the persisted corpus
+    val nCorpus = math.max(Tables.embeddings(s, dir)
+      .filter(col("vec_id") < thr).count(), 2L)
+    val bits = math.min(15, math.max(10,
+      math.ceil(math.log(nCorpus.toDouble) / math.log(2)).toInt - 1))
+    def sigs(df: DataFrame, idOut: String) = df
+      .select(col("vec_id"), VectorOps.normalized(col("vec")).as("nvec"))
+      .select(col("vec_id").as(idOut),
+        posexplode(graft.functions.LshSignature.signature(col("nvec"), dims,
+          bits = bits)).as(Seq("band", "bucket")))
+    val corpusIndex = sigs(corpus, "corpus_id").localCheckpoint()
+    val cand = sigs(batch, "batch_id").as("x").join(corpusIndex.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket"))
+      .select(col("batch_id"), col("corpus_id"))
+      .distinct()
+    val bN = batch.select(col("vec_id").as("batch_id"),
+      VectorOps.normalized(col("vec")).as("b_nvec"))
+    val cN = corpus.select(col("vec_id").as("corpus_id"),
+      VectorOps.normalized(col("vec")).as("c_nvec"))
+    cand
+      .join(bN, "batch_id")
+      .join(cN, "corpus_id")
+      .select(col("batch_id"), col("corpus_id"),
+        VectorOps.dotD(col("b_nvec"), col("c_nvec")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .orderBy("batch_id", "corpus_id")
+  }
+
+  private val qDedupEmbedIncrementalOracle = {
+    import graft.functions.VectorOps.{dotDSql, normalizedSql}
+    s"""WITH corpus AS (
+       |  SELECT vec_id, ${normalizedSql("embedding")} AS nvec
+       |  FROM embeddings WHERE vec_id < 300),
+       |pert AS (
+       |  SELECT vec_id + (SELECT MAX(vec_id) + 1 FROM embeddings) AS vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE) + 0.02) AS vec
+       |  FROM embeddings WHERE vec_id < 300 AND vec_id % 5 = 0),
+       |batch AS (
+       |  SELECT vec_id, ${normalizedSql("embedding")} AS nvec
+       |  FROM embeddings WHERE vec_id >= 300
+       |  UNION ALL
+       |  SELECT vec_id, ${normalizedSql("vec")} AS nvec FROM pert)
+       |SELECT b.vec_id AS batch_id, c.vec_id AS corpus_id,
+       |  ${dotDSql("b.nvec", "c.nvec")} AS cosine
+       |FROM batch b CROSS JOIN corpus c
+       |WHERE ${dotDSql("b.nvec", "c.nvec")} >= 0.95
+       |ORDER BY batch_id, corpus_id""".stripMargin
+  }
+
   // ── two-wave index APPEND (the nightly loop closed) ───────────────
 
   /** The nightly near-dup loop run for TWO nights — what
@@ -955,6 +1054,7 @@ object Dedup {
     "q_dedup_incremental" -> ((s, d) => qDedupIncremental(s, d)),
     "q_dedup_index_append" -> ((s, d) => qDedupIndexAppend(s, d)),
     "q_dedup_incremental_near" -> ((s, d) => qDedupIncrementalNear(s, d)),
+    "q_dedup_embed_incremental" -> ((s, d) => qDedupEmbedIncremental(s, d)),
     "q_dedup_edit" -> ((s, d) => qDedupEdit(s, d)),
     "q_dedup_paragraph" -> ((s, d) => qDedupParagraph(s, d)),
     "q_dedup_containment" -> (qDedupContainment _),
@@ -972,6 +1072,7 @@ object Dedup {
   def oracleSql: Map[String, String] = Map(
     "q_dedup_incremental" -> qDedupIncrementalOracle,
     "q_dedup_incremental_near" -> qDedupIncrementalNearOracle,
+    "q_dedup_embed_incremental" -> qDedupEmbedIncrementalOracle,
     "q_dedup_index_append" -> qDedupIndexAppendOracle,
     "q_dedup_edit" -> qDedupEditOracle,
     "q_dedup_paragraph" -> qDedupParagraphOracle,

@@ -52,6 +52,48 @@ class Round14Spec extends SparkSpec {
       Seq(1L, 0L))
   }
 
+  // ── incremental embedding dedup ───────────────────────────────────
+
+  test("q_dedup_embed_incremental: every planted re-encode replay is " +
+    "caught against the persisted index") {
+    val offset = Tables.embeddings(spark, sf)
+      .agg(max(col("vec_id"))).collect().head.getLong(0) + 1L
+    val out = queries.Dedup.qDedupEmbedIncremental(spark, sf).collect()
+    val caught = out.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (0L until 300L by 5L).map(id => (id + offset, id)).toSet
+    val missing = expected -- caught
+    assert(missing.isEmpty,
+      s"replays not caught by the ANN index probe: ${missing.take(5)}")
+    // a +0.02 re-encode drift must still clear the admission threshold
+    // with margin (corpus floor ~0.987 — not grazing 0.95)
+    out.filter(r => r.getLong(0) >= offset).foreach { r =>
+      assert(r.getDouble(2) > 0.98, s"replay cosine suspiciously low: $r")
+    }
+  }
+
+  test("q_dedup_embed_incremental: replay ids sit strictly above the " +
+    "organic range even on an id-shifted corpus (derived offset)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_embinc").toString
+    // ids in the 2e6 range — the shape of the key-shifted 10x sweep
+    // corpora that broke a fixed-offset scheme
+    spark.range(0, 40).select(
+      (col("id") + lit(2000000L)).as("vec_id"),
+      array((0 until 64).map(i =>
+        (col("id") % 7 + lit(i % 5)).cast("float") / lit(7.0f)): _*)
+        .as("embedding"),
+      lit(1).as("label"))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = queries.Dedup.qDedupEmbedIncremental(spark, dir,
+      thr = 2000020L).collect()
+    // replays derive from max+1 = 2000040: no output id may collide
+    // with an organic id, and replay partners must be corpus ids
+    out.filter(_.getLong(0) >= 2000040L).foreach { r =>
+      assert(r.getLong(1) < 2000020L, s"replay matched a non-corpus id: $r")
+    }
+    assert(out.exists(_.getLong(0) >= 2000040L),
+      "no replay pair survived on the shifted corpus — offset derivation broken")
+  }
+
   // ── q_embed_pca_power: the multi-pass fix stays in place ──────────
 
   test("q_embed_pca_power materializes the covariance rows once " +
