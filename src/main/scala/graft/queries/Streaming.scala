@@ -147,6 +147,30 @@ object Streaming {
     }
   }
 
+  /** Lifecycle FLOOR harness — NOT a registry entry. Runs the exact
+    * two-batch machinery every streaming entry pays (temp-dir staging,
+    * atomic chunk moves, `start`, two `processAllAvailable` drains,
+    * memory sink, `stop`) over a near-empty feed, so the fixed
+    * per-entry cost can be measured and SUBTRACTED when reading
+    * cross-round per-entry swings in the 17-entry stream family
+    * (~24 % of the bench total is mostly this floor). Two shapes:
+    * `stateless` (pass-through select, append) isolates the pure
+    * lifecycle; `stateful` (groupBy count, complete) adds one
+    * state-store round — their difference prices store init/commit.
+    * Measured by [[graft.StreamFloor]]; floor table in BASELINE.md. */
+  def streamNoopFloor(s: SparkSession, stateful: Boolean): DataFrame = {
+    val chunk = s.range(0, 4).select(col("id").cast("long").as("k"))
+    val schema = StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType)))
+    if (stateful)
+      runTwoBatchStream(s, "stream_noop_stateful", chunk, chunk, schema,
+        st => st.groupBy(col("k")).agg(count(lit(1)).as("n")), "complete")
+    else
+      runTwoBatchStream(s, "stream_noop_stateless", chunk, chunk, schema,
+        st => st.select(col("k")), "append")
+  }
+
   /** Midpoint of a long column — the two-batch split point. 1-row
     * collect: staging, bounded, not part of the streamed operator. */
   private def midpoint(df: DataFrame, c: String): Long = {
