@@ -182,6 +182,66 @@ object ScaleBench {
     // index (thr=300 corpus), batch-sized signature + probe cost
     "q_dedup_embed_incremental")
 
+  /** Decade evidence for the GRAPH family (`runMain graft.ScaleBench
+    * graphdecade`). The standard fact-vs-fixed-dim replication is the
+    * WRONG input scaling for graph operators: facts against fixed dims
+    * densify the co-order graphs toward cliques (degree grows ~linearly
+    * with the factor, wedge work quadratically) — a regime change in
+    * the GRAPH, not the operator. This harness instead shifts ALL graph
+    * keys per copy (custkey, orderkey, partkey, suppkey), producing
+    * `factor` DISJOINT copies of the source graph: degree distribution,
+    * wedge counts, and component structure are preserved exactly while
+    * nodes and edges scale by `factor` — the honest linear-input decade
+    * for an iterative graph algorithm. Env: SPARK_GRAFT_FACTOR
+    * (default 100), SPARK_GRAFT_GRAPH_OUT, SPARK_GRAFT_SRC; set
+    * SPARK_GRAFT_PR_MASS=1000000000 so the 100× pagerank (1.6M nodes)
+    * stays inside its int64 mass headroom. Prints one JSON line with
+    * base (1×, min-of-2) and scaled (single-run) seconds per query. */
+  private def graphDecadeEvidence(spark: SparkSession): Unit = {
+    val KEY = 100000000L
+    val src = sys.env.getOrElse("SPARK_GRAFT_SRC", "/root/testdata/sf0.1")
+    val factor = sys.env.getOrElse("SPARK_GRAFT_FACTOR", "100").toInt
+    val out = sys.env.getOrElse("SPARK_GRAFT_GRAPH_OUT", s"/tmp/graft_graph$factor")
+    if (!new java.io.File(s"$out/_READY").exists()) {
+      System.err.println(s"[graphdecade] building ${factor}x disjoint graph corpus at $out")
+      def copies(df: DataFrame)(shift: (DataFrame, Int) => DataFrame): DataFrame =
+        (0 until factor).map(k => shift(df, k)).reduce(_ unionAll _)
+      def write(df: DataFrame, name: String): Unit =
+        df.write.mode("overwrite").option("compression", "zstd")
+          .parquet(s"$out/$name.parquet")
+      write(copies(spark.read.parquet(s"$src/customer.parquet"))((d, k) =>
+        d.withColumn("c_custkey", col("c_custkey") + k * KEY)), "customer")
+      write(copies(spark.read.parquet(s"$src/orders.parquet"))((d, k) => d
+        .withColumn("o_orderkey", col("o_orderkey") + k * KEY)
+        .withColumn("o_custkey", col("o_custkey") + k * KEY)), "orders")
+      write(copies(spark.read.parquet(s"$src/lineitem.parquet"))((d, k) => d
+        .withColumn("l_orderkey", col("l_orderkey") + k * KEY)
+        .withColumn("l_partkey", col("l_partkey") + k * KEY)
+        .withColumn("l_suppkey", col("l_suppkey") + k * KEY)), "lineitem")
+      spark.createDataFrame(Seq(Tuple1(factor))).toDF("factor")
+        .write.mode("overwrite").json(s"$out/_READY")
+    }
+    val all = Seq("q_pagerank", "q_graph_triangles", "q_graph_bfs",
+      "q_graph_labelprop")
+    // optional trailing args filter the query set (A/B iteration aid)
+    val wanted = sys.env.get("SPARK_GRAFT_GRAPH_QUERIES")
+      .map(_.split(",").toSet)
+    val names = wanted.map(w => all.filter(w)).getOrElse(all)
+    def time(name: String, dir: String): Double = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, dir).write.mode("overwrite")
+        .format("noop").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val rows = names.map { n =>
+      val base = math.min(time(n, src), time(n, src))
+      val scaled = time(n, out)
+      System.err.println(f"[graphdecade] $n base $base%.2f scaled $scaled%.2f")
+      s""""$n":{"base":$base,"scaled":$scaled}"""
+    }
+    println(s"""{"metric":"graph_decade","unit":"sec","factor":$factor,"queries":${rows.mkString("{", ",", "}")}}""")
+  }
+
   def buildScaledData(spark: SparkSession, src: String, out: String, factor: Int): Unit = {
     val KEY = 100000000L // key shift per copy: far above any sf0.1 key
 
@@ -370,6 +430,22 @@ object ScaleBench {
         .getOrCreate()
       spark.sparkContext.setLogLevel("WARN")
       splitEvidence(spark)
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("graphdecade")) {
+      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+      val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
+      val spark = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", shuffle)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      graphDecadeEvidence(spark)
       spark.stop()
       return
     }

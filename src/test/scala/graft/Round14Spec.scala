@@ -94,6 +94,20 @@ class Round14Spec extends SparkSpec {
       "no replay pair survived on the shifted corpus — offset derivation broken")
   }
 
+  // ── q_graph_triangles: the wedge joins never sort array payloads ──
+
+  test("q_graph_triangles wedge joins are shuffled HASH joins (no " +
+    "SortMergeJoin sorting the adjacency-array rows)") {
+    val plan = queries.Graph.qGraphTriangles(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the 10× disjoint-decade A/B: SMJ on the array-bearing probe rows
+    // read 106 s vs 36 s for the hinted shuffled hash join
+    assert(plan.contains("ShuffledHashJoin"),
+      s"expected hinted shuffle_hash wedge joins:\n${plan.take(600)}")
+    assert(!plan.contains("SortMergeJoin"),
+      s"SortMergeJoin crept back into the wedge pipeline:\n${plan.take(600)}")
+  }
+
   // ── q_embed_pca_power: the multi-pass fix stays in place ──────────
 
   test("q_embed_pca_power materializes the covariance rows once " +
