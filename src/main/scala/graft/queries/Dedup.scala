@@ -713,12 +713,18 @@ object Dedup {
     * a pre-bucketed hash index the nightly job co-locates with — the
     * join is then shuffle-free on the corpus side. Near-dup screening
     * composes on top as a minhash band-key anti-join (q_dedup_minhash's
-    * candidate stage with the corpus's precomputed band table). */
+    * candidate stage with the corpus's precomputed band table).
+    *
+    * Replay ids are offset by `max(doc_id)+1` (derived, not a fixed
+    * constant — see [[docReplayOffset]]), so they can never conflate
+    * with organic ids on ANY corpus; the oracle mirrors the same
+    * `MAX(doc_id)+1` arithmetic. */
   def qDedupIncremental(s: SparkSession, dir: String, thr: Long = 300): DataFrame = {
     val docs = Tables.documents(s, dir)
+    val off = docReplayOffset(docs)
     val corpus = docs.filter(col("doc_id") < thr)
     val replays = corpus.filter(col("doc_id") % 5 === 0)
-      .select((col("doc_id") + lit(100000L)).as("doc_id"), col("text"),
+      .select((col("doc_id") + lit(off)).as("doc_id"), col("text"),
         col("lang"), col("source"), col("n_chars"))
     val batch = docs.filter(col("doc_id") >= thr)
       .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
@@ -743,7 +749,8 @@ object Dedup {
       |  SELECT doc_id, text, lang, source, n_chars FROM documents
       |  WHERE doc_id >= 300
       |  UNION ALL
-      |  SELECT doc_id + 100000, text, lang, source, n_chars FROM corpus
+      |  SELECT doc_id + (SELECT MAX(doc_id) + 1 FROM documents),
+      |    text, lang, source, n_chars FROM corpus
       |  WHERE doc_id % 5 = 0),
       |marked AS (
       |  SELECT b.doc_id, b.source,
@@ -756,6 +763,17 @@ object Dedup {
       |  CAST(SUM(CASE WHEN rejected = 0 THEN doc_id ELSE 0 END) AS BIGINT)
       |    AS admitted_key_sum
       |FROM marked GROUP BY source ORDER BY source""".stripMargin
+
+  /** Planted-replay id offset, DERIVED as `max(doc_id)+1` over the full
+    * documents table (one 1-row driver agg — the documented bounded
+    * pattern): replays live strictly above the organic id range on ANY
+    * corpus, including the key-shifted 10×/100× sweep corpora whose ids
+    * reach 10⁹, where a fixed `+100000` constant would silently conflate
+    * replays with genuine docs (the embed-side first cut failed exactly
+    * this way — SCALE.md round-14 note). Every oracle mirrors the same
+    * `MAX(doc_id)+1` arithmetic, so the gate stays hash-exact. */
+  private[graft] def docReplayOffset(docs: DataFrame): Long =
+    docs.agg(max(col("doc_id"))).head.getLong(0) + 1L
 
   // ── incremental NEAR-dup: probe a batch against a persisted index ──
 
@@ -794,9 +812,10 @@ object Dedup {
   def qDedupIncrementalNear(s: SparkSession, dir: String, thr: Long = 300,
       threshold: Double = 0.5): DataFrame = {
     val docs = Tables.documents(s, dir)
+    val off = docReplayOffset(docs)
     val corpus = docs.filter(col("doc_id") < thr).select(col("doc_id"), col("text"))
     val replays = corpus.filter(col("doc_id") % 5 === 0)
-      .select((col("doc_id") + lit(100000L)).as("doc_id"),
+      .select((col("doc_id") + lit(off)).as("doc_id"),
         concat(col("text"), lit(" qq7")).as("text"))
     val batch = docs.filter(col("doc_id") >= thr)
       .select(col("doc_id"), col("text"))
@@ -830,7 +849,8 @@ object Dedup {
        |batch AS (
        |  SELECT doc_id, text FROM documents WHERE doc_id >= 300
        |  UNION ALL
-       |  SELECT doc_id + 100000 AS doc_id, text || ' qq7' AS text
+       |  SELECT doc_id + (SELECT MAX(doc_id) + 1 FROM documents) AS doc_id,
+       |    text || ' qq7' AS text
        |  FROM corpus WHERE doc_id % 5 = 0),
        |bg AS (SELECT doc_id, $grams AS grams FROM batch),
        |cg AS (SELECT doc_id, $grams AS grams FROM corpus)
@@ -969,16 +989,22 @@ object Dedup {
   def qDedupIndexAppend(s: SparkSession, dir: String, thr: Long = 300,
       threshold: Double = 0.5): DataFrame = {
     val docs = Tables.documents(s, dir)
+    // wave-1 replays at +off1 sit strictly above every organic id; wave-2
+    // replays at +off2 = 2·off1 sit strictly above every wave-1 id too
+    // (wave-1 replay ids ≤ max + off1 = 2·max+1 < 2·(max+1) = off2) —
+    // collision-proof on any corpus, mirrored by the oracle
+    val off1 = docReplayOffset(docs)
+    val off2 = 2L * off1
     val corpus = docs.filter(col("doc_id") < thr).select(col("doc_id"), col("text"))
     val novel = docs.filter(col("doc_id") >= thr).select(col("doc_id"), col("text"))
     val mid = 2L * thr // sf-stable split of the novel stream into two waves
     val wave1 = novel.filter(col("doc_id") < mid)
       .unionByName(corpus.filter(col("doc_id") % 5 === 0)
-        .select((col("doc_id") + lit(100000L)).as("doc_id"),
+        .select((col("doc_id") + lit(off1)).as("doc_id"),
           concat(col("text"), lit(" qq7")).as("text")))
     val wave2 = novel.filter(col("doc_id") >= mid)
       .unionByName(novel.filter(col("doc_id") < mid && col("doc_id") % 7 === 0)
-        .select((col("doc_id") + lit(200000L)).as("doc_id"),
+        .select((col("doc_id") + lit(off2)).as("doc_id"),
           concat(col("text"), lit(" vv8")).as("text")))
 
     def verifiedPairs(batch: DataFrame, index: DataFrame,
@@ -1019,15 +1045,18 @@ object Dedup {
                 |        CAST(len(list_distinct(list_concat(b.grams, p.grams))) AS DOUBLE), 6)""".stripMargin
     s"""WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
        |novel AS (SELECT doc_id, text FROM documents WHERE doc_id >= 300),
+       |off AS (SELECT MAX(doc_id) + 1 AS o FROM documents),
        |wave1 AS (
        |  SELECT doc_id, text FROM novel WHERE doc_id < 600
        |  UNION ALL
-       |  SELECT doc_id + 100000 AS doc_id, text || ' qq7' AS text
+       |  SELECT doc_id + (SELECT o FROM off) AS doc_id,
+       |    text || ' qq7' AS text
        |  FROM corpus WHERE doc_id % 5 = 0),
        |wave2 AS (
        |  SELECT doc_id, text FROM novel WHERE doc_id >= 600
        |  UNION ALL
-       |  SELECT doc_id + 200000 AS doc_id, text || ' vv8' AS text
+       |  SELECT doc_id + 2 * (SELECT o FROM off) AS doc_id,
+       |    text || ' vv8' AS text
        |  FROM novel WHERE doc_id < 600 AND doc_id % 7 = 0),
        |w1g AS (SELECT doc_id, $grams AS grams FROM wave1),
        |cg AS (SELECT doc_id, $grams AS grams FROM corpus),

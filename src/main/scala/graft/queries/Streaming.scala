@@ -630,8 +630,10 @@ object Streaming {
       .select(col("doc_id").as("corpus_id"),
         graft.queries.Dedup.docBigrams(col("text")).as("c_grams"))
       .localCheckpoint()
+    // derived replay offset: identical to the shared nightly oracle's
+    // MAX(doc_id)+1 arithmetic (see Dedup.docReplayOffset)
     val replays = corpus.filter(col("doc_id") % 5 === 0)
-      .select((col("doc_id") + lit(100000L)).as("doc_id"),
+      .select((col("doc_id") + lit(graft.queries.Dedup.docReplayOffset(docs))).as("doc_id"),
         concat(col("text"), lit(" qq7")).as("text"))
     val batch = docs.filter(col("doc_id") >= 300)
       .select(col("doc_id"), col("text"))

@@ -88,18 +88,19 @@ class Round13Spec extends SparkSpec {
 
   test("q_dedup_index_append: wave-2 replays match WAVE-1 ADMITS through " +
     "the appended index, not just the original corpus") {
+    val off1 = Dedup.docReplayOffset(graft.Tables.documents(spark, sf))
     val rows = Dedup.qDedupIndexAppend(spark, sf).collect()
     val wave2 = rows.filter(_.getLong(0) == 2L)
-    // replay-2 docs (ids +200000) whose partner is a wave-1 novel doc
-    // (300 <= id < 600): these pairs exist ONLY because admitted wave-1
-    // signatures were appended to the index
-    val viaAppend = wave2.filter(r => r.getLong(1) >= 200000L &&
+    // replay-2 docs (ids +2·off1, the derived offset) whose partner is a
+    // wave-1 novel doc (300 <= id < 600): these pairs exist ONLY because
+    // admitted wave-1 signatures were appended to the index
+    val viaAppend = wave2.filter(r => r.getLong(1) >= 2L * off1 &&
       r.getLong(2) >= 300L && r.getLong(2) < 600L)
     assert(viaAppend.nonEmpty,
       s"no wave-2 pair rides the appended index: ${wave2.take(5).toSeq}")
     // and wave-1 corpus replays were REJECTED (caught against the
     // original index), so none of them reappear as wave-2 partners
-    assert(wave2.forall(r => r.getLong(2) < 100000L),
+    assert(wave2.forall(r => r.getLong(2) < off1),
       "a rejected wave-1 replay leaked into the index")
   }
 

@@ -13,8 +13,9 @@ import org.apache.spark.sql.types.DoubleType
   *     ~0.40 probability, so the gates are only deterministic because
   *     THIS corpus' qualifying pairs sit high enough that the fixed
   *     permutation draw catches every one;
-  *  2. planted replay id offsets (+100000 / +200000) clear the organic
-  *     doc_id range, so replays can never be conflated with real docs.
+  *  2. planted replay id offsets (derived as max(doc_id)+1 — see
+  *     [[Dedup.docReplayOffset]]) clear the organic doc_id range on ANY
+  *     corpus, so replays can never be conflated with real docs.
   */
 class DedupGatePreconditionSpec extends graft.SparkSpec {
 
@@ -24,7 +25,7 @@ class DedupGatePreconditionSpec extends graft.SparkSpec {
     val docs = graft.Tables.documents(spark, sf)
     val corpus = docs.filter(col("doc_id") < thr).select(col("doc_id"), col("text"))
     val replays = corpus.filter(col("doc_id") % 5 === 0)
-      .select((col("doc_id") + lit(100000L)).as("doc_id"),
+      .select((col("doc_id") + lit(Dedup.docReplayOffset(docs))).as("doc_id"),
         concat(col("text"), lit(" qq7")).as("text"))
     val batch = docs.filter(col("doc_id") >= thr)
       .select(col("doc_id"), col("text")).unionByName(replays)
@@ -55,18 +56,48 @@ class DedupGatePreconditionSpec extends graft.SparkSpec {
         "trusting them")
   }
 
-  test("replay id offsets clear the organic doc_id/vec_id range at all " +
-    "three SFs (planted-replay conflation guard)") {
-    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
-        "/root/testdata/sf0.1")) {
-      val maxDoc = graft.Tables.documents(spark, dir)
-        .agg(max(col("doc_id"))).collect().head.getLong(0)
-      assert(maxDoc < 100000L,
-        s"CORPUS REGENERATION HAZARD: $dir max doc_id $maxDoc reaches the " +
-          "+100000/+200000 replay ranges used by q_dedup_incremental*/" +
-          "q_dedup_index_append — replays would conflate with organic docs")
-      // q_dedup_embed_incremental needs no range check: its replay
-      // offset is DERIVED from max(vec_id)+1 (collision-proof)
+  test("replay ids sit strictly above the organic range even on an " +
+    "id-shifted corpus (derived-offset conflation guard, text side)") {
+    // ids planted INSIDE the old fixed replay ranges [100000,100300) and
+    // [200000,200600): with the former +100000/+200000 constants these
+    // organic docs would conflate with wave replays; the derived
+    // max(doc_id)+1 offset must clear them on any corpus
+    val dir = java.nio.file.Files.createTempDirectory("graft_txtoff").toString
+    val base = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        col("n_chars"))
+    // organic docs at ids 100000..100039 that ARE near-dups of corpus
+    // docs 0..39 (one appended token, the replay recipe) — with the old
+    // fixed +100000 offset, ids 100000..100039 were RESERVED for replays
+    // of corpus docs 0..39, so these organic docs would collide with
+    // the planted replays of the very docs they duplicate
+    val inRange = base.filter(col("doc_id") < 40)
+      .select((col("doc_id") + lit(100000L)).as("doc_id"),
+        concat(col("text"), lit(" zz9")).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    base.unionByName(inRange)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val docs = graft.Tables.documents(spark, dir)
+    val off = Dedup.docReplayOffset(docs)
+    val maxDoc = docs.agg(max(col("doc_id"))).collect().head.getLong(0)
+    assert(off == maxDoc + 1L,
+      s"derived offset $off is not max(doc_id)+1 (max $maxDoc)")
+    val rows = Dedup.qDedupIncrementalNear(spark, dir).collect()
+    // every batch_id above the offset decodes to a genuine replay source
+    // (corpus doc, %5 == 0) — nothing organic was misread as a replay
+    rows.filter(_.getLong(0) >= off).foreach { r =>
+      val src = r.getLong(0) - off
+      assert(src < 300L && src % 5 == 0, s"non-replay id above offset: $r")
+    }
+    // and the organic in-old-range docs screen as THEMSELVES: each is
+    // caught as a near-dup of its corpus source under its own id
+    val organicCaught = rows.filter(r =>
+      r.getLong(0) >= 100000L && r.getLong(0) < 100040L)
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0L until 40L).foreach { c =>
+      assert(organicCaught.contains((c + 100000L, c)),
+        s"organic doc ${c + 100000L} (near-dup of corpus $c) missing — " +
+          "it was conflated with a planted replay")
     }
   }
 }
