@@ -179,8 +179,9 @@ object ScaleBench {
     // the two-night index-append loop (per-night cost batch-sized)
     "q_dedup_index_append",
     // round 14: the embedding-space nightly probe — fixed persisted ANN
-    // index (thr=300 corpus), batch-sized signature + probe cost
-    "q_dedup_embed_incremental")
+    // index (thr=300 corpus), batch-sized signature + probe cost —
+    // and its streaming admission twin (stream-static broadcast probes)
+    "q_dedup_embed_incremental", "q_stream_dedup_embed")
 
   /** Decade evidence for the GRAPH family (`runMain graft.ScaleBench
     * graphdecade`). The standard fact-vs-fixed-dim replication is the
@@ -231,7 +232,17 @@ object ScaleBench {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir).write.mode("overwrite")
         .format("noop").save()
-      (System.nanoTime() - t0) / 1e9
+      val secs = (System.nanoTime() - t0) / 1e9
+      // Between-query hygiene: each graph query localCheckpoints its
+      // edge spine + per-round state, and those blocks outlive the
+      // query in a shared JVM. At 100× the accumulated blocks from
+      // three prior queries drove eviction + a ContextCleaner race
+      // that killed the fourth with a shuffle FetchFailed (missing
+      // .data file); a real cluster runs these as separate jobs, so
+      // the harness drops dead blocks at the same boundary.
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      secs
     }
     val rows = names.map { n =>
       val base = math.min(time(n, src), time(n, src))

@@ -142,6 +142,7 @@ object Dedup {
   /** The brute-force batch×corpus oracle, shared with the streaming
     * probe twin (same pair set, same planted replays). */
   private[queries] def incrementalNearOracle: String = qDedupIncrementalNearOracle
+  private[queries] def embedIncrementalOracle: String = qDedupEmbedIncrementalOracle
 
   /** The distinct-word-bigram kernel, exposed for the streaming probe
     * twin so both sides of every gate share one tokenization. */

@@ -660,6 +660,75 @@ object Streaming {
       .orderBy("batch_id", "corpus_id")
   }
 
+  /** STREAMING semantic-dedup admission — the embedding-space twin of
+    * [[qStreamDedupNear]] and the realtime form of
+    * [[graft.queries.Dedup.qDedupEmbedIncremental]]'s nightly probe:
+    * the corpus' random-hyperplane LSH band index and normalized
+    * vectors are STATIC relations (built once from the persisted-index
+    * stand-in, plan constants sized from the CORPUS), and the incoming
+    * vector stream probes them with stream-static broadcast joins. Per
+    * event: normalize, sign against the fixed plane matrix (map-side,
+    * no state), probe the broadcast index on (band, bucket), then
+    * verify survivors by exact cosine ≥ τ against the broadcast corpus
+    * vectors — stateless except the candidate-pair `dropDuplicates`
+    * (bounded by candidate volume, the q_stream_dedup_near contract).
+    * Identical expressions to the nightly batch job ⇒ identical
+    * doubles ⇒ the same brute-force batch×corpus DuckDB oracle gates
+    * this entry hash-exactly. At 100 TB: the index broadcasts once per
+    * micro-batch (or shuffles on (band,bucket) with the same query
+    * text); per-event cost is O(dims·bands) — no corpus rescan, no
+    * index rebuild, ever. */
+  def qStreamDedupEmbed(s: SparkSession, dir: String, thr: Long = 300,
+      threshold: Double = 0.95, dims: Int = 64): DataFrame = {
+    import org.apache.spark.sql.types.DoubleType
+    import graft.functions.{LshSignature, VectorOps}
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    // feed staging: derived replay offset + corpus-sized plan constants
+    // (1-row/1-long driver aggs, the documented bounded pattern)
+    val replayOffset = emb.agg(max(col("vec_id"))).head.getLong(0) + 1L
+    val nCorpus = math.max(emb.filter(col("vec_id") < thr).count(), 2L)
+    val bits = math.min(15, math.max(10,
+      math.ceil(math.log(nCorpus.toDouble) / math.log(2)).toInt - 1))
+    val corpus = emb.filter(col("vec_id") < thr)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast(DoubleType)).as("vec"))
+    val corpusVecs = corpus
+      .select(col("vec_id").as("corpus_id"),
+        VectorOps.normalized(col("vec")).as("c_nvec"))
+      .localCheckpoint()
+    val corpusIndex = corpusVecs
+      .select(col("corpus_id"),
+        posexplode(LshSignature.signature(col("c_nvec"), dims, bits = bits))
+          .as(Seq("band", "bucket")))
+      .localCheckpoint()
+    val replays = corpus.filter(col("vec_id") % 5 === 0)
+      .select((col("vec_id") + lit(replayOffset)).as("vec_id"),
+        transform(col("vec"), x => x + lit(0.02)).as("vec"))
+    val batch = emb.filter(col("vec_id") >= thr)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast(DoubleType)).as("vec"))
+      .unionByName(replays)
+    val mid = midpoint(batch, "vec_id")
+    runTwoBatchStream(s, "q_stream_dedup_embed",
+      batch.filter(col("vec_id") <= mid), batch.filter(col("vec_id") > mid),
+      batch.schema,
+      df => df
+        .select(col("vec_id").as("batch_id"),
+          VectorOps.normalized(col("vec")).as("b_nvec"))
+        .select(col("batch_id"), col("b_nvec"),
+          posexplode(LshSignature.signature(col("b_nvec"), dims, bits = bits))
+            .as(Seq("band", "bucket")))
+        .join(broadcast(corpusIndex), Seq("band", "bucket"))
+        .select(col("batch_id"), col("corpus_id"), col("b_nvec"))
+        .dropDuplicates("batch_id", "corpus_id")
+        .join(broadcast(corpusVecs), "corpus_id")
+        .select(col("batch_id"), col("corpus_id"),
+          VectorOps.dotD(col("b_nvec"), col("c_nvec")).as("cosine"))
+        .filter(col("cosine") >= threshold),
+      "append")
+      .orderBy("batch_id", "corpus_id")
+  }
+
   private val qStreamNgramsOracle =
     """WITH g AS (
       |  SELECT unnest(list_transform(
@@ -1006,7 +1075,8 @@ object Streaming {
     "q_stream_ngrams" -> (qStreamNgrams _),
     "q_stream_ngrams_sink" -> (qStreamNgramsSink _),
     "q_stream_dedup" -> (qStreamDedup _),
-    "q_stream_dedup_near" -> (qStreamDedupNear _)
+    "q_stream_dedup_near" -> (qStreamDedupNear _),
+    "q_stream_dedup_embed" -> ((s, d) => qStreamDedupEmbed(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1028,6 +1098,7 @@ object Streaming {
     "q_stream_ngrams" -> qStreamNgramsOracle,
     "q_stream_ngrams_sink" -> qStreamNgramsOracle,
     "q_stream_dedup" -> qStreamDedupOracle,
-    "q_stream_dedup_near" -> graft.queries.Dedup.incrementalNearOracle
+    "q_stream_dedup_near" -> graft.queries.Dedup.incrementalNearOracle,
+    "q_stream_dedup_embed" -> graft.queries.Dedup.embedIncrementalOracle
   )
 }

@@ -94,6 +94,21 @@ class Round14Spec extends SparkSpec {
       "no replay pair survived on the shifted corpus — offset derivation broken")
   }
 
+  test("q_stream_dedup_embed: the streamed admission pair set equals " +
+    "the nightly batch probe's, row for row") {
+    // identical expressions => identical doubles => the two entries
+    // share one DuckDB oracle; this pins the equality directly so a
+    // drift between the stream plan and the batch plan fails HERE with
+    // both sides visible, not as an opaque oracle hash mismatch
+    val streamed = queries.Streaming.qStreamDedupEmbed(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    val nightly = queries.Dedup.qDedupEmbedIncremental(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed == nightly,
+      s"stream/batch divergence: ${streamed.size} vs ${nightly.size} rows")
+    assert(streamed.nonEmpty)
+  }
+
   // ── q_graph_triangles: the wedge joins never sort array payloads ──
 
   test("q_graph_triangles wedge joins are shuffled HASH joins (no " +
