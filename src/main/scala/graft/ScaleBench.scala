@@ -181,7 +181,10 @@ object ScaleBench {
     // round 14: the embedding-space nightly probe — fixed persisted ANN
     // index (thr=300 corpus), batch-sized signature + probe cost —
     // and its streaming admission twin (stream-static broadcast probes)
-    "q_dedup_embed_incremental", "q_stream_dedup_embed")
+    "q_dedup_embed_incremental", "q_stream_dedup_embed",
+    // the k-means fit (iters corpus passes + k×dims cells) and the
+    // cluster-scoped semantic dedup built on it (pair work Σ|cluster|²)
+    "q_embed_kmeans", "q_dedup_semdedup")
 
   /** Decade evidence for the GRAPH family (`runMain graft.ScaleBench
     * graphdecade`). The standard fact-vs-fixed-dim replication is the

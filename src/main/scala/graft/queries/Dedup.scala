@@ -1080,7 +1080,89 @@ object Dedup {
        |ORDER BY wave, batch_id, partner_id""".stripMargin
   }
 
+  // ── SemDeDup: cluster-scoped semantic dedup ───────────────────────
+
+  /** SemDeDup-shaped semantic dedup (cluster first, then pairwise
+    * cosine ONLY within clusters — the published recipe for web-scale
+    * embedding dedup, re-expressed Spark-first): a k-means fit
+    * ([[Similarity.kmeansFit]], k=64, 2 Lloyd rounds) partitions the
+    * corpus; each vector is assigned map-side against the plan-literal
+    * centroids; the pair self-join is keyed on the cluster id, so pair
+    * enumeration is Σ|cluster|² instead of n² — the clustering IS the
+    * blocking structure. Survivor pairs verify by exact cosine ≥ τ
+    * over pre-normalized vectors (bit-exact both engines), and the
+    * keep/prune decision is deterministic (lower vec_id kept).
+    *
+    * Oracle: the SAME k-means unrolled as DuckDB CTEs
+    * ([[Similarity.kmeansCtes]]) + the within-cluster pair join —
+    * a full end-to-end hash gate, no recall spec needed (unlike the
+    * LSH candidate entries, cluster membership is exact and shared).
+    *
+    * Scale: the fit is one corpus pass per round + k×dims cells; the
+    * pair stage shuffles once on cid. At 100 TB, k grows with the
+    * corpus to hold |cluster| bounded (the paper's regime), a skewed
+    * cluster splits on a salted sub-key, and the per-cluster verify
+    * can drop to the banded-LSH candidate form WITHIN each cluster —
+    * composing [[qDedupEmbed]]'s buckets under the cluster key. */
+  def qDedupSemdedup(s: SparkSession, dir: String, k: Int = 64,
+      iters: Int = 2, threshold: Double = 0.95): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"),
+      transform(col("embedding"), x => x.cast(DoubleType)).as("vec"))
+    // the organic corpus has no ≥τ pairs (max cosine ≈0.6 — measured);
+    // plant the incremental entries' re-encode replays (every 5th
+    // vector, +0.02 uniform drift, derived id offset) so the screen
+    // provably fires — same feed semantics as q_dedup_embed_incremental
+    val off = emb.agg(max(col("vec_id"))).head.getLong(0) + 1L
+    val corpus = emb.unionByName(emb.filter(col("vec_id") % 5 === 0)
+      .select((col("vec_id") + lit(off)).as("vec_id"),
+        transform(col("vec"), x => x + lit(0.02)).as("vec")))
+    val cents = Similarity.kmeansFit(corpus, k, iters).map(t => (t._1, t._3))
+    val assigned = corpus
+      .select(col("vec_id"),
+        Similarity.argminCid(col("vec"), cents).as("cid"),
+        VectorOps.normalized(col("vec")).as("nvec"))
+    val a = assigned.select(col("cid"), col("vec_id").as("keep_id"),
+      col("nvec").as("a_nvec"))
+    val b = assigned.select(col("cid"), col("vec_id").as("prune_id"),
+      col("nvec").as("b_nvec"))
+    a.join(b, "cid")
+      .filter(col("keep_id") < col("prune_id"))
+      .select(col("cid").as("cluster_id"), col("keep_id"), col("prune_id"),
+        VectorOps.dotD(col("a_nvec"), col("b_nvec")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .orderBy("cluster_id", "keep_id", "prune_id")
+  }
+
+  private val qDedupSemdedupOracle = {
+    import graft.functions.VectorOps.dotDSql
+    val nvec = s"""list_transform(vec, x -> x / sqrt(${dotDSql("vec", "vec")}))"""
+    val srcSql =
+      """SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        |  FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + (SELECT MAX(vec_id) + 1 FROM embeddings) AS vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE) + 0.02) AS vec
+        |  FROM embeddings WHERE vec_id % 5 = 0""".stripMargin
+    s"""WITH ${Similarity.kmeansCtes(64, 2, srcSql = srcSql)},
+       |assigned AS (
+       |  SELECT vec_id, cid, nvec FROM (
+       |    SELECT v.vec_id, c.cid, $nvec AS nvec,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY list_reduce(list_transform(list_zip(v.vec, c.cvec),
+       |          p -> (p[1] - p[2]) * (p[1] - p[2])), (x, y) -> x + y),
+       |          c.cid) AS rn
+       |    FROM v CROSS JOIN c2 c) x
+       |  WHERE rn = 1)
+       |SELECT a.cid AS cluster_id, a.vec_id AS keep_id, b.vec_id AS prune_id,
+       |  ${dotDSql("a.nvec", "b.nvec")} AS cosine
+       |FROM assigned a JOIN assigned b
+       |  ON a.cid = b.cid AND a.vec_id < b.vec_id
+       |WHERE ${dotDSql("a.nvec", "b.nvec")} >= 0.95
+       |ORDER BY cluster_id, keep_id, prune_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_semdedup" -> ((s, d) => qDedupSemdedup(s, d)),
     "q_dedup_incremental" -> ((s, d) => qDedupIncremental(s, d)),
     "q_dedup_index_append" -> ((s, d) => qDedupIndexAppend(s, d)),
     "q_dedup_incremental_near" -> ((s, d) => qDedupIncrementalNear(s, d)),
@@ -1100,6 +1182,7 @@ object Dedup {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_dedup_semdedup" -> qDedupSemdedupOracle,
     "q_dedup_incremental" -> qDedupIncrementalOracle,
     "q_dedup_incremental_near" -> qDedupIncrementalNearOracle,
     "q_dedup_embed_incremental" -> qDedupEmbedIncrementalOracle,

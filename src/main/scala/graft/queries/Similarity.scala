@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType}
 
@@ -630,8 +630,148 @@ object Similarity {
        |ORDER BY query_id, c.vec_id""".stripMargin
   }
 
+  // ── k-means over embeddings (Lloyd's, deterministic both engines) ──
+
+  /** Squared-distance argmin against PLAN-LITERAL centroids: one
+    * sequential `zip_with`+`aggregate` fold per centroid (bit-exact in
+    * both engines — the VectorOps discipline), then first-position-of-
+    * min over the distance array, which breaks exact ties toward the
+    * LOWEST centroid id (`cents` is sorted). Wholly map-side: no
+    * shuffle, no join — the centroid matrix rides the plan the way the
+    * LSH plane matrix does. */
+  private[queries] def argminCid(vec: Column,
+      cents: Seq[(Long, Array[Double])]): Column = {
+    val dists = cents.map { case (_, c) =>
+      aggregate(zip_with(vec, lit(c), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x)
+    }
+    val dl = array(dists: _*)
+    val cids = array(cents.map(c => lit(c._1)): _*)
+    element_at(cids, array_position(dl, array_min(dl)).cast("int"))
+  }
+
+  /** Lloyd's k-means fit: `iters` rounds of (map-side assignment
+    * against plan-literal centroids) → (one (cid,pos) groupBy with
+    * map-side combine over integer-scaled components) → (k×dims driver
+    * collect to build the next round's literals). Returns
+    * (cid, n_members, centroid) after the final update, cid-sorted;
+    * clusters that lose every member drop out (documented semantics —
+    * the SQL mirror's joins drop them identically).
+    *
+    * Determinism: assignment distances are sequential folds over
+    * bit-exact doubles; component sums use the q_embed_centroid
+    * integer-scaling trick (round(x·1e6) is an exact long, the
+    * cross-row SUM is order-independent, and the mean is two IEEE
+    * divisions both engines replay exactly) — so every iteration's
+    * centroids, hence every assignment, is bit-identical to the DuckDB
+    * unrolled-CTE mirror, ties and all.
+    *
+    * Scale: per iteration ONE pass over the corpus (no per-row state,
+    * no crossJoin row explosion — k dot products per row inside
+    * codegen) plus a k×dims-cell aggregation; the driver holds only
+    * the k×dims matrix (the documented bounded-collect pattern, same
+    * as the PCA/covariance accumulators). At 100 TB: identical shape,
+    * k×dims literals broadcast with the plan. */
+  private[queries] def kmeansFit(vecs: DataFrame, k: Int,
+      iters: Int): Seq[(Long, Long, Array[Double])] = {
+    var cents: Seq[(Long, Array[Double])] = vecs.filter(col("vec_id") < k)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1).toSeq
+    var fitted: Seq[(Long, Long, Array[Double])] = Seq.empty
+    for (_ <- 1 to iters) {
+      val cells = vecs
+        .select(argminCid(col("vec"), cents).as("cid"),
+          posexplode(col("vec")).as(Seq("pos", "x")))
+        .select(col("cid"), col("pos"),
+          round(col("x") * lit(1000000.0), 0).cast(LongType).as("sv"))
+        .groupBy(col("cid"), col("pos"))
+        .agg(count(lit(1)).as("n"), sum(col("sv")).as("ssum"))
+        .collect() // k×dims cells — bounded, scale-invariant
+      val dims = cells.iterator.map(_.getInt(1)).max + 1
+      fitted = cells.groupBy(_.getLong(0)).toSeq.map { case (cid, rows) =>
+        val n = rows.head.getLong(2)
+        val arr = new Array[Double](dims)
+        // exact long → double (|ssum| < 2^53), then the same two IEEE
+        // divisions DuckDB's CAST(ssum AS DOUBLE)/n/1e6 performs
+        rows.foreach(r => arr(r.getInt(1)) = r.getLong(3).toDouble / n / 1000000.0)
+        (cid, n, arr)
+      }.sortBy(_._1)
+      cents = fitted.map(t => (t._1, t._3))
+    }
+    fitted
+  }
+
+  /** Shared DuckDB mirror of [[kmeansFit]]: WITH-clause body unrolling
+    * `iters` assignment/update rounds over a centroid RELATION (the
+    * SQL form of the plan-literal matrix — row_number ORDER BY dist,
+    * cid is exactly first-position-of-min over cid-sorted literals).
+    * Exposes `c$iters` (cid, n, cvec list) and `v` (vec_id, vec). */
+  private[queries] def kmeansCtes(k: Int, iters: Int, dims: Int = 64,
+      srcSql: String =
+        "SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec FROM embeddings")
+      : String = {
+    def dist(vec: String, cvec: String) =
+      s"""list_reduce(list_transform(list_zip($vec, $cvec),
+         |      p -> (p[1] - p[2]) * (p[1] - p[2])), (x, y) -> x + y)""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      s"""a$i AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT v.vec_id, c.cid,
+         |      row_number() OVER (PARTITION BY v.vec_id
+         |        ORDER BY ${dist("v.vec", "c.cvec")}, c.cid) AS rn
+         |    FROM v CROSS JOIN c${i - 1} c) x
+         |  WHERE rn = 1),
+         |m$i AS (
+         |  SELECT a.cid, s.pos, COUNT(*) AS n, SUM(s.sv) AS ssum
+         |  FROM a$i a JOIN sv s USING (vec_id)
+         |  GROUP BY a.cid, s.pos),
+         |c$i AS (
+         |  SELECT cid, MAX(n) AS n,
+         |    list(CAST(ssum AS DOUBLE) / n / 1000000.0 ORDER BY pos) AS cvec
+         |  FROM m$i GROUP BY cid)""".stripMargin
+    }.mkString(",\n")
+    s"""v AS ($srcSql),
+       |sv AS (
+       |  SELECT vec_id, i - 1 AS pos,
+       |    CAST(round(vec[i] * 1000000.0) AS BIGINT) AS sv
+       |  FROM v CROSS JOIN range(1, ${dims + 1}) t(i)),
+       |c0 AS (SELECT vec_id AS cid, CAST(NULL AS BIGINT) AS n, vec AS cvec
+       |       FROM v WHERE vec_id < $k),
+       |$rounds""".stripMargin
+  }
+
+  /** K-MEANS clustering over the embedding corpus (k=8, 2 Lloyd
+    * rounds) — the semantic-clustering primitive behind data-mix
+    * design, diversity sampling, and SemDeDup-style cluster-scoped
+    * dedup. Output: per (cluster, first-8 components): member count
+    * and the rounded centroid — the q_embed_centroid output shape,
+    * but for LEARNED clusters instead of given labels. */
+  def qEmbedKmeans(s: SparkSession, dir: String, k: Int = 8,
+      iters: Int = 2, outPos: Int = 8): DataFrame = {
+    val vecs = Tables.embeddings(s, dir).select(col("vec_id"),
+      transform(col("embedding"), x => x.cast(DoubleType)).as("vec"))
+    val fitted = kmeansFit(vecs, k, iters)
+    val rows = fitted.flatMap { case (cid, n, arr) =>
+      (0 until math.min(outPos, arr.length)).map(p => (cid, p.toLong, n, arr(p)))
+    }
+    import s.implicits._
+    rows.toDF("cluster_id", "pos", "n_members", "cv")
+      .select(col("cluster_id"), col("pos"), col("n_members"),
+        round(col("cv"), 6).as("centroid"))
+      .orderBy("cluster_id", "pos")
+  }
+
+  private val qEmbedKmeansOracle =
+    s"""WITH ${kmeansCtes(8, 2)}
+       |SELECT c.cid AS cluster_id, t.i - 1 AS pos, c.n AS n_members,
+       |  round(c.cvec[t.i], 6) AS centroid
+       |FROM c2 c CROSS JOIN range(1, 9) t(i)
+       |ORDER BY cluster_id, pos""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_range" -> ((s, d) => qAnnRange(s, d)),
+    "q_embed_kmeans" -> ((s, d) => qEmbedKmeans(s, d)),
     "q_embed_pca_power" -> ((s, d) => qEmbedPcaPower(s, d)),
     "q_embed_covariance" -> ((s, d) => qEmbedCovariance(s, d)),
     "q_embed_covariance_full" -> ((s, d) => covarianceFull(s, d)),
@@ -644,6 +784,7 @@ object Similarity {
 
   def oracleSql: Map[String, String] = Map(
     "q_ann_range" -> qAnnRangeOracle,
+    "q_embed_kmeans" -> qEmbedKmeansOracle,
     "q_embed_pca_power" -> qEmbedPcaPowerOracle,
     "q_embed_covariance" -> qEmbedCovarianceOracle,
     "q_embed_covariance_full" -> covarianceOracle(64),

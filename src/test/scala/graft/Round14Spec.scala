@@ -109,6 +109,42 @@ class Round14Spec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("q_embed_kmeans: partition-count invariance (the integer-sum " +
+    "determinism claim) + partition/coverage invariants") {
+    val out = Similarity.qEmbedKmeans(spark, sf).collect()
+    // k=8 init ids all exist => 8 clusters × 8 components
+    assert(out.length == 64, s"expected 64 rows, got ${out.length}")
+    val nTotal = out.groupBy(_.getLong(0)).map(_._2.head.getLong(2)).sum
+    val nVecs = Tables.embeddings(spark, sf).count()
+    assert(nTotal == nVecs, s"members $nTotal != corpus $nVecs")
+    // the centroid means come from order-independent integer sums, so
+    // a different partitioning must reproduce them bit-for-bit
+    val single = withSQLConf("spark.sql.shuffle.partitions" -> "1") {
+      Similarity.qEmbedKmeans(spark, sf).collect()
+    }
+    assert(out.map(_.toString).toSeq == single.map(_.toString).toSeq,
+      "kmeans centroids moved with the partition count")
+  }
+
+  test("q_dedup_semdedup: planted re-encode replays are caught within " +
+    "their clusters (recall >= 0.9; boundary splits are the documented " +
+    "SemDeDup tradeoff)") {
+    val emb = Tables.embeddings(spark, sf)
+    val off = emb.agg(max(col("vec_id"))).collect().head.getLong(0) + 1L
+    val planted = emb.filter(col("vec_id") % 5 === 0)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    val out = queries.Dedup.qDedupSemdedup(spark, sf).collect()
+    // every emitted pair: keep_id < prune_id, cosine >= tau
+    out.foreach { r =>
+      assert(r.getLong(1) < r.getLong(2) && r.getDouble(3) >= 0.95, r.toString)
+    }
+    val caught = out.map(r => (r.getLong(1), r.getLong(2))).toSet
+    val recall = planted.count(v => caught.contains((v, v + off))).toDouble /
+      planted.size
+    assert(recall >= 0.9,
+      s"cluster-scoped recall $recall < 0.9 (${caught.size} pairs emitted)")
+  }
+
   // ── q_graph_triangles: the wedge joins never sort array payloads ──
 
   test("q_graph_triangles wedge joins are shuffled HASH joins (no " +
