@@ -52,6 +52,9 @@ object GraftFunctions {
       val seed = if (exprs.length > 3) intArg(exprs(3), "seed").toLong else 42L
       MinhashBands(exprs.head, nHash, bands, seed)
     },
+    // graft_dot(a, b) — sequential-fold dot product of two
+    // array<double> vectors (the codegen'd pair-verify kernel)
+    "graft_dot" -> (exprs => DotProductD(exprs.head, exprs(1))),
     // graft_argmax_dot(vec, flat_matrix, dims) — the k×dims centroid
     // matrix arrives as a LITERAL flattened array<double> (it is a plan
     // constant in the Column form too) plus a literal dims

@@ -40,8 +40,16 @@ object VectorOps {
     transform(a, x => x.cast(DoubleType) / n)
   }
 
-  /** Dot product of two already-double vectors (same sequential fold). */
-  def dotD(a: Column, b: Column): Column =
+  /** Dot product of two already-double vectors — runs as the codegen'd
+    * [[DotProductD]] primitive loop (the interpreted HOF fold dominated
+    * the pair-verify stages at scale); bit-identical to [[dotDHof]]
+    * (same ascending IEEE op sequence, VectorKernelsSpec pins it), so
+    * oracle hashes are unaffected. */
+  def dotD(a: Column, b: Column): Column = VectorKernels.dotD(a, b)
+
+  /** The higher-order-function formulation (interpreted per element) —
+    * kept as the spec's independent witness for the codegen twin. */
+  def dotDHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   def normalizedSql(a: String): String =

@@ -639,7 +639,17 @@ object Similarity {
     * LOWEST centroid id (`cents` is sorted). Wholly map-side: no
     * shuffle, no join — the centroid matrix rides the plan the way the
     * LSH plane matrix does. */
-  private[queries] def argminCid(vec: Column,
+  private[graft] def argminCid(vec: Column,
+      cents: Seq[(Long, Array[Double])]): Column = {
+    val cids = array(cents.map(c => lit(c._1)): _*)
+    element_at(cids,
+      graft.functions.VectorKernels.argminSqDist(vec, cents.map(_._2)) + lit(1))
+  }
+
+  /** The k-interpreted-folds formulation — the spec's independent
+    * witness that the [[graft.functions.ArgminSqDist]] kernel matches
+    * the first-position-of-min semantics bit for bit. */
+  private[graft] def argminCidHof(vec: Column,
       cents: Seq[(Long, Array[Double])]): Column = {
     val dists = cents.map { case (_, c) =>
       aggregate(zip_with(vec, lit(c), (x, y) => (x - y) * (x - y)),
