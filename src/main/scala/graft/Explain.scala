@@ -80,7 +80,11 @@ object Explain {
     // index one side, batch signatures the other); the promoted
     // rank-gated sketch twins already dump above (round-6 entries —
     // their registry forms now show sketch + ONE counting pass)
-    "q_dedup_embed_incremental")
+    "q_dedup_embed_incremental",
+    // round 14: the map-side k-means assignment (ArgminSqDist kernel,
+    // no crossJoin/window) and the cluster-keyed semantic-dedup pair
+    // join verifying through the native graft_dot kernel
+    "q_embed_kmeans", "q_dedup_semdedup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
