@@ -155,6 +155,93 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** The registry form of [[qBloomDecontaminate]], oracle-GATED
+    * (round-14, the q_agg_percentile_approx recipe): the bit array is
+    * engine-internal (Spark xxhash64 probes — DuckDB cannot replay
+    * them), but BOTH Bloom guarantees are exactly checkable in-query:
+    *
+    *  - NO FALSE NEGATIVES: every truly-shared (corpus∩eval) 5-gram
+    *    must survive the k-bit probe. Per doc, the exact shared-gram
+    *    set (the same join [[qDecontaminate]] runs) anti-joins the
+    *    candidate set; `ok_superset` is 1 iff nothing is missing.
+    *  - BOUNDED FALSE POSITIVES: globally, candidate (doc,gram) pairs
+    *    beyond the truly-shared ones must stay under 1 % of probed
+    *    pairs ((1−e^(−kn/m))^k ≈ 10⁻⁶ at these knobs — 1 % is the
+    *    loud-failure ceiling, deterministic per corpus since probes
+    *    are seeded). `ok_fp_budget` rides every row as a broadcast
+    *    1-row scalar.
+    *
+    * Output rows are the docs with ≥1 truly-shared gram (the
+    * contamination report's real content — SQL-enumerable), so DuckDB
+    * mirrors doc ids, exact shared counts, and the all-ones flags: a
+    * probe regression (wrong bit math, a lost word) hash-fails the
+    * entry either through a 0 flag or a vanished doc. Production form
+    * stays [[qBloomDecontaminate]] (fixed-size bit array only); the
+    * gate adds the exact verification join a nightly validation run
+    * executes anyway (the scaladoc above: candidates flow to exact
+    * verification, FPs cost work, never correctness). */
+  def qBloomDecontaminateGated(s: SparkSession, dir: String,
+                               mBits: Long = 1L << 20, k: Int = 3): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val exploded = docs.select(col("doc_id"),
+      explode(graft.functions.WordNgrams.grams(col("text"), 5)).as("gram"))
+    def pos(i: Int): Column = pmod(xxhash64(col("gram"), lit(i)), lit(mBits))
+    def word(p: Column): Column = p.divide(64).cast(LongType)
+    def mask(p: Column): Column =
+      call_function("shiftleft", lit(1L), pmod(p, lit(64L)).cast("int"))
+    val probes = array((0 until k).map(pos): _*)
+    val bits = exploded.filter(col("doc_id") % 97 === 0)
+      .select(explode(probes).as("p"))
+      .select(word(col("p")).as("w"), mask(col("p")).as("m"))
+      .groupBy(col("w")).agg(expr("bit_or(m)").as("bits"))
+    val probed = exploded.filter(col("doc_id") % 97 =!= 0)
+      .select(col("doc_id"), col("gram")).distinct()
+    val candGrams = probed
+      .select(col("doc_id"), col("gram"), explode(probes).as("p"))
+      .select(col("doc_id"), col("gram"), word(col("p")).as("w"), mask(col("p")).as("m"))
+      .join(broadcast(bits), "w")
+      .filter(col("bits").bitwiseAND(col("m")) =!= 0L)
+      .groupBy(col("doc_id"), col("gram"))
+      .agg(count(lit(1)).as("n_bits_hit"))
+      .filter(col("n_bits_hit") === k)
+      .select(col("doc_id"), col("gram"))
+      .localCheckpoint() // candidate pairs — read twice below, bounded
+    val evalGrams = exploded.filter(col("doc_id") % 97 === 0)
+      .select(col("gram")).distinct()
+    val shared = probed.join(evalGrams, "gram")
+      .localCheckpoint() // truly-shared pairs — read twice below
+    val missing = shared.join(candGrams, Seq("doc_id", "gram"), "left_anti")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_missing"))
+    val fpBudget = candGrams.agg(count(lit(1)).as("n_cand"))
+      .crossJoin(shared.agg(count(lit(1)).as("n_shared_tot")))
+      .crossJoin(probed.agg(count(lit(1)).as("n_probed")))
+      .select(when((col("n_cand") - col("n_shared_tot")) * 100 <= col("n_probed"),
+        1L).otherwise(0L).as("ok_fp_budget"))
+    shared.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared_grams"))
+      .join(missing, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shared_grams"),
+        when(coalesce(col("n_missing"), lit(0L)) === 0L, 1L).otherwise(0L)
+          .as("ok_superset"))
+      .crossJoin(broadcast(fpBudget))
+      .orderBy("doc_id")
+  }
+
+  private val qBloomDecontaminateGatedOracle =
+    """WITH g AS (
+      |  SELECT doc_id, unnest(list_transform(
+      |    range(1, len(string_split_regex(trim(text), '\s+')) - 3),
+      |    i -> array_to_string(string_split_regex(trim(text), '\s+')[i:i+4], ' '))) AS gram
+      |  FROM documents),
+      |gd AS (SELECT DISTINCT doc_id, gram FROM g),
+      |ev AS (SELECT DISTINCT gram FROM gd WHERE doc_id % 97 = 0)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_grams,
+      |  CAST(1 AS BIGINT) AS ok_superset,
+      |  CAST(1 AS BIGINT) AS ok_fp_budget
+      |FROM gd JOIN ev USING (gram)
+      |WHERE doc_id % 97 <> 0
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ── stratified data mixing ─────────────────────────────────────────
 
   /** Exact-quota stratified sample: the N "best-shuffled" docs per
@@ -946,7 +1033,7 @@ object Curation {
     "q_split_holdout" -> (qSplitHoldout _),
     "q_pii_scrub" -> (qPiiScrub _),
     "q_decontaminate" -> (qDecontaminate _),
-    "q_bloom_decontaminate" -> ((s, d) => qBloomDecontaminate(s, d)),
+    "q_bloom_decontaminate" -> ((s, d) => qBloomDecontaminateGated(s, d)),
     "q_data_mix" -> ((s, d) => qDataMix(s, d)),
     "q_doc_repetition" -> (qDocRepetition _),
     "q_context_pack" -> ((s, d) => qContextPack(s, d))
@@ -969,6 +1056,7 @@ object Curation {
     "q_split_holdout" -> qSplitHoldoutOracle,
     "q_pii_scrub" -> qPiiScrubOracle,
     "q_decontaminate" -> qDecontaminateOracle,
+    "q_bloom_decontaminate" -> qBloomDecontaminateGatedOracle,
     "q_data_mix" -> qDataMixOracle,
     "q_doc_repetition" -> qDocRepetitionOracle,
     "q_context_pack" -> qContextPackOracle

@@ -575,6 +575,31 @@ object Profiling {
           col("n_exact")).cast(LongType).as("err_bp"))
   }
 
+  /** The registry form of [[qAggHllMerge]], oracle-GATED (round-14,
+    * the q_agg_percentile_approx recipe): the raw merged estimate is
+    * tree-shape-sensitive (~0.3 % across partition layouts — measured,
+    * see the scaladoc above) and a different engine's HLL can never
+    * hash-match it, but the ε-CONTRACT — the merged estimate lands
+    * within 5 % of the exact distinct count (lgK=12 ⇒ σ ≈ 1.6 %, so
+    * 5 % ≈ 3σ, and every measured layout sits well inside) — is an
+    * exact integer check (|est−exact|·20 ≤ exact) that is STABLE
+    * across layouts precisely because all of them honor the bound.
+    * DuckDB mirrors the exact count and the all-ones flag; a merge
+    * regression (a union that loses registers) hash-fails the entry.
+    * Production form stays the sketch-only merge; this gate adds the
+    * one exact countDistinct a nightly validation run executes. */
+  def qAggHllMergeGated(s: SparkSession, dir: String,
+      shards: Int = 8): DataFrame =
+    qAggHllMerge(s, dir, shards)
+      .select(col("n_exact"),
+        when(abs(col("est_merged") - col("n_exact")) * 20 <= col("n_exact"), 1L)
+          .otherwise(0L).as("ok_eps"))
+
+  private val qAggHllMergeGatedOracle =
+    """SELECT COUNT(DISTINCT l_partkey) AS n_exact,
+      |  CAST(1 AS BIGINT) AS ok_eps
+      |FROM lineitem""".stripMargin
+
   /** Pearson correlation matrix over lineitem's numeric measures —
     * the dependency-structure profile (is discount coupled to quantity?
     * price to quantity?) a feature-engineering pass reads before
@@ -713,7 +738,7 @@ object Profiling {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_profile_moments" -> (qProfileMoments _),
     "q_profile_corr" -> (qProfileCorr _),
-    "q_agg_hll_merge" -> ((s, d) => qAggHllMerge(s, d)),
+    "q_agg_hll_merge" -> ((s, d) => qAggHllMergeGated(s, d)),
     "q_snapshot_diff" -> (qSnapshotDiff _),
     "q_profile_drift" -> (qProfileDrift _),
     "q_dq_audit" -> (qDqAudit _),
@@ -735,6 +760,7 @@ object Profiling {
     "q_profile_hist" -> qProfileHistOracle,
     "q_hist_equidepth" -> qHistEquidepthOracle,
     "q_hist_equidepth_approx" -> qHistEquidepthApproxGatedOracle,
+    "q_agg_hll_merge" -> qAggHllMergeGatedOracle,
     "q_winsorize" -> qWinsorizeOracle,
     "q_winsorize_approx" -> qWinsorizeApproxGatedOracle
   )

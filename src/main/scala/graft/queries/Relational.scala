@@ -1157,6 +1157,46 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** The registry form of [[qAggApprox]], oracle-GATED (round-14, the
+    * q_agg_percentile_approx recipe): HLL++ estimates cannot hash-match
+    * a different engine's HLL, but the ε-contract can be checked
+    * exactly in-query — both sketch counts must land within 15 % of
+    * the exact distinct counts (3σ at the default rsd = 0.05; realized
+    * max on these corpora is 5.5 %, i.e. 1.1σ — a 1σ bound flapped on
+    * the 1.1k-cardinality group, measured round-14 — and the flag is
+    * stable across partition layouts because every layout's estimate
+    * honors 3σ with 2.7× margin). Flags are exact integer arithmetic
+    * (|est−exact|·20 ≤ 3·exact); DuckDB mirrors the exact counts and the
+    * all-ones flags, so a sketch regression hash-fails the entry. The
+    * production form stays [[qAggApprox]] (sketches only, one
+    * partial+final aggregation); this gate adds the two exact-distinct
+    * passes a nightly validation run executes. */
+  def qAggApproxGated(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val sk = li.groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey")).as("ap"),
+        approx_count_distinct(col("l_orderkey")).as("ao"))
+    val ep = li.select(col("l_returnflag"), col("l_partkey")).distinct()
+      .groupBy(col("l_returnflag")).agg(count(lit(1)).as("exact_parts"))
+    val eo = li.select(col("l_returnflag"), col("l_orderkey")).distinct()
+      .groupBy(col("l_returnflag")).agg(count(lit(1)).as("exact_orders"))
+    sk.join(ep, "l_returnflag").join(eo, "l_returnflag")
+      .select(col("l_returnflag"), col("exact_parts"), col("exact_orders"),
+        when(abs(col("ap") - col("exact_parts")) * 20 <= col("exact_parts") * 3, 1L)
+          .otherwise(0L).as("ok_parts_eps"),
+        when(abs(col("ao") - col("exact_orders")) * 20 <= col("exact_orders") * 3, 1L)
+          .otherwise(0L).as("ok_orders_eps"))
+      .orderBy("l_returnflag")
+  }
+
+  private val qAggApproxGatedOracle =
+    """SELECT l_returnflag,
+      |  COUNT(DISTINCT l_partkey) AS exact_parts,
+      |  COUNT(DISTINCT l_orderkey) AS exact_orders,
+      |  CAST(1 AS BIGINT) AS ok_parts_eps,
+      |  CAST(1 AS BIGINT) AS ok_orders_eps
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ── sort / limit ──────────────────────────────────────────────────
 
   /** Global top-100 by price. Spark plans TakeOrderedAndProject: per-
@@ -1943,7 +1983,7 @@ object Relational {
     "q_window_frame" -> (qWindowFrame _),
     "q_window_lag" -> (qWindowLag _),
     "q_window_analytic" -> (qWindowAnalytic _),
-    "q_agg_approx" -> (qAggApprox _),
+    "q_agg_approx" -> (qAggApproxGated _),
     "q_agg_percentile_approx" -> (qAggPercentileApproxGated _),
     "q_sort_topk" -> (qSortTopk _),
     "q_set_union" -> (qSetUnion _),
@@ -1970,6 +2010,7 @@ object Relational {
     "q_agg_stats" -> qAggStatsOracle,
     "q_agg_percentile" -> qAggPercentileOracle,
     "q_agg_percentile_approx" -> qAggPercentileApproxGatedOracle,
+    "q_agg_approx" -> qAggApproxGatedOracle,
     "q_agg_percentile_counting" -> qAggPercentileCountingOracle,
     "q_agg_percentile_weighted" -> qAggPercentileWeightedOracle,
     "q_agg_cube" -> qAggCubeOracle,

@@ -758,6 +758,63 @@ object TextAnalysis {
                           m: Int = 1024): DataFrame =
     heavyHitterParts(s, dir, k, m)._2
 
+  /** The registry form of [[qHeavyHittersApprox]], oracle-GATED
+    * (round-14, the q_agg_percentile_approx rank-bracket recipe): the
+    * Misra-Gries survival guarantee — a gram whose true count exceeds
+    * N/m CANNOT be decremented out of every partition summary, for ANY
+    * partition layout — is checked exactly inside the query. One
+    * gate-scale exact gram count (the production form is the ungated
+    * sketch alone) derives N, the heavy set {c·m > N}, and the true
+    * top-k (count desc, gram asc — the sketch's own tie-break); the
+    * flag asserts every heavy true-top-k gram appears in the sketch
+    * output WITH its exact count. The candidate set outside the heavy
+    * region stays legitimately partition-dependent — which is exactly
+    * why the gate projects onto the heavy∩top-k subset, the part the
+    * sketch contract makes deterministic. DuckDB mirrors N and the
+    * heavy∩top-k cardinality exactly and asserts the all-ones flag, so
+    * a survival-bound regression (a decrement bug dropping a heavy
+    * gram) hash-fails the entry. */
+  def qHeavyHittersApproxGated(s: SparkSession, dir: String, k: Int = 20,
+                               m: Int = 1024): DataFrame = {
+    val approx = qHeavyHittersApprox(s, dir, k, m).localCheckpoint(true)
+    val ec = Tables.documents(s, dir)
+      .select(explode(graft.functions.WordNgrams.grams(col("text"), 2))
+        .as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // vocab-sized; read 3× below (gate scale)
+    val nTotal = ec.agg(sum(col("c")).as("n_total"))
+    val heavyTopk = ec.orderBy(col("c").desc, col("gram")).limit(k)
+      .crossJoin(broadcast(nTotal))
+      .filter(col("c") * m > col("n_total"))
+      .select(col("gram"), col("c"))
+      .localCheckpoint(true) // ≤ k rows
+    val missing = heavyTopk.as("h").join(approx.as("a"),
+      col("h.gram") === col("a.gram") && col("h.c") === col("a.n_occurrences"),
+      "left_anti")
+    nTotal
+      .crossJoin(heavyTopk.agg(count(lit(1)).as("n_heavy_topk")))
+      .crossJoin(missing.agg(
+        when(count(lit(1)) === 0L, 1L).otherwise(0L).as("ok_heavy_topk")))
+      .select(col("n_total").cast(LongType).as("n_total"),
+        col("n_heavy_topk"), col("ok_heavy_topk"))
+  }
+
+  private def qHeavyHittersApproxGatedOracle: String =
+    s"""WITH g AS (
+       |  SELECT unnest(list_transform(
+       |    range(1, len(string_split_regex(trim(text), '\\s+'))),
+       |    i -> string_split_regex(trim(text), '\\s+')[i] || ' ' ||
+       |         string_split_regex(trim(text), '\\s+')[i+1])) AS gram
+       |  FROM documents),
+       |ec AS (SELECT gram, COUNT(*) AS c FROM g GROUP BY gram),
+       |n AS (SELECT SUM(c) AS n_total FROM ec),
+       |topk AS (SELECT gram, c FROM ec ORDER BY c DESC, gram LIMIT 20),
+       |heavy AS (SELECT t.gram, t.c FROM topk t, n WHERE t.c * $hhM > n.n_total)
+       |SELECT CAST(n.n_total AS BIGINT) AS n_total,
+       |  (SELECT COUNT(*) FROM heavy) AS n_heavy_topk,
+       |  CAST(1 AS BIGINT) AS ok_heavy_topk
+       |FROM n""".stripMargin
+
   private val qHeavyHittersOracle =
     """WITH g AS (
       |  SELECT unnest(list_transform(
@@ -1122,7 +1179,7 @@ object TextAnalysis {
     "q_heavy_hitters" -> ((s, d) => qHeavyHitters(s, d, m = hhM)),
     // sketch twin: no guard, rows-only on the board (outside the exact
     // regime the candidate set is partition-dependent by design)
-    "q_heavy_hitters_approx" -> ((s, d) => qHeavyHittersApprox(s, d, m = hhM)),
+    "q_heavy_hitters_approx" -> ((s, d) => qHeavyHittersApproxGated(s, d, m = hhM)),
     "q_text_postings" -> (qTextPostings _),
     "q_text_chunks" -> ((s, d) => qTextChunks(s, d)),
     "q_langid_trigram" -> ((s, d) => qLangidTrigram(s, d)),
@@ -1146,6 +1203,7 @@ object TextAnalysis {
     "q_text_novelty" -> qTextNoveltyOracle,
     "q_text_confusion" -> qTextConfusionOracle,
     "q_heavy_hitters" -> qHeavyHittersOracle,
+    "q_heavy_hitters_approx" -> qHeavyHittersApproxGatedOracle,
     "q_text_postings" -> qTextPostingsOracle,
     "q_text_chunks" -> qTextChunksOracle,
     "q_langid_trigram" -> qLangidTrigramOracle,
