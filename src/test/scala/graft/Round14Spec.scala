@@ -145,6 +145,20 @@ class Round14Spec extends SparkSpec {
       s"cluster-scoped recall $recall < 0.9 (${caught.size} pairs emitted)")
   }
 
+  test("q_bloom_decontaminate gate REJECTS a degenerate filter: a " +
+    "64-bit array saturates, and the FP-budget flag reads 0") {
+    // with mBits=64 every word is all-ones after a handful of eval
+    // grams, so every probed pair becomes a candidate — the 1% FP
+    // budget must trip (while no-false-negatives still holds)
+    val out = queries.Curation.qBloomDecontaminateGated(spark, sf,
+      mBits = 64L).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(2) == 1L, s"superset must hold even saturated: $r")
+      assert(r.getLong(3) == 0L, s"FP budget flag failed to trip: $r")
+    }
+  }
+
   // ── q_graph_triangles: the wedge joins never sort array payloads ──
 
   test("q_graph_triangles wedge joins are shuffled HASH joins (no " +
