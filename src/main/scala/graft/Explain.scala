@@ -84,7 +84,9 @@ object Explain {
     // round 14: the map-side k-means assignment (ArgminSqDist kernel,
     // no crossJoin/window) and the cluster-keyed semantic-dedup pair
     // join verifying through the native graft_dot kernel
-    "q_embed_kmeans", "q_dedup_semdedup")
+    "q_embed_kmeans", "q_dedup_semdedup",
+    // semantic decontamination: broadcast eval index, map-side probe
+    "q_decontaminate_semantic")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

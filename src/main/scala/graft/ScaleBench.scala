@@ -184,7 +184,10 @@ object ScaleBench {
     "q_dedup_embed_incremental", "q_stream_dedup_embed",
     // the k-means fit (iters corpus passes + k×dims cells) and the
     // cluster-scoped semantic dedup built on it (pair work Σ|cluster|²)
-    "q_embed_kmeans", "q_dedup_semdedup")
+    "q_embed_kmeans", "q_dedup_semdedup",
+    // semantic decontamination: eval-sized broadcast index, map-side
+    // train probe — cost linear in TRAIN
+    "q_decontaminate_semantic")
 
   /** Decade evidence for the GRAPH family (`runMain graft.ScaleBench
     * graphdecade`). The standard fact-vs-fixed-dim replication is the

@@ -242,6 +242,104 @@ object Curation {
       |WHERE doc_id % 97 <> 0
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** SEMANTIC decontamination — the third member of the family
+    * (exact n-gram [[qDecontaminate]], Bloom-screened
+    * [[qBloomDecontaminateGated]], and THIS: embedding-space), catching
+    * what token overlap cannot — paraphrased or re-encoded benchmark
+    * leakage. The EVAL set (vec_id % 97 = 0, the family's split
+    * convention) builds a random-hyperplane LSH band index ONCE; the
+    * TRAIN corpus signs per row and probes the BROADCAST index on
+    * (band, bucket) — the right join direction at 100 TB, where eval
+    * is thousands of rows and train is the corpus: the index is
+    * eval-sized, the probe is map-side, and total cost is linear in
+    * TRAIN with no train-side index ever built. Candidates verify by
+    * exact cosine ≥ τ (bit-exact both engines), and the output is the
+    * removal manifest per label: train size, flagged count, flagged-id
+    * checksum — what a curation job actually persists.
+    *
+    * The feed plants the contamination this screen exists to catch:
+    * every 3rd eval vector re-encoded (+0.02 uniform drift, cosine ≈ 1
+    * to its source) into the train side under a derived max(vec_id)+1
+    * id offset (collision-proof on any corpus; oracle mirrors). The
+    * organic corpus has no cross-split ≥τ pairs (max cosine ≈ 0.6,
+    * measured), and the seeded plane matrix catches a 0.999-cosine
+    * pair with miss probability ~1e-19 — so the brute-force train×eval
+    * DuckDB oracle is a deterministic end-to-end hash gate at all
+    * three SFs, the q_dedup_embed_incremental recipe in the opposite
+    * probe direction. */
+  def qDecontaminateSemantic(s: SparkSession, dir: String,
+      threshold: Double = 0.95, dims: Int = 64): DataFrame = {
+    import graft.functions.{LshSignature, VectorOps}
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("label"),
+      transform(col("embedding"), x => x.cast(DoubleType)).as("vec"))
+    val off = emb.agg(max(col("vec_id"))).head.getLong(0) + 1L
+    val eval = emb.filter(col("vec_id") % 97 === 0)
+      .select(col("vec_id").as("eval_id"), col("label"), col("vec"))
+    val contam = eval.filter(col("eval_id") % 3 === 0)
+      .select((col("eval_id") + lit(off)).as("vec_id"), col("label"),
+        transform(col("vec"), x => x + lit(0.02)).as("vec"))
+    val train = emb.filter(col("vec_id") % 97 =!= 0)
+      .unionByName(contam)
+    val nEval = math.max(eval.count(), 2L) // index plan constant (1-long driver agg)
+    val bits = math.min(15, math.max(10,
+      math.ceil(math.log(nEval.toDouble) / math.log(2)).toInt - 1))
+    def sigs(df: DataFrame, idCol: String) = df
+      .select(col(idCol), VectorOps.normalized(col("vec")).as("nvec"))
+      .select(col(idCol),
+        posexplode(LshSignature.signature(col("nvec"), dims, bits = bits))
+          .as(Seq("band", "bucket")))
+    val evalIndex = sigs(eval, "eval_id").localCheckpoint()
+    val cand = sigs(train.select(col("vec_id"), col("vec")), "vec_id")
+      .join(broadcast(evalIndex), Seq("band", "bucket"))
+      .select(col("vec_id"), col("eval_id")).distinct()
+    val tN = train.select(col("vec_id"),
+      VectorOps.normalized(col("vec")).as("t_nvec"))
+    val eN = eval.select(col("eval_id"),
+      VectorOps.normalized(col("vec")).as("e_nvec"))
+    val flagged = cand.join(tN, "vec_id").join(eN, "eval_id")
+      .filter(VectorOps.dotD(col("t_nvec"), col("e_nvec")) >= threshold)
+      .select(col("vec_id")).distinct()
+      .withColumn("hit", lit(1L))
+    train.select(col("vec_id"), col("label"))
+      .join(flagged, Seq("vec_id"), "left")
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_train"),
+        sum(coalesce(col("hit"), lit(0L))).cast(LongType).as("n_flagged"),
+        sum(when(col("hit") === 1L, col("vec_id")).otherwise(lit(0L)))
+          .cast(LongType).as("flagged_key_sum"))
+      .orderBy("label")
+  }
+
+  private val qDecontaminateSemanticOracle = {
+    import graft.functions.VectorOps.{dotDSql, normalizedSql}
+    val nvecV = s"""list_transform(vec, x -> x / sqrt(${dotDSql("vec", "vec")}))"""
+    s"""WITH emb AS (
+       |  SELECT vec_id, label,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+       |  FROM embeddings),
+       |ev AS (SELECT vec_id AS eval_id, label, $nvecV AS nvec
+       |       FROM emb WHERE vec_id % 97 = 0),
+       |contam AS (
+       |  SELECT vec_id + (SELECT MAX(vec_id) + 1 FROM embeddings) AS vec_id,
+       |    label, list_transform(vec, x -> x + 0.02) AS vec
+       |  FROM emb WHERE vec_id % 97 = 0 AND vec_id % 3 = 0),
+       |train AS (
+       |  SELECT vec_id, label, vec FROM emb WHERE vec_id % 97 <> 0
+       |  UNION ALL SELECT vec_id, label, vec FROM contam),
+       |tn AS (SELECT vec_id, label, $nvecV AS nvec FROM train),
+       |flagged AS (
+       |  SELECT DISTINCT t.vec_id
+       |  FROM tn t CROSS JOIN ev e
+       |  WHERE ${dotDSql("t.nvec", "e.nvec")} >= 0.95)
+       |SELECT t.label, COUNT(*) AS n_train,
+       |  CAST(SUM(CASE WHEN f.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_flagged,
+       |  CAST(SUM(CASE WHEN f.vec_id IS NOT NULL THEN t.vec_id ELSE 0 END)
+       |    AS BIGINT) AS flagged_key_sum
+       |FROM tn t LEFT JOIN flagged f ON t.vec_id = f.vec_id
+       |GROUP BY t.label ORDER BY t.label""".stripMargin
+  }
+
   // ── stratified data mixing ─────────────────────────────────────────
 
   /** Exact-quota stratified sample: the N "best-shuffled" docs per
@@ -1034,6 +1132,7 @@ object Curation {
     "q_pii_scrub" -> (qPiiScrub _),
     "q_decontaminate" -> (qDecontaminate _),
     "q_bloom_decontaminate" -> ((s, d) => qBloomDecontaminateGated(s, d)),
+    "q_decontaminate_semantic" -> ((s, d) => qDecontaminateSemantic(s, d)),
     "q_data_mix" -> ((s, d) => qDataMix(s, d)),
     "q_doc_repetition" -> (qDocRepetition _),
     "q_context_pack" -> ((s, d) => qContextPack(s, d))
@@ -1057,6 +1156,7 @@ object Curation {
     "q_pii_scrub" -> qPiiScrubOracle,
     "q_decontaminate" -> qDecontaminateOracle,
     "q_bloom_decontaminate" -> qBloomDecontaminateGatedOracle,
+    "q_decontaminate_semantic" -> qDecontaminateSemanticOracle,
     "q_data_mix" -> qDataMixOracle,
     "q_doc_repetition" -> qDocRepetitionOracle,
     "q_context_pack" -> qContextPackOracle

@@ -159,6 +159,27 @@ class Round14Spec extends SparkSpec {
     }
   }
 
+  test("q_decontaminate_semantic: every planted re-encode is flagged " +
+    "and nothing organic is (manifest counts match the plant exactly)") {
+    val emb = Tables.embeddings(spark, sf)
+    val off = emb.agg(max(col("vec_id"))).collect().head.getLong(0) + 1L
+    // planted per label: eval (id%97==0) with id%3==0, re-encoded at id+off
+    val planted = emb.filter(col("vec_id") % 97 === 0 && col("vec_id") % 3 === 0)
+      .groupBy(col("label")).agg(count(lit(1)).as("n"),
+        sum(col("vec_id") + lit(off)).as("key_sum"))
+      .collect().map(r => r.get(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val out = queries.Curation.qDecontaminateSemantic(spark, sf).collect()
+    out.foreach { r =>
+      val (n, keySum) = planted.getOrElse(r.get(0), (0L, 0L))
+      assert(r.getLong(2) == n,
+        s"label ${r.get(0)}: flagged ${r.getLong(2)} != planted $n")
+      assert(r.getLong(3) == keySum,
+        s"label ${r.get(0)}: an ORGANIC train doc was flagged " +
+          s"(checksum ${r.getLong(3)} != planted $keySum)")
+    }
+    assert(out.map(_.getLong(2)).sum > 0, "no contamination caught at all")
+  }
+
   // ── q_graph_triangles: the wedge joins never sort array payloads ──
 
   test("q_graph_triangles wedge joins are shuffled HASH joins (no " +
