@@ -632,13 +632,15 @@ object Similarity {
 
   // ── k-means over embeddings (Lloyd's, deterministic both engines) ──
 
-  /** Squared-distance argmin against PLAN-LITERAL centroids: one
-    * sequential `zip_with`+`aggregate` fold per centroid (bit-exact in
-    * both engines — the VectorOps discipline), then first-position-of-
-    * min over the distance array, which breaks exact ties toward the
-    * LOWEST centroid id (`cents` is sorted). Wholly map-side: no
-    * shuffle, no join — the centroid matrix rides the plan the way the
-    * LSH plane matrix does. */
+  /** Squared-distance argmin against PLAN-LITERAL centroids — one
+    * codegen'd [[graft.functions.ArgminSqDist]] primitive loop per row
+    * (bit-identical to [[argminCidHof]]'s k interpreted folds +
+    * first-position-of-min, VectorKernelsSpec pins it): per-centroid
+    * distances accumulate in the same ascending IEEE order as the
+    * DuckDB mirror, and exact ties break toward the LOWEST centroid id
+    * (`cents` is sorted). Wholly map-side: no shuffle, no join — the
+    * centroid matrix rides the plan the way the LSH plane matrix
+    * does. */
   private[graft] def argminCid(vec: Column,
       cents: Seq[(Long, Array[Double])]): Column = {
     val cids = array(cents.map(c => lit(c._1)): _*)
