@@ -1162,7 +1162,12 @@ object Dedup {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_dedup_semdedup" -> ((s, d) => qDedupSemdedup(s, d)),
+    // k env-overridable for the decade sweeps (the SPARK_GRAFT_PR_MASS
+    // pattern): the production contract grows k with the corpus to hold
+    // |cluster| bounded; the oracle pins the default 64, so the knob is
+    // only set on ScaleBench runs, never under Verify
+    "q_dedup_semdedup" -> ((s, d) => qDedupSemdedup(s, d,
+      k = sys.env.get("SPARK_GRAFT_SEMDEDUP_K").map(_.toInt).getOrElse(64))),
     "q_dedup_incremental" -> ((s, d) => qDedupIncremental(s, d)),
     "q_dedup_index_append" -> ((s, d) => qDedupIndexAppend(s, d)),
     "q_dedup_incremental_near" -> ((s, d) => qDedupIncrementalNear(s, d)),
