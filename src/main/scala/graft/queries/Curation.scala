@@ -300,8 +300,11 @@ object Curation {
       .filter(VectorOps.dotD(col("t_nvec"), col("e_nvec")) >= threshold)
       .select(col("vec_id")).distinct()
       .withColumn("hit", lit(1L))
+    // flagged is contamination-sized (bounded by the verified hits), so
+    // the manifest join broadcasts and the only shuffle left on the
+    // train side is the label-count combine (map-side partials)
     train.select(col("vec_id"), col("label"))
-      .join(flagged, Seq("vec_id"), "left")
+      .join(broadcast(flagged), Seq("vec_id"), "left")
       .groupBy(col("label"))
       .agg(count(lit(1)).as("n_train"),
         sum(coalesce(col("hit"), lit(0L))).cast(LongType).as("n_flagged"),
