@@ -9,6 +9,11 @@ object Verify {
     // iteration aid; the driver always passes exactly two args).
     val Array(sfDir, outDir) = args.take(2)
     val wanted = args.drop(2).toSet
+    // mark the oracle-gated context: ScaleBench-only env knobs (e.g.
+    // SPARK_GRAFT_SEMDEDUP_K) are ignored while this property is set,
+    // so a leaked sweep variable can never desync a query from its
+    // pinned oracle
+    System.setProperty("graft.verify", "true")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

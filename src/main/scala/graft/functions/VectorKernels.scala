@@ -120,7 +120,8 @@ case class ArgminSqDist(child: Expression, matrix: Array[Double], dims: Int)
   }
 
   override def dataType: DataType = IntegerType
-  override def nullable: Boolean = child.nullable || arrayMayContainNull
+  // nullable regardless of child: a length-mismatched vector yields NULL
+  override def nullable: Boolean = true
   private def arrayMayContainNull: Boolean = child.dataType match {
     case ArrayType(_, cn) => cn
     case _ => false
@@ -129,6 +130,10 @@ case class ArgminSqDist(child: Expression, matrix: Array[Double], dims: Int)
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
+    // mirror the HOF witness: zip_with null-pads unequal lengths and the
+    // null distances poison the fold, so a malformed embedding is a LOUD
+    // NULL, never a silently-wrong prefix assignment
+    if (arr.numElements() != dims) return null
     if (arrayMayContainNull) {
       var j = 0
       while (j < arr.numElements()) {
@@ -136,7 +141,7 @@ case class ArgminSqDist(child: Expression, matrix: Array[Double], dims: Int)
         j += 1
       }
     }
-    val n = math.min(dims, arr.numElements())
+    val n = dims
     val k = matrix.length / dims
     var best = Double.PositiveInfinity
     var idx = 0
@@ -168,7 +173,7 @@ case class ArgminSqDist(child: Expression, matrix: Array[Double], dims: Int)
       val diff = ctx.freshName("diff")
       val compute =
         s"""
-           |int $n = Math.min($dims, $c.numElements());
+           |int $n = $dims;
            |int $k = $m.length / $dims;
            |double $best = Double.POSITIVE_INFINITY;
            |int $idx = 0;
@@ -182,7 +187,7 @@ case class ArgminSqDist(child: Expression, matrix: Array[Double], dims: Int)
            |}
            |${ev.value} = $idx;
          """.stripMargin
-      if (arrayMayContainNull) {
+      val checked = if (arrayMayContainNull) {
         val hasNull = ctx.freshName("hasNull")
         val j = ctx.freshName("j")
         s"""
@@ -197,6 +202,14 @@ case class ArgminSqDist(child: Expression, matrix: Array[Double], dims: Int)
            |}
          """.stripMargin
       } else compute
+      // length mismatch -> NULL, mirroring nullSafeEval and the HOF witness
+      s"""
+         |if ($c.numElements() != $dims) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |$checked
+         |}
+       """.stripMargin
     })
   }
 

@@ -126,11 +126,28 @@ object Curation {
     * so FPs cost work, never correctness. Rows-only by declared design
     * (the bit array is engine-internal); BloomDecontaminateSpec pins the
     * superset property and the FP bound against the exact query. */
+  /** Bloom size policy: the FP rate (1−e^(−kn/m))^k is LOAD-FACTOR
+    * conditional — a fixed m=2^20 only honors the ~1e-6 scaladoc bound
+    * while the eval-gram count n stays small (at sf0.1 the realized
+    * rate was within ~4× of the 1 % gate ceiling). So m scales with n:
+    * m ≥ 32·n (next power of two) keeps the rate ≤ (1−e^(−3/32))^3 ≈
+    * 7×10⁻⁴ at ANY corpus size — the gate margin is corpus-invariant.
+    * The count is one distinct-aggregate over the (1/97-sized) eval
+    * split, a 1-row driver read (the documented bounded pattern). */
+  private def bloomBitsFor(nEvalGrams: Long): Long = {
+    var m = 1L << 20
+    while (m < 32L * nEvalGrams && m < (1L << 40)) m <<= 1
+    m
+  }
+
   def qBloomDecontaminate(s: SparkSession, dir: String,
-                          mBits: Long = 1L << 20, k: Int = 3): DataFrame = {
+                          mBitsOverride: Long = 0L, k: Int = 3): DataFrame = {
     val docs = Tables.documents(s, dir)
     val exploded = docs.select(col("doc_id"),
       explode(graft.functions.WordNgrams.grams(col("text"), 5)).as("gram"))
+    val mBits = if (mBitsOverride > 0) mBitsOverride
+      else bloomBitsFor(exploded.filter(col("doc_id") % 97 === 0)
+        .select(col("gram")).distinct().count())
     def pos(i: Int): Column = pmod(xxhash64(col("gram"), lit(i)), lit(mBits))
     def word(p: Column): Column = p.divide(64).cast(LongType)
     def mask(p: Column): Column =
@@ -181,10 +198,15 @@ object Curation {
     * executes anyway (the scaladoc above: candidates flow to exact
     * verification, FPs cost work, never correctness). */
   def qBloomDecontaminateGated(s: SparkSession, dir: String,
-                               mBits: Long = 1L << 20, k: Int = 3): DataFrame = {
+                               mBitsOverride: Long = 0L, k: Int = 3): DataFrame = {
     val docs = Tables.documents(s, dir)
     val exploded = docs.select(col("doc_id"),
       explode(graft.functions.WordNgrams.grams(col("text"), 5)).as("gram"))
+    // same load-factor-stable sizing as qBloomDecontaminate: the 1 %
+    // ok_fp_budget gate stays corpus-invariant as verify SFs grow
+    val mBits = if (mBitsOverride > 0) mBitsOverride
+      else bloomBitsFor(exploded.filter(col("doc_id") % 97 === 0)
+        .select(col("gram")).distinct().count())
     def pos(i: Int): Column = pmod(xxhash64(col("gram"), lit(i)), lit(mBits))
     def word(p: Column): Column = p.divide(64).cast(LongType)
     def mask(p: Column): Column =

@@ -644,8 +644,12 @@ object Similarity {
   private[graft] def argminCid(vec: Column,
       cents: Seq[(Long, Array[Double])]): Column = {
     val cids = array(cents.map(c => lit(c._1)): _*)
-    element_at(cids,
-      graft.functions.VectorKernels.argminSqDist(vec, cents.map(_._2)) + lit(1))
+    val idx = graft.functions.VectorKernels.argminSqDist(vec, cents.map(_._2))
+    // explicit null guard: under ANSI, ElementAt over a non-null literal
+    // array reports nullable=false even with a nullable index, so a NULL
+    // kernel result (malformed vector) would otherwise materialize as a
+    // garbage 0 in external rows (VectorKernelsPropertySpec pins this)
+    when(idx.isNotNull, element_at(cids, idx + lit(1)))
   }
 
   /** The k-interpreted-folds formulation — the spec's independent
@@ -659,7 +663,9 @@ object Similarity {
     }
     val dl = array(dists: _*)
     val cids = array(cents.map(c => lit(c._1)): _*)
-    element_at(cids, array_position(dl, array_min(dl)).cast("int"))
+    val pos = array_position(dl, array_min(dl)).cast("int")
+    // same ANSI ElementAt nullability guard as argminCid
+    when(pos.isNotNull, element_at(cids, pos))
   }
 
   /** Lloyd's k-means fit: `iters` rounds of (map-side assignment

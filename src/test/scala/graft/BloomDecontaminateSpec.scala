@@ -11,10 +11,12 @@ import org.apache.spark.sql.functions._
   *     contaminated doc, and per doc reports at least as many candidate
   *     grams as truly shared grams (a truly shared gram always has all
   *     k bits set).
-  *  2. BOUNDED FALSE POSITIVES — with n eval grams in m = 2^20 bits and
-  *     k = 3 probes, the per-gram FP rate is (1 - e^(-kn/m))^k; at this
-  *     corpus' n that is ≪ 1%, so candidate gram counts may exceed the
-  *     exact counts by at most a small factor.
+  *  2. BOUNDED FALSE POSITIVES — with n eval grams in m bits and k = 3
+  *     probes, the per-gram FP rate is (1 - e^(-kn/m))^k; m auto-sizes
+  *     to ≥ 32·n (round-15 advisory: a FIXED m's rate grows with the
+  *     eval corpus), capping the rate at ≈7×10⁻⁴ for ANY corpus size,
+  *     so candidate gram counts may exceed the exact counts by at most
+  *     a small factor.
   */
 class BloomDecontaminateSpec extends SparkSpec {
 

@@ -151,7 +151,7 @@ class Round14Spec extends SparkSpec {
     // grams, so every probed pair becomes a candidate — the 1% FP
     // budget must trip (while no-false-negatives still holds)
     val out = queries.Curation.qBloomDecontaminateGated(spark, sf,
-      mBits = 64L).collect()
+      mBitsOverride = 64L).collect()
     assert(out.nonEmpty)
     out.foreach { r =>
       assert(r.getLong(2) == 1L, s"superset must hold even saturated: $r")
