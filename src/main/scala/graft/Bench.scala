@@ -99,12 +99,33 @@ object Bench {
       .getOrElse(line(0))
     // Only a FULL-registry run (the driver contract) may write the
     // detail file — a filtered local iteration must not clobber it.
+    // The detail file also carries the SAME-SESSION streaming-lifecycle
+    // floor (min-of-runs over the StreamFloor noop shapes) and a
+    // floor-adjusted figure per stream entry (raw − stateless floor):
+    // cross-round stream comparisons read stream_adjusted against the
+    // session's own floor instead of consuming an A/B each round
+    // (round-15 task 6; BASELINE.md documents the floor model).
     if (wanted.isEmpty) scala.util.Try {
+      val floorStateless = (0 until runsPerQuery).map { _ =>
+        val t0 = System.nanoTime()
+        graft.queries.Streaming.streamNoopFloor(spark, stateful = false).collect()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      val floorStateful = (0 until runsPerQuery).map { _ =>
+        val t0 = System.nanoTime()
+        graft.queries.Streaming.streamNoopFloor(spark, stateful = true).collect()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      val adjusted = results.filter(_._1.startsWith("q_stream_"))
+        .map { case (k, v) => "\"" + k + "\":" + math.max(0.0, v - floorStateless) }
+        .mkString("{", ",", "}")
       val full = results.map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get("BENCH_DETAIL.json"),
-        s"""{"metric":"total","value":$total,"unit":"sec","queries":$full,"sf":"$sfDir"}\n""")
+        s"""{"metric":"total","value":$total,"unit":"sec","queries":$full,""" +
+          s""""stream_floor":{"stateless":$floorStateless,"stateful":$floorStateful},""" +
+          s""""stream_adjusted":$adjusted,"sf":"$sfDir"}\n""")
     }
     spark.stop()
     println(out)

@@ -86,7 +86,12 @@ object Explain {
     // join verifying through the native graft_dot kernel
     "q_embed_kmeans", "q_dedup_semdedup",
     // semantic decontamination: broadcast eval index, map-side probe
-    "q_decontaminate_semantic")
+    "q_decontaminate_semantic",
+    // round 15: the oracle-gated portable candidate stages — minhash's
+    // (band, 4-minima-struct) self-join and simhash's 32-bit
+    // sixteenth-pair multi-probe join with the in-join Hamming gate —
+    // and the two-level semdedup's composite-(cid,fid)-keyed pair join
+    "q_dedup_simhash", "q_dedup_semdedup_2l")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -185,6 +185,10 @@ object ScaleBench {
     // the k-means fit (iters corpus passes + k×dims cells) and the
     // cluster-scoped semantic dedup built on it (pair work Σ|cluster|²)
     "q_embed_kmeans", "q_dedup_semdedup",
+    // round 15: the two-level (IVF-shaped) assignment — k1+k2 distances
+    // per vector instead of k1·k2; the 100× arm runs K1=32 K2=20 vs
+    // flat K=640 (SCALE.md)
+    "q_dedup_semdedup_2l",
     // semantic decontamination: eval-sized broadcast index, map-side
     // train probe — cost linear in TRAIN
     "q_decontaminate_semantic")
@@ -257,6 +261,95 @@ object ScaleBench {
       s""""$n":{"base":$base,"scaled":$scaled}"""
     }
     println(s"""{"metric":"graph_decade","unit":"sec","factor":$factor,"queries":${rows.mkString("{", ",", "}")}}""")
+  }
+
+  /** Partitioned-corpus execution evidence (`runMain graft.ScaleBench
+    * partitioned`, round-15 task 4): every bench table so far is ONE
+    * parquet file per table, but a real 100 TB lake is hive-partitioned
+    * multi-file. This mode writes the 10× corpus TWICE-over as a
+    * hive-partitioned twin — lineitem by l_returnflag, orders by
+    * o_orderstatus, events by event_type, documents by lang (existing
+    * LOW-CARDINALITY columns, so the read-back schema is unchanged) —
+    * then times a representative headline subset (TPC-H spine joins +
+    * the dedup family) on BOTH layouts, asserts row-count equality, and
+    * extracts the physical scan's PartitionFilters for the two queries
+    * whose predicates hit partition columns (q_sql_q10 filters
+    * l_returnflag = 'R', q_sql_q21 filters o_orderstatus = 'F') —
+    * the partition-pruned-scan evidence SCALE.md records. */
+  private def partitionedCorpusEvidence(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val src = sys.env.getOrElse("SPARK_GRAFT_SRC", "/root/testdata/sf0.1")
+    val single = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "/tmp/graft_sf1")
+    val factor = sys.env.getOrElse("SPARK_GRAFT_FACTOR", "10").toInt
+    if (!new java.io.File(s"$single/_READY").exists()) {
+      System.err.println(s"[partitioned] building ${factor}x corpus at $single")
+      buildScaledData(spark, src, single, factor)
+    }
+    val hive = s"${single}_hive"
+    if (!new java.io.File(s"$hive/_READY").exists()) {
+      System.err.println(s"[partitioned] writing hive-partitioned twin at $hive")
+      def copy(t: String): Unit =
+        spark.read.parquet(s"$single/$t.parquet").write.mode("overwrite")
+          .option("compression", "zstd").parquet(s"$hive/$t.parquet")
+      def part(t: String, byCol: String): Unit =
+        spark.read.parquet(s"$single/$t.parquet").write.mode("overwrite")
+          .option("compression", "zstd").partitionBy(byCol)
+          .parquet(s"$hive/$t.parquet")
+      Seq("region", "nation", "customer", "supplier", "part", "embeddings")
+        .foreach(copy)
+      part("lineitem", "l_returnflag")
+      part("orders", "o_orderstatus")
+      part("events", "event_type")
+      part("documents", "lang")
+      spark.createDataFrame(Seq(Tuple1(factor))).toDF("factor")
+        .write.mode("overwrite").json(s"$hive/_READY")
+    }
+    val subset = Seq("q_sql_q3", "q_sql_q5", "q_sql_q10", "q_sql_q21",
+      "q_filter_pred", "q_dedup_exact", "q_dedup_minhash", "q_dedup_paragraph")
+    def run(name: String, dir: String): (Double, Long) = {
+      val df = SparkEntry.queries(name)(spark, dir)
+      val t0 = System.nanoTime()
+      df.write.mode("overwrite").format("noop").save()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val rows = SparkEntry.queries(name)(spark, dir).count()
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      (secs, rows)
+    }
+    val rows = subset.map { n =>
+      val (sSec, sRows) = run(n, single)
+      val (pSec, pRows) = run(n, hive)
+      require(sRows == pRows,
+        s"$n row mismatch across layouts: single=$sRows partitioned=$pRows")
+      System.err.println(f"[partitioned] $n single $sSec%.2f s, hive $pSec%.2f s ($sRows rows both)")
+      s""""$n":{"single_sec":$sSec,"partitioned_sec":$pSec,"rows":$sRows}"""
+    }
+    // pruning evidence: the physical scans of the partition-filtering
+    // queries, on the partitioned layout
+    val pruning = Seq("q_sql_q10" -> "l_returnflag", "q_sql_q21" -> "o_orderstatus")
+      .map { case (n, pcol) =>
+        val df = SparkEntry.queries(n)(spark, hive)
+        df.write.mode("overwrite").format("noop").save()
+        val plan = df.queryExecution.executedPlan match {
+          case a: AdaptiveSparkPlanExec => a.executedPlan
+          case p => p
+        }
+        val scans = plan.collect {
+          case f: FileSourceScanExec if f.metadata.get("PartitionFilters")
+            .exists(_.contains(pcol)) => f
+        }
+        require(scans.nonEmpty, s"$n: no scan with a $pcol partition filter")
+        val f = scans.head
+        val read = f.selectedPartitions.partitionCount
+        val filters = f.metadata.getOrElse("PartitionFilters", "")
+          .replace("\"", "'")
+        System.err.println(s"[partitioned] $n pruned scan: $read partitions read, filters=$filters")
+        s""""$n":{"partitions_read":$read,"partition_filters":"$filters"}"""
+      }
+    println(s"""{"metric":"partitioned_corpus","unit":"sec","factor":$factor,""" +
+      s""""queries":${rows.mkString("{", ",", "}")},""" +
+      s""""pruning":${pruning.mkString("{", ",", "}")}}""")
   }
 
   /** Candidate-volume decade evidence for the near-dup band schemes
@@ -514,6 +607,21 @@ object ScaleBench {
         .getOrCreate()
       spark.sparkContext.setLogLevel("WARN")
       splitEvidence(spark)
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("partitioned")) {
+      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+      val spark = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      partitionedCorpusEvidence(spark)
       spark.stop()
       return
     }

@@ -32,22 +32,29 @@ object Graph {
     * needed. Output: top 100 nodes by rank (suppliers offset by 10⁶ to
     * disjoin the key spaces).
     *
-    * Scale (round 7 shape): edge generation pre-aggregates lineitem to
-    * one per-order supplier SET (map-side-combined collect_set keyed on
-    * the orderkey — bounded by order size, never by corpus size), so
-    * the orderkey join moves |orders| compact rows instead of the full
-    * |lineitem| spine; the pair explode + distinct happens after. The
-    * degree is folded into the edge list ONCE, and the folded list is
-    * hash-partitioned by the edge source BEFORE its eager
-    * localCheckpoint — the checkpointed LogicalRDD keeps that
-    * outputPartitioning, so every iteration's join re-shuffles only the
-    * node-sized rank table while the edge spine never moves again.
-    * Each round is one join + one destination groupBy (map-side
-    * combined) — O(|E|) — and per-round ranks are localCheckpoint'd to
-    * cut lineage growth, exactly like the connected-components loop.
+    * Scale (round 7 shape, exchange audit round 15): edge generation
+    * pre-aggregates lineitem to one per-order supplier SET (map-side-
+    * combined collect_set keyed on the orderkey — bounded by order
+    * size, never by corpus size), so the orderkey join moves |orders|
+    * compact rows instead of the full |lineitem| spine; the pair
+    * explode + distinct happens after. The degree is folded into the
+    * edge list ONCE, hash-partitioned by the edge source, and CACHED —
+    * `persist`, not localCheckpoint: under AQE the checkpointed
+    * LogicalRDD captures UnknownPartitioning (the adaptive plan is
+    * unfinalized at capture time), so every round was silently
+    * re-exchanging the EDGE spine (audited round 15 — three exchanges
+    * per round); an InMemoryRelation preserves the cached plan's
+    * hash(u) partitioning, and so do the per-round rank caches, whose
+    * groupBy(v)+alias output is hash(u) of the NEXT round's join key
+    * via alias-aware propagation. Net plan per round: ONE exchange
+    * (the map-side-combined destination groupBy, whose post-partial
+    * rows are node-bounded per partition) — the join moves nothing
+    * (Round15Spec pins exchange count and cache hits). Per-round ranks
+    * are materialized eagerly and the previous round unpersisted, so
+    * cache footprint stays node-sized + the edge spine.
     *
-    * The int64 headroom the scaladoc above documents is now ENFORCED:
-    * the node count is read off the (checkpointed, node-sized) degree
+    * The int64 headroom the scaladoc above documents is ENFORCED:
+    * the node count is read off the (cached, node-sized) degree
     * table and 17·n·initMass must stay inside Long — a graph too heavy
     * for the default mass fails loudly with the knob named instead of
     * silently wrapping. */
@@ -66,24 +73,28 @@ object Graph {
     // customers < 10⁶ ≤ suppliers, so the two orientations cannot collide
     val edges = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
       .repartition(col("u"))
-      .localCheckpoint(true)
     val deg = edges.groupBy("u").agg(count(lit(1)).as("d"))
-      .localCheckpoint(true)
     // the documented headroom knob, env-overridable so the 100x decade
     // sweep (1.6M nodes) can shrink the per-node mass below the int64
     // ceiling without touching the registry form (the HH_M precedent);
     // the oracle pins the DEFAULT — Verify must not run with this set
     val initMass = sys.env.get("SPARK_GRAFT_PR_MASS")
       .map(_.toLong).getOrElse(1000000000000L)
-    val nNodes = deg.count()
+    // hash(u)-partitioned edge spine, SORTED within partitions and
+    // cached ONCE (partitioning AND ordering ride the InMemoryRelation
+    // into every round's sort-merge join, so the per-round edge-side
+    // sort disappears with the exchange)
+    val ed = edges.join(deg, "u").sortWithinPartitions("u").persist()
+    val degC = deg.persist()
+    val nNodes = degC.count()
     require(nNodes <= Long.MaxValue / 17 / initMass,
       s"pagerank int64 headroom: $nNodes nodes x initMass $initMass " +
         "overflows 17*totalMass; shrink the per-node initial mass " +
         "(SPARK_GRAFT_PR_MASS)")
-    val ed = edges.join(deg, "u").localCheckpoint(true)
-    var ranks = deg.select(col("u"), lit(initMass).as("r"))
+    var ranks = degC.select(col("u"), lit(initMass).as("r"))
+    var prevCache: Option[DataFrame] = None
     for (_ <- 1 to iters) {
-      ranks = ed.join(ranks, "u")
+      val next = ed.join(ranks, "u")
         .select(col("v"), expr("r div d").as("c"))
         .groupBy(col("v"))
         .agg(sum(col("c")).as("sc"))
@@ -91,7 +102,11 @@ object Graph {
           // teleport term 0.15·initMass (= 150000000000 at the default
           // mass the oracle pins; scales with the PR_MASS knob)
           (lit(initMass * 3L / 20L) + expr("(17 * sc) div 20")).as("r"))
-        .localCheckpoint(true)
+        .persist()
+      next.count() // materialize BEFORE dropping the round it was built from
+      prevCache.foreach(_.unpersist(false))
+      prevCache = Some(next)
+      ranks = next
     }
     ranks.select(col("u").as("node_id"), col("r").cast(LongType).as("rank_score"))
       .orderBy(col("rank_score").desc, col("node_id"))

@@ -31,8 +31,11 @@ abstract class SparkSpec extends AnyFunSuite {
   /** Run `body` with SQL confs temporarily set, restoring prior values
     * after (the session is shared JVM-wide across suites). */
   def withSQLConf[A](confs: (String, String)*)(body: => A): A = {
+    // Option(...) guards optional confs whose get returns NULL (e.g.
+    // spark.sql.adaptive.autoBroadcastJoinThreshold): restoring a null
+    // via set() throws — such keys restore via unset instead
     val prior = confs.map { case (k, _) =>
-      k -> scala.util.Try(spark.conf.get(k)).toOption
+      k -> scala.util.Try(Option(spark.conf.get(k))).toOption.flatten
     }
     confs.foreach { case (k, v) => spark.conf.set(k, v) }
     try body
