@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType}
 
 /** Sequential-fold dot product of two `array<double>` columns as ONE
   * codegen'd primitive loop — the hot-path twin of
@@ -217,6 +217,140 @@ case class ArgminSqDist(child: Expression, matrix: Array[Double], dims: Int)
     copy(child = newChild)
 }
 
+/** Grouped nearest-centroid lookup — the IVF fine-probe kernel: given a
+  * vector and its COARSE cluster id, return the label of the nearest
+  * FINE centroid among that cluster's slice of a flat stacked matrix.
+  * One codegen'd primitive loop over `counts(cid)` centroids — the
+  * k1-branch CASE-of-ArgminSqDist it replaces inlined k1 full argmin
+  * loops into one generated method, which blew the JIT's method-size
+  * budget and ran as interpreted bytecode (a 7-minute stage for a
+  * seconds-long pass at 100×, round-15). Distances accumulate (x−c)² in
+  * ascending dimension order and ties break strict-`<` toward the
+  * lowest slice index (= lowest fine label, slices are label-sorted) —
+  * bit-identical to the per-branch ArgminSqDist semantics and the
+  * DuckDB `ORDER BY dist, fid` mirror (VectorKernelsSpec pins it).
+  * NULL on: null inputs, length-mismatched vector, null elements, or a
+  * cid outside the fitted map (mirrors the CASE's no-branch NULL).
+  */
+case class ArgminSqDistGrouped(vec: Expression, cid: Expression,
+    matrix: Array[Double], labels: Array[Long], starts: Array[Int],
+    counts: Array[Int], cidBase: Long, dims: Int)
+  extends BinaryExpression {
+
+  require(matrix.length == labels.length * dims, "matrix must be rows*dims")
+  require(starts.length == counts.length, "starts/counts must align")
+
+  override def left: Expression = vec
+  override def right: Expression = cid
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (vec.dataType, cid.dataType) match {
+      case (ArrayType(DoubleType, _), LongType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_argmin_grouped expects (ARRAY<DOUBLE>, BIGINT), got " +
+          s"${l.catalogString}, ${r.catalogString}")
+    }
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_argmin_grouped"
+
+  private def vecMayContainNull: Boolean = vec.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => false
+  }
+
+  override def nullSafeEval(v: Any, c: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val group = c.asInstanceOf[Long] - cidBase
+    if (group < 0 || group >= starts.length) return null
+    if (arr.numElements() != dims) return null
+    if (vecMayContainNull) {
+      var j = 0
+      while (j < dims) {
+        if (arr.isNullAt(j)) return null
+        j += 1
+      }
+    }
+    val s0 = starts(group.toInt)
+    val n = counts(group.toInt)
+    if (n == 0) return null
+    var best = Double.PositiveInfinity
+    var idx = s0
+    var i = 0
+    while (i < n) {
+      var s = 0.0
+      var d = 0
+      while (d < dims) {
+        val diff = arr.getDouble(d) - matrix((s0 + i) * dims + d)
+        s += diff * diff
+        d += 1
+      }
+      if (java.lang.Double.compare(s, best) < 0) { best = s; idx = s0 + i }
+      i += 1
+    }
+    labels(idx)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("groupedMatrix", matrix, "double[]")
+    val lb = ctx.addReferenceObj("groupedLabels", labels, "long[]")
+    val st = ctx.addReferenceObj("groupedStarts", starts, "int[]")
+    val cn = ctx.addReferenceObj("groupedCounts", counts, "int[]")
+    nullSafeCodeGen(ctx, ev, (v, c) => {
+      val g = ctx.freshName("g")
+      val s0 = ctx.freshName("s0")
+      val n = ctx.freshName("n")
+      val best = ctx.freshName("best")
+      val idx = ctx.freshName("idx")
+      val i = ctx.freshName("i")
+      val d = ctx.freshName("d")
+      val s = ctx.freshName("s")
+      val diff = ctx.freshName("diff")
+      val nullScan = if (vecMayContainNull) {
+        val j = ctx.freshName("j")
+        s"""
+           |for (int $j = 0; $j < $dims && !${ev.isNull}; $j++) {
+           |  if ($v.isNullAt($j)) { ${ev.isNull} = true; }
+           |}
+         """.stripMargin
+      } else ""
+      s"""
+         |long $g = $c - ${cidBase}L;
+         |if ($g < 0 || $g >= $st.length || $v.numElements() != $dims) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  $nullScan
+         |  if (!${ev.isNull}) {
+         |    int $s0 = $st[(int) $g];
+         |    int $n = $cn[(int) $g];
+         |    if ($n == 0) {
+         |      ${ev.isNull} = true;
+         |    } else {
+         |      double $best = Double.POSITIVE_INFINITY;
+         |      int $idx = $s0;
+         |      for (int $i = 0; $i < $n; $i++) {
+         |        double $s = 0.0;
+         |        for (int $d = 0; $d < $dims; $d++) {
+         |          double $diff = $v.getDouble($d) - $m[($s0 + $i) * $dims + $d];
+         |          $s += $diff * $diff;
+         |        }
+         |        if (Double.compare($s, $best) < 0) { $best = $s; $idx = $s0 + $i; }
+         |      }
+         |      ${ev.value} = $lb[$idx];
+         |    }
+         |  }
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): ArgminSqDistGrouped =
+    copy(vec = newLeft, cid = newRight)
+}
+
 object VectorKernels {
   def dotD(a: Column, b: Column): Column =
     ColumnBridge.column(
@@ -227,5 +361,37 @@ object VectorKernels {
     val dims = centroids.head.length
     ColumnBridge.column(ArgminSqDist(ColumnBridge.expression(vec),
       centroids.flatten.toArray, dims))
+  }
+
+  /** Flattens a per-coarse-cluster fine-centroid map into the stacked
+    * matrix + label/slice arrays [[ArgminSqDistGrouped]] walks. Coarse
+    * cids may be sparse (clusters can drop); missing groups get
+    * count 0 and probe to NULL. */
+  def argminSqDistGrouped(vec: Column, cid: Column,
+      fine: Map[Long, Seq[(Long, Array[Double])]]): Column = {
+    require(fine.nonEmpty && fine.values.forall(_.nonEmpty))
+    val dims = fine.head._2.head._2.length
+    val base = fine.keys.min
+    val span = (fine.keys.max - base + 1).toInt
+    val starts = new Array[Int](span)
+    val counts = new Array[Int](span)
+    val labels = Array.newBuilder[Long]
+    val matrix = Array.newBuilder[Double]
+    var off = 0
+    for (g <- 0 until span) {
+      starts(g) = off
+      fine.get(base + g).foreach { cents =>
+        counts(g) = cents.size
+        cents.foreach { case (fid, arr) =>
+          require(arr.length == dims, "ragged fine centroids")
+          labels += fid
+          matrix ++= arr
+        }
+        off += cents.size
+      }
+    }
+    ColumnBridge.column(ArgminSqDistGrouped(ColumnBridge.expression(vec),
+      ColumnBridge.expression(cid), matrix.result(), labels.result(),
+      starts, counts, base, dims))
   }
 }

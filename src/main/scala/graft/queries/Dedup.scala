@@ -1407,11 +1407,18 @@ object Dedup {
         transform(col("vec"), x => x + lit(0.02)).as("vec")))
     val (coarse, fine) =
       Similarity.kmeansFitTwoLevel(corpus, k1, iters1, k2, iters2)
-    val assigned = corpus
+    // coarse-assignment barrier before the fine CASE references cid
+    // (the CollapseProject inlining hazard documented on
+    // kmeansFitTwoLevel), and a second one so the pair self-join reads
+    // the finished (cid, fid, nvec) table instead of assigning twice
+    val withCid = corpus
       .withColumn("cid", Similarity.argminCid(col("vec"), coarse))
+      .localCheckpoint()
+    val assigned = withCid
       .select(col("vec_id"), col("cid"),
         Similarity.fineCid(col("vec"), col("cid"), fine).as("fid"),
         VectorOps.normalized(col("vec")).as("nvec"))
+      .localCheckpoint()
     val a = assigned.select(col("cid"), col("fid"),
       col("vec_id").as("keep_id"), col("nvec").as("a_nvec"))
     val b = assigned.select(col("cid"), col("fid"),

@@ -779,8 +779,16 @@ object Similarity {
       iters1: Int, k2: Int, iters2: Int)
       : (Seq[(Long, Array[Double])], Map[Long, Seq[(Long, Array[Double])]]) = {
     val coarse = kmeansFit(vecs, k1, iters1).map(t => (t._1, t._3))
+    // MATERIALIZE the coarse assignment before anything references cid:
+    // fineCid's k1 CASE conditions each reference cid, and CollapseProject
+    // would otherwise inline the k1×dims argmin into every condition AND
+    // push it past the update-round's posexplode — measured ~33×64
+    // re-evaluations of the coarse argmin per vector at 100× (a 26-minute
+    // stage for what is a seconds-long pass). The checkpoint is the same
+    // barrier the persisted-index entries use; at production scale this
+    // is the materialized assignment table every IVF build writes anyway.
     val assigned = vecs.select(col("vec_id"), col("vec"),
-      argminCid(col("vec"), coarse).as("cid"))
+      argminCid(col("vec"), coarse).as("cid")).localCheckpoint()
     val w = Window.partitionBy(col("cid")).orderBy(col("vec_id"))
     val seedRows = assigned.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k2)
@@ -814,10 +822,23 @@ object Similarity {
   }
 
   /** Fine-centroid assignment within an already-assigned coarse
-    * cluster: a k1-branch CASE where each branch is one codegen'd
-    * [[graft.functions.ArgminSqDist]] over that cluster's fine
-    * centroids — k2 distance folds per row, never k1·k2. */
-  private[queries] def fineCid(vec: Column, cid: Column,
+    * cluster — ONE codegen'd [[graft.functions.ArgminSqDistGrouped]]
+    * probe into the cid's slice of the flat stacked fine matrix: k2
+    * distance folds per row, never k1·k2. (The first cut was a
+    * k1-branch CASE of per-cluster ArgminSqDist kernels; its generated
+    * method inlined k1 full argmin loops, blew the JIT method-size
+    * budget, and ran as INTERPRETED bytecode — a 7-minute stage at
+    * 100× for what the grouped kernel does in seconds. Same IEEE
+    * sequence, same lowest-fid tie-break; VectorKernelsSpec pins
+    * bit-equality against the CASE witness.) */
+  private[graft] def fineCid(vec: Column, cid: Column,
+      fine: Map[Long, Seq[(Long, Array[Double])]]): Column =
+    graft.functions.VectorKernels.argminSqDistGrouped(vec, cid, fine)
+
+  /** The k1-branch CASE-of-argmin formulation — the spec's independent
+    * witness for [[graft.functions.ArgminSqDistGrouped]] (never on a
+    * hot path: see [[fineCid]]). */
+  private[graft] def fineCidCaseWitness(vec: Column, cid: Column,
       fine: Map[Long, Seq[(Long, Array[Double])]]): Column = {
     val sorted = fine.toSeq.sortBy(_._1)
     sorted.tail.foldLeft(

@@ -74,6 +74,40 @@ class VectorKernelsSpec extends SparkSpec {
     assert(got == tied(3)._1, s"tie broke toward $got, not ${tied(3)._1}")
   }
 
+  test("graft_argmin_grouped == the CASE-of-argmin witness bit-for-bit, " +
+    "including ties, unknown cids, and length mismatches") {
+    val rng = new scala.util.Random(31)
+    val dims = 16
+    // sparse coarse ids (2, 5, 6) with ragged fine counts, one duplicated
+    // fine centroid inside a slice (exact tie -> lowest fid)
+    val mk = () => Array.fill(dims)(rng.nextGaussian())
+    val dup = mk()
+    val fine: Map[Long, Seq[(Long, Array[Double])]] = Map(
+      2L -> Seq((0L, mk()), (3L, dup), (7L, dup.clone())),
+      5L -> Seq((1L, mk())),
+      6L -> Seq((0L, mk()), (2L, mk()), (4L, mk()), (9L, mk())))
+    val rows = (0 until 300).map { i =>
+      val cid = Seq(2L, 5L, 6L, 99L)(i % 4) // 99 = unknown coarse id
+      val len = if (i % 11 == 0) dims - 1 else dims
+      (i.toLong, cid, Array.fill(len)(rng.nextGaussian()).toSeq)
+    } ++ Seq((1000L, 2L, dup.toSeq)) // distance-0 tie probe
+    val df = rows.toDF("id", "cid", "vec")
+    val got = df.select(
+      graft.queries.Similarity.fineCid(col("vec"), col("cid"), fine).as("fast"),
+      graft.queries.Similarity.fineCidCaseWitness(col("vec"), col("cid"), fine)
+        .as("slow")).collect()
+    got.zipWithIndex.foreach { case (r, i) =>
+      assert(r.isNullAt(0) == r.isNullAt(1), s"null disagreement at $i: $r")
+      if (!r.isNullAt(0)) assert(r.getLong(0) == r.getLong(1), s"at $i: $r")
+    }
+    assert(got.exists(_.isNullAt(0)) && got.exists(!_.isNullAt(0)))
+    // the duplicated-centroid probe breaks its exact tie toward fid 3
+    val tied = df.filter(col("id") === 1000L).select(
+      graft.queries.Similarity.fineCid(col("vec"), col("cid"), fine))
+      .head.getLong(0)
+    assert(tied == 3L, s"tie broke toward $tied, not 3")
+  }
+
   test("kernels agree under interpreted (non-codegen) eval too") {
     val df = vecs(30, 17).toDF("id", "a", "b")
     val cents = vecs(4, 19).map { case (i, a, _) => (i, a) }
