@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -38,20 +39,22 @@ object Graph {
     * size, never by corpus size), so the orderkey join moves |orders|
     * compact rows instead of the full |lineitem| spine; the pair
     * explode + distinct happens after. The degree is folded into the
-    * edge list ONCE, hash-partitioned by the edge source, and CACHED —
-    * `persist`, not localCheckpoint: under AQE the checkpointed
-    * LogicalRDD captures UnknownPartitioning (the adaptive plan is
-    * unfinalized at capture time), so every round was silently
-    * re-exchanging the EDGE spine (audited round 15 — three exchanges
-    * per round); an InMemoryRelation preserves the cached plan's
-    * hash(u) partitioning, and so do the per-round rank caches, whose
-    * groupBy(v)+alias output is hash(u) of the NEXT round's join key
-    * via alias-aware propagation. Net plan per round: ONE exchange
-    * (the map-side-combined destination groupBy, whose post-partial
-    * rows are node-bounded per partition) — the join moves nothing
-    * (Round15Spec pins exchange count and cache hits). Per-round ranks
-    * are materialized eagerly and the previous round unpersisted, so
-    * cache footprint stays node-sized + the edge spine.
+    * edge list ONCE, hash-partitioned by the edge source, sorted within
+    * partitions, and CACHED — the round-15 audit found the previous
+    * localCheckpoint form silently re-exchanging the EDGE spine every
+    * round (under AQE a checkpoint captures the UNFINALIZED adaptive
+    * plan's partitioning, i.e. UnknownPartitioning: three exchanges per
+    * round where this scaladoc claimed one). An InMemoryRelation
+    * preserves the cached plan's hash(u) partitioning and ordering, and
+    * so do the per-round rank caches, whose groupBy(v)+alias output IS
+    * hash(u) of the next round's join key via alias-aware propagation.
+    * Net per-round plan: exactly ONE exchange — the map-side-combined
+    * destination groupBy, whose post-partial rows are node-bounded per
+    * partition; the join neither moves nor sorts either side
+    * (Round15Spec pins the executed-plan exchange count even with
+    * broadcast disabled). Per-round ranks are materialized eagerly and
+    * the previous round unpersisted, so cache footprint stays
+    * node-sized + the edge spine.
     *
     * The int64 headroom the scaladoc above documents is ENFORCED:
     * the node count is read off the (cached, node-sized) degree
@@ -70,9 +73,13 @@ object Graph {
         explode(col("ss")).as("s0"))
       .select(col("u"), (col("s0") + lit(1000000L)).cast(LongType).as("v"))
       .distinct()
-    // customers < 10⁶ ≤ suppliers, so the two orientations cannot collide
+    // customers < 10⁶ ≤ suppliers, so the two orientations cannot collide.
+    // edges are cached too: deg AND ed both derive from them, and without
+    // the cache the expensive order-join edge generation runs once per
+    // derivation (measured +1.3 s at sf0.1)
     val edges = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
       .repartition(col("u"))
+      .persist()
     val deg = edges.groupBy("u").agg(count(lit(1)).as("d"))
     // the documented headroom knob, env-overridable so the 100x decade
     // sweep (1.6M nodes) can shrink the per-node mass below the int64
@@ -81,9 +88,14 @@ object Graph {
     val initMass = sys.env.get("SPARK_GRAFT_PR_MASS")
       .map(_.toLong).getOrElse(1000000000000L)
     // hash(u)-partitioned edge spine, SORTED within partitions and
-    // cached ONCE (partitioning AND ordering ride the InMemoryRelation
-    // into every round's sort-merge join, so the per-round edge-side
-    // sort disappears with the exchange)
+    // cached ONCE: InMemoryRelation preserves the cached plan's
+    // partitioning AND ordering, so every round's sort-merge join reads
+    // the spine without moving or sorting it. (persist, NOT
+    // localCheckpoint: under AQE a checkpoint captures the UNFINALIZED
+    // adaptive plan's partitioning — UnknownPartitioning — and the
+    // AQE-suspended checkpoint alternative pins raw row blocks that
+    // cannot evict, which OOM'd the 100× decade at the 8 GiB harness
+    // heap; columnar cache blocks are compressed and evictable.)
     val ed = edges.join(deg, "u").sortWithinPartitions("u").persist()
     val degC = deg.persist()
     val nNodes = degC.count()

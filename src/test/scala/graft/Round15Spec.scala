@@ -29,8 +29,13 @@ class Round15Spec extends SparkSpec {
           explode(col("ss")).as("s0"))
         .select(col("u"), (col("s0") + lit(1000000L)).cast(LongType).as("v"))
         .distinct()
+      // cached-and-sorted spine + cached rank rounds, exactly as
+      // qPagerank builds them (persist — the localCheckpoint form
+      // captured UnknownPartitioning under AQE and re-exchanged the
+      // spine every round; the AQE-suspended checkpoint alternative
+      // pins unevictable raw blocks and OOM'd the 100× decade)
       val edges = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
-        .repartition(col("u"))
+        .repartition(col("u")).persist()
       val deg = edges.groupBy("u").agg(count(lit(1)).as("d"))
       val ed = edges.join(deg, "u").sortWithinPartitions("u").persist()
       val degC = deg.persist()
@@ -64,6 +69,11 @@ class Round15Spec extends SparkSpec {
         }
         assert(scans.size == 2,
           s"both join inputs must come from cache, got ${scans.size} cached scans")
+        // the spine's cached ordering feeds the SMJ directly: at most the
+        // node-sized rank side sorts per round
+        val sorts = finalPlan.collect { case s if s.nodeName == "Sort" => s }
+        assert(sorts.size <= 1,
+          s"the cached spine must not re-sort per round: $sorts")
       } finally {
         spark.sharedState.cacheManager.clearCache()
       }
