@@ -261,11 +261,16 @@ object Graph {
     * frontier), not O(all edges × all discovered). The min-groupBy after
     * each union both dedups rediscoveries and IS the distance semantics
     * (min walk length = BFS distance). Same scale machinery as the
-    * pagerank loop: the edge list is hash-partitioned by source and
-    * localCheckpoint'd once (the spine never re-shuffles; only the
-    * node-sized distance table moves per round), and per-round results
-    * checkpoint to cut lineage. The oracle states the same distances as
-    * unrolled walk levels + MIN — a different formulation on purpose. */
+    * pagerank loop (round-15 exchange audit): the edge spine is
+    * hash-partitioned by source, sorted within partitions, and CACHED —
+    * persist, not localCheckpoint, because under AQE a checkpoint
+    * captures UnknownPartitioning and every round re-exchanged the
+    * spine — and the per-round distance caches keep their groupBy(u)
+    * partitioning, which IS the next round's frontier join key. Per
+    * round: the join moves nothing; the min-groupBy is the one
+    * exchange (new-frontier rows keyed by v). The oracle states the
+    * same distances as unrolled walk levels + MIN — a different
+    * formulation on purpose. */
   def qGraphBfs(s: SparkSession, dir: String, hops: Int = 3): DataFrame = {
     val e0 = Tables.orders(s, dir)
       .select(col("o_orderkey"), col("o_custkey"))
@@ -280,18 +285,24 @@ object Graph {
       .distinct()
     val edges = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
       .repartition(col("u"))
-      .localCheckpoint(true)
+      .sortWithinPartitions("u")
+      .persist()
     var dist = Tables.customer(s, dir)
       .filter(pmod(col("c_custkey"), lit(100)) === 0)
       .select(col("c_custkey").cast(LongType).as("u"), lit(0L).as("dist"))
       .distinct()
+    var prevCache: Option[DataFrame] = None
     for (h <- 1 to hops) {
       val frontier = dist.filter(col("dist") === (h - 1))
       val next = edges.join(frontier, "u")
         .select(col("v").as("u"), lit(h.toLong).as("dist"))
-      dist = dist.union(next)
+      val merged = dist.union(next)
         .groupBy("u").agg(min(col("dist")).as("dist"))
-        .localCheckpoint(true)
+        .persist()
+      merged.count() // materialize BEFORE dropping the round it came from
+      prevCache.foreach(_.unpersist(false))
+      prevCache = Some(merged)
+      dist = merged
     }
     dist.select(col("u").as("node_id"), col("dist").cast(LongType).as("dist"))
       .orderBy("node_id")
@@ -323,9 +334,14 @@ object Graph {
     *
     * Scale: each round is one edge join + one (node, label) count +
     * one argmax window whose partitions are node-sized label sets
-    * (bounded by degree); per-round results localCheckpoint like the
-    * pagerank loop. Labels are node ids, so no label table ever
-    * exceeds the node relation. */
+    * (bounded by degree). Round-15 exchange audit: the spine is cached
+    * partitioned by the JOIN key v (labels attach to the edge's
+    * destination) and sorted, and the per-round label caches keep their
+    * window's hash(u) partitioning — which is the next round's label
+    * join key n via alias propagation — so the per-round join moves
+    * NEITHER side; the exchanges that remain carry post-partial
+    * (u,label) counts, never raw edges. Labels are node ids, so no
+    * label table ever exceeds the node relation. */
   def qGraphLabelprop(s: SparkSession, dir: String, iters: Int = 2): DataFrame = {
     val e0 = Tables.orders(s, dir)
       .select(col("o_orderkey"), col("o_custkey"))
@@ -339,21 +355,29 @@ object Graph {
       .select(col("u"), (col("s0") + lit(1000000L)).cast(LongType).as("v"))
       .distinct()
     val edges = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
-      .repartition(col("u"))
-      .localCheckpoint(true)
+      .repartition(col("v"))
+      .sortWithinPartitions("v")
+      .persist()
     var labels = edges.select(col("u")).distinct()
       .select(col("u"), col("u").as("lbl"))
-      .localCheckpoint(true)
+      .repartition(col("u"))
+      .persist()
+    labels.count()
+    var prevCache: Option[DataFrame] = Some(labels)
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("u"))
     for (_ <- 1 to iters) {
-      labels = edges
+      val next = edges
         .join(labels.select(col("u").as("n"), col("lbl")), col("v") === col("n"))
         .groupBy(col("u"), col("lbl")).agg(count(lit(1)).as("c"))
         .withColumn("rn", row_number().over(
           w.orderBy(col("c").desc, col("lbl").asc)))
         .filter(col("rn") === 1)
         .select(col("u"), col("lbl"))
-        .localCheckpoint(true)
+        .persist()
+      next.count() // materialize BEFORE dropping the round it came from
+      prevCache.foreach(_.unpersist(false))
+      prevCache = Some(next)
+      labels = next
     }
     labels.select(col("u").as("node_id"), col("lbl").cast(LongType).as("community"))
       .orderBy("node_id")

@@ -17,6 +17,11 @@ class Round15Spec extends SparkSpec {
       "spark.sql.autoBroadcastJoinThreshold" -> "-1",
       "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
       import org.apache.spark.sql.types.LongType
+      // a prior test's qPagerank run leaves ITS round caches in the
+      // shared session, and the cache manager would substitute them for
+      // this test's identical plan fragments — start from a clean slate
+      // so the counted exchanges are this construction's own
+      spark.sharedState.cacheManager.clearCache()
       // one round of the exact qPagerank loop shape, built on cached
       // inputs the way the production loop builds round 2+
       val perOrder = Tables.lineitem(spark, sf)
