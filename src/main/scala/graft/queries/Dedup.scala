@@ -353,7 +353,13 @@ object Dedup {
     * pairs on this corpus' clustered signatures). */
   def simhashCandidates(s: SparkSession, dir: String,
       radius: Int = 7): DataFrame = {
-    val sigs = simhashSig128(s, dir)
+    // materialize the signatures ONCE: probe and build sides both
+    // derive from this frame, and without the barrier the 128-sum
+    // aggregation runs twice (measured 2×2.7 s at sf0.1 — the whole
+    // entry's dominant cost). Node-sized (9 longs/doc); at production
+    // scale this is the persisted signature index the nightly job
+    // writes anyway.
+    val sigs = simhashSig128(s, dir).localCheckpoint()
     val tCols = (0 until 8).map(k => col(s"t$k"))
     def bandKey(b: Int) = col(s"t$b") * 65536L + col(s"t${b + 4}")
     val probeKeys = (0 until 4).flatMap { b =>

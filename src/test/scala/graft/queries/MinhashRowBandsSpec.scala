@@ -26,6 +26,43 @@ class MinhashRowBandsSpec extends graft.SparkSpec {
       s"band-key drift: agg ${agg.take(2)} vs row ${row.take(2)}")
   }
 
+  test("property: per-row fold == aggregation band keys on adversarial " +
+    "synthetic texts (round-15 fuzz discipline)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(41)
+    val words = Vector("a", "b", "xyz", "Zyx", "héllo", "wörld", "123",
+      "qq7", "the", "of", "éé", "longtoken" * 8)
+    def randDoc(n: Int): String =
+      (0 until n).map(_ => words(rng.nextInt(words.size))).mkString(" ")
+    val texts = Seq("", " ", "\t \t", "solo", "a a", "a a a", "a b a b",
+      "  padded   tokens  ") ++
+      (0 until 80).map(i => randDoc(rng.nextInt(60))) ++
+      Seq(randDoc(500)) // long doc: many repeated bigrams, distinct-set path
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val agg = Dedup.minhashBanded(docs)
+      .select(col("doc_id"), col("band"), col("bucket"))
+      .collect().map(_.toString).sorted.toSeq
+    val rowBands = docs
+      .select(col("doc_id"), Dedup.minhashBandsPerRow(col("text")).as("bands"))
+    val row = rowBands.filter(col("bands").isNotNull)
+      .select(col("doc_id"), posexplode(col("bands")).as(Seq("band", "bucket")))
+      .collect().map(_.toString).sorted.toSeq
+    assert(agg.nonEmpty && agg == row,
+      s"fuzz band-key drift: ${agg.size} agg vs ${row.size} row rows")
+    // gram-less docs: the agg form emits NO row, the fold form yields
+    // NULL — both mean absent-from-index (the documented contract)
+    val nullIds = rowBands.filter(col("bands").isNull)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val aggIds = Dedup.minhashBanded(docs)
+      .select(col("doc_id")).distinct().collect().map(_.getLong(0)).toSet
+    assert(nullIds.intersect(aggIds).isEmpty &&
+      (nullIds ++ aggIds) == texts.indices.map(_.toLong).toSet,
+      s"NULL/absent partition mismatch: null=$nullIds agg=${aggIds.size}")
+    // the shingle-less inputs are exactly the <2-word texts
+    assert(nullIds.contains(0L) && nullIds.contains(3L) && !nullIds.contains(4L))
+  }
+
   test("SQL-form graft_minhash_bands == Column form byte-identically on the corpus") {
     graft.functions.GraftFunctions.register(spark)
     val docs = graft.Tables.documents(spark, sf)
