@@ -56,6 +56,53 @@ class DedupGatePreconditionSpec extends graft.SparkSpec {
         "trusting them")
   }
 
+  test("banding recall == 1 on every qualifying embedding pair (the " +
+    "q_dedup_embed / q_dedup_embed_incremental gate precondition, " +
+    "embed side — round 15)") {
+    // Both embed gates' oracles are brute-force cosine >= tau forms,
+    // conditional on the hyperplane banding catching EVERY qualifying
+    // pair of THIS corpus (a 0.95-cosine pair is missed with prob
+    // ~1.2e-3 at the sized knobs — deterministic per corpus since the
+    // planes are seeded, but a REGENERATED corpus could land a pair in
+    // the miss set and hash-fail the gates persistently). Fail HERE
+    // with a named cause instead.
+    import graft.functions.VectorOps
+    val emb = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"),
+        org.apache.spark.sql.functions.transform(col("embedding"),
+          x => x.cast("double")).as("vec"))
+    // the corpora the two gates actually screen: the full table plus
+    // the incremental entry's re-encode replays (+0.02 drift, derived
+    // id offset) — qualifying pairs must be banding-caught in BOTH
+    val off = emb.agg(max(col("vec_id"))).head.getLong(0) + 1L
+    val withReplays = emb.unionByName(emb.filter(col("vec_id") % 5 === 0)
+      .select((col("vec_id") + lit(off)).as("vec_id"),
+        org.apache.spark.sql.functions.transform(col("vec"),
+          x => x + lit(0.02)).as("vec")))
+    val base = withReplays
+      .select(col("vec_id"), VectorOps.normalized(col("vec")).as("nvec"))
+    // brute-force qualifying pairs (the oracles' ground truth)
+    val a = base.select(col("vec_id").as("a_id"), col("nvec").as("a_n"))
+    val b = base.select(col("vec_id").as("b_id"), col("nvec").as("b_n"))
+    val truth = a.crossJoin(b)
+      .filter(col("a_id") < col("b_id"))
+      .filter(VectorOps.dotD(col("a_n"), col("b_n")) >= 0.95)
+      .select(col("a_id"), col("b_id"))
+    // candidates from the SAME banding the gated entries use
+    val cand = Dedup.embedNearDupPairs(withReplays, "vec_id", "vec",
+        dims = 64, threshold = 0.95)
+      .select(col("a_id"), col("b_id"))
+    val missed = truth.join(cand, Seq("a_id", "b_id"), "left_anti").collect()
+    assert(truth.count() > 0, "corpus should contain qualifying pairs " +
+      "(the replay plant guarantees some)")
+    assert(missed.isEmpty,
+      "CORPUS REGENERATION HAZARD: hyperplane banding missed qualifying " +
+        s"(cosine>=0.95) pairs ${missed.mkString(", ")} — the " +
+        "q_dedup_embed/q_dedup_embed_incremental hash gates are no " +
+        "longer deterministic on this corpus; raise bits/bands or the " +
+        "gate threshold before trusting them")
+  }
+
   test("replay ids sit strictly above the organic range even on an " +
     "id-shifted corpus (derived-offset conflation guard, text side)") {
     // ids planted INSIDE the old fixed replay ranges [100000,100300) and
