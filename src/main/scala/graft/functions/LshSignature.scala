@@ -34,10 +34,14 @@ case class LshSignature(child: Expression, dims: Int, bands: Int,
   }
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  // null-element policy (shared with NormalizeVec/ArgmaxDot): any null
-  // element makes the whole signature NULL — a partial projection is
-  // not a meaningful bucket key
-  override def nullable: Boolean = child.nullable || arrayMayContainNull
+  // null-element AND length policy (the ArgminSqDist advisory applied
+  // here, round 15): any null element or a length-mismatched vector
+  // makes the whole signature NULL — a partial projection is not a
+  // meaningful bucket key, and a silent PREFIX signature would index a
+  // malformed embedding under plausible-looking buckets (the HOF
+  // witness null-poisons to bucket 0 instead, which is equally wrong:
+  // every corrupt vector would collide in band buckets 0)
+  override def nullable: Boolean = true
   private def arrayMayContainNull: Boolean = child.dataType match {
     case ArrayType(_, cn) => cn
     case _ => false
@@ -51,13 +55,14 @@ case class LshSignature(child: Expression, dims: Int, bands: Int,
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
+    if (arr.numElements() != dims) return null
     var j = 0
     // mirror codegen: scan for null elements only when the schema
     // admits them, so interpreted and codegen paths match exactly
     if (arrayMayContainNull) {
       while (j < arr.numElements()) { if (arr.isNullAt(j)) return null; j += 1 }
     }
-    val n = math.min(dims, arr.numElements())
+    val n = dims
     val buckets = new Array[Long](bands)
     var b = 0
     while (b < bands) {
@@ -68,7 +73,12 @@ case class LshSignature(child: Expression, dims: Int, bands: Int,
         var s = 0.0
         var d = 0
         while (d < n) { s += arr.getDouble(d) * planes(off + d); d += 1 }
-        if (s > 0) bucket |= (1L << k)
+        // SQL comparison semantics (NaN > 0 is TRUE in Spark AND DuckDB
+        // — both order NaN above every value), not Java's `s > 0`
+        // (false for NaN): a NaN-bearing vector must derive the SAME
+        // bucket in the kernel, the HOF witness, and the oracle mirror
+        // (round-15 fuzz find, LshSignatureSpec)
+        if (java.lang.Double.compare(s, 0.0) > 0) bucket |= (1L << k)
         k += 1
       }
       buckets(b) = bucket
@@ -92,7 +102,7 @@ case class LshSignature(child: Expression, dims: Int, bands: Int,
       val compute =
         s"""
            |long[] $buckets = new long[$bands];
-           |int $n = Math.min($dims, $c.numElements());
+           |int $n = $dims;
            |for (int $b = 0; $b < $bands; $b++) {
            |  long $bucket = 0L;
            |  for (int $k = 0; $k < $bits; $k++) {
@@ -101,13 +111,13 @@ case class LshSignature(child: Expression, dims: Int, bands: Int,
            |    for (int $d = 0; $d < $n; $d++) {
            |      $s += $c.getDouble($d) * $planesRef[$off + $d];
            |    }
-           |    if ($s > 0) $bucket |= (1L << $k);
+           |    if (Double.compare($s, 0.0D) > 0) $bucket |= (1L << $k);
            |  }
            |  $buckets[$b] = $bucket;
            |}
            |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($buckets);
          """.stripMargin
-      val body = if (arrayMayContainNull) {
+      val checked = if (arrayMayContainNull) {
         val j = ctx.freshName("j")
         s"""
            |boolean $hasNull = false;
@@ -121,7 +131,14 @@ case class LshSignature(child: Expression, dims: Int, bands: Int,
            |}
          """.stripMargin
       } else compute
-      body
+      // length mismatch -> NULL, mirroring nullSafeEval
+      s"""
+         |if ($c.numElements() != $dims) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |$checked
+         |}
+       """.stripMargin
     })
   }
 

@@ -81,7 +81,11 @@ object VectorOps {
       }.reduce(_ + _)
       struct(lit(b).as("band"), bucket.as("bucket"))
     }
-    array(bandCols: _*)
+    // length policy shared with the LshSignature kernel (round 15): a
+    // length-mismatched vector is NULL, not a signature — without the
+    // guard the zip_with null-padding collapsed every malformed vector
+    // into band buckets 0 (a junk-candidate magnet at scale)
+    when(size(vec) === dims, array(bandCols: _*))
   }
 
   def dotDSql(a: String, b: String): String =

@@ -31,6 +31,66 @@ class LshSignatureSpec extends SparkSpec {
     }
   }
 
+  test("property: codegen == interpreted signature over random lengths " +
+    "and IEEE specials (round-15 fuzz discipline)") {
+    val rng = new scala.util.Random(37)
+    def specialOr(d: Double): Double = rng.nextInt(12) match {
+      case 0 => Double.NaN
+      case 1 => Double.PositiveInfinity
+      case 2 => Double.NegativeInfinity
+      case 3 => -0.0
+      case 4 => java.lang.Double.MIN_VALUE
+      case _ => d
+    }
+    val rows = (0 until 200).map { i =>
+      // mostly dims-length, some short/long/empty (prefix semantics:
+      // both forms fold min(dims, len) elements in the same order)
+      val len = rng.nextInt(8) match {
+        case 0 => rng.nextInt(dims)
+        case 1 => dims + rng.nextInt(16)
+        case 2 => 0
+        case _ => dims
+      }
+      (i.toLong, Array.fill(len)(specialOr(rng.nextGaussian())))
+    }
+    val df = rows.toDF("id", "vec")
+    val got = df.select(
+        LshSignature.signature(col("vec"), dims).as("fast"),
+        transform(VectorOps.lshBandBuckets(col("vec"), dims), s =>
+          s.getField("bucket")).as("slow"))
+      .collect()
+    got.zipWithIndex.foreach { case (r, i) =>
+      assert(r.isNullAt(0) == r.isNullAt(1), s"null disagreement at $i: $r")
+      if (!r.isNullAt(0))
+        assert(r.getSeq[Long](0) == r.getSeq[Long](1),
+          s"bucket disagreement at $i: ${r.getSeq[Long](0)} vs ${r.getSeq[Long](1)}")
+    }
+  }
+
+  test("fuzz finds pinned: NaN projections take the SQL branch (NaN > 0 " +
+    "is TRUE in Spark and DuckDB) and length mismatch is NULL, both forms") {
+    val rows = Seq(
+      (1L, Array.fill(dims)(Double.NaN)),        // all projections NaN
+      (2L, Array.fill(dims - 1)(1.0)),           // short -> NULL
+      (3L, Array.fill(dims + 3)(1.0)),           // long -> NULL
+      (4L, Array[Double]()))                     // empty -> NULL
+    val got = rows.toDF("id", "vec").select(col("id"),
+        LshSignature.signature(col("vec"), dims).as("fast"),
+        transform(VectorOps.lshBandBuckets(col("vec"), dims), s =>
+          s.getField("bucket")).as("slow"))
+      .orderBy("id").collect()
+    // NaN vector: every sign test is NaN > 0 = TRUE -> all bits set
+    assert(!got(0).isNullAt(1) &&
+      got(0).getSeq[Long](1).forall(_ == (1L << 10) - 1))
+    assert(got(0).getSeq[Long](1) == got(0).getSeq[Long](2))
+    // malformed lengths: NULL in BOTH forms (never a prefix signature,
+    // never the bucket-0 magnet)
+    (1 to 3).foreach { i =>
+      assert(got(i).isNullAt(1) && got(i).isNullAt(2),
+        s"length-mismatched vector must be NULL: ${got(i)}")
+    }
+  }
+
   test("signature is identical under interpreted (non-codegen) eval") {
     val df = corpus(20, 11).toDF("id", "vec")
     val fast = df.select(LshSignature.signature(col("vec"), dims))
