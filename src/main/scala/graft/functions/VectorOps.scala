@@ -81,11 +81,12 @@ object VectorOps {
       }.reduce(_ + _)
       struct(lit(b).as("band"), bucket.as("bucket"))
     }
-    // length policy shared with the LshSignature kernel (round 15): a
-    // length-mismatched vector is NULL, not a signature — without the
-    // guard the zip_with null-padding collapsed every malformed vector
-    // into band buckets 0 (a junk-candidate magnet at scale)
-    when(size(vec) === dims, array(bandCols: _*))
+    // length AND null-element policy shared with the LshSignature
+    // kernel (rounds 15-16): a length-mismatched vector OR one carrying
+    // null elements is NULL, not a signature — without the guard the
+    // zip_with/aggregate null propagation collapsed every malformed
+    // vector into band buckets 0 (a junk-candidate magnet at scale)
+    when(size(vec) === dims && forall(vec, _.isNotNull), array(bandCols: _*))
   }
 
   def dotDSql(a: String, b: String): String =

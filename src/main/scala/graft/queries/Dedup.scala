@@ -995,11 +995,60 @@ object Dedup {
 
   // ── incremental NEAR-dup: probe a batch against a persisted index ──
 
+  /** Bucket count for the persisted band indexes. Small here (the gated
+    * corpora are small); at lake scale this is sized once at index
+    * creation (e.g. 4096) and every nightly append and probe inherits
+    * it — the bucket count is the index's permanent parallelism. */
+  private val bandIndexBuckets = 8
+
+  /** Persist a band index as a real BUCKETED, bucket-sorted parquet
+    * table and return the table-backed frame (round-16 task 3; replaces
+    * the localCheckpoint stand-in). Why bucketBy and not a plain
+    * parquet dir: the nightly probe is an equi-join on the bucket keys,
+    * and at lake scale the INDEX is the big side — a plain parquet scan
+    * re-shuffles the corpus-sized index every night, while a bucketed
+    * scan reports the bucket HashPartitioning and the join plans with
+    * NO exchange above the index scan (BucketedIndexSpec pins this on
+    * the executed plan; ScaleBench `bucketed` measures the A/B). The
+    * pre-write repartition on the bucket keys makes each bucket exactly
+    * ONE file, so the sortBy ordering survives the scan too and the
+    * index side of a sort-merge probe needs no per-night re-sort. */
+  private[queries] def writeBandIndex(s: SparkSession, index: DataFrame,
+      name: String, keys: Seq[String]): DataFrame = {
+    val path = new java.io.File(new java.io.File(
+      sys.props("java.io.tmpdir"), "graft_band_index"), name).getAbsolutePath
+    s.sql(s"DROP TABLE IF EXISTS $name")
+    index.repartition(bandIndexBuckets, keys.map(col): _*)
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(bandIndexBuckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .option("path", path)
+      .saveAsTable(name)
+    s.table(name)
+  }
+
+  /** Nightly APPEND into an existing bucketed band index: new admit
+    * signatures land as one additional file per bucket — no rebuild, no
+    * rewrite of the corpus-sized index, and the bucket partitioning
+    * (hence the exchange-free probe) is preserved. saveAsTable in
+    * Append mode resolves columns by name and validates the bucket spec
+    * against the catalog, so a drifted writer fails loudly. */
+  private[queries] def appendBandIndex(s: SparkSession, rows: DataFrame,
+      name: String, keys: Seq[String]): DataFrame = {
+    rows.repartition(bandIndexBuckets, keys.map(col): _*)
+      .write.mode("append").format("parquet")
+      .bucketBy(bandIndexBuckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .saveAsTable(name)
+    s.table(name)
+  }
+
   /** The nightly near-dup job a growing corpus actually runs: the
-    * corpus MinHash band index is built ONCE and persisted (the
-    * localCheckpoint stands in for the parquet-backed index — at
-    * production scale it is written next to the corpus and only
-    * APPENDED to as batches are admitted); each new batch computes
+    * corpus MinHash band index is built ONCE and persisted as a real
+    * BUCKETED parquet table keyed on (band, bucket) — written next to
+    * the corpus and only APPENDED to as batches are admitted
+    * ([[writeBandIndex]]; the probe join carries no exchange above the
+    * index scan); each new batch computes
     * signatures for ITS documents only and probes them against the
     * index with one equi-join on `(band, bucket)`, so per-night cost
     * scales with the batch, never the corpus. Candidates verify by
@@ -1038,7 +1087,9 @@ object Dedup {
     val batch = docs.filter(col("doc_id") >= thr)
       .select(col("doc_id"), col("text"))
       .unionByName(replays)
-    val corpusIndex = minhashBanded(corpus).localCheckpoint()
+    val corpusIndex =
+      writeBandIndex(s, minhashBanded(corpus), "graft_idx_nightly",
+        Seq("band", "bucket"))
     val cand = minhashBanded(batch).as("x").join(corpusIndex.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket"))
       .select(col("x.doc_id").as("batch_id"), col("y.doc_id").as("corpus_id"))
@@ -1085,9 +1136,9 @@ object Dedup {
 
   /** Semantic dedup at ingestion — the embedding-space mirror of
     * [[qDedupIncrementalNear]]: the corpus' random-hyperplane LSH band
-    * index is built ONCE and persisted (localCheckpoint standing in
-    * for the parquet-backed index, exactly as the text-side nightly
-    * job); each new batch signs ITS vectors only and probes the index
+    * index is built ONCE and persisted as a bucketed (band, bucket)
+    * parquet table ([[writeBandIndex]], exactly as the text-side
+    * nightly job); each new batch signs ITS vectors only and probes the index
     * with one `(band, bucket)` equi-join, so per-night cost tracks the
     * BATCH, never the corpus — [[qDedupEmbed]] by contrast re-buckets
     * the whole corpus every run. Candidates verify by exact cosine ≥
@@ -1141,7 +1192,9 @@ object Dedup {
       .select(col("vec_id").as(idOut),
         posexplode(graft.functions.LshSignature.signature(col("nvec"), dims,
           bits = bits)).as(Seq("band", "bucket")))
-    val corpusIndex = sigs(corpus, "corpus_id").localCheckpoint()
+    val corpusIndex =
+      writeBandIndex(s, sigs(corpus, "corpus_id"), "graft_idx_embed",
+        Seq("band", "bucket"))
     val cand = sigs(batch, "batch_id").as("x").join(corpusIndex.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket"))
       .select(col("batch_id"), col("corpus_id"))
@@ -1199,9 +1252,10 @@ object Dedup {
     * Scale: per night, signature cost is batch-sized, the index grows
     * by |admitted| band rows (8/doc), and the probe is one
     * (band,bucket) equi-join — identical shape both nights; the
-    * admitted side's gram fetch is candidate-bounded. The two
-    * localCheckpoints stand in for the persisted index parquet between
-    * nights. Gate precondition as [[qDedupIncrementalNear]]: qualifying
+    * admitted side's gram fetch is candidate-bounded. The index is a
+    * real bucketed parquet table between nights ([[writeBandIndex]] /
+    * [[appendBandIndex]] — night 2 appends one file per bucket).
+    * Gate precondition as [[qDedupIncrementalNear]]: qualifying
     * pairs in this corpus sit ≥0.9 where banding recall is
     * deterministic-complete. */
   def qDedupIndexAppend(s: SparkSession, dir: String, thr: Long = 300,
@@ -1240,11 +1294,16 @@ object Dedup {
         .filter(col("jaccard") >= threshold)
     }
 
-    val index1 = minhashBanded(corpus).localCheckpoint()
+    val index1 = writeBandIndex(s, minhashBanded(corpus),
+      "graft_idx_append", Seq("band", "bucket"))
     val pairs1 = verifiedPairs(wave1, index1, corpus).localCheckpoint()
     val admitted1 = wave1.join(pairs1.select(col("batch_id").as("doc_id")).distinct(),
       Seq("doc_id"), "left_anti")
-    val index2 = index1.unionByName(minhashBanded(admitted1)).localCheckpoint()
+    // the APPEND itself: admitted signatures land as one new file per
+    // bucket of the SAME table — no rebuild, no corpus rescan (pairs1
+    // is materialized above, so wave 1 probed the pre-append index)
+    val index2 = appendBandIndex(s, minhashBanded(admitted1),
+      "graft_idx_append", Seq("band", "bucket"))
     val indexDocs2 = corpus.unionByName(admitted1)
     val pairs2 = verifiedPairs(wave2, index2, indexDocs2)
     pairs1.withColumn("wave", lit(1L))
@@ -1416,15 +1475,22 @@ object Dedup {
     // coarse-assignment barrier before the fine CASE references cid
     // (the CollapseProject inlining hazard documented on
     // kmeansFitTwoLevel), and a second one so the pair self-join reads
-    // the finished (cid, fid, nvec) table instead of assigning twice
+    // the finished (cid, fid, nvec) table instead of assigning twice.
+    // persist, NOT localCheckpoint: only the barrier is needed, and two
+    // corpus-sized checkpoints pinned simultaneously hold unevictable
+    // raw row blocks — the 8 GiB-heap OOM class the Graph round-15
+    // audit documented; cached columnar blocks compress and evict.
     val withCid = corpus
       .withColumn("cid", Similarity.argminCid(col("vec"), coarse))
-      .localCheckpoint()
+      .persist()
+    withCid.count()
     val assigned = withCid
       .select(col("vec_id"), col("cid"),
         Similarity.fineCid(col("vec"), col("cid"), fine).as("fid"),
         VectorOps.normalized(col("vec")).as("nvec"))
-      .localCheckpoint()
+      .persist()
+    assigned.count()
+    withCid.unpersist(false) // superseded by the finished assignment table
     val a = assigned.select(col("cid"), col("fid"),
       col("vec_id").as("keep_id"), col("nvec").as("a_nvec"))
     val b = assigned.select(col("cid"), col("fid"),
@@ -1471,20 +1537,12 @@ object Dedup {
        |ORDER BY coarse_cid, fine_cid, keep_id, prune_id""".stripMargin
   }
 
-  /** ScaleBench-only k override for the decade sweeps (the
-    * SPARK_GRAFT_HH_M discipline: validated parse, loud on garbage).
-    * The production contract grows k with the corpus to hold |cluster|
-    * bounded; the DuckDB oracle pins the default 64, so under Verify
-    * (the `graft.verify` system property) the knob is IGNORED — a
-    * leaked env var would otherwise desync the Spark side from the
-    * oracle with an opaque hash mismatch. */
+  /** ScaleBench-only k override for the decade sweeps. The production
+    * contract grows k with the corpus to hold |cluster| bounded; the
+    * DuckDB oracle pins the default, so under Verify the knob is
+    * IGNORED (see [[Knobs]] — shared since round 16). */
   private def scaleKnob(name: String, default: Int): Int =
-    if (sys.props.get("graft.verify").contains("true")) default
-    else sys.env.get(name).map { v =>
-      require(v.matches("[0-9]{1,4}") && v.toInt > 0,
-        s"$name must be a positive int, got '$v'")
-      v.toInt
-    }.getOrElse(default)
+    Knobs.scaleKnob(name, default)
 
   private def semdedupK: Int = scaleKnob("SPARK_GRAFT_SEMDEDUP_K", 64)
 

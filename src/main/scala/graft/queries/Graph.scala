@@ -83,10 +83,11 @@ object Graph {
     val deg = edges.groupBy("u").agg(count(lit(1)).as("d"))
     // the documented headroom knob, env-overridable so the 100x decade
     // sweep (1.6M nodes) can shrink the per-node mass below the int64
-    // ceiling without touching the registry form (the HH_M precedent);
-    // the oracle pins the DEFAULT — Verify must not run with this set
-    val initMass = sys.env.get("SPARK_GRAFT_PR_MASS")
-      .map(_.toLong).getOrElse(1000000000000L)
+    // ceiling without touching the registry form. Routed through the
+    // shared Knobs gate (round 16): validated parse, and under Verify
+    // the knob is IGNORED so a leaked sweep var can never desync the
+    // query from the oracle-pinned default.
+    val initMass = Knobs.scaleKnobLong("SPARK_GRAFT_PR_MASS", 1000000000000L)
     // hash(u)-partitioned edge spine, SORTED within partitions and
     // cached ONCE: InMemoryRelation preserves the cached plan's
     // partitioning AND ordering, so every round's sort-merge join reads

@@ -784,11 +784,17 @@ object Similarity {
     // would otherwise inline the k1×dims argmin into every condition AND
     // push it past the update-round's posexplode — measured ~33×64
     // re-evaluations of the coarse argmin per vector at 100× (a 26-minute
-    // stage for what is a seconds-long pass). The checkpoint is the same
-    // barrier the persisted-index entries use; at production scale this
-    // is the materialized assignment table every IVF build writes anyway.
+    // stage for what is a seconds-long pass). persist()+count(), NOT
+    // localCheckpoint: only the CollapseProject barrier is needed (no
+    // partitioning to preserve), and a checkpoint pins corpus-sized RAW
+    // row blocks that cannot evict — the exact failure the Graph
+    // round-15 audit abandoned checkpoints for at the 8 GiB 100× heap;
+    // columnar cache blocks are compressed and evictable. At production
+    // scale this is the materialized assignment table every IVF build
+    // writes anyway.
     val assigned = vecs.select(col("vec_id"), col("vec"),
-      argminCid(col("vec"), coarse).as("cid")).localCheckpoint()
+      argminCid(col("vec"), coarse).as("cid")).persist()
+    assigned.count()
     val w = Window.partitionBy(col("cid")).orderBy(col("vec_id"))
     val seedRows = assigned.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k2)
@@ -818,6 +824,7 @@ object Similarity {
         }.sortBy(_._1)
       }
     }
+    assigned.unpersist(false) // fit-internal frame: release the cache
     (coarse, fine)
   }
 

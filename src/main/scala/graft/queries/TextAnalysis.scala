@@ -1108,12 +1108,7 @@ object TextAnalysis {
   // m is the operator's memory/accuracy knob, shared by the exact and
   // approx forms: exactness needs m > N/kth; the approx form's frequency
   // error is eps = 1/m of N.
-  private def hhM: Int =
-    sys.env.get("SPARK_GRAFT_HH_M").map { v =>
-      require(v.matches("[0-9]{1,9}") && v.toInt > 0,
-        s"SPARK_GRAFT_HH_M must be a positive int, got '$v'")
-      v.toInt
-    }.getOrElse(1024)
+  private def hhM: Int = Knobs.scaleKnobWide("SPARK_GRAFT_HH_M", 1024)
 
   /** Unigram-LM rarity scoring — the log-free perplexity proxy: each
     * token scores `N div count(token)` (corpus-inverse frequency, the

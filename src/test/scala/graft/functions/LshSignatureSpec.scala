@@ -43,15 +43,21 @@ class LshSignatureSpec extends SparkSpec {
       case _ => d
     }
     val rows = (0 until 200).map { i =>
-      // mostly dims-length, some short/long/empty (prefix semantics:
-      // both forms fold min(dims, len) elements in the same order)
+      // mostly dims-length, some short/long/empty — malformed lengths
+      // exercise the shared NULL path (round 15: length-mismatched
+      // vectors are NULL in both forms, never a prefix signature) —
+      // plus occasional NULL ELEMENTS (round 16: a null element also
+      // poisons the whole signature to NULL in both forms)
       val len = rng.nextInt(8) match {
         case 0 => rng.nextInt(dims)
         case 1 => dims + rng.nextInt(16)
         case 2 => 0
         case _ => dims
       }
-      (i.toLong, Array.fill(len)(specialOr(rng.nextGaussian())))
+      val vec: Seq[Option[Double]] = Seq.fill(len)(
+        if (rng.nextInt(40) == 0) None
+        else Some(specialOr(rng.nextGaussian())))
+      (i.toLong, vec)
     }
     val df = rows.toDF("id", "vec")
     val got = df.select(
@@ -74,7 +80,13 @@ class LshSignatureSpec extends SparkSpec {
       (2L, Array.fill(dims - 1)(1.0)),           // short -> NULL
       (3L, Array.fill(dims + 3)(1.0)),           // long -> NULL
       (4L, Array[Double]()))                     // empty -> NULL
-    val got = rows.toDF("id", "vec").select(col("id"),
+    // a dims-length vector with ONE null element -> NULL in both forms
+    // (the round-16 advisory: the witness used to bucket these to 0)
+    val nullElem: Seq[Option[Double]] =
+      Some(1.0) +: Seq.fill(dims - 2)(Some(0.5)) :+ (None: Option[Double])
+    val withNull = rows.toDF("id", "vec")
+      .union(Seq((5L, nullElem)).toDF("id", "vec"))
+    val got = withNull.select(col("id"),
         LshSignature.signature(col("vec"), dims).as("fast"),
         transform(VectorOps.lshBandBuckets(col("vec"), dims), s =>
           s.getField("bucket")).as("slow"))
@@ -83,11 +95,11 @@ class LshSignatureSpec extends SparkSpec {
     assert(!got(0).isNullAt(1) &&
       got(0).getSeq[Long](1).forall(_ == (1L << 10) - 1))
     assert(got(0).getSeq[Long](1) == got(0).getSeq[Long](2))
-    // malformed lengths: NULL in BOTH forms (never a prefix signature,
-    // never the bucket-0 magnet)
-    (1 to 3).foreach { i =>
+    // malformed lengths AND null elements: NULL in BOTH forms (never a
+    // prefix signature, never the bucket-0 magnet)
+    (1 to 4).foreach { i =>
       assert(got(i).isNullAt(1) && got(i).isNullAt(2),
-        s"length-mismatched vector must be NULL: ${got(i)}")
+        s"malformed vector must be NULL: ${got(i)}")
     }
   }
 

@@ -128,6 +128,74 @@ class VectorKernelsPropertySpec extends SparkSpec {
     assert(got.exists(_.isNullAt(0)) && got.exists(!_.isNullAt(0)))
   }
 
+  test("property: graft_argmin_grouped == CASE-of-argmin witness over " +
+    "random group shapes, boundary/out-of-range/null cids, null vectors, " +
+    "length mismatches and null elements (VERDICT r15 task 6)") {
+    val dims = 16
+    (0 until 8).foreach { trial =>
+      val rng = new scala.util.Random(1000 + trial)
+      // random group count with SPARSE coarse ids (clusters drop in real
+      // fits) and random per-group slice sizes 1-5; fine labels are
+      // non-contiguous too (c*10+f) so a slice-index bug can't hide
+      val nGroups = 1 + rng.nextInt(6)
+      val cids = new scala.util.Random(trial * 31L)
+        .shuffle((0L until 12L).toList).take(nGroups).sorted
+      val fine: Map[Long, Seq[(Long, Array[Double])]] = cids.map { c =>
+        val k = 1 + rng.nextInt(5)
+        val cents = (0 until k).map(f =>
+          (c * 10 + f, Array.fill(dims)(rng.nextGaussian()))).toSeq
+        // half the multi-centroid groups get an EXACT duplicate pair so
+        // ties are real: the probe must take the lowest fine label
+        val tied = if (k >= 2 && rng.nextBoolean())
+          cents.updated(1, (cents(1)._1, cents.head._2.clone())) else cents
+        c -> tied
+      }.toMap
+      val minC = cids.min
+      val maxC = cids.max
+      val rows: Seq[(java.lang.Long, Seq[java.lang.Double])] =
+        (0 until 200).map { i =>
+          // cid schedule: fitted ids, BOTH boundaries, the out-of-range
+          // neighbors (min-1 / max+1 — the span edge), gap ids between
+          // sparse groups, far-out ids, and NULL
+          val cid: java.lang.Long = rng.nextInt(12) match {
+            case 0 => java.lang.Long.valueOf(minC)
+            case 1 => java.lang.Long.valueOf(maxC)
+            case 2 => java.lang.Long.valueOf(minC - 1)
+            case 3 => java.lang.Long.valueOf(maxC + 1)
+            case 4 => java.lang.Long.valueOf(rng.nextInt(14) - 1L)
+            case 5 => java.lang.Long.valueOf(Long.MaxValue - rng.nextInt(3))
+            case 6 => null
+            case _ => java.lang.Long.valueOf(cids(rng.nextInt(nGroups)))
+          }
+          // vector schedule: mostly dims-length ordinary/special values
+          // (vecOf spikes NaN/Inf/null elements), some short/long/empty,
+          // and whole-vector NULL
+          val vec: Seq[java.lang.Double] = rng.nextInt(10) match {
+            case 0 => vecOf(rng.nextInt(dims), i * 17L + trial)
+            case 1 => vecOf(dims + 1 + rng.nextInt(8), i * 17L + trial)
+            case 2 => null
+            case _ => vecOf(dims, i * 17L + trial)
+          }
+          (cid, vec)
+        } ++
+        // pinned probe rows AT each group's centroids: where a group
+        // carries the planted duplicate pair, distance ties exactly and
+        // the lowest fine label must win in both forms
+        fine.toSeq.map { case (c, cents) =>
+          (java.lang.Long.valueOf(c): java.lang.Long,
+            cents.head._2.map(java.lang.Double.valueOf).toSeq)
+        }
+      val df = rows.toDF("cid", "vec")
+      val got = df.select(
+        graft.queries.Similarity.fineCid(col("vec"), col("cid"), fine).as("fast"),
+        graft.queries.Similarity.fineCidCaseWitness(col("vec"), col("cid"), fine).as("slow"))
+        .collect()
+      assertBitEqual(got, s"argmin_grouped trial $trial")
+      assert(got.exists(_.isNullAt(0)) && got.exists(!_.isNullAt(0)),
+        s"trial $trial must exercise both the NULL and value branches")
+    }
+  }
+
   test("property: kernels agree with witnesses under interpreted " +
     "(non-codegen) eval too") {
     val dims = 16
