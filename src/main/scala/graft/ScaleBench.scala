@@ -27,6 +27,19 @@ import org.apache.spark.sql.functions._
   */
 object ScaleBench {
 
+  /** Every synthetic-corpus writer calls this first: the build target
+    * must be a scratch path, NEVER the read-only source data — a
+    * mis-set SPARK_GRAFT_*_OUT env pointing at /root/testdata must fail
+    * loudly before any write starts (round 16: an interactive run with
+    * GRAPH_OUT=src cost a source-table restore). */
+  private def guardScratch(out: String, src: String): Unit = {
+    require(!out.startsWith("/root/testdata") && !out.startsWith("/root/reference"),
+      s"corpus build target $out points into read-only source data")
+    require(new java.io.File(out).getCanonicalFile !=
+      new java.io.File(src).getCanonicalFile,
+      s"corpus build target equals the source dir $src")
+  }
+
   private val headline = Seq(
     "q_agg_group", "q_agg_percentile", "q_agg_approx", "q_sql_q3",
     "q_join_multiway", "q_sort_topk", "q_window_rank", "q_events_sessions",
@@ -212,8 +225,10 @@ object ScaleBench {
     val KEY = 100000000L
     val src = sys.env.getOrElse("SPARK_GRAFT_SRC", "/root/testdata/sf0.1")
     val factor = sys.env.getOrElse("SPARK_GRAFT_FACTOR", "100").toInt
-    val out = sys.env.getOrElse("SPARK_GRAFT_GRAPH_OUT", s"/tmp/graft_graph$factor")
-    if (!new java.io.File(s"$out/_READY").exists()) {
+    val out = if (factor == 1) src
+      else sys.env.getOrElse("SPARK_GRAFT_GRAPH_OUT", s"/tmp/graft_graph$factor")
+    if (factor > 1 && !new java.io.File(s"$out/_READY").exists()) {
+      guardScratch(out, src)
       System.err.println(s"[graphdecade] building ${factor}x disjoint graph corpus at $out")
       def copies(df: DataFrame)(shift: (DataFrame, Int) => DataFrame): DataFrame =
         (0 until factor).map(k => shift(df, k)).reduce(_ unionAll _)
@@ -287,6 +302,7 @@ object ScaleBench {
       buildScaledData(spark, src, single, factor)
     }
     val hive = s"${single}_hive"
+    guardScratch(hive, src)
     if (!new java.io.File(s"$hive/_READY").exists()) {
       System.err.println(s"[partitioned] writing hive-partitioned twin at $hive")
       def copy(t: String): Unit =
@@ -347,9 +363,42 @@ object ScaleBench {
         System.err.println(s"[partitioned] $n pruned scan: $read partitions read, filters=$filters")
         s""""$n":{"partitions_read":$read,"partition_filters":"$filters"}"""
       }
+    // WRITE side (round-16 task 5): a real lake also WRITES partitioned.
+    // Write the scaled documents table partitionBy(lang) (the
+    // q_curation_partition_layout machinery at headline scale), then
+    // re-read ONE stratum and pin directory-level pruning on the scan.
+    val writeOut = s"$hive/_write_side"
+    val t0 = System.nanoTime()
+    spark.read.parquet(s"$single/documents.parquet")
+      .write.mode("overwrite").option("compression", "zstd")
+      .partitionBy("lang").parquet(writeOut)
+    val writeSec = (System.nanoTime() - t0) / 1e9
+    val t1 = System.nanoTime()
+    val reread = spark.read.parquet(writeOut).filter(col("lang") === "en")
+    val enRows = reread.count()
+    val rereadSec = (System.nanoTime() - t1) / 1e9
+    val expected = spark.read.parquet(s"$single/documents.parquet")
+      .filter(col("lang") === "en").count()
+    require(enRows == expected,
+      s"write-side round trip lost rows: $enRows vs $expected")
+    val rrPlan = reread.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val rrScan = rrPlan.collect { case f: FileSourceScanExec => f }.head
+    val dirsRead = rrScan.selectedPartitions.partitionCount
+    val dirsTotal = new java.io.File(writeOut).listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("lang="))
+    require(dirsRead < dirsTotal,
+      s"re-read must prune: read $dirsRead of $dirsTotal lang dirs")
+    System.err.println(f"[partitioned] write-side: wrote ${factor}x docs " +
+      f"partitionBy(lang) in $writeSec%.1f s; pruned re-read $enRows rows " +
+      f"from $dirsRead of $dirsTotal dirs in $rereadSec%.1f s")
     println(s"""{"metric":"partitioned_corpus","unit":"sec","factor":$factor,""" +
       s""""queries":${rows.mkString("{", ",", "}")},""" +
-      s""""pruning":${pruning.mkString("{", ",", "}")}}""")
+      s""""pruning":${pruning.mkString("{", ",", "}")},""" +
+      s""""write_side":{"write_sec":$writeSec,"reread_sec":$rereadSec,""" +
+      s""""rows":$enRows,"dirs_read":$dirsRead,"dirs_total":$dirsTotal}}""")
   }
 
   /** Candidate-volume decade evidence for the near-dup band schemes
@@ -370,26 +419,33 @@ object ScaleBench {
     * Linear-in-docs collisions32 from 10× to 100× is the task's Done
     * criterion; collisions16 is expected to blow up quadratically
     * (floor ≈ 10⁻³ per pair). Prints one JSON line. */
-  private def dedupDecadeEvidence(spark: SparkSession): Unit = {
+  /** Documents-only scaled corpus (per-copy token prefix: each copy
+    * keeps its planted near-dup pairs, copies share no tokens) — shared
+    * by the dedupdecade and bucketed-index arms. */
+  private def docsCorpusDir(spark: SparkSession, factor: Int): String = {
     val KEY = 100000000L
     val src = sys.env.getOrElse("SPARK_GRAFT_SRC", "/root/testdata/sf0.1")
-    def corpusDir(factor: Int): String = {
-      if (factor == 1) return src
-      val out = s"/tmp/graft_docs$factor"
-      if (!new java.io.File(s"$out/_READY").exists()) {
-        System.err.println(s"[dedupdecade] building ${factor}x docs corpus at $out")
-        val docs = spark.read.parquet(s"$src/documents.parquet")
-        (0 until factor).map(k => docs
-            .withColumn("doc_id", col("doc_id") + k * KEY)
-            .withColumn("text", regexp_replace(col("text"), "(\\S+)", s"c${k}_$$1")))
-          .reduce(_ unionAll _)
-          .write.mode("overwrite").option("compression", "zstd")
-          .parquet(s"$out/documents.parquet")
-        spark.createDataFrame(Seq(Tuple1(factor))).toDF("factor")
-          .write.mode("overwrite").json(s"$out/_READY")
-      }
-      out
+    if (factor == 1) return src
+    val out = s"/tmp/graft_docs$factor"
+    guardScratch(out, src)
+    if (!new java.io.File(s"$out/_READY").exists()) {
+      System.err.println(s"[scale] building ${factor}x docs corpus at $out")
+      val docs = spark.read.parquet(s"$src/documents.parquet")
+      (0 until factor).map(k => docs
+          .withColumn("doc_id", col("doc_id") + k * KEY)
+          .withColumn("text", regexp_replace(col("text"), "(\\S+)", s"c${k}_$$1")))
+        .reduce(_ unionAll _)
+        .write.mode("overwrite").option("compression", "zstd")
+        .parquet(s"$out/documents.parquet")
+      spark.createDataFrame(Seq(Tuple1(factor))).toDF("factor")
+        .write.mode("overwrite").json(s"$out/_READY")
     }
+    out
+  }
+
+  private def dedupDecadeEvidence(spark: SparkSession): Unit = {
+    val src = sys.env.getOrElse("SPARK_GRAFT_SRC", "/root/testdata/sf0.1")
+    def corpusDir(factor: Int): String = docsCorpusDir(spark, factor)
     val rows = Seq(1, 10, 100).map { factor =>
       val dir = corpusDir(factor)
       val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
@@ -419,7 +475,312 @@ object ScaleBench {
     println(s"""{"metric":"dedup_band_decade","unit":"rows","factors":${rows.mkString("{", ",", "}")}}""")
   }
 
+  /** Memory-pressure evidence (`runMain graft.ScaleBench constrained`,
+    * round-16 task 1): the one locally-testable 100 TB failure mode no
+    * prior round measured — when per-task state exceeds execution
+    * memory, the engine must SPILL, not OOM. Two sessions over the same
+    * 10× corpus: a baseline with the default memory config, then a
+    * constrained session with `spark.memory.fraction` cut to 0.1 (of
+    * the 8 GiB harness heap ⇒ ~0.77 GiB execution+storage shared by all
+    * tasks — far below the subset's aggregate hash/sort state, the
+    * local[N] analogue of a 100 TB partition landing on a 4 GiB
+    * executor). Every heavy entry must (a) complete, (b) return the
+    * SAME row count, and (c) report task-metric spill bytes > 0 where
+    * the baseline holds state in memory — the reference's own
+    * discipline (bounded streaming blocks) demonstrated at the operator
+    * level. Spill is read from `SparkListenerTaskEnd` task metrics
+    * (memory+disk spill, summed per query). Prints one JSON line;
+    * SCALE.md records the table. */
+  private def constrainedMemoryEvidence(): Unit = {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    val src = sys.env.getOrElse("SPARK_GRAFT_SRC", "/root/testdata/sf0.1")
+    val out = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "/tmp/graft_sf1")
+    val factor = sys.env.getOrElse("SPARK_GRAFT_FACTOR", "10").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val fraction = sys.env.getOrElse("SPARK_GRAFT_MEM_FRACTION", "0.1")
+    // the verdict's subset: TPC-H spine, sorts/windows, the dedup
+    // family, the two-level semdedup, and the iterative graph entry
+    val subset = Seq(
+      "q_sql_q3", "q_sql_q5", "q_sql_q9", "q_sql_q10", "q_sql_q18",
+      "q_sql_q21", "q_agg_group", "q_sort_topk", "q_window_rank",
+      "q_dedup_exact", "q_dedup_minhash", "q_dedup_minhash_verified",
+      "q_dedup_simhash", "q_dedup_semdedup_2l", "q_pagerank")
+
+    def mkSession(constrained: Boolean): SparkSession = {
+      val b = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+      (if (constrained)
+        // fraction cut is THE lever: it shrinks the unified
+        // execution+storage pool without touching user/JVM headroom, so
+        // the run measures operator spill discipline, not GC death
+        b.config("spark.memory.fraction", fraction)
+          .config("spark.memory.storageFraction", "0.3")
+      else b).getOrCreate()
+    }
+
+    case class Arm(secs: Double, rows: Long, spillBytes: Long, peakMem: Long)
+    def runArm(constrained: Boolean,
+        ensureCorpus: Boolean): Map[String, Either[String, Arm]] = {
+      val spark = mkSession(constrained)
+      spark.sparkContext.setLogLevel("WARN")
+      try {
+        if (ensureCorpus && !new java.io.File(s"$out/_READY").exists()) {
+          System.err.println(s"[constrained] building ${factor}x corpus at $out")
+          buildScaledData(spark, src, out, factor)
+        }
+        val spill = new java.util.concurrent.atomic.AtomicLong()
+        val peak = new java.util.concurrent.atomic.AtomicLong()
+        val listener = new SparkListener {
+          override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+            val m = t.taskMetrics
+            if (m != null) {
+              spill.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+              peak.getAndAccumulate(m.peakExecutionMemory,
+                (a: Long, b: Long) => math.max(a, b))
+            }
+          }
+        }
+        subset.map { name =>
+          spill.set(0); peak.set(0)
+          spark.sparkContext.addSparkListener(listener)
+          val res = try {
+            val t0 = System.nanoTime()
+            SparkEntry.queries(name)(spark, out)
+              .write.mode("overwrite").format("noop").save()
+            val secs = (System.nanoTime() - t0) / 1e9
+            // row count OUTSIDE the timed window, listener still on so a
+            // spill-on-recompute is not missed, then drain
+            val rows = SparkEntry.queries(name)(spark, out).count()
+            Right(Arm(secs, rows, spill.get(), peak.get()))
+          } catch { case e: Throwable =>
+            System.err.println(s"[constrained] $name FAILED (${if (constrained) "constrained" else "baseline"}): ${e.getMessage}")
+            Left(e.getClass.getSimpleName)
+          } finally {
+            spark.sparkContext.removeSparkListener(listener)
+            spark.sharedState.cacheManager.clearCache()
+            spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+          }
+          System.err.println(f"[constrained] ${if (constrained) "CON " else "BASE"} $name -> " +
+            res.fold(err => s"FAILED $err", a =>
+              f"${a.secs}%.1f s, ${a.rows} rows, spill ${a.spillBytes / 1048576.0}%.1f MiB, peak ${a.peakMem / 1048576.0}%.1f MiB"))
+          name -> res
+        }.toMap
+      } finally spark.stop()
+    }
+
+    val base = runArm(constrained = false, ensureCorpus = true)
+    val con = runArm(constrained = true, ensureCorpus = false)
+    val heapMb = Runtime.getRuntime.maxMemory() / 1048576
+    val rows = subset.map { n =>
+      (base(n), con(n)) match {
+        case (Right(b), Right(c)) =>
+          s""""$n":{"base_sec":${b.secs},"con_sec":${c.secs},""" +
+            s""""rows":${b.rows},"rows_equal":${b.rows == c.rows},""" +
+            s""""base_spill_bytes":${b.spillBytes},"con_spill_bytes":${c.spillBytes},""" +
+            s""""base_peak_mem":${b.peakMem},"con_peak_mem":${c.peakMem}}"""
+        case (bb, cc) =>
+          s""""$n":{"failed":"base=${bb.left.getOrElse("ok")} con=${cc.left.getOrElse("ok")}"}"""
+      }
+    }
+    val nFailed = subset.count(n => base(n).isLeft || con(n).isLeft)
+    val nUnequal = subset.count(n => (base(n), con(n)) match {
+      case (Right(b), Right(c)) => b.rows != c.rows
+      case _ => false
+    })
+    println(s"""{"metric":"constrained_memory","factor":$factor,""" +
+      s""""heap_mb":$heapMb,"mem_fraction":$fraction,"failed":$nFailed,""" +
+      s""""rows_unequal":$nUnequal,"queries":${rows.mkString("{", ",", "}")}}""")
+    if (nFailed > 0 || nUnequal > 0) sys.exit(1)
+  }
+
+  /** Bucketed-index probe A/B (`runMain graft.ScaleBench bucketed`,
+    * round-16 task 3's scale half): at lake scale the persisted dedup
+    * index is the CORPUS-sized side of the nightly probe join, so this
+    * arm builds the full minhash band index over the scaled docs corpus
+    * twice — a plain parquet directory vs the bucketed (band, bucket)
+    * table [[graft.queries.Dedup.writeBandIndex]] now persists — and
+    * probes both with the same 1%-of-corpus batch, broadcast disabled
+    * (the regime where a batch outgrows the broadcast threshold and the
+    * join strategy decides who shuffles). Checks: identical candidate
+    * counts, the bucketed plan carries NO exchange above the index
+    * scan while the plain plan re-shuffles the index, and the wall
+    * times land in SCALE.md's A/B table. */
+  private def bucketedIndexEvidence(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val factor = sys.env.getOrElse("SPARK_GRAFT_FACTOR", "10").toInt
+    val dir = docsCorpusDir(spark, factor)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val nDocs = docs.count()
+    // the probe batch: every 97th doc re-crawled with one appended
+    // token (same replay shape the nightly entries plant) — guarantees
+    // real candidate matches, ids disjoint from the corpus
+    val batch = docs.filter(col("doc_id") % 97 === 0)
+      .select((col("doc_id") + lit(10000000000L)).as("doc_id"),
+        concat(col("text"), lit(" zz9")).as("text"))
+
+    val plainPath = s"$dir/band_index_plain.parquet"
+    if (!new java.io.File(plainPath).exists())
+      graft.queries.Dedup.minhashBanded(docs).write
+        .option("compression", "zstd").parquet(plainPath)
+    // the bucketed twin through the EXACT production writer
+    val bucketed = graft.queries.Dedup.writeBandIndex(spark,
+      graft.queries.Dedup.minhashBanded(docs), "graft_idx_scale_ab",
+      Seq("band", "bucket"))
+    val plain = spark.read.parquet(plainPath)
+
+    def probe(index: org.apache.spark.sql.DataFrame) =
+      graft.queries.Dedup.minhashBanded(batch).as("x").join(index.as("y"),
+          col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") )
+        .select(col("x.doc_id").as("batch_id"), col("y.doc_id").as("corpus_id"))
+        .distinct()
+
+    def finalPlan(df: org.apache.spark.sql.DataFrame): SparkPlan =
+      df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      def timeCount(df: org.apache.spark.sql.DataFrame): (Double, Long) = {
+        val t0 = System.nanoTime()
+        val n = df.count()
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      // warm both file listings
+      plain.limit(1).count(); bucketed.limit(1).count()
+      val (plainSec, plainN) = timeCount(probe(plain))
+      val (buckSec, buckN) = timeCount(probe(bucketed))
+      require(plainN == buckN,
+        s"candidate count mismatch: plain=$plainN bucketed=$buckN")
+      // plan evidence on the executed probes: exchanges on the INDEX
+      // side of the candidate join only (the lowest join above the
+      // index scan — exchanges above the join, e.g. the distinct()'s,
+      // are the same in both arms and not the index's cost)
+      val pPlan = { val d = probe(plain); d.count(); finalPlan(d) }
+      val bPlan = { val d = probe(bucketed); d.count(); finalPlan(d) }
+      def isJoin(p: SparkPlan): Boolean =
+        p.isInstanceOf[org.apache.spark.sql.execution.joins.SortMergeJoinExec] ||
+          p.isInstanceOf[org.apache.spark.sql.execution.joins.ShuffledHashJoinExec] ||
+          p.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]
+      def hasIndexScan(p: SparkPlan, bucket: Boolean): Boolean = p.collect {
+        case f: FileSourceScanExec if f.relation.bucketSpec.isDefined == bucket &&
+          (bucket || f.relation.location.rootPaths.exists(
+            _.toString.contains("band_index_plain"))) => f
+      }.nonEmpty
+      def indexSideExchanges(plan: SparkPlan, bucket: Boolean): Int =
+        plan.collect {
+          case j if isJoin(j) => j.children.filter(c =>
+            hasIndexScan(c, bucket) &&
+              c.collect { case x if isJoin(x) => x }.isEmpty)
+        }.flatten
+          .map(side => side.collect { case e: ShuffleExchangeExec => e }.size)
+          .sum
+      val plainShuffles = indexSideExchanges(pPlan, bucket = false)
+      val buckShuffles = indexSideExchanges(bPlan, bucket = true)
+      require(buckShuffles == 0,
+        s"bucketed index side must not shuffle, found $buckShuffles exchanges")
+      System.err.println(f"[bucketed] ${factor}x docs=$nDocs plain $plainSec%.1f s " +
+        f"($plainShuffles index-side exchanges) vs bucketed $buckSec%.1f s (0), " +
+        f"candidates $buckN both")
+      println(s"""{"metric":"bucketed_index_probe","factor":$factor,"docs":$nDocs,""" +
+        s""""plain_sec":$plainSec,"bucketed_sec":$buckSec,"candidates":$buckN,""" +
+        s""""plain_index_exchanges":$plainShuffles,"bucketed_index_exchanges":$buckShuffles}""")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  /** Triangles wedge-split A/B (`runMain graft.ScaleBench triangles`,
+    * round-16 task 7): the plain [[graft.queries.Graph.qGraphTriangles]]
+    * vs the degree-capped [[graft.queries.Graph.qGraphTrianglesSplit]]
+    * on the disjoint-copy graph corpus (the honest graph decade), with
+    * per-task duration stats so the skew RATIO (max/median task) is
+    * measured, not guessed. Result equality is asserted via full
+    * checksum (count + sums), so the split form's chunk algebra is
+    * pinned at scale too. */
+  private def trianglesSplitEvidence(spark: SparkSession): Unit = {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    val KEY = 100000000L
+    val src = sys.env.getOrElse("SPARK_GRAFT_SRC", "/root/testdata/sf0.1")
+    val factor = sys.env.getOrElse("SPARK_GRAFT_FACTOR", "100").toInt
+    val out = if (factor == 1) src
+      else sys.env.getOrElse("SPARK_GRAFT_GRAPH_OUT", s"/tmp/graft_graph$factor")
+    val cap = sys.env.getOrElse("SPARK_GRAFT_TRI_CAP", "48").toInt
+    if (factor > 1 && !new java.io.File(s"$out/_READY").exists()) {
+      guardScratch(out, src)
+      System.err.println(s"[triangles] building ${factor}x disjoint graph corpus at $out")
+      def copies(df: DataFrame)(shift: (DataFrame, Int) => DataFrame): DataFrame =
+        (0 until factor).map(k => shift(df, k)).reduce(_ unionAll _)
+      copies(spark.read.parquet(s"$src/lineitem.parquet"))((d, k) => d
+        .withColumn("l_orderkey", col("l_orderkey") + k * KEY)
+        .withColumn("l_partkey", col("l_partkey") + k * KEY)
+        .withColumn("l_suppkey", col("l_suppkey") + k * KEY))
+        .write.mode("overwrite").option("compression", "zstd")
+        .parquet(s"$out/lineitem.parquet")
+      Seq("orders", "customer").foreach { t =>
+        spark.read.parquet(s"$src/$t.parquet").write.mode("overwrite")
+          .option("compression", "zstd").parquet(s"$out/$t.parquet")
+      }
+      spark.createDataFrame(Seq(Tuple1(factor))).toDF("factor")
+        .write.mode("overwrite").json(s"$out/_READY")
+    }
+    val durations = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
+    val listener = new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
+        if (t.taskInfo != null) durations.add(t.taskInfo.duration)
+    }
+    case class Run(secs: Double, rows: Long, sumT: Long, maxTaskMs: Long,
+        medTaskMs: Long)
+    def run(df: => DataFrame): Run = {
+      durations.clear()
+      spark.sparkContext.addSparkListener(listener)
+      val t0 = System.nanoTime()
+      val agg = df.agg(count(lit(1)).as("n"),
+        sum(col("triangles")).as("st"),
+        sum(col("part_id") * col("triangles")).as("chk")).head
+      val secs = (System.nanoTime() - t0) / 1e9
+      spark.sparkContext.removeSparkListener(listener)
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      import scala.jdk.CollectionConverters._
+      val ds = durations.asScala.map(_.longValue).toSeq.sorted
+      Run(secs, agg.getLong(0), agg.getLong(1),
+        ds.lastOption.getOrElse(0L), ds.lift(ds.size / 2).getOrElse(0L))
+    }
+    // alternate arms, min-of-2: the first execution pays codegen + page
+    // cache for both (a cold-first-arm bias measured 2.6x at 1x)
+    val p1 = run(graft.queries.Graph.qGraphTriangles(spark, out))
+    val s1 = run(graft.queries.Graph.qGraphTrianglesSplit(spark, out, cap))
+    val p2 = run(graft.queries.Graph.qGraphTriangles(spark, out))
+    val s2 = run(graft.queries.Graph.qGraphTrianglesSplit(spark, out, cap))
+    val plain = if (p2.secs < p1.secs) p2 else p1
+    val split = if (s2.secs < s1.secs) s2 else s1
+    require(plain.rows == split.rows && plain.sumT == split.sumT,
+      s"split form diverged: plain=(${plain.rows},${plain.sumT}) " +
+        s"split=(${split.rows},${split.sumT})")
+    def skew(r: Run): Double =
+      if (r.medTaskMs == 0) 0.0 else r.maxTaskMs.toDouble / r.medTaskMs
+    System.err.println(f"[triangles] ${factor}x plain ${plain.secs}%.1f s " +
+      f"(max task ${plain.maxTaskMs} ms, skew ${skew(plain)}%.1f) vs " +
+      f"split(cap=$cap) ${split.secs}%.1f s (max task ${split.maxTaskMs} ms, " +
+      f"skew ${skew(split)}%.1f); rows=${plain.rows} sum=${plain.sumT} both")
+    println(s"""{"metric":"triangles_wedge_split","factor":$factor,"cap":$cap,""" +
+      s""""plain_sec":${plain.secs},"split_sec":${split.secs},""" +
+      s""""plain_max_task_ms":${plain.maxTaskMs},"plain_med_task_ms":${plain.medTaskMs},""" +
+      s""""split_max_task_ms":${split.maxTaskMs},"split_med_task_ms":${split.medTaskMs},""" +
+      s""""rows":${plain.rows},"sum_triangles":${plain.sumT}}""")
+  }
+
   def buildScaledData(spark: SparkSession, src: String, out: String, factor: Int): Unit = {
+    guardScratch(out, src)
     val KEY = 100000000L // key shift per copy: far above any sf0.1 key
 
     def copies(df: DataFrame)(shift: (DataFrame, Int) => DataFrame): DataFrame =
@@ -622,6 +983,41 @@ object ScaleBench {
         .getOrCreate()
       spark.sparkContext.setLogLevel("WARN")
       partitionedCorpusEvidence(spark)
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("constrained")) {
+      constrainedMemoryEvidence() // builds its own two sessions
+      return
+    }
+    if (args.headOption.contains("bucketed")) {
+      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+      val spark = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      bucketedIndexEvidence(spark)
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("triangles")) {
+      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+      val spark = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      trianglesSplitEvidence(spark)
       spark.stop()
       return
     }

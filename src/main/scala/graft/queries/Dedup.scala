@@ -110,7 +110,7 @@ object Dedup {
       math.abs(rng.nextLong()) % minhashP))
   }
 
-  private[queries] def minhashBanded(docs: DataFrame): DataFrame = {
+  private[graft] def minhashBanded(docs: DataFrame): DataFrame = {
     val nHash = 32
     val bands = 8
     val rowsPerBand = nHash / bands
@@ -1013,7 +1013,7 @@ object Dedup {
     * pre-write repartition on the bucket keys makes each bucket exactly
     * ONE file, so the sortBy ordering survives the scan too and the
     * index side of a sort-merge probe needs no per-night re-sort. */
-  private[queries] def writeBandIndex(s: SparkSession, index: DataFrame,
+  private[graft] def writeBandIndex(s: SparkSession, index: DataFrame,
       name: String, keys: Seq[String]): DataFrame = {
     val path = new java.io.File(new java.io.File(
       sys.props("java.io.tmpdir"), "graft_band_index"), name).getAbsolutePath
@@ -1033,7 +1033,7 @@ object Dedup {
     * (hence the exchange-free probe) is preserved. saveAsTable in
     * Append mode resolves columns by name and validates the bucket spec
     * against the catalog, so a drifted writer fails loudly. */
-  private[queries] def appendBandIndex(s: SparkSession, rows: DataFrame,
+  private[graft] def appendBandIndex(s: SparkSession, rows: DataFrame,
       name: String, keys: Seq[String]): DataFrame = {
     rows.repartition(bandIndexBuckets, keys.map(col): _*)
       .write.mode("append").format("parquet")
@@ -1460,9 +1460,18 @@ object Dedup {
     * k1·k2·dims driver cells; pair work is Σ|cluster|² over the FINER
     * composite clusters. At 100 TB the k-growth contract lives here:
     * grow k1·k2 with the corpus while assignment stays k1 + k2
-    * (SCALE.md's 100× row measures two-level 640 vs flat 640). */
-  def qDedupSemdedup2L(s: SparkSession, dir: String, k1: Int = 8,
-      k2: Int = 8, iters1: Int = 2, iters2: Int = 1,
+    * (SCALE.md's 100× row measures two-level 640 vs flat 640).
+    *
+    * Sizing (round 16): `k1 = k2 = 0` (the production default) derives
+    * both from the corpus — the IVF √n rule puts the TOTAL cluster
+    * count at √n so mean |cluster| is √n (balancing Σ|cluster|² pair
+    * work against per-cluster granularity), and splitting √n across
+    * two levels at k1 = k2 = n^(1/4) minimizes the k1 + k2 assignment
+    * cost for that product. Under Verify the sizes pin to the
+    * oracle-gated (8, 8) regardless (the [[Knobs]] discipline), and the
+    * SPARK_GRAFT_SEMDEDUP_K1/K2 env knobs still override for sweeps. */
+  def qDedupSemdedup2L(s: SparkSession, dir: String, k1: Int = 0,
+      k2: Int = 0, iters1: Int = 2, iters2: Int = 1,
       threshold: Double = 0.95): DataFrame = {
     val emb = Tables.embeddings(s, dir).select(col("vec_id"),
       transform(col("embedding"), x => x.cast(DoubleType)).as("vec"))
@@ -1470,8 +1479,18 @@ object Dedup {
     val corpus = emb.unionByName(emb.filter(col("vec_id") % 5 === 0)
       .select((col("vec_id") + lit(off)).as("vec_id"),
         transform(col("vec"), x => x + lit(0.02)).as("vec")))
+    val (rk1, rk2) =
+      if (sys.props.get("graft.verify").contains("true")) (8, 8)
+      else if (k1 > 0 && k2 > 0) (k1, k2)
+      else {
+        // n = organic + every-5th replays; ONE count job (the corpus is
+        // about to pay iters1+iters2+2 full passes — this is noise)
+        val n = corpus.count()
+        val lvl = math.max(2, math.ceil(math.pow(n.toDouble, 0.25)).toInt)
+        (lvl, lvl)
+      }
     val (coarse, fine) =
-      Similarity.kmeansFitTwoLevel(corpus, k1, iters1, k2, iters2)
+      Similarity.kmeansFitTwoLevel(corpus, rk1, iters1, rk2, iters2)
     // coarse-assignment barrier before the fine CASE references cid
     // (the CollapseProject inlining hazard documented on
     // kmeansFitTwoLevel), and a second one so the pair self-join reads
@@ -1549,10 +1568,11 @@ object Dedup {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_semdedup" -> ((s, d) => qDedupSemdedup(s, d, k = semdedupK)),
     // two-level knobs follow the same ScaleBench-only discipline; the
-    // oracle pins (k1, k2) = (8, 8)
+    // oracle pins (k1, k2) = (8, 8); knob default 0 = the √n auto-size
+    // rule (resolved inside qDedupSemdedup2L)
     "q_dedup_semdedup_2l" -> ((s, d) => qDedupSemdedup2L(s, d,
-      k1 = scaleKnob("SPARK_GRAFT_SEMDEDUP_K1", 8),
-      k2 = scaleKnob("SPARK_GRAFT_SEMDEDUP_K2", 8))),
+      k1 = scaleKnob("SPARK_GRAFT_SEMDEDUP_K1", 0),
+      k2 = scaleKnob("SPARK_GRAFT_SEMDEDUP_K2", 0))),
     "q_dedup_incremental" -> ((s, d) => qDedupIncremental(s, d)),
     "q_dedup_index_append" -> ((s, d) => qDedupIndexAppend(s, d)),
     "q_dedup_incremental_near" -> ((s, d) => qDedupIncrementalNear(s, d)),

@@ -32,9 +32,14 @@ def table_hash(rows, cols):
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
+    import os
     for t in ["region","nation","customer","supplier","part","orders",
               "lineitem","events","documents","embeddings"]:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # scaled corpora (e.g. /tmp/graft_sf1) store each table as a
+        # DIRECTORY of part files; the driver corpus is one file per table
+        path = f"{sf_dir}/{t}.parquet"
+        src = f"{path}/*.parquet" if os.path.isdir(path) else path
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
