@@ -21,6 +21,16 @@ QUERIES="q_sql_q3 q_sql_q5 q_sql_q9 q_sql_q10 q_sql_q13 q_sql_q17 \
   q_dedup_simhash_verified q_dedup_clusters q_agg_group q_window_rank \
   q_sort_topk q_events_sessions q_events_funnel q_ngram_counts q_agg_rfm \
   q_pagerank q_agg_percentile_counting q_filter_pred"
+# Round-16 widening: the rest of the rotating subset — joins, set ops,
+# windows, rollups, SCD2/CDC, text and curation manifests, profiling
+# moments. All linear-oracle entries (no all-pairs forms) so DuckDB
+# replays them comfortably at 6M lineitem rows / 500k events.
+QUERIES="$QUERIES q_join_inner q_join_left q_join_semi q_join_anti \
+  q_join_multiway q_set_except q_window_lag q_window_frame q_agg_rollup \
+  q_agg_stats q_agg_mode q_events_retention q_events_transitions \
+  q_scd2_build q_merge_upsert q_snapshot_diff q_text_tokens q_text_stats \
+  q_text_fingerprint q_sample_hash q_split_holdout q_shard_assign \
+  q_profile_stats q_profile_moments"
 cd "$(dirname "$0")/.."
 sbt -batch "runMain graft.Verify $SF $OUT $QUERIES"
 python3 tools/check.py "$SF" "$OUT"
