@@ -81,13 +81,6 @@ object Graph {
       .repartition(col("u"))
       .persist()
     val deg = edges.groupBy("u").agg(count(lit(1)).as("d"))
-    // the documented headroom knob, env-overridable so the 100x decade
-    // sweep (1.6M nodes) can shrink the per-node mass below the int64
-    // ceiling without touching the registry form. Routed through the
-    // shared Knobs gate (round 16): validated parse, and under Verify
-    // the knob is IGNORED so a leaked sweep var can never desync the
-    // query from the oracle-pinned default.
-    val initMass = Knobs.scaleKnobLong("SPARK_GRAFT_PR_MASS", 1000000000000L)
     // hash(u)-partitioned edge spine, SORTED within partitions and
     // cached ONCE: InMemoryRelation preserves the cached plan's
     // partitioning AND ordering, so every round's sort-merge join reads
@@ -100,6 +93,23 @@ object Graph {
     val ed = edges.join(deg, "u").sortWithinPartitions("u").persist()
     val degC = deg.persist()
     val nNodes = degC.count()
+    // Round 16: the per-node mass is AUTO-SIZED from the node count —
+    // the largest power of 10 with 17·n·mass inside Long, capped at the
+    // 10^12 every gated SF pinned through round 15 (so small-SF plans
+    // and hashes are IDENTICAL to the old fixed default, while a graph
+    // 100× the decade corpus sizes itself down instead of demanding the
+    // env knob). The oracle mirrors the exact rule as a scalar subquery
+    // over the degree table, which is what makes the entry
+    // hash-gateable at ANY factor (the 100× DuckDB gate includes it);
+    // SPARK_GRAFT_PR_MASS stays as a sweep-only override (validated,
+    // and IGNORED under Verify via the shared Knobs gate).
+    val autoMass = {
+      val cap = Long.MaxValue / 17L / math.max(nNodes, 1L)
+      var p = 1L
+      while (p * 10L <= cap && p < 1000000000000L) p *= 10L
+      p
+    }
+    val initMass = Knobs.scaleKnobLong("SPARK_GRAFT_PR_MASS", autoMass)
     require(nNodes <= Long.MaxValue / 17 / initMass,
       s"pagerank int64 headroom: $nNodes nodes x initMass $initMass " +
         "overflows 17*totalMass; shrink the per-node initial mass " +
@@ -112,8 +122,9 @@ object Graph {
         .groupBy(col("v"))
         .agg(sum(col("c")).as("sc"))
         .select(col("v").as("u"),
-          // teleport term 0.15·initMass (= 150000000000 at the default
-          // mass the oracle pins; scales with the PR_MASS knob)
+          // teleport term 0.15·initMass (= 150000000000 at the 10^12
+          // mass the auto rule yields at every gated SF; the oracle
+          // computes the same (m*3)//20 from its mirrored mass CTE)
           (lit(initMass * 3L / 20L) + expr("(17 * sc) div 20")).as("r"))
         .persist()
       next.count() // materialize BEFORE dropping the round it was built from
@@ -127,18 +138,33 @@ object Graph {
   }
 
   private val qPagerankOracle = {
+    // the auto-mass rule, mirrored: largest power of 10 with
+    // 17·n·mass inside int64, capped at 10^12 (≡ qPagerank's loop; at
+    // every gated SF n is small enough that this evaluates to the
+    // pre-round-16 fixed 10^12, so historical hashes are unchanged)
     def step(prev: String, next: String) =
       s"""$next AS (
          |  SELECT e.v AS u,
-         |    150000000000 + (17 * SUM(($prev.r // deg.d))) // 20 AS r
+         |    ((SELECT m FROM mass) * 3) // 20
+         |      + (17 * SUM(($prev.r // deg.d))) // 20 AS r
          |  FROM e JOIN $prev ON e.u = $prev.u JOIN deg ON e.u = deg.u
          |  GROUP BY e.v)""".stripMargin
-    s"""WITH e0 AS (
+    // AS MATERIALIZED on the shared spine CTEs: DuckDB inlines
+    // multiply-referenced CTEs by default, and the 100x gate measured
+    // the un-hinted form re-deriving the 60M-row order-join edge spine
+    // once per reference — a >74 GB spill; materialized it is 8.9 s.
+    s"""WITH e0 AS MATERIALIZED (
        |  SELECT DISTINCT o.o_custkey AS u, 1000000 + l.l_suppkey AS v
        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
-       |e AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
-       |deg AS (SELECT u, COUNT(*) AS d FROM e GROUP BY u),
-       |r0 AS (SELECT u, CAST(1000000000000 AS BIGINT) AS r FROM deg),
+       |e AS MATERIALIZED (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+       |deg AS MATERIALIZED (SELECT u, COUNT(*) AS d FROM e GROUP BY u),
+       |mass AS MATERIALIZED (
+       |  SELECT MAX(t.p) AS m
+       |  FROM (SELECT UNNEST([1, 10, 100, 1000, 10000, 100000, 1000000,
+       |    10000000, 100000000, 1000000000, 10000000000, 100000000000,
+       |    1000000000000]::BIGINT[]) AS p) t
+       |  WHERE t.p <= 9223372036854775807 // 17 // (SELECT COUNT(*) FROM deg)),
+       |r0 AS (SELECT u, (SELECT m FROM mass) AS r FROM deg),
        |${step("r0", "r1")},
        |${step("r1", "r2")},
        |${step("r2", "r3")}

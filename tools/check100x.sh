@@ -1,0 +1,25 @@
+#!/bin/bash
+# Round-16 extension of the scaled oracle gate: hash-gates a linear-
+# oracle headline subset against DuckDB on the 100x corpus
+# (/tmp/graft_sf10, 60M lineitem rows / 500k docs — built by
+# `SPARK_GRAFT_FACTOR=100 SPARK_GRAFT_SCALE_OUT=/tmp/graft_sf10
+# runMain graft.ScaleBench`), two decades above the driver gate.
+#
+# Subset: the TPC-H spine + integer-exact agg/window/join/text/profile
+# families + exact dedup + auto-mass pagerank (gateable at any factor
+# since the round-16 mass rule is mirrored in its oracle SQL). The
+# near-dup candidate stages stay on the 10x gate (tools/check10x.sh):
+# their band-collision oracles are linear but constant-heavy in DuckDB,
+# and the 10x run already guards the hash/collision class.
+#
+# Usage: tools/check100x.sh [sf_dir] (default /tmp/graft_sf10)
+set -e
+SF=${1:-/tmp/graft_sf10}
+OUT=${2:-/tmp/graft_verify_100x}
+QUERIES="q_sql_q3 q_sql_q5 q_sql_q10 q_sql_q18 q_sql_q21 q_dedup_exact \
+  q_agg_group q_window_rank q_filter_pred q_events_sessions \
+  q_events_funnel q_ngram_counts q_agg_rfm q_sort_topk q_join_semi \
+  q_agg_rollup q_text_tokens q_profile_moments q_pagerank"
+cd "$(dirname "$0")/.."
+sbt -batch "runMain graft.Verify $SF $OUT $QUERIES"
+python3 tools/check.py "$SF" "$OUT"
