@@ -995,11 +995,17 @@ object Dedup {
 
   // ── incremental NEAR-dup: probe a batch against a persisted index ──
 
-  /** Bucket count for the persisted band indexes. Small here (the gated
-    * corpora are small); at lake scale this is sized once at index
-    * creation (e.g. 4096) and every nightly append and probe inherits
-    * it — the bucket count is the index's permanent parallelism. */
-  private val bandIndexBuckets = 8
+  /** Bucket count for the persisted band indexes. Small by default (the
+    * gated corpora are small); at lake scale this is sized ONCE at index
+    * creation via SPARK_GRAFT_INDEX_BUCKETS (e.g. 4096) and every
+    * nightly append and probe inherits it — the bucket count is the
+    * index's permanent parallelism. The knob rides the shared [[Knobs]]
+    * discipline (validated parse, pinned to the default under Verify);
+    * a value drifting between creation and a later append fails loudly:
+    * Append-mode saveAsTable validates the bucket spec against the
+    * catalog. Layout-only — no oracle depends on it. */
+  private def bandIndexBuckets: Int =
+    Knobs.scaleKnobLong("SPARK_GRAFT_INDEX_BUCKETS", 8L).toInt
 
   /** Persist a band index as a real BUCKETED, bucket-sorted parquet
     * table and return the table-backed frame (round-16 task 3; replaces
