@@ -6,17 +6,19 @@
 # runMain graft.ScaleBench`), two decades above the driver gate.
 #
 # Subset: the TPC-H spine + integer-exact agg/window/join/text/profile
-# families + exact dedup + auto-mass pagerank (gateable at any factor
-# since the round-16 mass rule is mirrored in its oracle SQL). The
-# near-dup candidate stages stay on the 10x gate (tools/check10x.sh):
-# their band-collision oracles are linear but constant-heavy in DuckDB,
-# and the 10x run already guards the hash/collision class.
+# families + the dedup pipeline (exact, the minhash banding candidate
+# stage with its 32-permutation md5 oracle replayed over 500k docs, and
+# the connected-components clusters) + auto-mass pagerank (gateable at
+# any factor since the round-16 mass rule is mirrored in its oracle
+# SQL). The simhash pair stays on the 10x gate (tools/check10x.sh):
+# its Hamming-ball oracle is linear but constant-heavy in DuckDB.
 #
 # Usage: tools/check100x.sh [sf_dir] (default /tmp/graft_sf10)
 set -e
 SF=${1:-/tmp/graft_sf10}
 OUT=${2:-/tmp/graft_verify_100x}
 QUERIES="q_sql_q3 q_sql_q5 q_sql_q10 q_sql_q18 q_sql_q21 q_dedup_exact \
+  q_dedup_minhash q_dedup_clusters \
   q_agg_group q_window_rank q_filter_pred q_events_sessions \
   q_events_funnel q_ngram_counts q_agg_rfm q_sort_topk q_join_semi \
   q_agg_rollup q_text_tokens q_profile_moments q_pagerank"
