@@ -10,15 +10,16 @@
 # stage with its 32-permutation md5 oracle replayed over 500k docs, and
 # the connected-components clusters) + auto-mass pagerank (gateable at
 # any factor since the round-16 mass rule is mirrored in its oracle
-# SQL). The simhash pair stays on the 10x gate (tools/check10x.sh):
-# its Hamming-ball oracle is linear but constant-heavy in DuckDB.
+# SQL) + the simhash candidate stage (hash-green at 100x, but its
+# Hamming-ball oracle is constant-heavy: ~45 min in DuckDB at 500k
+# docs — budget for it, or drop it from the list for a quick run).
 #
 # Usage: tools/check100x.sh [sf_dir] (default /tmp/graft_sf10)
 set -e
 SF=${1:-/tmp/graft_sf10}
 OUT=${2:-/tmp/graft_verify_100x}
 QUERIES="q_sql_q3 q_sql_q5 q_sql_q10 q_sql_q18 q_sql_q21 q_dedup_exact \
-  q_dedup_minhash q_dedup_clusters \
+  q_dedup_minhash q_dedup_clusters q_dedup_simhash \
   q_agg_group q_window_rank q_filter_pred q_events_sessions \
   q_events_funnel q_ngram_counts q_agg_rfm q_sort_topk q_join_semi \
   q_agg_rollup q_text_tokens q_profile_moments q_pagerank"
