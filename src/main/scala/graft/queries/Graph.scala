@@ -61,6 +61,19 @@ object Graph {
     * table and 17·n·initMass must stay inside Long — a graph too heavy
     * for the default mass fails loudly with the knob named instead of
     * silently wrapping. */
+  /** The auto-mass rule: the largest power of 10 whose 17·n·mass
+    * product stays inside Long, capped at 10¹² (the value every gated
+    * SF pinned before the rule existed). MUST stay bit-equivalent to
+    * the `mass` CTE in [[qPagerankOracle]] (MAX over the pow10 list
+    * ≤ Long.MaxValue // 17 // n) — Round16Spec pins the equivalence
+    * over the n range, and the 5-scale hash gates pin the SQL side. */
+  private[graft] def autoMass(nNodes: Long): Long = {
+    val cap = Long.MaxValue / 17L / math.max(nNodes, 1L)
+    var p = 1L
+    while (p * 10L <= cap && p < 1000000000000L) p *= 10L
+    p
+  }
+
   def qPagerank(s: SparkSession, dir: String, iters: Int = 3): DataFrame = {
     val perOrder = Tables.lineitem(s, dir)
       .select(col("l_orderkey"), col("l_suppkey"))
@@ -103,13 +116,7 @@ object Graph {
     // hash-gateable at ANY factor (the 100× DuckDB gate includes it);
     // SPARK_GRAFT_PR_MASS stays as a sweep-only override (validated,
     // and IGNORED under Verify via the shared Knobs gate).
-    val autoMass = {
-      val cap = Long.MaxValue / 17L / math.max(nNodes, 1L)
-      var p = 1L
-      while (p * 10L <= cap && p < 1000000000000L) p *= 10L
-      p
-    }
-    val initMass = Knobs.scaleKnobLong("SPARK_GRAFT_PR_MASS", autoMass)
+    val initMass = Knobs.scaleKnobLong("SPARK_GRAFT_PR_MASS", autoMass(nNodes))
     require(nNodes <= Long.MaxValue / 17 / initMass,
       s"pagerank int64 headroom: $nNodes nodes x initMass $initMass " +
         "overflows 17*totalMass; shrink the per-node initial mass " +
