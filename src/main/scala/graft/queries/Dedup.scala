@@ -1003,9 +1003,44 @@ object Dedup {
     * discipline (validated parse, pinned to the default under Verify);
     * a value drifting between creation and a later append fails loudly:
     * Append-mode saveAsTable validates the bucket spec against the
-    * catalog. Layout-only — no oracle depends on it. */
-  private def bandIndexBuckets: Int =
-    Knobs.scaleKnobLong("SPARK_GRAFT_INDEX_BUCKETS", 8L).toInt
+    * catalog. Layout-only — no oracle depends on it. Parsed Int-ranged
+    * (scaleKnobWide, ≤9 digits) so an over-wide value fails loudly at
+    * parse instead of silently wrapping through `.toInt` (round-16
+    * advisory: 4294967297 would otherwise become bucket count 1). */
+  private[graft] def bandIndexBuckets: Int =
+    Knobs.scaleKnobWide("SPARK_GRAFT_INDEX_BUCKETS", 8)
+
+  /** Physical-name resolution for the persisted indexes (round-16
+    * advisory: fixed global table names + eager overwrite-at-
+    * construction let two sessions, or two invocations in one session,
+    * clobber each other's index mid-probe). Every index-building entry
+    * resolves its LOGICAL name ("graft_idx_nightly"…) to a physical
+    * table name unique to the session AND the invocation, so a re-run
+    * never invalidates a prior invocation's not-yet-executed frames and
+    * parallel runners never share a table. The resolved name is
+    * recorded so specs/tools can locate the table an entry just built
+    * ([[resolvedIndexName]]); tables live under java.io.tmpdir and are
+    * invocation-garbage — a production deployment names its ONE
+    * long-lived index explicitly and skips this resolver. */
+  private val indexInvocation = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val jvmToken =
+    java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+  private val resolvedIndexNames =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def freshIndexName(s: SparkSession, base: String): String = {
+    val phys = s"${base}_${jvmToken}_${indexInvocation.incrementAndGet()}"
+    resolvedIndexNames.put(base, phys)
+    phys
+  }
+
+  /** The physical table the MOST RECENT invocation of `base` built
+    * (test/tooling lookup; single-threaded use). */
+  private[graft] def resolvedIndexName(base: String): String = {
+    val phys = resolvedIndexNames.get(base)
+    require(phys != null, s"no index built yet under logical name $base")
+    phys
+  }
 
   /** Persist a band index as a real BUCKETED, bucket-sorted parquet
     * table and return the table-backed frame (round-16 task 3; replaces
@@ -1023,7 +1058,6 @@ object Dedup {
       name: String, keys: Seq[String]): DataFrame = {
     val path = new java.io.File(new java.io.File(
       sys.props("java.io.tmpdir"), "graft_band_index"), name).getAbsolutePath
-    s.sql(s"DROP TABLE IF EXISTS $name")
     index.repartition(bandIndexBuckets, keys.map(col): _*)
       .write.mode("overwrite").format("parquet")
       .bucketBy(bandIndexBuckets, keys.head, keys.tail: _*)
@@ -1047,6 +1081,62 @@ object Dedup {
       .sortBy(keys.head, keys.tail: _*)
       .saveAsTable(name)
     s.table(name)
+  }
+
+  /** Bucket count the catalog records for a persisted index — the
+    * permanent spec chosen at creation (appends validate against it). */
+  private[graft] def bucketCountOf(s: SparkSession, table: String): Int =
+    s.sql(s"DESCRIBE TABLE EXTENDED $table")
+      .filter(col("col_name") === "Num Buckets")
+      .head.getString(1).trim.toInt
+
+  private def indexLocationOf(s: SparkSession, table: String): String =
+    s.sql(s"DESCRIBE TABLE EXTENDED $table")
+      .filter(col("col_name") === "Location").head.getString(1)
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete(): Unit
+  }
+
+  /** Periodic COMPACTION of a persisted band index — the third verb of
+    * the index lifecycle (create = [[writeBandIndex]], nightly grow =
+    * [[appendBandIndex]], compact = this). Each append lands one file
+    * per bucket per night, so after a year a bucket holds 365 files and
+    * listing + open cost eats the exchange win the bucketing bought;
+    * this pass rewrites every bucket's accreted files back into exactly
+    * ONE via the same repartition+bucketBy+sortBy write, at the SAME
+    * table name and location, so probes keep planning exchange-free on
+    * the index side and the candidate set is bit-identical
+    * (BucketedIndexSpec pins both; ScaleBench `bucketed` measures the
+    * probe wall before/after at 10×).
+    *
+    * `newBuckets > 0` is the RE-BUCKET MIGRATION for when the corpus
+    * outgrows the creation-time count (the one knob that is otherwise
+    * permanent): same snapshot-and-rewrite, catalog re-created at the
+    * new count, after which appends/probes inherit it. At lake scale
+    * both forms cost one full index rewrite — scheduled maintenance,
+    * amortized over the nights of exchange-free probes they restore.
+    *
+    * The rows are snapshotted to a scratch parquet dir first: the
+    * rewrite deletes the table's live files, and Spark (correctly)
+    * refuses a write whose source scan is the destination. */
+  private[graft] def compactBandIndex(s: SparkSession, table: String,
+      keys: Seq[String], newBuckets: Int = 0): DataFrame = {
+    val buckets = if (newBuckets > 0) newBuckets else bucketCountOf(s, table)
+    val loc = indexLocationOf(s, table)
+    val snap = java.nio.file.Files.createTempDirectory("graft_idx_compact")
+      .toFile.getAbsolutePath
+    s.table(table).write.mode("overwrite").parquet(snap)
+    s.read.parquet(snap)
+      .repartition(buckets, keys.map(col): _*)
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .option("path", new java.net.URI(loc).getPath)
+      .saveAsTable(table)
+    deleteRecursively(new java.io.File(snap))
+    s.table(table)
   }
 
   /** The nightly near-dup job a growing corpus actually runs: the
@@ -1094,8 +1184,8 @@ object Dedup {
       .select(col("doc_id"), col("text"))
       .unionByName(replays)
     val corpusIndex =
-      writeBandIndex(s, minhashBanded(corpus), "graft_idx_nightly",
-        Seq("band", "bucket"))
+      writeBandIndex(s, minhashBanded(corpus),
+        freshIndexName(s, "graft_idx_nightly"), Seq("band", "bucket"))
     val cand = minhashBanded(batch).as("x").join(corpusIndex.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket"))
       .select(col("x.doc_id").as("batch_id"), col("y.doc_id").as("corpus_id"))
@@ -1199,8 +1289,8 @@ object Dedup {
         posexplode(graft.functions.LshSignature.signature(col("nvec"), dims,
           bits = bits)).as(Seq("band", "bucket")))
     val corpusIndex =
-      writeBandIndex(s, sigs(corpus, "corpus_id"), "graft_idx_embed",
-        Seq("band", "bucket"))
+      writeBandIndex(s, sigs(corpus, "corpus_id"),
+        freshIndexName(s, "graft_idx_embed"), Seq("band", "bucket"))
     val cand = sigs(batch, "batch_id").as("x").join(corpusIndex.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket"))
       .select(col("batch_id"), col("corpus_id"))
@@ -1300,8 +1390,9 @@ object Dedup {
         .filter(col("jaccard") >= threshold)
     }
 
+    val tbl = freshIndexName(s, "graft_idx_append")
     val index1 = writeBandIndex(s, minhashBanded(corpus),
-      "graft_idx_append", Seq("band", "bucket"))
+      tbl, Seq("band", "bucket"))
     val pairs1 = verifiedPairs(wave1, index1, corpus).localCheckpoint()
     val admitted1 = wave1.join(pairs1.select(col("batch_id").as("doc_id")).distinct(),
       Seq("doc_id"), "left_anti")
@@ -1309,7 +1400,7 @@ object Dedup {
     // bucket of the SAME table — no rebuild, no corpus rescan (pairs1
     // is materialized above, so wave 1 probed the pre-append index)
     val index2 = appendBandIndex(s, minhashBanded(admitted1),
-      "graft_idx_append", Seq("band", "bucket"))
+      tbl, Seq("band", "bucket"))
     val indexDocs2 = corpus.unionByName(admitted1)
     val pairs2 = verifiedPairs(wave2, index2, indexDocs2)
     pairs1.withColumn("wave", lit(1L))
@@ -1488,13 +1579,10 @@ object Dedup {
     val (rk1, rk2) =
       if (sys.props.get("graft.verify").contains("true")) (8, 8)
       else if (k1 > 0 && k2 > 0) (k1, k2)
-      else {
+      else
         // n = organic + every-5th replays; ONE count job (the corpus is
         // about to pay iters1+iters2+2 full passes — this is noise)
-        val n = corpus.count()
-        val lvl = math.max(2, math.ceil(math.pow(n.toDouble, 0.25)).toInt)
-        (lvl, lvl)
-      }
+        semdedupLevels(corpus.count(), k1, k2)
     val (coarse, fine) =
       Similarity.kmeansFitTwoLevel(corpus, rk1, iters1, rk2, iters2)
     // coarse-assignment barrier before the fine CASE references cid
@@ -1570,6 +1658,16 @@ object Dedup {
     Knobs.scaleKnob(name, default)
 
   private def semdedupK: Int = scaleKnob("SPARK_GRAFT_SEMDEDUP_K", 64)
+
+  /** The two-level sizing rule, pure and spec-pinned (Round17Spec): an
+    * unset level (≤0) auto-sizes to ⌈n^(1/4)⌉ floored at 2 — the IVF √n
+    * total-cluster rule split across two levels — while a SET level is
+    * honored INDEPENDENTLY (round-16 advisory: the old both-or-nothing
+    * branch silently discarded a lone SPARK_GRAFT_SEMDEDUP_K1/K2). */
+  private[graft] def semdedupLevels(n: Long, k1: Int, k2: Int): (Int, Int) = {
+    val lvl = math.max(2, math.ceil(math.pow(n.toDouble, 0.25)).toInt)
+    (if (k1 > 0) k1 else lvl, if (k2 > 0) k2 else lvl)
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_semdedup" -> ((s, d) => qDedupSemdedup(s, d, k = semdedupK)),

@@ -89,19 +89,103 @@ class BucketedIndexSpec extends SparkSpec {
       // the append appended: the table dir holds MORE files than the
       // night-1 overwrite wrote (night 1 = one file per bucket from the
       // pre-write repartition; night 2 adds admitted signatures as
-      // fresh per-bucket files)
-      val loc = spark.sql("DESCRIBE TABLE EXTENDED graft_idx_append")
-        .filter(org.apache.spark.sql.functions.col("col_name") === "Location")
-        .head.getString(1)
-      val files = new java.io.File(new java.net.URI(loc))
-        .listFiles().count(_.getName.startsWith("part-"))
-      assert(files > 8,
-        s"append must add per-bucket files beyond the 8 night-1 buckets, got $files")
+      // fresh per-bucket files). Threshold derived from the knob
+      // default, not a literal (round-16 advisory: a bucket-count
+      // change must fail this spec, not silently weaken it).
+      val buckets = queries.Dedup.bandIndexBuckets
+      assert(indexFiles(spark, appendTable) > buckets,
+        s"append must add per-bucket files beyond the $buckets night-1 " +
+          s"buckets, got ${indexFiles(spark, appendTable)}")
       // and the appended index is what wave 2 probed: wave-2 rows exist
       // (replays of wave-1 admits are only catchable through the append)
       import org.apache.spark.sql.functions.col
       assert(out.filter(col("wave") === 2).count() > 0,
         "wave-2 pairs must exist (they require the appended index)")
+    }
+  }
+
+  /** The physical table the last q_dedup_index_append invocation built
+    * (names are per-invocation since round 17 — two sessions or two
+    * invocations can no longer clobber each other's index). */
+  private def appendTable: String =
+    queries.Dedup.resolvedIndexName("graft_idx_append")
+
+  private def indexFiles(s: org.apache.spark.sql.SparkSession,
+      table: String): Int = {
+    val loc = s.sql(s"DESCRIBE TABLE EXTENDED $table")
+      .filter(org.apache.spark.sql.functions.col("col_name") === "Location")
+      .head.getString(1)
+    new java.io.File(new java.net.URI(loc))
+      .listFiles().count(_.getName.startsWith("part-"))
+  }
+
+  test("compactBandIndex: after the nightly appends, compaction returns " +
+    "every bucket to ONE file, the probe stays exchange-free, and the " +
+    "candidate set is hash-identical (round-17 lifecycle)") {
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      import org.apache.spark.sql.functions.col
+      // run the two-night job → its index holds night-1 + night-2 files
+      queries.Dedup.qDedupIndexAppend(spark, sf)
+        .write.mode("overwrite").format("noop").save()
+      val tbl = appendTable
+      val buckets = queries.Dedup.bandIndexBuckets
+      assert(indexFiles(spark, tbl) > buckets, "precondition: accreted files")
+      // a probe batch with a planted replay; its candidate set is the
+      // before/after equality witness
+      val docs = Tables.documents(spark, sf)
+        .select(col("doc_id"), col("text"))
+      val batch = docs.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + org.apache.spark.sql.functions.lit(90000L)).as("doc_id"),
+          org.apache.spark.sql.functions.concat(col("text"),
+            org.apache.spark.sql.functions.lit(" zz3")).as("text"))
+      def candidates(index: DataFrame) =
+        queries.Dedup.minhashBanded(batch).as("x").join(index.as("y"),
+            col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket"))
+          .select(col("x.doc_id").as("batch_id"), col("y.doc_id").as("corpus_id"))
+          .distinct().orderBy("batch_id", "corpus_id")
+      val before = candidates(spark.table(tbl)).collect().toSeq
+      val compacted =
+        queries.Dedup.compactBandIndex(spark, tbl, Seq("band", "bucket"))
+      assert(indexFiles(spark, tbl) == buckets,
+        s"compaction must rewrite each bucket to exactly one file " +
+          s"($buckets total), got ${indexFiles(spark, tbl)}")
+      assert(queries.Dedup.bucketCountOf(spark, tbl) == buckets,
+        "compaction must preserve the creation-time bucket spec")
+      val afterDf = candidates(compacted)
+      assertIndexSideExchangeFree(afterDf, "compacted probe")
+      assert(afterDf.collect().toSeq == before,
+        "compaction must not change the candidate set")
+    }
+  }
+
+  test("compactBandIndex(newBuckets): the re-bucket migration rewrites " +
+    "the index at a new bucket count, probes stay exchange-free, " +
+    "candidates identical") {
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      import org.apache.spark.sql.functions.col
+      queries.Dedup.qDedupIndexAppend(spark, sf)
+        .write.mode("overwrite").format("noop").save()
+      val tbl = appendTable
+      val docs = Tables.documents(spark, sf)
+        .select(col("doc_id"), col("text"))
+      val batch = docs.filter(col("doc_id") % 13 === 0)
+      def candidates(index: DataFrame) =
+        queries.Dedup.minhashBanded(batch).as("x").join(index.as("y"),
+            col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket"))
+          .select(col("x.doc_id").as("batch_id"), col("y.doc_id").as("corpus_id"))
+          .distinct().orderBy("batch_id", "corpus_id")
+      val before = candidates(spark.table(tbl)).collect().toSeq
+      val newCount = queries.Dedup.bandIndexBuckets * 2
+      val migrated = queries.Dedup.compactBandIndex(
+        spark, tbl, Seq("band", "bucket"), newBuckets = newCount)
+      assert(queries.Dedup.bucketCountOf(spark, tbl) == newCount,
+        s"migration must re-create the table at $newCount buckets")
+      assert(indexFiles(spark, tbl) == newCount,
+        "migration leaves one file per (new) bucket")
+      val afterDf = candidates(migrated)
+      assertIndexSideExchangeFree(afterDf, "re-bucketed probe")
+      assert(afterDf.collect().toSeq == before,
+        "re-bucketing must not change the candidate set")
     }
   }
 }

@@ -10,19 +10,33 @@
 # stage with its 32-permutation md5 oracle replayed over 500k docs, and
 # the connected-components clusters) + auto-mass pagerank (gateable at
 # any factor since the round-16 mass rule is mirrored in its oracle
-# SQL) + the simhash candidate stage (hash-green at 100x, but its
-# Hamming-ball oracle is constant-heavy: ~45 min in DuckDB at 500k
-# docs — budget for it, or drop it from the list for a quick run).
+# SQL) + the simhash candidate stage. Round-17 widening (verdict task
+# 5): the cheap linear-oracle entries already proven at 10x — joins,
+# windows, set ops, SCD2/CDC/snapshot, sample/split/shard manifests,
+# text/profile — now also replay at this decade.
 #
-# Usage: tools/check100x.sh [sf_dir] (default /tmp/graft_sf10)
+# The simhash entry is hash-green at 100x but its Hamming-ball oracle
+# is constant-heavy (~45 min in DuckDB at 500k docs): pass
+# --skip-simhash for the routine re-run and budget for the full gate
+# once per round.
+#
+# Usage: tools/check100x.sh [--skip-simhash] [sf_dir] [out_dir]
 set -e
+SKIP_SIMHASH=0
+if [ "$1" = "--skip-simhash" ]; then SKIP_SIMHASH=1; shift; fi
 SF=${1:-/tmp/graft_sf10}
 OUT=${2:-/tmp/graft_verify_100x}
 QUERIES="q_sql_q3 q_sql_q5 q_sql_q10 q_sql_q18 q_sql_q21 q_dedup_exact \
-  q_dedup_minhash q_dedup_clusters q_dedup_simhash \
+  q_dedup_minhash q_dedup_clusters \
   q_agg_group q_window_rank q_filter_pred q_events_sessions \
   q_events_funnel q_ngram_counts q_agg_rfm q_sort_topk q_join_semi \
   q_agg_rollup q_text_tokens q_profile_moments q_pagerank"
+QUERIES="$QUERIES q_join_inner q_join_left q_join_anti q_join_multiway \
+  q_window_lag q_window_frame q_set_except q_scd2_build q_merge_upsert \
+  q_snapshot_diff q_sample_hash q_split_holdout q_shard_assign \
+  q_text_stats q_text_fingerprint q_profile_stats q_agg_mode \
+  q_events_retention q_events_transitions"
+if [ "$SKIP_SIMHASH" = "0" ]; then QUERIES="$QUERIES q_dedup_simhash"; fi
 cd "$(dirname "$0")/.."
 sbt -batch "runMain graft.Verify $SF $OUT $QUERIES"
 python3 tools/check.py "$SF" "$OUT"

@@ -31,6 +31,16 @@ QUERIES="$QUERIES q_join_inner q_join_left q_join_semi q_join_anti \
   q_scd2_build q_merge_upsert q_snapshot_diff q_text_tokens q_text_stats \
   q_text_fingerprint q_sample_hash q_split_holdout q_shard_assign \
   q_profile_stats q_profile_moments"
+# Round-17 widening (verdict task 1): the embedding/ANN/semantic family —
+# the one family that had no scaled oracle row. Integer-scaled vector
+# sums, LSH banding, kmeans/IVF assignment and the semantic-decontamination
+# screen all change behavior with n (sum magnitudes, collision rates,
+# tie shapes), so they are gated here at 20k vectors / 50k docs. Under
+# Verify the k-knobs pin to their oracle-gated defaults (Knobs), so the
+# DuckDB mirrors replay 1:1.
+QUERIES="$QUERIES q_embed_centroid q_embed_covariance q_embed_covariance_full \
+  q_embed_kmeans q_embed_pca_power q_embed_quant q_ann_lsh q_ann_ivf \
+  q_ann_range q_dedup_semdedup q_dedup_semdedup_2l q_decontaminate_semantic"
 cd "$(dirname "$0")/.."
 sbt -batch "runMain graft.Verify $SF $OUT $QUERIES"
 python3 tools/check.py "$SF" "$OUT"
