@@ -204,7 +204,11 @@ object ScaleBench {
     "q_dedup_semdedup_2l",
     // semantic decontamination: eval-sized broadcast index, map-side
     // train probe — cost linear in TRAIN
-    "q_decontaminate_semantic")
+    "q_decontaminate_semantic",
+    // round 17: the recall@k eval primitive — its exact arm is the
+    // O(n·panel) brute-force pass, so the 10× row measures the cost an
+    // eval harness actually pays as the corpus decade grows
+    "q_ann_recall")
 
   /** Decade evidence for the GRAPH family (`runMain graft.ScaleBench
     * graphdecade`). The standard fact-vs-fixed-dim replication is the
@@ -759,6 +763,60 @@ object ScaleBench {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  /** Shared stream-progress probe for the streaming evidence arms: runs
+    * one lifecycle entry end-to-end and returns (wall sec, final state
+    * rows, final state bytes) read from the engine's own
+    * `stateOperators` progress metrics. Progress events arrive on the
+    * async listener bus, so the reading is polled until stable after
+    * the entry's lifecycle (start → two drains → stop) completes; the
+    * latest progress for a NEW runId is the final micro-batch's state
+    * snapshot. */
+  private final class StreamStateProbe(spark: SparkSession) {
+    import org.apache.spark.sql.streaming.StreamingQueryListener
+    import scala.collection.concurrent.TrieMap
+    private val lastState = TrieMap[(String, String), (Long, Long, Long)]()
+    private val listener = new StreamingQueryListener {
+      override def onQueryStarted(
+          e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(
+          e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(
+          e: StreamingQueryListener.QueryProgressEvent): Unit = {
+        val p = e.progress
+        if (p.name != null && p.stateOperators.nonEmpty)
+          lastState((p.name, p.runId.toString)) = (
+            p.stateOperators.map(_.numRowsTotal).sum,
+            p.stateOperators.map(_.memoryUsedBytes).sum,
+            p.batchId)
+      }
+    }
+    spark.streams.addListener(listener)
+
+    def close(): Unit = spark.streams.removeListener(listener)
+
+    def run(name: String, dir: String): (Double, Long, Long) = {
+      val known = lastState.keySet.filter(_._1 == name).map(_._2)
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, dir)
+        .write.mode("overwrite").format("noop").save()
+      val sec = (System.nanoTime() - t0) / 1e9
+      var reading: Option[(Long, Long, Long)] = None
+      var stable = 0
+      var waited = 0
+      while (stable < 3 && waited < 100) {
+        val cur = lastState.collect {
+          case ((n, r), v) if n == name && !known.contains(r) => v
+        }.toSeq.sortBy(_._3).lastOption
+        if (cur.isDefined && cur == reading) stable += 1
+        else { reading = cur; stable = 0 }
+        Thread.sleep(200); waited += 1
+      }
+      val (rows, mem, _) = reading.getOrElse(
+        sys.error(s"no state progress observed for $name"))
+      (sec, rows, mem)
+    }
+  }
+
   /** Streaming STATE-STORE evidence at a scaled feed (round-17 task 3,
     * `runMain graft.ScaleBench streamstate`): the stream family is
     * hash-gated at sf0.1, but the 100 TB question is what the state
@@ -785,8 +843,6 @@ object ScaleBench {
     * reading is polled until stable after the entry's lifecycle (start
     * → two drains → stop) completes. */
   private def streamStateEvidence(spark: SparkSession): Unit = {
-    import org.apache.spark.sql.streaming.StreamingQueryListener
-    import scala.collection.concurrent.TrieMap
     val src = sys.env.getOrElse("SPARK_GRAFT_SRC", "/root/testdata/sf0.1")
     val out = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "/tmp/graft_sf1")
     val factor = sys.env.getOrElse("SPARK_GRAFT_FACTOR", "10").toInt
@@ -796,25 +852,7 @@ object ScaleBench {
     }
     val entries = Seq("q_stream_sessions", "q_stream_sessions_bounded",
       "q_stream_dedup", "q_stream_interval_join")
-    // latest progress per (query name, runId): the last one standing for
-    // a runId is the final micro-batch's state snapshot
-    val lastState = TrieMap[(String, String), (Long, Long, Long)]()
-    val listener = new StreamingQueryListener {
-      override def onQueryStarted(
-          e: StreamingQueryListener.QueryStartedEvent): Unit = ()
-      override def onQueryTerminated(
-          e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
-      override def onQueryProgress(
-          e: StreamingQueryListener.QueryProgressEvent): Unit = {
-        val p = e.progress
-        if (p.name != null && p.stateOperators.nonEmpty)
-          lastState((p.name, p.runId.toString)) = (
-            p.stateOperators.map(_.numRowsTotal).sum,
-            p.stateOperators.map(_.memoryUsedBytes).sum,
-            p.batchId)
-      }
-    }
-    spark.streams.addListener(listener)
+    val probe = new StreamStateProbe(spark)
     try {
       val arms = Seq("1x" -> src, s"${factor}x" -> out)
       val feeds = arms.map { case (label, dir) =>
@@ -823,24 +861,7 @@ object ScaleBench {
       }.toMap
       val results = entries.map { name =>
         name -> arms.map { case (label, dir) =>
-          val known = lastState.keySet.filter(_._1 == name).map(_._2)
-          SparkEntry.queries(name)(spark, dir)
-            .write.mode("overwrite").format("noop").save()
-          // the run's final progress: poll the async bus until the NEW
-          // runId's reading stops changing
-          var reading: Option[(Long, Long, Long)] = None
-          var stable = 0
-          var waited = 0
-          while (stable < 3 && waited < 100) {
-            val cur = lastState.collect {
-              case ((n, r), v) if n == name && !known.contains(r) => v
-            }.toSeq.sortBy(_._3).lastOption
-            if (cur.isDefined && cur == reading) stable += 1
-            else { reading = cur; stable = 0 }
-            Thread.sleep(200); waited += 1
-          }
-          val (rows, mem, _) = reading.getOrElse(
-            sys.error(s"no state progress observed for $name at $label"))
+          val (_, rows, mem) = probe.run(name, dir)
           System.err.println(s"[streamstate] $name @ $label: state rows=$rows " +
             f"mem=${mem / 1048576.0}%.1f MiB (feed ${feeds(label)._1} events, " +
             s"${feeds(label)._2} users)")
@@ -858,7 +879,322 @@ object ScaleBench {
       }.mkString("{", ",", "}")
       println(s"""{"metric":"stream_state","factor":$factor,""" +
         s""""feeds":$feedJson,"queries":$qJson}""")
-    } finally spark.streams.removeListener(listener)
+    } finally probe.close()
+  }
+
+  /** State-store PROVIDER A/B at the scaled feed (`runMain
+    * graft.ScaleBench statestore`, round 17): the default HDFSBacked
+    * provider keeps every keyed state on the executor HEAP — the thing
+    * that eventually OOMs when keys reach billions — while the built-in
+    * RocksDB provider moves state to local disk behind a bounded block
+    * cache, which is the production setting at 100 TB. The
+    * SPARK_GRAFT_STATE_STORE knob has shipped since round 9
+    * (`Streaming.scala`), but no run ever MEASURED the trade; this arm
+    * runs each state-heavy lifecycle entry over the scaled feed under
+    * both providers — flipped via the same session confs the entry's
+    * own knob path sets — and records wall seconds, final state rows
+    * and the provider's own memory accounting. State rows must be
+    * EQUAL across providers (a provider is a storage engine, not a
+    * semantics change); the memory numbers are NOT comparable to each
+    * other (HDFSBacked reports heap map bytes, RocksDB reports
+    * memtable+cache usage) and are recorded as each provider's own
+    * pressure gauge. */
+  private def stateStoreProviderEvidence(spark: SparkSession): Unit = {
+    val src = sys.env.getOrElse("SPARK_GRAFT_SRC", "/root/testdata/sf0.1")
+    val out = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "/tmp/graft_sf1")
+    val factor = sys.env.getOrElse("SPARK_GRAFT_FACTOR", "10").toInt
+    if (!new java.io.File(s"$out/_READY").exists()) {
+      System.err.println(s"[statestore] building ${factor}x corpus at $out")
+      buildScaledData(spark, src, out, factor)
+    }
+    val entries = Seq("q_stream_sessions", "q_stream_sessions_bounded",
+      "q_stream_dedup", "q_stream_interval_join")
+    val providerConf = "spark.sql.streaming.stateStore.providerClass"
+    val arms: Seq[(String, () => Unit)] = Seq(
+      "hdfs" -> (() => spark.conf.set(providerConf,
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")),
+      "rocksdb" -> (() => {
+        spark.conf.set(providerConf,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        // bounded NATIVE memory — same discipline as the entry's own
+        // knob path (Streaming.scala): block cache + memtables compete
+        // with the JVM heap in one process on this harness
+        spark.conf.set(
+          "spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage", "true")
+        spark.conf.set(
+          "spark.sql.streaming.stateStore.rocksdb.maxMemoryUsageMB",
+          sys.env.getOrElse("SPARK_GRAFT_ROCKSDB_MB", "512"))
+      }))
+    val probe = new StreamStateProbe(spark)
+    try {
+      val results = entries.map { name =>
+        name -> arms.map { case (label, set) =>
+          set()
+          val (sec, rows, mem) = probe.run(name, out)
+          System.err.println(f"[statestore] $name @ $label: $sec%.1f s, " +
+            f"state rows=$rows, provider mem=${mem / 1048576.0}%.1f MiB")
+          label -> (sec, rows, mem)
+        }.toMap
+      }.toMap
+      results.foreach { case (n, per) =>
+        require(per("hdfs")._2 == per("rocksdb")._2,
+          s"$n state rows differ across providers: " +
+            s"hdfs=${per("hdfs")._2} rocksdb=${per("rocksdb")._2}")
+      }
+      val qJson = entries.map { n =>
+        val per = arms.map { case (label, _) =>
+          val (sec, rows, mem) = results(n)(label)
+          s""""$label":{"sec":$sec,"state_rows":$rows,"provider_bytes":$mem}"""
+        }.mkString("{", ",", "}")
+        s""""$n":$per"""
+      }.mkString("{", ",", "}")
+      println(s"""{"metric":"stream_state_provider","factor":$factor,""" +
+        s""""queries":$qJson}""")
+    } finally {
+      probe.close()
+      spark.conf.unset(providerConf)
+      spark.conf.unset("spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage")
+      spark.conf.unset("spark.sql.streaming.stateStore.rocksdb.maxMemoryUsageMB")
+    }
+  }
+
+  /** ANN recall at decade scale (`runMain graft.ScaleBench annrecall`,
+    * round 17): q_ann_recall hash-gates the recall CONTRACT at each
+    * corpus size; this arm measures how the recall/cost trade moves as
+    * the corpus grows under a FIXED index geometry — 12 hyperplanes /
+    * 4×3-bit bands for LSH, 16 k-means centroids for IVF — which is
+    * the honest 100 TB question: buckets fill as n grows, so candidate
+    * volume grows linearly (the cost) while recall drifts with bucket
+    * occupancy rather than holding magically. Sweeps the two
+    * production knobs (LSH Hamming-1 multi-probe on/off; IVF nprobe
+    * 1/2/4) over a 256-query panel at 1× and factor×, reporting
+    * recall@10, candidate volume, and wall seconds, plus the
+    * brute-force exact baseline wall for context. Candidate-superset
+    * monotonicity (multi-probe ⊇ exact-bucket; nprobe 4 ⊇ 2 ⊇ 1) is
+    * require()d; the band/probe-key helpers are SHARED with q_ann_lsh
+    * and q_ann_recall (Similarity.lsh*), so the arm cannot silently
+    * measure a lookalike instead of the production candidate stage. */
+  private def annRecallEvidence(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VectorOps
+    import graft.queries.Similarity
+    val src = sys.env.getOrElse("SPARK_GRAFT_SRC", "/root/testdata/sf0.1")
+    val out = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "/tmp/graft_sf1")
+    val factor = sys.env.getOrElse("SPARK_GRAFT_FACTOR", "10").toInt
+    if (!new java.io.File(s"$out/_READY").exists()) {
+      System.err.println(s"[annrecall] building ${factor}x corpus at $out")
+      buildScaledData(spark, src, out, factor)
+    }
+    val panel = 256
+    val k = 10
+    val armJsons = Seq("1x" -> src, s"${factor}x" -> out).map { case (label, dir) =>
+      val base = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"),
+          VectorOps.normalized(col("embedding")).as("nvec"))
+        .persist()
+      val n = base.count()
+      val queries = base.filter(col("vec_id") < panel)
+        .select(col("vec_id").as("q_id"), col("nvec").as("q_nvec"),
+          col("embedding"))
+        .persist()
+      val nq = queries.count()
+      val wTop = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      def topK(scored: DataFrame): DataFrame =
+        scored.withColumn("rn", row_number().over(wTop))
+          .filter(col("rn") <= k).select(col("q_id"), col("vec_id"))
+      // exact ground truth + its wall — the brute-force O(n·panel)
+      // baseline an index must beat
+      val t0 = System.nanoTime()
+      val exactTop = topK(base
+        .crossJoin(broadcast(queries.select(col("q_id"), col("q_nvec"))))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          VectorOps.dotD(col("nvec"), col("q_nvec")).as("cos")))
+        .persist()
+      val truth = exactTop.count()
+      val exactSec = (System.nanoTime() - t0) / 1e9
+
+      def measure(scored: DataFrame): (Double, Long, Long) = {
+        val t = System.nanoTime()
+        val cand = scored.count()
+        val hits = exactTop.join(topK(scored), Seq("q_id", "vec_id")).count()
+        ((System.nanoTime() - t) / 1e9, cand, hits)
+      }
+
+      // LSH: the corpus side emits exactly 4 band keys per vector at
+      // every knob setting — the probe knob only fans out the query side
+      val corpusBands = base.select(col("vec_id"), col("nvec"),
+        explode(Similarity.lshBandKeys(
+          Similarity.lshSignBucket(col("embedding")))).as("band_key"))
+      def lshScored(flips: Seq[Int]): DataFrame =
+        corpusBands.join(broadcast(queries.select(col("q_id"), col("q_nvec"),
+          explode(Similarity.lshProbeKeys(
+            Similarity.lshSignBucket(col("embedding")), flips))
+            .as("band_key"))),
+          "band_key")
+          .filter(col("vec_id") =!= col("q_id"))
+          .groupBy(col("q_id"), col("vec_id"))
+          .agg(max(VectorOps.dotD(col("nvec"), col("q_nvec"))).as("cos"))
+
+      // IVF: one shared fit (the q_ann_ivf geometry: 16 centroids,
+      // 3 Lloyd iterations), nprobe sweeps the query-side fan-out
+      val cents = Similarity.kmeansCentroids(
+        base.select(col("vec_id"), col("nvec")), "nvec", 64, 16, iters = 3)
+      val assigned = base.select(col("vec_id"), col("nvec"),
+        Similarity.nearestCentroid(col("nvec"), cents).as("cid")).persist()
+      assigned.count()
+      val dotStructs = array(cents.zipWithIndex.map { case (c, i) =>
+        struct(VectorOps.dotD(col("q_nvec"), lit(c)).as("d"), lit(i).as("i"))
+      }: _*)
+      def ivfScored(nprobe: Int): DataFrame = {
+        val qlists = queries
+          .select(col("q_id"), col("q_nvec"),
+            explode(slice(reverse(array_sort(dotStructs)), 1, nprobe))
+              .as("probe"))
+          .select(col("q_id"), col("q_nvec"), col("probe.i").as("cid"))
+        assigned.join(broadcast(qlists), "cid")
+          .filter(col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id"),
+            VectorOps.dotD(col("nvec"), col("q_nvec")).as("cos"))
+      }
+
+      val configs = Seq(
+        "lsh_exact_bucket" -> lshScored(Seq(0)),
+        "lsh_hamming1" -> lshScored(Seq(0, 1, 2, 4)),
+        "ivf_np1" -> ivfScored(1),
+        "ivf_np2" -> ivfScored(2),
+        "ivf_np4" -> ivfScored(4))
+      val measured = configs.map { case (name, scored) =>
+        val (sec, cand, hits) = measure(scored)
+        val recall = hits.toDouble / truth
+        System.err.println(f"[annrecall] $label $name: recall=$recall%.3f " +
+          f"cand/query=${cand.toDouble / nq}%.0f " +
+          f"(${cand.toDouble / nq / n * 100}%.2f%% of corpus) $sec%.1f s")
+        name -> ((sec, cand, recall))
+      }
+      val byName = measured.toMap
+      require(byName("lsh_hamming1")._2 >= byName("lsh_exact_bucket")._2,
+        "multi-probe produced fewer candidates than the exact bucket")
+      require(byName("ivf_np2")._2 >= byName("ivf_np1")._2 &&
+        byName("ivf_np4")._2 >= byName("ivf_np2")._2,
+        "larger nprobe produced fewer candidates")
+      base.unpersist(); queries.unpersist()
+      exactTop.unpersist(); assigned.unpersist()
+      val cfgJson = measured.map { case (nm, (sec, cand, rec)) =>
+        s""""$nm":{"recall":$rec,"candidates":$cand,"sec":$sec}"""
+      }.mkString("{", ",", "}")
+      s""""$label":{"n":$n,"panel":$nq,"exact_sec":$exactSec,"configs":$cfgJson}"""
+    }
+    println(s"""{"metric":"ann_recall","factor":$factor,"k":$k,""" +
+      s""""arms":${armJsons.mkString("{", ",", "}")}}""")
+  }
+
+  /** Bucketed fact-fact join A/B (`runMain graft.ScaleBench
+    * bucketedfacts`, round 17): BucketingSpec pins the PLAN contract —
+    * bucketed tables co-locate join keys, so an equi-join plans with no
+    * exchange — at spec scale; this arm measures what that layout buys
+    * on the two biggest facts at the scaled size. lineitem ⋈ orders on
+    * orderkey with a revenue aggregate (the q3 shape minus the dim
+    * join) runs against plain parquet vs bucketBy(32, orderkey) tables
+    * written through the same one-file-per-bucket discipline as the
+    * dedup band indexes; a second probe does a pure groupBy(orderkey)
+    * aggregate. Bucketing is a pay-once layout cost that deletes BOTH
+    * sides' per-query shuffles — the trade a 100 TB warehouse prices
+    * nightly — so the write walls are recorded alongside the query
+    * walls. Broadcast is disabled: at real scale neither fact fits the
+    * threshold, and the shuffle-vs-co-located contrast is the point. */
+  private def bucketedFactsEvidence(spark: SparkSession): Unit = {
+    val src = sys.env.getOrElse("SPARK_GRAFT_SRC", "/root/testdata/sf0.1")
+    val out = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "/tmp/graft_sf1")
+    val factor = sys.env.getOrElse("SPARK_GRAFT_FACTOR", "10").toInt
+    if (!new java.io.File(s"$out/_READY").exists()) {
+      System.err.println(s"[bucketedfacts] building ${factor}x corpus at $out")
+      buildScaledData(spark, src, out, factor)
+    }
+    val buckets = 32
+    val li = spark.read.parquet(s"$out/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    val or = spark.read.parquet(s"$out/orders.parquet")
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_shippriority"))
+    val liT = graft.queries.Dedup.freshIndexName(spark, "graft_fact_lineitem")
+    val orT = graft.queries.Dedup.freshIndexName(spark, "graft_fact_orders")
+    def writeBucketed(df: DataFrame, name: String, key: String): Double = {
+      val path = new java.io.File(new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_fact_bucketed"), name)
+        .getAbsolutePath
+      val t0 = System.nanoTime()
+      df.repartition(buckets, col(key))
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(buckets, key).sortBy(key)
+        .option("path", path).saveAsTable(name)
+      (System.nanoTime() - t0) / 1e9
+    }
+    val liWriteSec = writeBucketed(li, liT, "l_orderkey")
+    val orWriteSec = writeBucketed(or, orT, "o_orderkey")
+    def revenue(liDf: DataFrame, orDf: DataFrame): DataFrame =
+      orDf.join(liDf, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_shippriority"))
+        .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"))
+    def orderAgg(liDf: DataFrame): DataFrame =
+      liDf.groupBy(col("l_orderkey"))
+        .agg(sum(col("l_extendedprice")).as("total"))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      def timeCount(df: DataFrame): (Double, Long) = {
+        val t0 = System.nanoTime()
+        val n = df.count()
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      // warm file listings
+      li.limit(1).count(); or.limit(1).count()
+      spark.table(liT).limit(1).count(); spark.table(orT).limit(1).count()
+      def ab(plain: () => DataFrame, bucketed: () => DataFrame,
+             what: String): (Double, Double, Long) = {
+        // alternated min-of-2 per arm (the round-16 cold-first lesson)
+        val p1 = timeCount(plain()); val b1 = timeCount(bucketed())
+        val p2 = timeCount(plain()); val b2 = timeCount(bucketed())
+        require(p1._2 == b1._2,
+          s"$what row counts differ: plain=${p1._2} bucketed=${b1._2}")
+        (math.min(p1._1, p2._1), math.min(b1._1, b2._1), p1._2)
+      }
+      val (joinPlainSec, joinBuckSec, joinRows) = ab(
+        () => revenue(li, or),
+        () => revenue(spark.table(liT), spark.table(orT)), "join")
+      val (aggPlainSec, aggBuckSec, aggRows) = ab(
+        () => orderAgg(li), () => orderAgg(spark.table(liT)), "agg")
+      // plan contract at the measured size (BucketingSpec pins it at
+      // spec scale): no hash-partition exchange anywhere in the
+      // bucketed join plan; the plain plan must carry the shuffles
+      def planOf(df: DataFrame): String = {
+        df.count(); df.queryExecution.executedPlan.toString
+      }
+      val bJoinPlan = planOf(revenue(spark.table(liT), spark.table(orT)))
+      val pJoinPlan = planOf(revenue(li, or))
+      require(!bJoinPlan.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle:\n$bJoinPlan")
+      require(pJoinPlan.contains("Exchange hashpartitioning"),
+        "plain join unexpectedly shuffle-free — the A/B is not measuring " +
+          "the co-location win")
+      val bAggPlan = planOf(orderAgg(spark.table(liT)))
+      require(!bAggPlan.contains("Exchange hashpartitioning"),
+        s"bucketed agg must not shuffle:\n$bAggPlan")
+      System.err.println(f"[bucketedfacts] ${factor}x join: plain " +
+        f"$joinPlainSec%.1f s vs bucketed $joinBuckSec%.1f s ($joinRows rows); " +
+        f"agg: $aggPlainSec%.1f vs $aggBuckSec%.1f s ($aggRows rows); " +
+        f"writes li=$liWriteSec%.1f or=$orWriteSec%.1f s")
+      println(s"""{"metric":"bucketed_facts","factor":$factor,""" +
+        s""""buckets":$buckets,"join_plain_sec":$joinPlainSec,""" +
+        s""""join_bucketed_sec":$joinBuckSec,"join_rows":$joinRows,""" +
+        s""""agg_plain_sec":$aggPlainSec,"agg_bucketed_sec":$aggBuckSec,""" +
+        s""""agg_rows":$aggRows,"write_lineitem_sec":$liWriteSec,""" +
+        s""""write_orders_sec":$orWriteSec}""")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql(s"DROP TABLE IF EXISTS $liT")
+      spark.sql(s"DROP TABLE IF EXISTS $orT")
+    }
   }
 
   /** Triangles wedge-split A/B (`runMain graft.ScaleBench triangles`,
@@ -1181,6 +1517,52 @@ object ScaleBench {
         .getOrCreate()
       spark.sparkContext.setLogLevel("WARN")
       streamStateEvidence(spark)
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("statestore")) {
+      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+      val spark = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      stateStoreProviderEvidence(spark)
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("annrecall")) {
+      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+      val spark = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      annRecallEvidence(spark)
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("bucketedfacts")) {
+      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+      val spark = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      bucketedFactsEvidence(spark)
       spark.stop()
       return
     }

@@ -55,33 +55,50 @@ object Similarity {
     * deterministic and SQL-expressible; SimilaritySpec additionally
     * asserts recall against the exact top-k. */
   private val lshAnnDims = 64
-  private val lshAnnPlanes: Seq[Seq[Double]] = {
+  private[graft] val lshAnnPlanes: Seq[Seq[Double]] = {
     val rng = new scala.util.Random(7)
     Seq.fill(12)(Seq.fill(lshAnnDims)(rng.nextGaussian()))
   }
 
-  def qAnnLsh(s: SparkSession, dir: String): DataFrame = {
-    val planes = lshAnnPlanes
-
-    def signBits(vec: org.apache.spark.sql.Column) = {
-      val bits = planes.zipWithIndex.map { case (p, i) =>
-        val proj = aggregate(
-          zip_with(vec, lit(p.toArray), (x, w) => x.cast(DoubleType) * w),
-          lit(0.0), (acc, x) => acc + x)
-        when(proj > 0, lit(1L << i)).otherwise(0L)
-      }
-      bits.reduce(_ + _)
+  /** 12-bit sign bucket from the fixed hyperplanes — the shared LSH
+    * plumbing [[qAnnLsh]], [[qAnnRecall]] and the ScaleBench recall arm
+    * all ride, so the measured recall is the recall OF the production
+    * candidate stage, not of a lookalike. Sign fold is the sequential
+    * double fold the DuckDB oracles mirror. */
+  private[graft] def lshSignBucket(vec: Column): Column = {
+    val bits = lshAnnPlanes.zipWithIndex.map { case (p, i) =>
+      val proj = aggregate(
+        zip_with(vec, lit(p.toArray), (x, w) => x.cast(DoubleType) * w),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj > 0, lit(1L << i)).otherwise(0L)
     }
+    bits.reduce(_ + _)
+  }
 
+  /** Corpus-side band keys: 4 bands × 3 bits of the sign bucket. */
+  private[graft] def lshBandKeys(bucket: Column): Column =
+    array((0 until 4).map(i =>
+      concat_ws(":", lit(i),
+        shiftright(bucket, i * 3).bitwiseAND(lit(7L)))): _*)
+
+  /** Query-side probe keys: each band's own bucket plus, when
+    * `flips` carries the Hamming-1 set, its 3 single-bit neighbors —
+    * query-side fan-out only, the corpus index never grows. */
+  private[graft] def lshProbeKeys(bucket: Column,
+                                  flips: Seq[Int] = Seq(0, 1, 2, 4)): Column =
+    array((for (i <- 0 until 4; flip <- flips) yield
+      concat_ws(":", lit(i),
+        shiftright(bucket, i * 3).bitwiseAND(lit(7L))
+          .bitwiseXOR(lit(flip.toLong)))): _*)
+
+  def qAnnLsh(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
-      .withColumn("bucket", signBits(col("embedding")))
-      .withColumn("bands", array((0 until 4).map(i =>
-        concat_ws(":", lit(i), expr(s"(bucket >> ${i * 3}) & 7"))): _*))
+      .withColumn("bucket", lshSignBucket(col("embedding")))
+      .withColumn("bands", lshBandKeys(col("bucket")))
     // query probes each band's bucket AND its 3 single-bit flips
-    val probeBands = array((for (i <- 0 until 4; flip <- Seq(0, 1, 2, 4)) yield
-      concat_ws(":", lit(i), expr(s"((bucket >> ${i * 3}) & 7) ^ $flip"))): _*)
     val q = e.filter(col("vec_id") === 0)
-      .select(explode(probeBands).as("band_key"), col("embedding").as("q_vec"))
+      .select(explode(lshProbeKeys(col("bucket"))).as("band_key"),
+        col("embedding").as("q_vec"))
     e.filter(col("vec_id") =!= 0)
       .select(col("vec_id"), col("label"), col("embedding"),
         explode(col("bands")).as("band_key"))
@@ -122,12 +139,121 @@ object Similarity {
        |ORDER BY cosine DESC, e.vec_id LIMIT 10""".stripMargin
   }
 
+  /** ANN recall@k — the eval primitive that turns the radius-recall
+    * contract into a MEASURED, oracle-gated number instead of prose:
+    * for a fixed panel of the `panel` lowest-id vectors, the LSH
+    * candidate stage's top-k (the exact production machinery —
+    * [[lshSignBucket]] / [[lshBandKeys]] / Hamming-1 [[lshProbeKeys]],
+    * shared with [[qAnnLsh]]) is compared against the EXACT cosine
+    * top-k and each query's candidate volume + hit count becomes a
+    * recall row. Scale shape: the exact arm is O(n·panel) map-side
+    * work against a broadcast panel — the cost an eval harness pays by
+    * design (the panel is a constant, never the corpus) — and both
+    * top-k windows carry a rank≤k filter Spark rewrites into
+    * per-partition group limits (WindowGroupLimit), so no partition
+    * sort ever holds more than k·queries rows past the scan.
+    * Determinism: dots are the bit-exact [[VectorOps.dotD]] fold, ties
+    * break on vec_id, recall is hits/k (IEEE division of exact ints —
+    * bit-identical in any engine), so the DuckDB oracle replays the
+    * whole pipeline and hashes equal. */
+  def qAnnRecall(s: SparkSession, dir: String): DataFrame = {
+    val panel = 32
+    val k = 10
+    val base = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"),
+        VectorOps.normalized(col("embedding")).as("nvec"))
+    val queries = base.filter(col("vec_id") < panel)
+      .select(col("vec_id").as("q_id"), col("nvec").as("q_nvec"),
+        lshProbeKeys(lshSignBucket(col("embedding"))).as("probes"))
+    val wTop = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    val exactTop = base
+      .crossJoin(broadcast(queries.select(col("q_id"), col("q_nvec"))))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        VectorOps.dotD(col("nvec"), col("q_nvec")).as("cos"))
+      .withColumn("rn", row_number().over(wTop)).filter(col("rn") <= k)
+      .select(col("q_id"), col("vec_id"))
+    // one row per (query, candidate): the multi-band explode can match
+    // a pair in several bands, the groupBy collapses them (the oracle's
+    // OR-over-bands join lands on the same pair set directly)
+    val scored = base
+      .select(col("vec_id"), col("nvec"),
+        explode(lshBandKeys(lshSignBucket(col("embedding")))).as("band_key"))
+      .join(broadcast(queries.select(col("q_id"), col("q_nvec"),
+        explode(col("probes")).as("band_key"))), "band_key")
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(max(VectorOps.dotD(col("nvec"), col("q_nvec"))).as("cos"))
+    val annTop = scored.withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= k).select(col("q_id"), col("vec_id"))
+    val cands = scored.groupBy(col("q_id")).agg(count(lit(1)).as("candidates"))
+    val hits = exactTop.join(annTop, Seq("q_id", "vec_id"))
+      .groupBy(col("q_id")).agg(count(lit(1)).as("hits"))
+    queries.select(col("q_id"))
+      .join(cands, Seq("q_id"), "left").join(hits, Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("candidates"), lit(0L)).as("candidates"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        (coalesce(col("hits"), lit(0L)) / lit(k.toDouble)).as("recall"))
+      .orderBy(col("q_id"))
+  }
+
+  /** DuckDB mirror of qAnnRecall: same plane literals and sequential
+    * dot folds, the band match as the XOR ∈ {0,1,2,4} OR (one row per
+    * candidate pair — the engine's explode+groupBy collapses to the
+    * same set), per-query top-10 windows with the same (cos DESC,
+    * vec_id) ties, hits by pair-join, recall = hits / 10.0. */
+  private val qAnnRecallOracle = {
+    def dotLit(vec: String, p: Seq[Double]) = {
+      val arr = p.mkString("[", ", ", "]")
+      s"""list_reduce(list_transform(list_zip($vec, $arr),
+         |      p -> CAST(p[1] AS DOUBLE) * p[2]), (x, y) -> x + y)""".stripMargin
+    }
+    val bucket = lshAnnPlanes.zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN ${dotLit("embedding", p)} > 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString("\n    + ")
+    val bandMatch = (0 until 4).map(i =>
+      s"xor((e.bucket >> ${i * 3}) & 7, (q.q_bucket >> ${i * 3}) & 7) IN (0, 1, 2, 4)")
+      .mkString("\n       OR ")
+    val dotNq = VectorOps.dotDSql("e.nvec", "q.q_nvec")
+    s"""WITH b AS (SELECT vec_id, ${VectorOps.normalizedSql("embedding")} AS nvec,
+       |    $bucket AS bucket
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, nvec AS q_nvec, bucket AS q_bucket
+       |  FROM b WHERE vec_id < 32),
+       |exact AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q.q_id, e.vec_id,
+       |      row_number() OVER (PARTITION BY q.q_id
+       |        ORDER BY $dotNq DESC, e.vec_id) AS rn
+       |    FROM b e, q WHERE e.vec_id <> q.q_id)
+       |  WHERE rn <= 10),
+       |cand AS (
+       |  SELECT q.q_id, e.vec_id, $dotNq AS cos
+       |  FROM b e, q
+       |  WHERE e.vec_id <> q.q_id AND ($bandMatch)),
+       |anntop AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
+       |    FROM cand) WHERE rn <= 10),
+       |cc AS (SELECT q_id, count(*) AS candidates FROM cand GROUP BY q_id),
+       |hh AS (SELECT a.q_id, count(*) AS hits
+       |  FROM anntop a JOIN exact e ON a.q_id = e.q_id AND a.vec_id = e.vec_id
+       |  GROUP BY a.q_id)
+       |SELECT q.q_id, COALESCE(cc.candidates, 0) AS candidates,
+       |  COALESCE(hh.hits, 0) AS hits, COALESCE(hh.hits, 0) / 10.0 AS recall
+       |FROM q LEFT JOIN cc ON q.q_id = cc.q_id LEFT JOIN hh ON q.q_id = hh.q_id
+       |ORDER BY q.q_id""".stripMargin
+  }
+
   /** Nearest-centroid id for a normalized vector against k centroid
     * LITERALS — a pure map-side projection, no crossJoin, no window
     * shuffle, one codegen'd primitive loop per row (ArgmaxDot; ties
     * break toward the higher centroid id, deterministically). */
-  private def nearestCentroid(nvec: org.apache.spark.sql.Column,
-                              cents: Seq[Array[Double]]): org.apache.spark.sql.Column =
+  private[graft] def nearestCentroid(nvec: org.apache.spark.sql.Column,
+                                     cents: Seq[Array[Double]]): org.apache.spark.sql.Column =
     graft.functions.ArgmaxDot.argmaxDot(nvec, cents)
 
   /** Distributed spherical k-means (Lloyd) refinement: each iteration
@@ -940,7 +1066,8 @@ object Similarity {
     "q_embed_quant" -> (qEmbedQuant _),
     "q_embed_cosine_topk" -> (qEmbedCosineTopk _),
     "q_ann_lsh" -> (qAnnLsh _),
-    "q_ann_ivf" -> (qAnnIvf _)
+    "q_ann_ivf" -> (qAnnIvf _),
+    "q_ann_recall" -> (qAnnRecall _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -953,6 +1080,7 @@ object Similarity {
     "q_embed_quant" -> qEmbedQuantOracle,
     "q_embed_cosine_topk" -> qEmbedCosineTopkOracle,
     "q_ann_lsh" -> qAnnLshOracle,
-    "q_ann_ivf" -> qAnnIvfOracle
+    "q_ann_ivf" -> qAnnIvfOracle,
+    "q_ann_recall" -> qAnnRecallOracle
   )
 }

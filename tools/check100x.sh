@@ -36,6 +36,10 @@ QUERIES="$QUERIES q_join_inner q_join_left q_join_anti q_join_multiway \
   q_snapshot_diff q_sample_hash q_split_holdout q_shard_assign \
   q_text_stats q_text_fingerprint q_profile_stats q_agg_mode \
   q_events_retention q_events_transitions"
+# Round-17: the recall@k eval primitive at 200k vectors — the panel's
+# exact top-k and the LSH candidate replay are both linear in n (panel
+# is a constant 32), so the oracle stays minutes-cheap at this decade.
+QUERIES="$QUERIES q_ann_recall"
 if [ "$SKIP_SIMHASH" = "0" ]; then QUERIES="$QUERIES q_dedup_simhash"; fi
 cd "$(dirname "$0")/.."
 sbt -batch "runMain graft.Verify $SF $OUT $QUERIES"

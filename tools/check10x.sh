@@ -41,6 +41,11 @@ QUERIES="$QUERIES q_join_inner q_join_left q_join_semi q_join_anti \
 QUERIES="$QUERIES q_embed_centroid q_embed_covariance q_embed_covariance_full \
   q_embed_kmeans q_embed_pca_power q_embed_quant q_ann_lsh q_ann_ivf \
   q_ann_range q_dedup_semdedup q_dedup_semdedup_2l q_decontaminate_semantic"
+# Round-17: the recall@k eval primitive — its oracle replays the exact
+# top-k AND the LSH candidate stage per panel query, so bucket-occupancy
+# drift at 10x (2k -> 20k vectors in a fixed 12-bit bucket space) is
+# hash-gated, not just arm-measured.
+QUERIES="$QUERIES q_ann_recall"
 cd "$(dirname "$0")/.."
 sbt -batch "runMain graft.Verify $SF $OUT $QUERIES"
 python3 tools/check.py "$SF" "$OUT"
