@@ -91,7 +91,11 @@ object Explain {
     // (band, 4-minima-struct) self-join and simhash's 32-bit
     // sixteenth-pair multi-probe join with the in-join Hamming gate —
     // and the two-level semdedup's composite-(cid,fid)-keyed pair join
-    "q_dedup_simhash", "q_dedup_semdedup_2l")
+    "q_dedup_simhash", "q_dedup_semdedup_2l",
+    // round 17: the recall@k eval primitive — broadcast panel on both
+    // arms, WindowGroupLimit on both rank<=k windows (no full per-query
+    // sorts), the banded candidate join feeding the hit-count join
+    "q_ann_recall")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -1116,7 +1116,7 @@ object ScaleBench {
     val li = spark.read.parquet(s"$out/lineitem.parquet")
       .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
     val or = spark.read.parquet(s"$out/orders.parquet")
-      .select(col("o_orderkey"), col("o_orderdate"), col("o_shippriority"))
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
     val liT = graft.queries.Dedup.freshIndexName(spark, "graft_fact_lineitem")
     val orT = graft.queries.Dedup.freshIndexName(spark, "graft_fact_orders")
     def writeBucketed(df: DataFrame, name: String, key: String): Double = {
@@ -1134,7 +1134,7 @@ object ScaleBench {
     val orWriteSec = writeBucketed(or, orT, "o_orderkey")
     def revenue(liDf: DataFrame, orDf: DataFrame): DataFrame =
       orDf.join(liDf, col("o_orderkey") === col("l_orderkey"))
-        .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_shippriority"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
         .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
           .as("revenue"))
     def orderAgg(liDf: DataFrame): DataFrame =

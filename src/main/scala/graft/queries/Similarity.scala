@@ -343,11 +343,21 @@ object Similarity {
     * final assignment, the query's (dot desc, cid desc) top-2 probe
     * lists, and exact dot over candidates only. Every double op
     * mirrors the engine's IEEE op sequence, so hashes compare raw. */
-  private val qAnnIvfOracle = {
+  /** Sequential-fold dot product in DuckDB list SQL — the oracle twin
+    * of [[VectorOps.dotD]]'s op order (shared by the IVF oracles). */
+  private def ivfDotSql(a: String, b: String) =
+    s"""list_reduce(list_transform(list_zip($a, $b),
+       |      p -> p[1] * p[2]), (x, y) -> x + y)""".stripMargin
+
+  /** Shared DuckDB CTE prefix for the IVF oracles: normalized base,
+    * 16 lowest-id seeds, the 3 unrolled integer-scaled Lloyd
+    * iterations, and the final assignment `s4(vec_id, label, nvec,
+    * cid)` with centroids in `c3`. Factored (round 17) so q_ann_ivf
+    * and q_ann_recall_ivf replay ONE fit definition — the two oracles
+    * cannot drift apart. */
+  private val ivfAssignCtes: String = {
     val dims = 64
-    def dotD(a: String, b: String) =
-      s"""list_reduce(list_transform(list_zip($a, $b),
-         |      p -> p[1] * p[2]), (x, y) -> x + y)""".stripMargin
+    def dotD(a: String, b: String) = ivfDotSql(a, b)
     def sumSq(l: String) =
       s"list_reduce(list_transform($l, x -> x * x), (x, y) -> x + y)"
     def iter(prev: String, t: Int): String =
@@ -383,16 +393,110 @@ object Similarity {
        |  SELECT b.vec_id, b.label, b.nvec,
        |    max(struct_pack(d := ${dotD("b.nvec", "c.cent")}, i := c.cid)) AS pick
        |  FROM base b, c3 c GROUP BY b.vec_id, b.label, b.nvec),
-       |s4 AS (SELECT vec_id, label, nvec, pick.i AS cid FROM a4),
+       |s4 AS (SELECT vec_id, label, nvec, pick.i AS cid FROM a4)""".stripMargin
+  }
+
+  private val qAnnIvfOracle =
+    s"""$ivfAssignCtes,
        |q AS (SELECT nvec AS qv FROM base WHERE vec_id = 0),
        |probes AS (
        |  SELECT c.cid FROM c3 c, q
-       |  ORDER BY ${dotD("q.qv", "c.cent")} DESC, c.cid DESC LIMIT 2)
-       |SELECT s.vec_id, s.label, ${dotD("s.nvec", "q.qv")} AS cosine
+       |  ORDER BY ${ivfDotSql("q.qv", "c.cent")} DESC, c.cid DESC LIMIT 2)
+       |SELECT s.vec_id, s.label, ${ivfDotSql("s.nvec", "q.qv")} AS cosine
        |FROM s4 s, q
        |WHERE s.vec_id <> 0 AND s.cid IN (SELECT cid FROM probes)
        |ORDER BY cosine DESC, s.vec_id LIMIT 10""".stripMargin
+
+  /** IVF twin of [[qAnnRecall]]: recall@10 of the q_ann_ivf probe path
+    * (16-centroid Lloyd fit, nprobe=2 nearest lists per query) against
+    * the exact cosine top-k over the same 32-query panel. Together the
+    * two recall entries gate BOTH production ANN paths' quality as
+    * measured numbers; the fit, assignment and probe ordering are the
+    * exact q_ann_ivf machinery ([[kmeansCentroids]] /
+    * [[nearestCentroid]], (dot DESC, cid DESC) probe order), and the
+    * oracle replays them through the SAME shared CTE prefix as
+    * q_ann_ivf's oracle, so the two cannot drift. */
+  def qAnnRecallIvf(s: SparkSession, dir: String): DataFrame = {
+    val panel = 32
+    val k = 10
+    val nprobe = 2
+    val base = Tables.embeddings(s, dir)
+      .select(col("vec_id"), VectorOps.normalized(col("embedding")).as("nvec"))
+    val cents = kmeansCentroids(base, "nvec", 64, 16, iters = 3)
+    val assigned = base.withColumn("cid", nearestCentroid(col("nvec"), cents))
+    val queries = assigned.filter(col("vec_id") < panel)
+      .select(col("vec_id").as("q_id"), col("nvec").as("q_nvec"))
+    val wTop = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    val exactTop = base.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        VectorOps.dotD(col("nvec"), col("q_nvec")).as("cos"))
+      .withColumn("rn", row_number().over(wTop)).filter(col("rn") <= k)
+      .select(col("q_id"), col("vec_id"))
+    val dotStructs = array(cents.zipWithIndex.map { case (c, i) =>
+      struct(VectorOps.dotD(col("q_nvec"), lit(c)).as("d"), lit(i).as("i"))
+    }: _*)
+    val qlists = queries
+      .select(col("q_id"), col("q_nvec"),
+        explode(slice(reverse(array_sort(dotStructs)), 1, nprobe)).as("probe"))
+      .select(col("q_id"), col("q_nvec"), col("probe.i").as("cid"))
+    // pair-unique by construction: a vector lives in exactly one list
+    // and a query probes nprobe DISTINCT lists
+    val scored = assigned.join(broadcast(qlists), "cid")
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        VectorOps.dotD(col("nvec"), col("q_nvec")).as("cos"))
+    val annTop = scored.withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= k).select(col("q_id"), col("vec_id"))
+    val cands = scored.groupBy(col("q_id")).agg(count(lit(1)).as("candidates"))
+    val hits = exactTop.join(annTop, Seq("q_id", "vec_id"))
+      .groupBy(col("q_id")).agg(count(lit(1)).as("hits"))
+    queries.select(col("q_id"))
+      .join(cands, Seq("q_id"), "left").join(hits, Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("candidates"), lit(0L)).as("candidates"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        (coalesce(col("hits"), lit(0L)) / lit(k.toDouble)).as("recall"))
+      .orderBy(col("q_id"))
   }
+
+  /** DuckDB mirror of qAnnRecallIvf: the shared IVF fit prefix, a
+    * per-query (dot DESC, cid DESC) top-nprobe window, candidates by
+    * list membership, per-query top-10, hits by pair-join. */
+  private val qAnnRecallIvfOracle =
+    s"""$ivfAssignCtes,
+       |q AS (SELECT vec_id AS q_id, nvec AS q_nvec FROM base WHERE vec_id < 32),
+       |exact AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q.q_id, e.vec_id,
+       |      row_number() OVER (PARTITION BY q.q_id
+       |        ORDER BY ${ivfDotSql("e.nvec", "q.q_nvec")} DESC, e.vec_id) AS rn
+       |    FROM base e, q WHERE e.vec_id <> q.q_id)
+       |  WHERE rn <= 10),
+       |probes AS (
+       |  SELECT q_id, cid FROM (
+       |    SELECT q.q_id, c.cid,
+       |      row_number() OVER (PARTITION BY q.q_id
+       |        ORDER BY ${ivfDotSql("q.q_nvec", "c.cent")} DESC, c.cid DESC) AS rn
+       |    FROM c3 c, q) WHERE rn <= 2),
+       |cand AS (
+       |  SELECT q.q_id, s.vec_id, ${ivfDotSql("s.nvec", "q.q_nvec")} AS cos
+       |  FROM s4 s JOIN probes p ON s.cid = p.cid JOIN q ON q.q_id = p.q_id
+       |  WHERE s.vec_id <> q.q_id),
+       |anntop AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
+       |    FROM cand) WHERE rn <= 10),
+       |cc AS (SELECT q_id, count(*) AS candidates FROM cand GROUP BY q_id),
+       |hh AS (SELECT a.q_id, count(*) AS hits
+       |  FROM anntop a JOIN exact e ON a.q_id = e.q_id AND a.vec_id = e.vec_id
+       |  GROUP BY a.q_id)
+       |SELECT q.q_id, COALESCE(cc.candidates, 0) AS candidates,
+       |  COALESCE(hh.hits, 0) AS hits, COALESCE(hh.hits, 0) / 10.0 AS recall
+       |FROM q LEFT JOIN cc ON q.q_id = cc.q_id LEFT JOIN hh ON q.q_id = hh.q_id
+       |ORDER BY q.q_id""".stripMargin
 
   /** Scalar (int8) embedding quantization — the 4× storage compression
     * a 100 TB embedding corpus ships with: per-vector min/max affine
@@ -1067,7 +1171,8 @@ object Similarity {
     "q_embed_cosine_topk" -> (qEmbedCosineTopk _),
     "q_ann_lsh" -> (qAnnLsh _),
     "q_ann_ivf" -> (qAnnIvf _),
-    "q_ann_recall" -> (qAnnRecall _)
+    "q_ann_recall" -> (qAnnRecall _),
+    "q_ann_recall_ivf" -> (qAnnRecallIvf _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1081,6 +1186,7 @@ object Similarity {
     "q_embed_cosine_topk" -> qEmbedCosineTopkOracle,
     "q_ann_lsh" -> qAnnLshOracle,
     "q_ann_ivf" -> qAnnIvfOracle,
-    "q_ann_recall" -> qAnnRecallOracle
+    "q_ann_recall" -> qAnnRecallOracle,
+    "q_ann_recall_ivf" -> qAnnRecallIvfOracle
   )
 }

@@ -56,4 +56,25 @@ class AnnRecallSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"),
       s"expected the rank filter to push a group limit:\n$plan")
   }
+
+  test("IVF recall twin: panel-complete, bounded, and candidates are " +
+    "LIST-membership-bounded (a vector lives in exactly one of the 16 " +
+    "lists, a query probes 2)") {
+    val rows = Similarity.qAnnRecallIvf(spark, sf).collect()
+    assert(rows.length == 32)
+    rows.foreach { r =>
+      val (cand, hits, recall) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      // 2-of-16 lists: candidates can never reach the whole corpus
+      assert(cand >= 0 && cand < 500, s"candidates out of range: $cand")
+      assert(hits >= 0 && hits <= 10 && hits <= cand)
+      assert(recall == hits / 10.0 && recall >= 0.0 && recall <= 1.0)
+    }
+    assert(rows.map(_.getLong(2)).sum > 0, "zero hits across the panel")
+    // the probe is a real PRUNE: total candidates must be well under
+    // panel × corpus (the LSH multi-probe form cannot promise this —
+    // that contrast is the measured annrecall-arm story)
+    val total = rows.map(_.getLong(1)).sum
+    assert(total < 32L * 500 / 2,
+      s"IVF candidates $total not pruning below half the corpus")
+  }
 }

@@ -45,7 +45,7 @@ QUERIES="$QUERIES q_embed_centroid q_embed_covariance q_embed_covariance_full \
 # top-k AND the LSH candidate stage per panel query, so bucket-occupancy
 # drift at 10x (2k -> 20k vectors in a fixed 12-bit bucket space) is
 # hash-gated, not just arm-measured.
-QUERIES="$QUERIES q_ann_recall"
+QUERIES="$QUERIES q_ann_recall q_ann_recall_ivf"
 cd "$(dirname "$0")/.."
 sbt -batch "runMain graft.Verify $SF $OUT $QUERIES"
 python3 tools/check.py "$SF" "$OUT"
