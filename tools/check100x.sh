@@ -40,6 +40,16 @@ QUERIES="$QUERIES q_join_inner q_join_left q_join_anti q_join_multiway \
 # exact top-k and the LSH candidate replay are both linear in n (panel
 # is a constant 32), so the oracle stays minutes-cheap at this decade.
 QUERIES="$QUERIES q_ann_recall"
+# Round-17 second wave: the cheap-linear-oracle embedding entries (the
+# one family the 100x gate did not touch) — integer-scaled sums, the
+# quantization fidelity pass, the single-query LSH/IVF top-k, and the
+# IVF recall twin. The k-means CTE oracles replay 3 Lloyd iterations
+# over a 200k x 64 unpivot in DuckDB — minutes, not hours. Excluded
+# here and documented (not silent): q_dedup_semdedup's flat k=64 fit
+# and q_embed_kmeans' full-assignment output make their oracles
+# hour-class at this decade; both stay gated at 10x.
+QUERIES="$QUERIES q_embed_centroid q_embed_quant q_embed_covariance \
+  q_ann_lsh q_ann_ivf q_ann_recall_ivf"
 if [ "$SKIP_SIMHASH" = "0" ]; then QUERIES="$QUERIES q_dedup_simhash"; fi
 cd "$(dirname "$0")/.."
 sbt -batch "runMain graft.Verify $SF $OUT $QUERIES"
