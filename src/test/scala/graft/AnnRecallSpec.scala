@@ -57,6 +57,29 @@ class AnnRecallSpec extends SparkSpec {
       s"expected the rank filter to push a group limit:\n$plan")
   }
 
+  test("candidate volume is the geometry's closed-form collision " +
+    "fraction, not a data accident") {
+    // 4 bands x 3 bits, exact-bucket probe: P(pair shares >=1 band) for
+    // near-uniform bucket occupancy is 1-(7/8)^4 = 41.4%. The annrecall
+    // arm measured 42.1% at n=2000/20k/200k; pin the same physics here
+    // at n=500 with a band wide enough for planted-near-dup excess.
+    val e = Tables.embeddings(spark, sf)
+      .withColumn("bucket", Similarity.lshSignBucket(col("embedding")))
+    val corpus = e.select(col("vec_id"),
+      explode(Similarity.lshBandKeys(col("bucket"))).as("band_key"))
+    val q = e.filter(col("vec_id") < 32)
+      .select(col("vec_id").as("q_id"),
+        explode(Similarity.lshProbeKeys(col("bucket"), Seq(0))).as("band_key"))
+    val pairs = corpus.join(q, "band_key")
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id")).distinct().count()
+    val n = e.count()
+    val frac = pairs.toDouble / (32.0 * (n - 1))
+    assert(frac > 0.30 && frac < 0.55,
+      f"exact-bucket candidate fraction $frac%.3f strayed from the " +
+        "1-(7/8)^4 = 0.414 collision volume")
+  }
+
   test("IVF recall twin: panel-complete, bounded, and candidates are " +
     "LIST-membership-bounded (a vector lives in exactly one of the 16 " +
     "lists, a query probes 2)") {
