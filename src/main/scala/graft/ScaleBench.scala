@@ -731,12 +731,18 @@ object ScaleBench {
           Seq("band", "bucket"))
       }
       def tableFiles(): Int = {
-        val loc = spark.sql(s"DESCRIBE TABLE EXTENDED $abTable")
-          .filter(col("col_name") === "Location").head.getString(1)
-        new java.io.File(new java.net.URI(loc))
-          .listFiles().count(_.getName.startsWith("part-"))
+        val loc = new org.apache.hadoop.fs.Path(
+          spark.sql(s"DESCRIBE TABLE EXTENDED $abTable")
+            .filter(col("col_name") === "Location").head.getString(1))
+        loc.getFileSystem(spark.sessionState.newHadoopConf())
+          .listStatus(loc).count(_.getPath.getName.startsWith("part-"))
       }
       val filesAccreted = tableFiles()
+      // the round-18 trigger policy must FIRE on a season of appends
+      // (20 nights > the 8-files/bucket default) and reset after the
+      // rewrite — measured here, pinned in Round18Spec
+      require(graft.queries.Dedup.shouldCompact(spark, abTable),
+        s"shouldCompact must trip at $filesAccreted accreted files")
       def probeTbl() = probe(spark.table(abTable))
       probeTbl().count() // warm listing after the appends
       val a1 = timeCount(probeTbl()); val a2 = timeCount(probeTbl())
@@ -753,6 +759,8 @@ object ScaleBench {
       val cPlan = { val d = probeTbl(); d.count(); finalPlan(d) }
       require(indexSideExchanges(cPlan, bucket = true) == 0,
         "compacted index side must stay exchange-free")
+      require(!graft.queries.Dedup.shouldCompact(spark, abTable),
+        "shouldCompact must reset once every bucket is one file again")
       System.err.println(f"[bucketed] compaction: $nights appends -> " +
         f"$filesAccreted files, probe $accSec%.2f s; compacted -> " +
         f"$filesCompacted files, probe $compSec%.2f s (candidates $accN both)")
@@ -794,6 +802,15 @@ object ScaleBench {
 
     def close(): Unit = spark.streams.removeListener(listener)
 
+    /** Returns (wall sec, final state rows, provider memory bytes).
+      * `sec` is the FULL-LIFECYCLE wall — feed staging writes, atomic
+      * moves, start → two drains → stop, feed-dir deletion — because
+      * that is what the entry itself pays per run. For the provider
+      * A/B this means small provider deltas are read against an
+      * IO-inclusive denominator (identical across arms, but large at
+      * the 10× feed); the state-rows/memory columns are the
+      * per-provider signal, the walls a lifecycle-inclusive one
+      * (round-17 advisory, recorded where the number is produced). */
     def run(name: String, dir: String): (Double, Long, Long) = {
       val known = lastState.keySet.filter(_._1 == name).map(_._2)
       val t0 = System.nanoTime()
@@ -909,22 +926,17 @@ object ScaleBench {
     }
     val entries = Seq("q_stream_sessions", "q_stream_sessions_bounded",
       "q_stream_dedup", "q_stream_interval_join")
-    val providerConf = "spark.sql.streaming.stateStore.providerClass"
+    // Arms flip `spark.graft.stateStore.force` — the per-arm override
+    // runTwoBatchFeed resolves ABOVE both the SPARK_GRAFT_STATE_STORE
+    // env knob and the per-shape default (round-17 advisory: with the
+    // arms setting providerClass directly, a leaked env var silently
+    // turned the A/B into rocksdb-vs-rocksdb; the force conf cannot be
+    // outranked, so the corruption path is gone structurally). The
+    // rocksdb memory-cap confs ride the entry's own knob path.
     val arms: Seq[(String, () => Unit)] = Seq(
-      "hdfs" -> (() => spark.conf.set(providerConf,
-        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")),
-      "rocksdb" -> (() => {
-        spark.conf.set(providerConf,
-          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-        // bounded NATIVE memory — same discipline as the entry's own
-        // knob path (Streaming.scala): block cache + memtables compete
-        // with the JVM heap in one process on this harness
-        spark.conf.set(
-          "spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage", "true")
-        spark.conf.set(
-          "spark.sql.streaming.stateStore.rocksdb.maxMemoryUsageMB",
-          sys.env.getOrElse("SPARK_GRAFT_ROCKSDB_MB", "512"))
-      }))
+      "hdfs" -> (() => spark.conf.set("spark.graft.stateStore.force", "hdfs")),
+      "rocksdb" -> (() =>
+        spark.conf.set("spark.graft.stateStore.force", "rocksdb")))
     val probe = new StreamStateProbe(spark)
     try {
       val results = entries.map { name =>
@@ -952,9 +964,7 @@ object ScaleBench {
         s""""queries":$qJson}""")
     } finally {
       probe.close()
-      spark.conf.unset(providerConf)
-      spark.conf.unset("spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage")
-      spark.conf.unset("spark.sql.streaming.stateStore.rocksdb.maxMemoryUsageMB")
+      spark.conf.unset("spark.graft.stateStore.force")
     }
   }
 
@@ -1192,8 +1202,18 @@ object ScaleBench {
         s""""write_orders_sec":$orWriteSec}""")
     } finally {
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
-      spark.sql(s"DROP TABLE IF EXISTS $liT")
-      spark.sql(s"DROP TABLE IF EXISTS $orT")
+      // DROP TABLE on these EXTERNAL tables removes catalog metadata
+      // only — delete the fact-sized parquet dirs too, or every run
+      // leaks two of them under the fresh per-invocation names
+      // (round-17 advisory)
+      val bucketRoot = new org.apache.hadoop.fs.Path(new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_fact_bucketed").getAbsolutePath)
+      val fs = bucketRoot.getFileSystem(
+        spark.sessionState.newHadoopConf())
+      Seq(liT, orT).foreach { t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+        fs.delete(new org.apache.hadoop.fs.Path(bucketRoot, t), true): Unit
+      }
     }
   }
 

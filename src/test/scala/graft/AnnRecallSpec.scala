@@ -12,12 +12,17 @@ import graft.queries.Similarity
   * from materializing full sorts at scale. */
 class AnnRecallSpec extends SparkSpec {
 
+  // bounds derive from the ACTUAL corpus size (round-17 advisory: a
+  // hard-coded 500 would spuriously fail if the fixture grows and
+  // silently weaken the pruning pins if it shrinks)
+  private lazy val corpusN: Long = Tables.embeddings(spark, sf).count()
+
   test("recall rows are bounded and panel-complete") {
     val rows = Similarity.qAnnRecall(spark, sf).collect()
     assert(rows.length == 32, s"one row per panel query, got ${rows.length}")
     rows.foreach { r =>
       val (cand, hits, recall) = (r.getLong(1), r.getLong(2), r.getDouble(3))
-      assert(cand >= 0 && cand < 500, s"candidates out of range: $cand")
+      assert(cand >= 0 && cand < corpusN, s"candidates out of range: $cand")
       assert(hits >= 0 && hits <= 10, s"hits out of range: $hits")
       assert(recall >= 0.0 && recall <= 1.0, s"recall out of range: $recall")
       assert(recall == hits / 10.0)
@@ -88,7 +93,7 @@ class AnnRecallSpec extends SparkSpec {
     rows.foreach { r =>
       val (cand, hits, recall) = (r.getLong(1), r.getLong(2), r.getDouble(3))
       // 2-of-16 lists: candidates can never reach the whole corpus
-      assert(cand >= 0 && cand < 500, s"candidates out of range: $cand")
+      assert(cand >= 0 && cand < corpusN, s"candidates out of range: $cand")
       assert(hits >= 0 && hits <= 10 && hits <= cand)
       assert(recall == hits / 10.0 && recall >= 0.0 && recall <= 1.0)
     }
@@ -97,7 +102,7 @@ class AnnRecallSpec extends SparkSpec {
     // panel × corpus (the LSH multi-probe form cannot promise this —
     // that contrast is the measured annrecall-arm story)
     val total = rows.map(_.getLong(1)).sum
-    assert(total < 32L * 500 / 2,
+    assert(total < 32L * corpusN / 2,
       s"IVF candidates $total not pruning below half the corpus")
   }
 }

@@ -110,13 +110,20 @@ class BucketedIndexSpec extends SparkSpec {
   private def appendTable: String =
     queries.Dedup.resolvedIndexName("graft_idx_append")
 
-  private def indexFiles(s: org.apache.spark.sql.SparkSession,
-      table: String): Int = {
-    val loc = s.sql(s"DESCRIBE TABLE EXTENDED $table")
+  private def tableLocation(s: org.apache.spark.sql.SparkSession,
+      table: String): String =
+    s.sql(s"DESCRIBE TABLE EXTENDED $table")
       .filter(org.apache.spark.sql.functions.col("col_name") === "Location")
       .head.getString(1)
-    new java.io.File(new java.net.URI(loc))
-      .listFiles().count(_.getName.startsWith("part-"))
+
+  /** File census through the Hadoop FileSystem of the table's OWN
+    * location (round-18: the lifecycle no longer assumes `file:`, and
+    * neither may the spec that checks it). */
+  private def indexFiles(s: org.apache.spark.sql.SparkSession,
+      table: String): Int = {
+    val loc = new org.apache.hadoop.fs.Path(tableLocation(s, table))
+    val fs = loc.getFileSystem(s.sessionState.newHadoopConf())
+    fs.listStatus(loc).count(_.getPath.getName.startsWith("part-"))
   }
 
   test("compactBandIndex: after the nightly appends, compaction returns " +
@@ -187,5 +194,52 @@ class BucketedIndexSpec extends SparkSpec {
       assert(afterDf.collect().toSeq == before,
         "re-bucketing must not change the candidate set")
     }
+  }
+
+  test("index lifecycle under a NON-DEFAULT root (round-17 verdict #1): " +
+    "create/append/compact/migrate all land under graft.index.root, " +
+    "candidates bit-identical, probe exchange-free, compaction snapshot " +
+    "cleaned up on the index's own filesystem") {
+    val root = java.nio.file.Files.createTempDirectory("graft_idx_root")
+      .toString
+    sys.props("graft.index.root") = root
+    try withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      import org.apache.spark.sql.functions.col
+      queries.Dedup.qDedupIndexAppend(spark, sf)
+        .write.mode("overwrite").format("noop").save()
+      val tbl = appendTable
+      val loc = tableLocation(spark, tbl)
+      assert(new java.net.URI(loc).getPath.startsWith(root),
+        s"index must live under the configured root $root, got $loc")
+      val docs = Tables.documents(spark, sf)
+        .select(col("doc_id"), col("text"))
+      val batch = docs.filter(col("doc_id") % 7 === 0)
+      def candidates(index: DataFrame) =
+        queries.Dedup.minhashBanded(batch).as("x").join(index.as("y"),
+            col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket"))
+          .select(col("x.doc_id").as("batch_id"), col("y.doc_id").as("corpus_id"))
+          .distinct().orderBy("batch_id", "corpus_id")
+      val before = candidates(spark.table(tbl)).collect().toSeq
+      val buckets = queries.Dedup.bandIndexBuckets
+      val compacted =
+        queries.Dedup.compactBandIndex(spark, tbl, Seq("band", "bucket"))
+      assert(indexFiles(spark, tbl) == buckets,
+        "compaction under the custom root must still yield one file/bucket")
+      assert(candidates(compacted).collect().toSeq == before,
+        "compaction under the custom root must not change candidates")
+      val migrated = queries.Dedup.compactBandIndex(
+        spark, tbl, Seq("band", "bucket"), newBuckets = buckets * 2)
+      assertIndexSideExchangeFree(candidates(migrated), "custom-root probe")
+      assert(candidates(migrated).collect().toSeq == before,
+        "migration under the custom root must not change candidates")
+      // the compaction snapshot was a SIBLING of the table dir on the
+      // table's own filesystem — and it must be gone afterwards
+      val parent = new org.apache.hadoop.fs.Path(loc).getParent
+      val fs = parent.getFileSystem(spark.sessionState.newHadoopConf())
+      val leftovers = fs.listStatus(parent)
+        .map(_.getPath.getName).filter(_.contains("_compact_snap_"))
+      assert(leftovers.isEmpty,
+        s"compaction snapshots must be deleted, found: ${leftovers.mkString(",")}")
+    } finally sys.props.remove("graft.index.root"): Unit
   }
 }

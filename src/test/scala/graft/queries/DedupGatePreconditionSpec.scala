@@ -103,6 +103,32 @@ class DedupGatePreconditionSpec extends graft.SparkSpec {
         "gate threshold before trusting them")
   }
 
+  test("banding recall == 1 on the q_dedup_embed PLANTED corpus " +
+    "(round-18: the entry now augments the table with copy + sign-flip " +
+    "replays — its brute-force oracle is only deterministic if the " +
+    "banding catches every planted qualifying pair)") {
+    import graft.functions.VectorOps
+    val aug = Dedup.plantedEmbeddings(graft.Tables.embeddings(spark, sf))
+    val base = aug.select(col("vec_id"),
+      VectorOps.normalized(col("embedding")).as("nvec"))
+    val a = base.select(col("vec_id").as("a_id"), col("nvec").as("a_n"))
+    val b = base.select(col("vec_id").as("b_id"), col("nvec").as("b_n"))
+    val truth = a.crossJoin(b)
+      .filter(col("a_id") < col("b_id"))
+      .filter(VectorOps.dotD(col("a_n"), col("b_n")) >= 0.95)
+      .select(col("a_id"), col("b_id"))
+    val cand = Dedup.embedNearDupPairs(aug, "vec_id", "embedding",
+        dims = 64, threshold = 0.95)
+      .select(col("a_id"), col("b_id"))
+    assert(truth.count() > 0,
+      "the plant must produce qualifying pairs — a 0-row gate is vacuous")
+    val missed = truth.join(cand, Seq("a_id", "b_id"), "left_anti").collect()
+    assert(missed.isEmpty,
+      "CORPUS REGENERATION HAZARD: banding missed planted qualifying " +
+        s"pairs ${missed.mkString(", ")} — q_dedup_embed's hash gate is " +
+        "not deterministic on this corpus")
+  }
+
   test("replay ids sit strictly above the organic range even on an " +
     "id-shifted corpus (derived-offset conflation guard, text side)") {
     // ids planted INSIDE the old fixed replay ranges [100000,100300) and

@@ -46,6 +46,69 @@ QUERIES="$QUERIES q_embed_centroid q_embed_covariance q_embed_covariance_full \
 # drift at 10x (2k -> 20k vectors in a fixed 12-bit bucket space) is
 # hash-gated, not just arm-measured.
 QUERIES="$QUERIES q_ann_recall q_ann_recall_ivf"
+# ── Round-18 widening (round-17 verdict task 4: 176 entries had no
+# scaled row). Every addition below has a LINEAR DuckDB oracle at the
+# 10x corpus (6M lineitem / 500k events / 50k docs / 20k vectors).
+#
+# The remaining TPC-H shapes + the recursive CTE — the q3/q5/.../q21
+# spine was gated; the other 14 shapes are the same join/agg algebra.
+QUERIES="$QUERIES q_sql_q2 q_sql_q4 q_sql_q6 q_sql_q7 q_sql_q8 \
+  q_sql_q11 q_sql_q12 q_sql_q14 q_sql_q15 q_sql_q16 q_sql_q19 \
+  q_sql_q20 q_sql_q22 q_sql_recursive"
+# Graph: bfs/labelprop (per-round edge joins, linear oracles) and the
+# triangle count (DuckDB 3-way edge join — the orientation bounds it).
+QUERIES="$QUERIES q_graph_bfs q_graph_labelprop q_graph_triangles"
+# Events/time-series: window/agg forms, all linear in events.
+QUERIES="$QUERIES q_events_ohlc q_events_tumble q_events_sliding \
+  q_events_ewma q_events_interarrival q_events_cohorts \
+  q_events_engagement q_events_densify q_events_cusum \
+  q_events_seasonality q_events_anomaly q_events_anomaly_robust \
+  q_events_concurrency q_events_cooccurrence q_events_attribution \
+  q_events_funnel_windowed q_events_session_window \
+  q_events_session_state q_events_paths q_orders_backlog \
+  q_market_basket"
+# The join surface beyond inner/left/semi/anti/multiway.
+QUERIES="$QUERIES q_join_right q_join_full q_join_null_safe \
+  q_join_null_aware_anti q_join_lateral q_join_interval \
+  q_join_interval_agg q_join_temporal q_asof_join q_asof_nearest \
+  q_range_join q_skew_join q_join_cross"
+# Profiling + curation: manifests, scrubbing, mixes, audits — the
+# training-data-pipeline family's linear oracles.
+QUERIES="$QUERIES q_profile_hist q_profile_corr q_profile_drift \
+  q_hist_equidepth q_winsorize q_pii_scrub q_curation_blocklist \
+  q_curation_token_budget q_curation_kanon q_quality_filter \
+  q_dq_audit q_sample_stratified q_sample_weighted q_data_mix \
+  q_data_mix_temperature q_doc_repetition q_decontaminate \
+  q_bloom_decontaminate"
+# Text analysis at 50k docs (token/ngram/postings scans; BPE replay).
+QUERIES="$QUERIES q_tfidf q_text_langid q_langid_trigram q_text_chunks \
+  q_text_normalize q_text_diversity q_text_postings q_text_novelty \
+  q_text_rarity q_text_collocations q_text_confusion q_text_quality \
+  q_bpe_merges q_bpe_apply q_heavy_hitters q_embed_cosine_topk"
+# Round-17 verdict task 6: multimodal's first scaled rows — the media
+# corpus is SYNTHESIZED executor-side from doc_ids, so the 10x
+# documents table IS the 10x media corpus and the closed-form oracles
+# replay at any scale.
+QUERIES="$QUERIES q_multimodal_phash q_multimodal_audio \
+  q_multimodal_features q_multimodal_frames q_multimodal_video"
+# Round-17 verdict task 5: the streaming family at the 10x feed — the
+# two-batch lifecycle stages ITS feed from the scaled events table, and
+# the oracles are plain SQL over the same table, so the gate mechanism
+# is unchanged. (q_stream_dedup_near/_embed and the ingest forms stay
+# out: their oracles carry banding/TSV fixtures priced separately.)
+QUERIES="$QUERIES q_stream_sessions q_stream_sessions_bounded \
+  q_stream_dedup q_stream_tumble q_stream_ngrams q_stream_scd2 \
+  q_stream_enrich q_stream_semi_join q_stream_interval_join \
+  q_stream_interval_join_outer q_stream_cdc q_stream_attribution"
+# Excluded with reasons (the no-silent-caps discipline):
+#   q_dedup_embed / q_dedup_embed_incremental — brute-force cosine
+#     oracle is O(n^2) list folds in DuckDB (4e8 pairs x 64-dim at 20k
+#     vectors); the banding stages are gated via q_ann_* instead.
+#   q_heavy_hitters_approx — the default-m exactness guard fires by
+#     design at 10x occupancy (round-17 sweep note).
+#   q_zorder_layout / q_curation_partition_layout /
+#     q_curation_global_index — file-manifest outputs, driver-gated;
+#     layout row counts are machine-local.
 cd "$(dirname "$0")/.."
 sbt -batch "runMain graft.Verify $SF $OUT $QUERIES"
 python3 tools/check.py "$SF" "$OUT"
