@@ -84,7 +84,7 @@ QUERIES="$QUERIES q_profile_hist q_profile_corr q_profile_drift \
 QUERIES="$QUERIES q_tfidf q_text_langid q_langid_trigram q_text_chunks \
   q_text_normalize q_text_diversity q_text_postings q_text_novelty \
   q_text_rarity q_text_collocations q_text_confusion q_text_quality \
-  q_bpe_merges q_bpe_apply q_heavy_hitters q_embed_cosine_topk"
+  q_bpe_merges q_bpe_apply q_embed_cosine_topk"
 # Round-17 verdict task 6: multimodal's first scaled rows — the media
 # corpus is SYNTHESIZED executor-side from doc_ids, so the 10x
 # documents table IS the 10x media corpus and the closed-form oracles
@@ -104,8 +104,12 @@ QUERIES="$QUERIES q_stream_sessions q_stream_sessions_bounded \
 #   q_dedup_embed / q_dedup_embed_incremental — brute-force cosine
 #     oracle is O(n^2) list folds in DuckDB (4e8 pairs x 64-dim at 20k
 #     vectors); the banding stages are gated via q_ann_* instead.
-#   q_heavy_hitters_approx — the default-m exactness guard fires by
-#     design at 10x occupancy (round-17 sweep note).
+#   q_heavy_hitters — its Misra-Gries exactness guard fires BY DESIGN
+#     at 10x vocabulary under the Verify-pinned default m=1024
+#     (kth*m <= N: the corpus is outside the provably-exact regime;
+#     measured here round 18 — "FAIL: no spark output" is the guard's
+#     loud refusal, not a bug). q_heavy_hitters_approx is rows-only by
+#     contract (candidate set legitimately partition-dependent).
 #   q_zorder_layout / q_curation_partition_layout /
 #     q_curation_global_index — file-manifest outputs, driver-gated;
 #     layout row counts are machine-local.
