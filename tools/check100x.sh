@@ -50,6 +50,13 @@ QUERIES="$QUERIES q_ann_recall"
 # hour-class at this decade; both stay gated at 10x.
 QUERIES="$QUERIES q_embed_centroid q_embed_quant q_embed_covariance \
   q_ann_lsh q_ann_ivf q_ann_recall_ivf"
+# Round-18: multimodal's first 100x rows (500k synthesized clips —
+# closed-form oracles scale trivially; the decode is the measured
+# cost) and the streaming family's first 100x rows (the 10M-event
+# two-batch lifecycle; plain-SQL oracles). Kept to the cheap shapes —
+# the full stream family stays gated at 10x.
+QUERIES="$QUERIES q_multimodal_phash q_multimodal_audio \
+  q_stream_tumble q_stream_sessions q_stream_scd2"
 if [ "$SKIP_SIMHASH" = "0" ]; then QUERIES="$QUERIES q_dedup_simhash"; fi
 cd "$(dirname "$0")/.."
 sbt -batch "runMain graft.Verify $SF $OUT $QUERIES"
