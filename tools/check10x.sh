@@ -100,6 +100,42 @@ QUERIES="$QUERIES q_stream_sessions q_stream_sessions_bounded \
   q_stream_dedup q_stream_tumble q_stream_ngrams q_stream_scd2 \
   q_stream_enrich q_stream_semi_join q_stream_interval_join \
   q_stream_interval_join_outer q_stream_cdc q_stream_attribution"
+# Round-18 second wave — the cheap linear remainder: the full agg
+# family, the window/set/pivot/grouping/subquery shapes, every scalar
+# function suite, the parser parity entries, and the bounded-sample
+# dedup verification twins (their doc_id<500 verification windows are
+# corpus-prefix-bounded BY DESIGN — the banded candidate stages above
+# carry the scaled-volume story; the twins' oracles replay the same
+# bound, so they gate id/text-distribution drift at 10x for constant
+# cost). The nightly index lifecycle entries (incremental/append) gate
+# the banded probe + persisted index at the 50k-doc corpus.
+QUERIES="$QUERIES q_agg_approx q_agg_argmax q_agg_bool q_agg_collect \
+  q_agg_cube q_agg_distinct q_agg_having q_agg_hll_merge \
+  q_agg_incremental q_agg_multi_distinct q_agg_percentile \
+  q_agg_percentile_approx q_agg_percentile_weighted q_agg_trend"
+QUERIES="$QUERIES q_window_analytic q_window_nav q_window_range \
+  q_window_running_distinct q_set_intersect q_set_union q_set_ops_all \
+  q_pivot q_unpivot q_union_by_name q_grouping_id q_grouping_sets \
+  q_subquery_correlated q_subquery_scalar q_scan_project"
+QUERIES="$QUERIES q_string_funcs q_string_advanced q_date_funcs \
+  q_calendar_funcs q_math_funcs q_regexp_funcs q_bitwise_funcs \
+  q_hash_funcs q_struct_funcs q_array_funcs q_array_advanced \
+  q_null_semantics q_map_funcs q_json_extract q_url_extract"
+QUERIES="$QUERIES q_null_normalize q_parse_bool q_parse_date_multi \
+  q_parse_ts_multi q_safe_cast q_ingest_typed q_ingest_jsonl"
+QUERIES="$QUERIES q_dedup_ngram q_dedup_containment q_dedup_edit \
+  q_dedup_paragraph q_dedup_url q_dedup_canonical q_dedup_incremental \
+  q_dedup_incremental_near q_dedup_index_append"
+# Round-18 third wave — the last gateable remainder: the packing/
+# layout manifests (deterministic, oracle-mirrored), the approx
+# profile twins (deterministic sketch replays), the streaming ingest
+# and file-sink lifecycles, and the streaming nightly near-dup (its
+# minhash banding oracle is the same portable md5 replay
+# q_dedup_incremental_near just passed at this scale).
+QUERIES="$QUERIES q_context_pack q_hist_equidepth_approx \
+  q_winsorize_approx q_stream_ingest q_stream_ingest_jsonl \
+  q_stream_ngrams_sink q_stream_dedup_near q_zorder_layout \
+  q_curation_partition_layout q_curation_global_index"
 # Excluded with reasons (the no-silent-caps discipline):
 #   q_dedup_embed / q_dedup_embed_incremental — brute-force cosine
 #     oracle is O(n^2) list folds in DuckDB (4e8 pairs x 64-dim at 20k
@@ -108,11 +144,15 @@ QUERIES="$QUERIES q_stream_sessions q_stream_sessions_bounded \
 #     at 10x vocabulary under the Verify-pinned default m=1024
 #     (kth*m <= N: the corpus is outside the provably-exact regime;
 #     measured here round 18 — "FAIL: no spark output" is the guard's
-#     loud refusal, not a bug). q_heavy_hitters_approx is rows-only by
-#     contract (candidate set legitimately partition-dependent).
-#   q_zorder_layout / q_curation_partition_layout /
-#     q_curation_global_index — file-manifest outputs, driver-gated;
-#     layout row counts are machine-local.
+#     loud refusal, not a bug). q_heavy_hitters_approx's candidate set
+#     is partition-dependent outside the exact regime by contract.
+#   q_dedup_minhash_verified / q_stream_dedup_embed — O(n^2) brute-
+#     force oracle arms (all-pairs Jaccard / cosine list folds).
+# Final tally: 232 of 238 registry entries carry a 10x hash row; the
+# six out are the five above + q_dedup_embed(_incremental) pair noted
+# earlier — every exclusion is an oracle-cost or by-design-refusal
+# reason, never an untested operator (each is hash-gated at sf0.01
+# and exercised ungated in the 10x bench sweep).
 cd "$(dirname "$0")/.."
 sbt -batch "runMain graft.Verify $SF $OUT $QUERIES"
 python3 tools/check.py "$SF" "$OUT"
