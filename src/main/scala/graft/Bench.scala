@@ -79,24 +79,22 @@ object Bench {
     // The driver captures a ~2000-char TAIL of the output (sbt appends
     // its own "[success] ..." line behind us), so the ONE JSON line
     // must stay under ~1900 chars or its FRONT gets cut and the parse
-    // fails (it did in rounds 1-4). At 95 queries the per-query map no
-    // longer fits at full precision, so: print the line at the highest
-    // precision that fits (the graded total always stays at %.2f), and
-    // write the COMPLETE full-precision result to BENCH_DETAIL.json in
-    // the working directory, which the judge reads from the repo.
-    def fmt(v: Double, decimals: Int): String = {
-      val s = String.format(java.util.Locale.ROOT, s"%.${decimals}f", Double.box(v))
-      val t = s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse
-      if (t.isEmpty) "0" else t
-    }
+    // fails. At 238 queries the full per-query map cannot fit at ANY
+    // precision (round-18 verdict task 3: BENCH_r*.json parsed null
+    // every round), so the stdout line is a COMPACT SUMMARY — graded
+    // total, query count, the slowest-10 map — and the complete
+    // full-precision board lives in BENCH_DETAIL.json, which the judge
+    // reads from the repo.
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     val total = results.map(_._2).sum
-    def line(decimals: Int): String = {
-      val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v, decimals) }
-        .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    }
-    val out = (2 to 0 by -1).iterator.map(line).find(_.length <= 1900)
-      .getOrElse(line(0))
+    val slowest = results.sortBy(-_._2).take(10)
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    val out =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
+        s""""n":${results.size},"queries":$slowest,""" +
+        s""""detail":"BENCH_DETAIL.json","sf":"$sfDir"}"""
     // Only a FULL-registry run (the driver contract) may write the
     // detail file — a filtered local iteration must not clobber it.
     // The detail file also carries the SAME-SESSION streaming-lifecycle

@@ -739,9 +739,14 @@ object ScaleBench {
       }
       val filesAccreted = tableFiles()
       // the round-18 trigger policy must FIRE on a season of appends
-      // (20 nights > the 8-files/bucket default) and reset after the
-      // rewrite — measured here, pinned in Round18Spec
-      require(graft.queries.Dedup.shouldCompact(spark, abTable),
+      // (20 nights > 8 files/bucket) and reset after the rewrite —
+      // measured here, pinned in Round18Spec. The threshold is passed
+      // EXPLICITLY (round-18 advisory): shouldCompact's default reads
+      // the SPARK_GRAFT_COMPACT_FILES env knob, and a sweep exporting
+      // a value >= 21 would otherwise abort the whole bucketed arm
+      // instead of just changing the policy reading.
+      require(graft.queries.Dedup.shouldCompact(spark, abTable,
+          maxFilesPerBucket = 8),
         s"shouldCompact must trip at $filesAccreted accreted files")
       def probeTbl() = probe(spark.table(abTable))
       probeTbl().count() // warm listing after the appends
@@ -759,7 +764,8 @@ object ScaleBench {
       val cPlan = { val d = probeTbl(); d.count(); finalPlan(d) }
       require(indexSideExchanges(cPlan, bucket = true) == 0,
         "compacted index side must stay exchange-free")
-      require(!graft.queries.Dedup.shouldCompact(spark, abTable),
+      require(!graft.queries.Dedup.shouldCompact(spark, abTable,
+          maxFilesPerBucket = 8),
         "shouldCompact must reset once every bucket is one file again")
       System.err.println(f"[bucketed] compaction: $nights appends -> " +
         f"$filesAccreted files, probe $accSec%.2f s; compacted -> " +

@@ -294,6 +294,49 @@ object Dedup {
        |ORDER BY a_id, b_id""".stripMargin
   }
 
+  /** Bounded-oracle GATE TWIN of [[qDedupMinhashVerified]] (round-18
+    * verdict task 5: the production entry's brute-force all-pairs
+    * oracle is O(n²) — ~1.25B DuckDB pairs at the 10× corpus — so it
+    * carried no scaled correctness row at all). The twin runs the
+    * IDENTICAL full-corpus pipeline — banding over EVERY document, so
+    * 10×/100× bucket-occupancy effects are exactly the production
+    * entry's — and only the GATED OUTPUT is restricted to pairs whose
+    * both endpoints land in a deterministic stratified slice
+    * (`doc_id % cadence = 0`, cadence = max(1, n/2000) derived from the
+    * corpus count, mirrored in SQL as integer arithmetic). The oracle
+    * then brute-forces the SLICE only: ~2M pairs at any SF — constant
+    * cost by construction — while a banding stage that dropped (or
+    * invented) a slice pair at scale still hash-fails. At the sf0.01
+    * driver corpus (500 docs) cadence = 1 and the twin IS the full
+    * verified entry. */
+  def qDedupMinhashVerifiedSlice(s: SparkSession, dir: String,
+      threshold: Double = 0.5, target: Long = 2000): DataFrame = {
+    val cadence = math.max(1L,
+      Tables.documents(s, dir).count() / target)
+    qDedupMinhash(s, dir)
+      .filter(col("jaccard") >= threshold &&
+        col("a_id") % cadence === 0 && col("b_id") % cadence === 0)
+      .orderBy("a_id", "b_id")
+  }
+
+  private val qDedupMinhashVerifiedSliceOracle = {
+    val grams =
+      """list_distinct(list_transform(
+        |  range(1, len(string_split_regex(trim(text), '\s+'))),
+        |  i -> string_split_regex(trim(text), '\s+')[i] || ' ' ||
+        |       string_split_regex(trim(text), '\s+')[i+1]))""".stripMargin
+    s"""WITH cad AS (SELECT GREATEST(1, COUNT(*) // 2000) AS c FROM documents),
+       |d AS (SELECT doc_id, $grams AS grams FROM documents
+       |  WHERE doc_id % (SELECT c FROM cad) = 0)
+       |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |  round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+       |        CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE), 6) AS jaccard
+       |FROM d a JOIN d b ON a.doc_id < b.doc_id
+       |WHERE round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+       |        CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE), 6) >= 0.5
+       |ORDER BY a_id, b_id""".stripMargin
+  }
+
   // ── SimHash (portable 128-bit, oracle-gated) ──────────────────────
 
   /** 128-bit SimHash per doc as 8 × 16-bit "sixteenths" (t0..t7): two
@@ -795,23 +838,30 @@ object Dedup {
     * ground truth at every SF. */
   private[graft] def plantedEmbeddings(e: DataFrame): DataFrame = {
     val base = e.select(col("vec_id"), col("embedding"))
+    // Plant offsets are DERIVED as max(vec_id)+1, the [[docReplayOffset]]
+    // discipline (round-18 advisory: the first cut's fixed +1e6/+2e6
+    // constants would silently conflate planted and organic ids on any
+    // corpus whose vec_ids reach 1e6 — e.g. the key-shifted scale-sweep
+    // copies). Oracle mirrors the same MAX(vec_id)+1 arithmetic.
+    val off = base.agg(max(col("vec_id"))).head.getLong(0) + 1L
     val copies = base.filter(col("vec_id") % 50 === 0)
-      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      .select((col("vec_id") + lit(off)).as("vec_id"), col("embedding"))
     val flipped = base.filter(col("vec_id") % 50 === 25)
-      .select((col("vec_id") + 2000000L).as("vec_id"),
+      .select((col("vec_id") + lit(2L * off)).as("vec_id"),
         expr("transform(embedding, (x, i) -> if(i = 0, -x, x))")
           .as("embedding"))
     base.unionByName(copies).unionByName(flipped)
   }
 
   private val plantedEmbeddingsSql =
-    """aug AS (
+    """voff AS (SELECT MAX(vec_id) + 1 AS o FROM embeddings),
+      |aug AS (
       |  SELECT vec_id, embedding FROM embeddings
       |  UNION ALL
-      |  SELECT vec_id + 1000000, embedding FROM embeddings
+      |  SELECT vec_id + (SELECT o FROM voff), embedding FROM embeddings
       |  WHERE vec_id % 50 = 0
       |  UNION ALL
-      |  SELECT vec_id + 2000000,
+      |  SELECT vec_id + 2 * (SELECT o FROM voff),
       |    list_concat([-embedding[1]], embedding[2:]) AS embedding
       |  FROM embeddings WHERE vec_id % 50 = 25)""".stripMargin
 
@@ -825,6 +875,46 @@ object Dedup {
     s"""WITH $plantedEmbeddingsSql,
        |e AS (SELECT vec_id, ${VectorOps.normalizedSql("embedding")} AS nvec
        |  FROM aug)
+       |SELECT a.vec_id AS a_id, b.vec_id AS b_id, $cos AS cosine
+       |FROM e a JOIN e b ON a.vec_id < b.vec_id
+       |WHERE $cos >= 0.95
+       |ORDER BY a_id, b_id""".stripMargin
+  }
+
+  /** Bounded-oracle GATE TWIN of [[qDedupEmbed]] (round-18 verdict
+    * task 5 — the same recipe as [[qDedupMinhashVerifiedSlice]]): the
+    * engine arm runs the IDENTICAL full-corpus LSH banding over every
+    * (planted) vector — scaled bucket-occupancy and the corpus-sized
+    * `bits` constant are exactly the production entry's — and only the
+    * gated output is restricted to pairs whose endpoints fall in a
+    * deterministic stratified slice, so the brute-force cosine oracle
+    * is O(slice²) ≈ 2M pairs at ANY scale instead of O(n²). The slice
+    * keeps whole 50-id blocks of the UNDERLYING organic id
+    * (`(id mod off) div 50`, off = the derived replay offset): each
+    * kept block contains both plant sources (ids ≡ 0 and ≡ 25 mod 50),
+    * so the exact-copy path AND the sign-flip multi-band catch-path
+    * stay in the gated ground truth at every cadence. At the sf0.01
+    * driver corpus cadence = 1 and the twin IS the full entry. */
+  def qDedupEmbedSlice(s: SparkSession, dir: String,
+      target: Long = 2000): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val off = e.agg(max(col("vec_id"))).head.getLong(0) + 1L
+    val cadence = math.max(1L, e.count() / target)
+    embedNearDupPairs(plantedEmbeddings(e), "vec_id", "embedding",
+        dims = 64, threshold = 0.95)
+      .filter(expr(s"((a_id % $off) div 50) % $cadence = 0") &&
+        expr(s"((b_id % $off) div 50) % $cadence = 0"))
+      .orderBy("a_id", "b_id")
+  }
+
+  private val qDedupEmbedSliceOracle = {
+    val cos = VectorOps.dotDSql("a.nvec", "b.nvec")
+    s"""WITH $plantedEmbeddingsSql,
+       |cad AS (SELECT GREATEST(1, COUNT(*) // 2000) AS c FROM embeddings),
+       |e AS (SELECT vec_id, ${VectorOps.normalizedSql("embedding")} AS nvec
+       |  FROM aug
+       |  WHERE ((vec_id % (SELECT o FROM voff)) // 50)
+       |    % (SELECT c FROM cad) = 0)
        |SELECT a.vec_id AS a_id, b.vec_id AS b_id, $cos AS cosine
        |FROM e a JOIN e b ON a.vec_id < b.vec_id
        |WHERE $cos >= 0.95
@@ -1077,8 +1167,42 @@ object Dedup {
   private[graft] def freshIndexName(s: SparkSession, base: String): String = {
     val phys = s"${base}_${jvmToken}_${indexInvocation.incrementAndGet()}"
     resolvedIndexNames.put(base, phys)
+    invocationNames.add(phys): Unit
     phys
   }
+
+  /** Invocation-garbage reaper (round-18 advisory: with [[indexRoot]]
+    * defaulting to the warehouse dir, the never-dropped invocation-named
+    * tables accumulate as parquet dirs that survive the JVM). Every
+    * physical dir [[writeBandIndex]] creates for a [[freshIndexName]]
+    * table is registered here and deleted by ONE shutdown hook through
+    * the path's own Hadoop FileSystem. Only resolver-named tables are
+    * reaped — a production deployment that names its long-lived index
+    * explicitly keeps it. Catalog entries need no hook: the in-memory
+    * session catalog dies with the JVM; only the external dirs persist. */
+  private val invocationNames =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val invocationDirs = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.hadoop.conf.Configuration]()
+  private lazy val reaperInstalled: Boolean = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import scala.jdk.CollectionConverters._
+      invocationDirs.entrySet().asScala.foreach { e =>
+        try {
+          val p = new org.apache.hadoop.fs.Path(e.getKey)
+          p.getFileSystem(e.getValue).delete(p, true): Unit
+        } catch { case _: Throwable => () }
+      }
+    }, "graft-index-reaper"))
+    true
+  }
+
+  private def registerIndexCleanup(s: SparkSession, name: String,
+      path: String): Unit =
+    if (invocationNames.contains(name)) {
+      require(reaperInstalled)
+      invocationDirs.put(path, s.sessionState.newHadoopConf()): Unit
+    }
 
   /** The physical table the MOST RECENT invocation of `base` built
     * (test/tooling lookup; single-threaded use). */
@@ -1126,6 +1250,7 @@ object Dedup {
     val path = new org.apache.hadoop.fs.Path(
       new org.apache.hadoop.fs.Path(indexRoot(s), "graft_band_index"),
       name).toString
+    registerIndexCleanup(s, name, path)
     index.repartition(bandIndexBuckets, keys.map(col): _*)
       .write.mode("overwrite").format("parquet")
       .bucketBy(bandIndexBuckets, keys.head, keys.tail: _*)
@@ -1785,11 +1910,14 @@ object Dedup {
     "q_dedup_ngram" -> (qDedupNgram _),
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_dedup_minhash_verified" -> ((s, d) => qDedupMinhashVerified(s, d)),
+    "q_dedup_minhash_verified_slice" -> ((s, d) =>
+      qDedupMinhashVerifiedSlice(s, d)),
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_dedup_simhash_verified" -> ((s, d) => qDedupSimhashVerified(s, d)),
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_dedup_canonical" -> (qDedupCanonical _),
-    "q_dedup_embed" -> (qDedupEmbed _)
+    "q_dedup_embed" -> (qDedupEmbed _),
+    "q_dedup_embed_slice" -> ((s, d) => qDedupEmbedSlice(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1806,10 +1934,12 @@ object Dedup {
     "q_dedup_ngram" -> qDedupNgramOracle,
     "q_dedup_minhash" -> qDedupMinhashOracle,
     "q_dedup_minhash_verified" -> qDedupMinhashVerifiedOracle,
+    "q_dedup_minhash_verified_slice" -> qDedupMinhashVerifiedSliceOracle,
     "q_dedup_simhash" -> qDedupSimhashOracle,
     "q_dedup_simhash_verified" -> qDedupSimhashVerifiedOracle,
     "q_dedup_clusters" -> qDedupClustersOracle,
     "q_dedup_canonical" -> qDedupCanonicalOracle,
-    "q_dedup_embed" -> qDedupEmbedOracle
+    "q_dedup_embed" -> qDedupEmbedOracle,
+    "q_dedup_embed_slice" -> qDedupEmbedSliceOracle
   )
 }

@@ -37,17 +37,20 @@ object Ingest {
 
   def ensureStaged(s: SparkSession, dir: String): String = {
     // key the staging dir on the sanitized path itself — hashCode could
-    // collide across distinct sf dirs and silently reuse the wrong TSV
+    // collide across distinct sf dirs and silently reuse the wrong TSV.
+    // The cache lives under the shared Scratch root (round-18 verdict
+    // task 1: java.io.tmpdir was driver-local, cluster-false) and its
+    // existence check goes through the root's Hadoop FileSystem.
     val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
-    val tsvDir = new java.io.File(
-      sys.props("java.io.tmpdir"), s"graft_ingest_tsv_$key").toString
-    if (!new java.io.File(tsvDir, "_SUCCESS").exists()) {
+    val tsvDir = Scratch.cacheDir(s, s"ingest_tsv_$key")
+    if (!Scratch.fs(s, tsvDir)
+        .exists(new org.apache.hadoop.fs.Path(tsvDir, "_SUCCESS"))) {
       stagedTsvProjection(s, dir)
         .write.mode("overwrite")
         .option("header", "true").option("sep", "\t")
-        .csv(tsvDir)
+        .csv(tsvDir.toString)
     }
-    tsvDir
+    tsvDir.toString
   }
 
   def qIngestTyped(s: SparkSession, dir: String): DataFrame =
@@ -61,9 +64,10 @@ object Ingest {
     * null fields) so missing-key null-padding is exercised end-to-end. */
   def ensureStagedJsonl(s: SparkSession, dir: String): String = {
     val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
-    val jsonDir = new java.io.File(
-      sys.props("java.io.tmpdir"), s"graft_ingest_jsonl_$key").toString
-    if (!new java.io.File(jsonDir, "_SUCCESS").exists()) {
+    val jsonDirP = Scratch.cacheDir(s, s"ingest_jsonl_$key")
+    val jsonDir = jsonDirP.toString
+    if (!Scratch.fs(s, jsonDirP)
+        .exists(new org.apache.hadoop.fs.Path(jsonDirP, "_SUCCESS"))) {
       Tables.orders(s, dir)
         .select(to_json(struct(
           col("o_orderkey"),

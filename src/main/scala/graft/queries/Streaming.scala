@@ -97,7 +97,13 @@ object Streaming {
                               schema: StructType,
                               stateShape: String = "churny")(
       start: DataFrame => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
-    val dir = java.nio.file.Files.createTempDirectory(s"graft_$name")
+    // The feed lives under the shared [[Scratch]] root (round-18 verdict
+    // task 1: driver-local createTempDirectory was cluster-false — on a
+    // real deployment the feed must sit on a filesystem every executor
+    // sees), and all physical IO below goes through its Hadoop
+    // FileSystem, so the same code runs against file:/hdfs:.
+    val dir = Scratch.freshDir(s, s"feed_$name")
+    val dirFs = Scratch.fs(s, dir)
     // Everything from the chunk1 write onward sits inside the cleanup
     // try: a failure ANYWHERE (the write itself, stream resolution at
     // start(), a mid-stream error) must not leak the corpus-sized feed
@@ -112,8 +118,9 @@ object Streaming {
       // 100x: the bounded form's event-time timeouts then sit behind
       // the watermark and the query dies). So each chunk is written
       // OUTSIDE the watched directory, then renamed into view in one
-      // filesystem-atomic move: a listing sees ALL of a chunk or NONE
-      // of it. The staging dir must be a SIBLING, not an
+      // filesystem-atomic move (Hadoop rename — atomic on local FS and
+      // HDFS, the scratch-root contract): a listing sees ALL of a chunk
+      // or NONE of it. The staging dir must be a SIBLING, not an
       // underscore-prefixed child: Spark's hidden-name filter skips
       // `_`-children during recursive listing but EXEMPTS glob-matched
       // root paths, so `$dir/*` matches `_staging_b2` itself and a
@@ -121,13 +128,13 @@ object Streaming {
       // then invalidates (observed round-12: FAILED_READ_FILE on
       // q_stream_interval_join_outer's chunk2 under full-verify load).
       def stage(chunk: DataFrame, sub: String): Unit = {
-        val tmpRoot = java.nio.file.Files.createTempDirectory(s"graft_${name}_stage")
+        val tmpRoot = Scratch.freshDir(s, s"stage_$name")
         try {
-          val tmp = tmpRoot.resolve(sub)
+          val tmp = new org.apache.hadoop.fs.Path(tmpRoot, sub)
           chunk.write.mode("overwrite").parquet(tmp.toString)
-          java.nio.file.Files.move(tmp, dir.resolve(sub),
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        } finally java.nio.file.Files.deleteIfExists(tmpRoot)
+          require(dirFs.rename(tmp, new org.apache.hadoop.fs.Path(dir, sub)),
+            s"atomic feed staging failed: $tmp -> $dir/$sub")
+        } finally Scratch.delete(s, tmpRoot)
       }
       stage(chunk1, "b1")
       // State-store provider per the MEASURED selection rule
@@ -137,7 +144,15 @@ object Streaming {
       // NoTimeout shapes and transformWithState. Set for the stream's
       // lifetime, restored after stop() like the shuffle knob below.
       val providerKey = "spark.sql.streaming.stateStore.providerClass"
+      // the two RocksDB memory-cap confs are restored alongside the
+      // provider (round-18 advisory: restoring only providerClass left
+      // them set on the shared session, leaking into later queries)
+      val rocksdbKeys = Seq(
+        "spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage",
+        "spark.sql.streaming.stateStore.rocksdb.maxMemoryUsageMB")
       val priorProvider = scala.util.Try(s.conf.get(providerKey)).toOption
+      val priorRocksdb = rocksdbKeys.map(k =>
+        k -> scala.util.Try(s.conf.get(k)).toOption)
       val chosen = resolveStateProvider(stateShape,
         scala.util.Try(s.conf.get("spark.graft.stateStore.force")).toOption,
         sys.env.get("SPARK_GRAFT_STATE_STORE"))
@@ -175,14 +190,14 @@ object Streaming {
           case Some(v) => s.conf.set(providerKey, v)
           case None => s.conf.unset(providerKey)
         }
+        priorRocksdb.foreach {
+          case (k, Some(v)) => s.conf.set(k, v)
+          case (k, None) => s.conf.unset(k)
+        }
       }
     } finally {
       // the sink retains the rows; the staged feed is dead weight
-      import scala.jdk.CollectionConverters._
-      val walk = java.nio.file.Files.walk(dir)
-      try walk.iterator().asScala.toSeq.reverse
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
-      finally walk.close()
+      Scratch.delete(s, dir)
     }
   }
 
@@ -594,7 +609,7 @@ object Streaming {
   def qStreamNgramsSink(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
     val mid = midpoint(docs, "doc_id")
-    val out = java.nio.file.Files.createTempDirectory("graft_ngrams_sink_out")
+    val out = Scratch.freshDir(s, "ngrams_sink_out")
     try {
       runTwoBatchFeed(s, "q_stream_ngrams_sink",
         docs.filter(col("doc_id") <= mid), docs.filter(col("doc_id") > mid),
@@ -609,13 +624,7 @@ object Streaming {
           .start()
       }
       s.read.parquet(out.toString).localCheckpoint(true).orderBy("gram")
-    } finally {
-      import scala.jdk.CollectionConverters._
-      val walk = java.nio.file.Files.walk(out)
-      try walk.iterator().asScala.toSeq.reverse
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
-      finally walk.close()
-    }
+    } finally Scratch.delete(s, out)
   }
 
   /** Streaming exact dedup (dropDuplicates on a stream): the canonical
@@ -909,55 +918,70 @@ object Streaming {
     * (entry, corpus) into a keyed cache dir and return its path: split
     * the staged corpus at the key midpoint and write each half with the
     * entry's chunk writer. Idempotent via the `_STAGED` marker. */
-  private def ensureFeedChunks(s: SparkSession, feedCfg: IngestFeed): java.nio.file.Path = {
-    import java.nio.file.{Files, Paths}
+  private def ensureFeedChunks(s: SparkSession,
+      feedCfg: IngestFeed): org.apache.hadoop.fs.Path = {
     val key = feedCfg.stagedPath.replaceAll("[^A-Za-z0-9._-]", "_")
-    val cache = Paths.get(sys.props("java.io.tmpdir"),
-      s"graft_feed_${feedCfg.name}_$key")
-    if (!Files.exists(cache.resolve("_STAGED"))) {
+    val cache = Scratch.cacheDir(s, s"feed_${feedCfg.name}_$key")
+    val cfs = Scratch.fs(s, cache)
+    val marker = new org.apache.hadoop.fs.Path(cache, "_STAGED")
+    if (!cfs.exists(marker)) {
       val keyed = feedCfg.readStaged(feedCfg.stagedPath)
         .withColumn("_k", feedCfg.splitKey(()))
       val mid = midpoint(keyed, "_k")
-      Files.createDirectories(cache)
+      cfs.mkdirs(cache): Unit
       feedCfg.writeChunk(keyed.filter(col("_k") <= mid).drop("_k"),
-        cache.resolve("b1").toString)
+        new org.apache.hadoop.fs.Path(cache, "b1").toString)
       feedCfg.writeChunk(keyed.filter(col("_k") > mid).drop("_k"),
-        cache.resolve("b2").toString)
-      Files.createFile(cache.resolve("_STAGED"))
+        new org.apache.hadoop.fs.Path(cache, "b2").toString)
+      cfs.create(marker, true).close()
     }
     cache
   }
 
   private def streamIngestLifecycle(s: SparkSession, feedCfg: IngestFeed): DataFrame = {
-    import java.nio.file.{Files, Path, StandardCopyOption}
     import scala.jdk.CollectionConverters._
     val name = feedCfg.name
     s.catalog.dropTempView(name)
     val cache = ensureFeedChunks(s, feedCfg)
-    def linkDir(src: Path, dst: Path): Unit = {
-      val walk = Files.walk(src)
+    // Hard-link staging is the LOCAL-filesystem fast path (O(#files)
+    // metadata ops per bench run instead of an O(bytes) copy); on a
+    // remote scratch root the Hadoop FileSystem has no link primitive,
+    // so the chunk is copied — still outside the watched dir, still
+    // renamed into view atomically.
+    def linkDir(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
+      val walk = java.nio.file.Files.walk(src)
       try walk.iterator().asScala.foreach { p =>
         val t = dst.resolve(src.relativize(p).toString)
-        if (Files.isDirectory(p)) Files.createDirectories(t)
+        if (java.nio.file.Files.isDirectory(p))
+          java.nio.file.Files.createDirectories(t): Unit
         else
-          try Files.createLink(t, p)
+          try java.nio.file.Files.createLink(t, p): Unit
           catch { case _: UnsupportedOperationException | _: java.io.IOException =>
-            Files.copy(p, t, StandardCopyOption.REPLACE_EXISTING)
+            java.nio.file.Files.copy(p, t,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
           }
       } finally walk.close()
     }
-    val feed = Files.createTempDirectory(s"graft_$name")
+    val feed = Scratch.freshDir(s, s"feed_$name")
+    val ffs = Scratch.fs(s, feed)
     try {
       def stage(sub: String): Unit = {
-        val tmpRoot = Files.createTempDirectory(s"graft_${name}_stage")
+        val tmpRoot = Scratch.freshDir(s, s"stage_$name")
         try {
-          val tmp = tmpRoot.resolve(sub)
-          linkDir(cache.resolve(sub), tmp)
-          Files.move(tmp, feed.resolve(sub), StandardCopyOption.ATOMIC_MOVE)
-        } finally Files.deleteIfExists(tmpRoot)
+          val tmp = new org.apache.hadoop.fs.Path(tmpRoot, sub)
+          (Scratch.asLocal(s, cache), Scratch.asLocal(s, tmp)) match {
+            case (Some(lsrc), Some(ltmp)) => linkDir(lsrc.resolve(sub), ltmp)
+            case _ => org.apache.hadoop.fs.FileUtil.copy(
+              Scratch.fs(s, cache), new org.apache.hadoop.fs.Path(cache, sub),
+              ffs, tmp, false, s.sessionState.newHadoopConf()): Unit
+          }
+          require(ffs.rename(tmp, new org.apache.hadoop.fs.Path(feed, sub)),
+            s"atomic feed staging failed: $tmp -> $feed/$sub")
+        } finally Scratch.delete(s, tmpRoot)
       }
       stage("b1")
-      val stream = feedCfg.buildStream(s"$feed/*", feed.resolve("b1").toString)
+      val stream = feedCfg.buildStream(s"$feed/*",
+        new org.apache.hadoop.fs.Path(feed, "b1").toString)
       val q = stream.writeStream.outputMode("append")
         .format("memory").queryName(name).start()
       try {
@@ -965,12 +989,7 @@ object Streaming {
         stage("b2")
         q.processAllAvailable()
       } finally q.stop()
-    } finally {
-      val walk = Files.walk(feed)
-      try walk.iterator().asScala.toSeq.reverse
-        .foreach(p => Files.deleteIfExists(p))
-      finally walk.close()
-    }
+    } finally Scratch.delete(s, feed)
     val t = s.table(name)
     t.orderBy(t.columns.map(col): _*)
   }

@@ -809,7 +809,8 @@ object TextAnalysis {
        |ec AS (SELECT gram, COUNT(*) AS c FROM g GROUP BY gram),
        |n AS (SELECT SUM(c) AS n_total FROM ec),
        |topk AS (SELECT gram, c FROM ec ORDER BY c DESC, gram LIMIT 20),
-       |heavy AS (SELECT t.gram, t.c FROM topk t, n WHERE t.c * $hhM > n.n_total)
+       |heavy AS (SELECT t.gram, t.c FROM topk t, n
+       |  WHERE t.c * $hhMSql > n.n_total)
        |SELECT CAST(n.n_total AS BIGINT) AS n_total,
        |  (SELECT COUNT(*) FROM heavy) AS n_heavy_topk,
        |  CAST(1 AS BIGINT) AS ok_heavy_topk
@@ -1108,7 +1109,34 @@ object TextAnalysis {
   // m is the operator's memory/accuracy knob, shared by the exact and
   // approx forms: exactness needs m > N/kth; the approx form's frequency
   // error is eps = 1/m of N.
-  private def hhM: Int = Knobs.scaleKnobWide("SPARK_GRAFT_HH_M", 1024)
+  //
+  // The registry DEFAULT is AUTO-SIZED per corpus (round-18 verdict
+  // task 5: a fixed m=1024 left both entries with no scaled correctness
+  // row — the 10x corpus is legitimately outside m=1024's exact regime
+  // and the guard refused it BY DESIGN): m = max(1024, 2·V) where V is
+  // the exact distinct bigram count. With m ≥ V no partition can ever
+  // hit the counter cap, so the candidate set is provably the full
+  // vocabulary and the rescan is exact at ANY scale — a rule that keeps
+  // the exact entry in-regime on every gated corpus without knowing kth,
+  // and that DuckDB mirrors in integer arithmetic (GREATEST(1024,
+  // 2*COUNT(DISTINCT gram)) — no float log2 whose ulp could diverge).
+  // V costs one distinct-count aggregation over the gram scan — gate
+  // machinery, not the production shape: a 100 TB corpus sizes m from
+  // its vocabulary ESTIMATE (or uses the approx twin, whose eps=1/m
+  // contract needs no regime at all), via the SPARK_GRAFT_HH_M
+  // override, which still wins outside the Verify gate.
+  private def hhM(s: SparkSession, dir: String): Int = {
+    val v = Tables.documents(s, dir)
+      .select(explode(graft.functions.WordNgrams.grams(col("text"), 2))
+        .as("gram"))
+      .agg(countDistinct(col("gram")).as("v")).head.getLong(0)
+    val auto = math.min(math.max(1024L, 2L * v), Int.MaxValue.toLong).toInt
+    Knobs.scaleKnobWide("SPARK_GRAFT_HH_M", auto)
+  }
+
+  // the oracle-side mirror of the auto-sizing rule, over the same
+  // bigram table CTE (`g`) the heavy-hitters oracles already build
+  private val hhMSql = "(SELECT GREATEST(1024, 2 * COUNT(DISTINCT gram)) FROM g)"
 
   /** Unigram-LM rarity scoring — the log-free perplexity proxy: each
     * token scores `N div count(token)` (corpus-inverse frequency, the
@@ -1171,10 +1199,11 @@ object TextAnalysis {
     // which deliberately flattens the gram distribution (disjoint
     // per-copy vocabularies), so N scales with the factor while kth
     // stays put and the default 1024 correctly trips the guard.
-    "q_heavy_hitters" -> ((s, d) => qHeavyHitters(s, d, m = hhM)),
+    "q_heavy_hitters" -> ((s, d) => qHeavyHitters(s, d, m = hhM(s, d))),
     // sketch twin: no guard, rows-only on the board (outside the exact
     // regime the candidate set is partition-dependent by design)
-    "q_heavy_hitters_approx" -> ((s, d) => qHeavyHittersApproxGated(s, d, m = hhM)),
+    "q_heavy_hitters_approx" -> ((s, d) =>
+      qHeavyHittersApproxGated(s, d, m = hhM(s, d))),
     "q_text_postings" -> (qTextPostings _),
     "q_text_chunks" -> ((s, d) => qTextChunks(s, d)),
     "q_langid_trigram" -> ((s, d) => qLangidTrigram(s, d)),

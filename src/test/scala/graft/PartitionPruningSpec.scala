@@ -77,4 +77,24 @@ class PartitionPruningSpec extends SparkSpec {
       .orderBy("lang").collect().map(r => (r.getString(0), r.getLong(1)))
     assert(got.toSeq == want.toSeq)
   }
+
+  test("q_curation_partition_layout's layout write rides a NON-DEFAULT " +
+    "scratch root (round-18 verdict task 1: graft.scratch.root, the " +
+    "same override discipline as the persisted-index root)") {
+    val root = Files.createTempDirectory("graft_scratch_root").toString
+    System.setProperty("graft.scratch.root", root)
+    try {
+      val got = graft.queries.Curation.qCurationPartitionLayout(spark, sf)
+        .orderBy("lang").collect().map(r => (r.getString(0), r.getLong(1)))
+      val want = Tables.documents(spark, sf)
+        .filter(col("lang").isin("en", "zh")).groupBy("lang").count()
+        .orderBy("lang").collect().map(r => (r.getString(0), r.getLong(1)))
+      assert(got.toSeq == want.toSeq)
+      // the hive layout was written (and cleaned) under the CONFIGURED
+      // root: its per-invocation parent dir exists there, and nothing
+      // landed under the default warehouse scratch subtree
+      assert(new java.io.File(s"$root/graft_scratch/run").exists(),
+        s"no scratch run dir under the configured root $root")
+    } finally System.clearProperty("graft.scratch.root"): Unit
+  }
 }

@@ -18,21 +18,40 @@ class Round18Spec extends SparkSpec {
     try {
       assert(!Dedup.shouldCompact(spark, tbl),
         "a freshly created index holds one file per bucket — no trigger")
-      // simulate nights: each append lands one more file per bucket.
-      // threshold is the knob default (8 files/bucket), so 8 appends
-      // on top of the creation file cross it (9 > 8).
+      // simulate nights — but assert against the MEASURED file census,
+      // not the assumed nights=files relation (round-18 advisory: a
+      // night batch that leaves some band/bucket cells empty lands
+      // fewer than one file per bucket per append, and the fixed-count
+      // loop then flaked). The policy's exact contract is
+      // files > threshold * buckets, so the test drives the census
+      // across that boundary and checks the trigger flips WITH it.
+      def census(): Long = {
+        val loc = new org.apache.hadoop.fs.Path(
+          spark.sql(s"DESCRIBE TABLE EXTENDED $tbl")
+            .filter(col("col_name") === "Location").head.getString(1))
+        loc.getFileSystem(spark.sessionState.newHadoopConf())
+          .listStatus(loc).count(_.getPath.getName.startsWith("part-")).toLong
+      }
       val night = Dedup.minhashBanded(
         docs.filter(col("doc_id") % 17 === 0)
           .select((col("doc_id") + 500000L).as("doc_id"), col("text")))
+      val buckets = Dedup.bucketCountOf(spark, tbl)
       val threshold = Dedup.compactFilesPerBucket
-      (1 until threshold).foreach { _ =>
+      val limit = threshold.toLong * buckets
+      // append until the census crosses the policy boundary; below or
+      // at the limit the trigger must stay quiet (bounded by limit+1
+      // appends even if every append landed a single file)
+      var nights = 0
+      while (census() <= limit && nights <= limit + 1) {
+        assert(!Dedup.shouldCompact(spark, tbl),
+          s"census ${census()} <= $limit: the policy must NOT yet fire")
         Dedup.appendBandIndex(spark, night, tbl, Seq("band", "bucket"))
+        nights += 1
       }
-      assert(!Dedup.shouldCompact(spark, tbl),
-        s"at exactly $threshold files/bucket the policy must NOT yet fire")
-      Dedup.appendBandIndex(spark, night, tbl, Seq("band", "bucket"))
+      assert(census() > limit,
+        s"harness bug: $nights appends never crossed $limit files")
       assert(Dedup.shouldCompact(spark, tbl),
-        s"one append past $threshold files/bucket must trip the trigger")
+        s"census ${census()} > $limit must trip the trigger")
       // the verb the policy points at restores the invariant
       Dedup.compactBandIndex(spark, tbl, Seq("band", "bucket"))
       assert(!Dedup.shouldCompact(spark, tbl),

@@ -136,23 +136,36 @@ QUERIES="$QUERIES q_context_pack q_hist_equidepth_approx \
   q_winsorize_approx q_stream_ingest q_stream_ingest_jsonl \
   q_stream_ngrams_sink q_stream_dedup_near q_zorder_layout \
   q_curation_partition_layout q_curation_global_index"
+# ── Round-19 closure of the six round-18 exclusions (verdict task 5) ──
+#   q_dedup_embed_incremental / q_stream_dedup_embed — the round-18
+#     "O(n^2) oracle" note was wrong for these two: their corpus side
+#     is FIXED at 300 vectors, so the brute-force arm is O(300·n) —
+#     priced at 4.9 s / 3.2 s in DuckDB at this decade. Gated directly.
+#   q_heavy_hitters / q_heavy_hitters_approx — the registry default m
+#     is now AUTO-SIZED per corpus (m = max(1024, 2·V), V = exact
+#     distinct bigram count, mirrored in the approx oracle's SQL), so
+#     the exact entry is provably in-regime (m ≥ V ⇒ no partition ever
+#     hits the counter cap ⇒ full-vocabulary candidates ⇒ exact) at
+#     every decade; SPARK_GRAFT_HH_M still overrides outside Verify.
+#   q_dedup_embed_slice / q_dedup_minhash_verified_slice — bounded-
+#     oracle GATE TWINS of the two entries whose brute-force oracles
+#     really are O(n^2) (4e8 pairs / 1.25e9 pairs at this decade): the
+#     engine arm runs the IDENTICAL full-corpus banding (scaled bucket
+#     occupancy included); only the gated output is restricted to a
+#     deterministic ~2k-id stratified slice, making the DuckDB arm
+#     O(slice^2) ≈ 2M pairs at ANY scale. Non-vacuous here: 69 / 10
+#     pairs of planted + organic ground truth at this decade.
+QUERIES="$QUERIES q_dedup_embed_incremental q_stream_dedup_embed \
+  q_heavy_hitters q_heavy_hitters_approx q_dedup_embed_slice \
+  q_dedup_minhash_verified_slice"
 # Excluded with reasons (the no-silent-caps discipline):
-#   q_dedup_embed / q_dedup_embed_incremental — brute-force cosine
-#     oracle is O(n^2) list folds in DuckDB (4e8 pairs x 64-dim at 20k
-#     vectors); the banding stages are gated via q_ann_* instead.
-#   q_heavy_hitters — its Misra-Gries exactness guard fires BY DESIGN
-#     at 10x vocabulary under the Verify-pinned default m=1024
-#     (kth*m <= N: the corpus is outside the provably-exact regime;
-#     measured here round 18 — "FAIL: no spark output" is the guard's
-#     loud refusal, not a bug). q_heavy_hitters_approx's candidate set
-#     is partition-dependent outside the exact regime by contract.
-#   q_dedup_minhash_verified / q_stream_dedup_embed — O(n^2) brute-
-#     force oracle arms (all-pairs Jaccard / cosine list folds).
-# Final tally: 232 of 238 registry entries carry a 10x hash row; the
-# six out are the five above + q_dedup_embed(_incremental) pair noted
-# earlier — every exclusion is an oracle-cost or by-design-refusal
-# reason, never an untested operator (each is hash-gated at sf0.01
-# and exercised ungated in the 10x bench sweep).
+#   q_dedup_embed / q_dedup_minhash_verified — their own oracles stay
+#     O(n^2)-priced out at this decade, but BOTH pipelines now carry a
+#     full-strength scaled hash row through their _slice twins above
+#     (same engine plan, bounded oracle), so no operator is untested.
+# Final tally: 238 of 240 registry entries carry a 10x hash row; the
+# two out are the O(n^2)-oracle production forms whose identical
+# pipelines gate through their _slice twins at the same decade.
 cd "$(dirname "$0")/.."
 sbt -batch "runMain graft.Verify $SF $OUT $QUERIES"
 python3 tools/check.py "$SF" "$OUT"
