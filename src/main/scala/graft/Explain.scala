@@ -95,7 +95,13 @@ object Explain {
     // round 17: the recall@k eval primitive — broadcast panel on both
     // arms, WindowGroupLimit on both rank<=k windows (no full per-query
     // sorts), the banded candidate join feeding the hit-count join
-    "q_ann_recall")
+    "q_ann_recall",
+    // round 19: the bounded-oracle gate twin — the IDENTICAL banded
+    // candidate join + exact-Jaccard verify as q_dedup_minhash, with
+    // the md5 hash-slice gate riding as two map-side filters ABOVE the
+    // verify (the slice never changes the join shape; the oracle-side
+    // bound comes from the slice, not the plan)
+    "q_dedup_minhash_verified_slice")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -206,23 +206,30 @@ object Dedup {
     * banding regression hash-fails this entry directly. Shuffle shape
     * is unchanged: candidates surface via ONE equi-join on
     * (band, minima-tuple); no O(n²) anywhere. */
-  def qDedupMinhash(s: SparkSession, dir: String): DataFrame = {
-    val banded = minhashBandedPortable(
+  def qDedupMinhash(s: SparkSession, dir: String): DataFrame =
+    minhashVerifyPairs(
       Tables.documents(s, dir).select(col("doc_id"), col("text")))
+      .orderBy("a_id", "b_id")
+
+  /** The full MinHash pipeline over any (doc_id, text) frame — banding,
+    * band-bucket candidate join, exact bigram-Jaccard verification —
+    * factored out of [[qDedupMinhash]] so the planted-corpus gate twin
+    * ([[qDedupMinhashVerifiedSlice]]) drives the IDENTICAL plan. */
+  private[graft] def minhashVerifyPairs(docs: DataFrame): DataFrame = {
+    val banded = minhashBandedPortable(docs)
     val cand = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
       .distinct()
     // verify candidates with exact bigram Jaccard
-    val grams = Tables.documents(s, dir).select(col("doc_id"), bigrams(col("text")).as("grams"))
+    val grams = docs.select(col("doc_id"), bigrams(col("text")).as("grams"))
     val inter = size(array_intersect(col("a_grams"), col("b_grams"))).cast(DoubleType)
     val uni = size(array_union(col("a_grams"), col("b_grams"))).cast(DoubleType)
     cand
       .join(grams.select(col("doc_id").as("a_id"), col("grams").as("a_grams")), "a_id")
       .join(grams.select(col("doc_id").as("b_id"), col("grams").as("b_grams")), "b_id")
       .select(col("a_id"), col("b_id"), round(inter / uni, 6).as("jaccard"))
-      .orderBy("a_id", "b_id")
   }
 
   private val qDedupMinhashOracle = {
@@ -297,25 +304,44 @@ object Dedup {
   /** Bounded-oracle GATE TWIN of [[qDedupMinhashVerified]] (round-18
     * verdict task 5: the production entry's brute-force all-pairs
     * oracle is O(n²) — ~1.25B DuckDB pairs at the 10× corpus — so it
-    * carried no scaled correctness row at all). The twin runs the
-    * IDENTICAL full-corpus pipeline — banding over EVERY document, so
-    * 10×/100× bucket-occupancy effects are exactly the production
-    * entry's — and only the GATED OUTPUT is restricted to pairs whose
-    * both endpoints land in a deterministic stratified slice
-    * (`doc_id % cadence = 0`, cadence = max(1, n/2000) derived from the
-    * corpus count, mirrored in SQL as integer arithmetic). The oracle
-    * then brute-forces the SLICE only: ~2M pairs at any SF — constant
-    * cost by construction — while a banding stage that dropped (or
-    * invented) a slice pair at scale still hash-fails. At the sf0.01
-    * driver corpus (500 docs) cadence = 1 and the twin IS the full
-    * verified entry. */
+    * carried no scaled correctness row at all). Three pieces:
+    *
+    *  - the ENGINE arm is the IDENTICAL full pipeline
+    *    ([[minhashVerifyPairs]]) over the whole corpus plus planted
+    *    replays — banding over EVERY document, so 10×/100×
+    *    bucket-occupancy effects are exactly the production entry's;
+    *  - PLANTED replays (every 50th doc re-crawled with one appended
+    *    token, the [[qDedupIncrementalNear]] recipe, offset =
+    *    [[docReplayOffset]]) guarantee NON-VACUOUS scaled ground truth:
+    *    the scale-sweep corpora deliberately share no bigrams across
+    *    copies, so the organic in-slice pair count would otherwise
+    *    collapse toward zero at 100× (the round-17 vacuous-gate class);
+    *  - only the GATED OUTPUT is restricted to pairs whose endpoints
+    *    fall in a deterministic HASH slice of the underlying organic id
+    *    (`md5hex15(id mod off) mod cadence = 0`, cadence =
+    *    max(1, n/2000)): hashing makes the slice density shift-robust
+    *    on the key-shifted sweep corpora (plain `id % cadence`
+    *    interacts with the 1e8 copy shifts), and hashing the id MOD off
+    *    keeps each replay in the slice exactly when its source is —
+    *    planted pairs survive stratification at any cadence. The
+    *    DuckDB arm brute-forces the ~2k-doc slice only: ~2M pairs at
+    *    ANY scale. At the sf0.01 driver corpus cadence = 1 (full
+    *    brute-force oracle over corpus + plants). */
   def qDedupMinhashVerifiedSlice(s: SparkSession, dir: String,
       threshold: Double = 0.5, target: Long = 2000): DataFrame = {
-    val cadence = math.max(1L,
-      Tables.documents(s, dir).count() / target)
-    qDedupMinhash(s, dir)
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val off = docReplayOffset(docs)
+    val cadence = math.max(1L, docs.count() / target)
+    val planted = docs.unionByName(
+      docs.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + lit(off)).as("doc_id"),
+          concat(col("text"), lit(" qq7")).as("text")))
+    def inSlice(c: Column) =
+      (graft.functions.Md5Hex15.md5Hex15((c % off).cast("string"))
+        % cadence) === 0
+    minhashVerifyPairs(planted)
       .filter(col("jaccard") >= threshold &&
-        col("a_id") % cadence === 0 && col("b_id") % cadence === 0)
+        inSlice(col("a_id")) && inSlice(col("b_id")))
       .orderBy("a_id", "b_id")
   }
 
@@ -325,9 +351,17 @@ object Dedup {
         |  range(1, len(string_split_regex(trim(text), '\s+'))),
         |  i -> string_split_regex(trim(text), '\s+')[i] || ' ' ||
         |       string_split_regex(trim(text), '\s+')[i+1]))""".stripMargin
-    s"""WITH cad AS (SELECT GREATEST(1, COUNT(*) // 2000) AS c FROM documents),
-       |d AS (SELECT doc_id, $grams AS grams FROM documents
-       |  WHERE doc_id % (SELECT c FROM cad) = 0)
+    val slice =
+      """CAST(concat('0x', substr(md5(CAST(doc_id % (SELECT o FROM off)
+        |  AS VARCHAR)), 1, 15)) AS BIGINT) % (SELECT c FROM cad) = 0""".stripMargin
+    s"""WITH off AS (SELECT MAX(doc_id) + 1 AS o FROM documents),
+       |cad AS (SELECT GREATEST(1, COUNT(*) // 2000) AS c FROM documents),
+       |aug AS (SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + (SELECT o FROM off) AS doc_id,
+       |    text || ' qq7' AS text
+       |  FROM documents WHERE doc_id % 50 = 0),
+       |d AS (SELECT doc_id, $grams AS grams FROM aug WHERE $slice)
        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
        |  round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
        |        CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE), 6) AS jaccard
