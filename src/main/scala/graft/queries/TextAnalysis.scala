@@ -1125,7 +1125,7 @@ object TextAnalysis {
   // its vocabulary ESTIMATE (or uses the approx twin, whose eps=1/m
   // contract needs no regime at all), via the SPARK_GRAFT_HH_M
   // override, which still wins outside the Verify gate.
-  private def hhM(s: SparkSession, dir: String): Int = {
+  private[graft] def hhM(s: SparkSession, dir: String): Int = {
     val v = Tables.documents(s, dir)
       .select(explode(graft.functions.WordNgrams.grams(col("text"), 2))
         .as("gram"))
