@@ -10,6 +10,14 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// Suites share one forked JVM and several (PartitionPruningSpec,
+// Round19Spec, Round20Spec) briefly mutate global system properties
+// (graft.scratch.root / graft.index.root) around their bodies — pin
+// sequential suite execution EXPLICITLY (round-19 advisory) so a future
+// parallelExecution flip can't overlap those windows and redirect
+// concurrent Scratch users mid-flight.
+Test / parallelExecution := false
+Test / testForkedParallel := false
 run / fork := true
 // Pass forked program output straight through: the driver parses the ONE
 // JSON line graft.Bench prints, and sbt's default LoggedOutput would

@@ -131,11 +131,16 @@ object Explain {
     // DSv2 graft source: filters + projection pushed into the reader —
     // the delimited-text twin of the parquet PushedFilters evidence.
     println("\n===== graft source filter+column pushdown =====")
-    val dir = java.nio.file.Files.createTempDirectory("graft_explain")
-    val f = dir.resolve("demo.tsv")
-    java.nio.file.Files.write(f, (Seq("id\tname\tscore") ++
+    // demo TSV rides the shared Scratch root like every other harness
+    // write (round-19 verdict task 5: last createTempDirectory in
+    // src/main); freshDir is reaper-backed, deleted before exit below
+    val dir = graft.queries.Scratch.freshDir(spark, "explain_demo")
+    val f = new org.apache.hadoop.fs.Path(dir, "demo.tsv")
+    val out = graft.queries.Scratch.fs(spark, f).create(f)
+    out.write((Seq("id\tname\tscore") ++
       (0 until 100).map(i => s"$i\tname_$i\t${i * 0.5}"))
       .mkString("", "\n", "\n").getBytes("UTF-8"))
+    out.close()
     import org.apache.spark.sql.functions.col
     println(spark.read.format("graft").load(f.toString)
       .filter(col("id") > 50L && col("score") < 40.0).select("id", "name")
@@ -166,6 +171,7 @@ object Explain {
         |  array_distinct(graft_word_ngrams(text, 2)))) b""".stripMargin)
       .queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))
+    graft.queries.Scratch.delete(spark, dir)
     spark.stop()
   }
 }

@@ -1135,10 +1135,12 @@ object ScaleBench {
       .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
     val liT = graft.queries.Dedup.freshIndexName(spark, "graft_fact_lineitem")
     val orT = graft.queries.Dedup.freshIndexName(spark, "graft_fact_orders")
+    // fact-sized scratch tables ride the shared Scratch root like every
+    // operator write (round-19 verdict task 5: this arm was the last
+    // java.io.tmpdir path in the harness — driver-local, cluster-false)
+    val bucketRoot = graft.queries.Scratch.freshDir(spark, "fact_bucketed")
     def writeBucketed(df: DataFrame, name: String, key: String): Double = {
-      val path = new java.io.File(new java.io.File(
-        sys.props("java.io.tmpdir"), "graft_fact_bucketed"), name)
-        .getAbsolutePath
+      val path = new org.apache.hadoop.fs.Path(bucketRoot, name).toString
       val t0 = System.nanoTime()
       df.repartition(buckets, col(key))
         .write.mode("overwrite").format("parquet")
@@ -1211,15 +1213,9 @@ object ScaleBench {
       // DROP TABLE on these EXTERNAL tables removes catalog metadata
       // only — delete the fact-sized parquet dirs too, or every run
       // leaks two of them under the fresh per-invocation names
-      // (round-17 advisory)
-      val bucketRoot = new org.apache.hadoop.fs.Path(new java.io.File(
-        sys.props("java.io.tmpdir"), "graft_fact_bucketed").getAbsolutePath)
-      val fs = bucketRoot.getFileSystem(
-        spark.sessionState.newHadoopConf())
-      Seq(liT, orT).foreach { t =>
-        spark.sql(s"DROP TABLE IF EXISTS $t")
-        fs.delete(new org.apache.hadoop.fs.Path(bucketRoot, t), true): Unit
-      }
+      // (round-17 advisory); the whole per-invocation dir goes
+      Seq(liT, orT).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      graft.queries.Scratch.delete(spark, bucketRoot)
     }
   }
 
@@ -1437,24 +1433,29 @@ object ScaleBench {
   def splitEvidence(spark: SparkSession): Unit = {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SRC", "/root/testdata/sf0.1")
     val key = srcDir.replaceAll("[^A-Za-z0-9._-]", "_")
-    val dir = new java.io.File(sys.props("java.io.tmpdir"), s"graft_onefile_$key")
-    val marker = new java.io.File(dir, "_DONE")
-    if (!marker.exists()) {
-      val staging = new java.io.File(dir, "staging").toString
+    // the staged one-file corpus is a keyed Scratch cache (round-19
+    // verdict task 5: was a java.io.tmpdir path with java.io.File IO —
+    // the same driver-local class the registry purged); all physical
+    // IO below goes through the root's Hadoop FileSystem
+    val dir = graft.queries.Scratch.cacheDir(spark, s"onefile_$key")
+    val fs = graft.queries.Scratch.fs(spark, dir)
+    val marker = new org.apache.hadoop.fs.Path(dir, "_DONE")
+    if (!fs.exists(marker)) {
+      val staging = new org.apache.hadoop.fs.Path(dir, "staging")
       graft.queries.Ingest.stagedTsvProjection(spark, srcDir)
         .coalesce(1)
         .write.mode("overwrite").option("header", "true").option("sep", "\t")
-        .csv(staging)
-      val part = new java.io.File(staging).listFiles()
-        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".csv"))
-        .getOrElse(sys.error(s"no part file under $staging"))
-      java.nio.file.Files.move(part.toPath,
-        new java.io.File(dir, "lineitem_onefile.tsv").toPath,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      marker.createNewFile()
+        .csv(staging.toString)
+      val part = fs.globStatus(
+          new org.apache.hadoop.fs.Path(staging, "part-*.csv"))
+        .headOption.getOrElse(sys.error(s"no part file under $staging"))
+      val dest = new org.apache.hadoop.fs.Path(dir, "lineitem_onefile.tsv")
+      fs.delete(dest, false): Unit
+      require(fs.rename(part.getPath, dest), s"rename to $dest failed")
+      fs.create(marker).close()
     }
-    val file = new java.io.File(dir, "lineitem_onefile.tsv")
-    val bytes = file.length()
+    val file = new org.apache.hadoop.fs.Path(dir, "lineitem_onefile.tsv")
+    val bytes = fs.getFileStatus(file).getLen
 
     def timedScan(): Double = {
       val t0 = System.nanoTime()

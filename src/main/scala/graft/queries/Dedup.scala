@@ -326,12 +326,29 @@ object Dedup {
     *    planted pairs survive stratification at any cadence. The
     *    DuckDB arm brute-forces the ~2k-doc slice only: ~2M pairs at
     *    ANY scale. At the sf0.01 driver corpus cadence = 1 (full
-    *    brute-force oracle over corpus + plants). */
-  def qDedupMinhashVerifiedSlice(s: SparkSession, dir: String,
-      threshold: Double = 0.5, target: Long = 2000): DataFrame = {
+    *    brute-force oracle over corpus + plants).
+    *
+    * The twin asserts MORE than plan identity (round-19 advisory, on
+    * the record): the oracle brute-forces ALL in-slice pairs above
+    * threshold while the engine emits only banding-surfaced candidates,
+    * so the hash gate pins 100 % banding recall on in-slice pairs —
+    * INTENTIONALLY. The production entry's contract is probabilistic
+    * recall (a 0.5-Jaccard pair misses all 16 bands w.p. ≈5e-5), but a
+    * gate that tolerated misses could not be hash-exact; on the
+    * deterministic gated corpora the measured miss count is zero, and
+    * if a future sweep corpus ever plants an organic pair that loses
+    * the banding lottery, the right fix is widening bands for the gate
+    * corpus, not weakening the oracle.
+    *
+    * Threshold (0.5) and slice target (2000) are FIXED constants, not
+    * parameters: the pinned oracle SQL hardcodes both, so a
+    * configurable engine arm could silently desync from its oracle
+    * (round-19 advisory — the registry only ever used the defaults). */
+  def qDedupMinhashVerifiedSlice(s: SparkSession, dir: String): DataFrame = {
+    val threshold = 0.5
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
     val off = docReplayOffset(docs)
-    val cadence = math.max(1L, docs.count() / target)
+    val cadence = math.max(1L, docs.count() / 2000L)
     val planted = docs.unionByName(
       docs.filter(col("doc_id") % 50 === 0)
         .select((col("doc_id") + lit(off)).as("doc_id"),
@@ -392,7 +409,10 @@ object Dedup {
     * and candidate volume stays ~linear in docs (measured in SCALE.md;
     * at larger n the same trick composes again — band keys grow with
     * log n like the embed-LSH `bits` knob). */
-  def simhashSig128(s: SparkSession, dir: String): DataFrame = {
+  def simhashSig128(s: SparkSession, dir: String): DataFrame =
+    simhashSig128Of(Tables.documents(s, dir))
+
+  private[graft] def simhashSig128Of(docs: DataFrame): DataFrame = {
     // the token kernel is a native codegen'd expression (round-18:
     // one reused MessageDigest + one primitive array per token instead
     // of the hex-string/substring/conv chain's ~17 short-lived objects
@@ -400,7 +420,7 @@ object Dedup {
     // slow boards, round-17 verdict #2); Md5SixteenthsSpec pins
     // bit-equality against the replaced built-in form, so the DuckDB
     // oracle replay is untouched
-    val words = Tables.documents(s, dir)
+    val words = docs
       .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
       .withColumn("hs", graft.functions.Md5Sixteenths.md5Sixteenths(col("tok")))
     val withH = (0 until 8).foldLeft(words) { (df, k) =>
@@ -438,6 +458,10 @@ object Dedup {
     * spaces (measured round 12: radius-2 two-sided touched 37 % of
     * pairs on this corpus' clustered signatures). */
   def simhashCandidates(s: SparkSession, dir: String,
+      radius: Int = 7): DataFrame =
+    simhashCandidatesOf(simhashSig128(s, dir), radius)
+
+  private[graft] def simhashCandidatesOf(sig: DataFrame,
       radius: Int = 7): DataFrame = {
     // materialize the signatures ONCE: probe and build sides both
     // derive from this frame, and without the barrier the 128-sum
@@ -445,7 +469,7 @@ object Dedup {
     // entry's dominant cost). Node-sized (9 longs/doc); at production
     // scale this is the persisted signature index the nightly job
     // writes anyway.
-    val sigs = simhashSig128(s, dir).localCheckpoint()
+    val sigs = sig.localCheckpoint()
     val tCols = (0 until 8).map(k => col(s"t$k"))
     def bandKey(b: Int) = col(s"t$b") * 65536L + col(s"t${b + 4}")
     val probeKeys = (0 until 4).flatMap { b =>
@@ -538,7 +562,9 @@ object Dedup {
     * `sig(doc_id, t0..t7)` — interpolated into BOTH simhash oracles so
     * the candidate entry and the verified twin replay the identical
     * signature arithmetic. */
-  private def simhashSigCtes: String = {
+  private def simhashSigCtes: String = simhashSigCtesFrom("documents")
+
+  private def simhashSigCtesFrom(src: String): String = {
     val hCols = (0 until 8).map(k =>
       s"CAST(concat('0x', substr(md5(tok), ${4 * k + 1}, 4)) AS BIGINT) AS h$k")
       .mkString(",\n    ")
@@ -551,7 +577,7 @@ object Dedup {
     }.mkString(",\n    ")
     s"""w AS (
        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
-       |  FROM documents),
+       |  FROM $src),
        |h AS (SELECT doc_id,
        |    $hCols
        |  FROM w),
@@ -593,16 +619,63 @@ object Dedup {
     * alongside. The engine side stays banded; the oracle's O(n²)
     * joins are the verification form only. */
   def qDedupSimhashVerified(s: SparkSession, dir: String,
-                            threshold: Double = 0.9): DataFrame = {
-    val grams = Tables.documents(s, dir)
-      .select(col("doc_id"), bigrams(col("text")).as("grams"))
+                            threshold: Double = 0.9): DataFrame =
+    simhashVerifyPairs(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")), threshold)
+      .orderBy("a_id", "b_id")
+
+  /** The full SimHash near-dup pipeline over an arbitrary docs frame —
+    * banded Hamming-7 candidates, then the exact bigram-Jaccard verify
+    * — shared by the production entry and its bounded-oracle slice
+    * twin (so the twin gates the IDENTICAL pipeline). */
+  private[graft] def simhashVerifyPairs(docs: DataFrame,
+      threshold: Double = 0.9): DataFrame = {
+    val grams = docs.select(col("doc_id"), bigrams(col("text")).as("grams"))
     val inter = size(array_intersect(col("a_grams"), col("b_grams"))).cast(DoubleType)
     val uni = size(array_union(col("a_grams"), col("b_grams"))).cast(DoubleType)
-    simhashCandidates(s, dir)
+    simhashCandidatesOf(simhashSig128Of(docs))
       .join(grams.select(col("doc_id").as("a_id"), col("grams").as("a_grams")), "a_id")
       .join(grams.select(col("doc_id").as("b_id"), col("grams").as("b_grams")), "b_id")
       .select(col("a_id"), col("b_id"), round(inter / uni, 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** Bounded-oracle GATE TWIN of [[qDedupSimhashVerified]] (round-19
+    * verdict task 3 — the third application of the slice-twin recipe):
+    * the production entry's oracle replays the Hamming ball over ALL
+    * n² signature pairs before the Jaccard verify, which crosses 480 s
+    * in DuckDB at the 100× corpus, so the entry itself carries no
+    * scaled row. The twin runs the IDENTICAL full pipeline
+    * ([[simhashVerifyPairs]]) over the whole corpus plus the standard
+    * planted replays (every 50th doc re-crawled with one appended
+    * token — at the 0.9 threshold only long-enough docs' replays clear
+    * the verify, which is exactly the production contract) and
+    * restricts only the GATED OUTPUT to the deterministic md5-hash
+    * slice of the underlying organic id, cadence = max(1, n/2000) —
+    * the [[qDedupMinhashVerifiedSlice]] machinery verbatim. The DuckDB
+    * arm computes signatures for the ~2k-doc slice only and
+    * brute-forces the ball within it (~2M integer-pair ops at ANY
+    * scale): a signature depends only on its own document and ball
+    * membership only on the pair, so slicing before the sig CTE is
+    * exact. Unlike the minhash twin there is NO recall assertion layered
+    * on top: multi-probe banding is deterministically COMPLETE at
+    * radius 7 ([[simhashCandidates]]), so engine and oracle compute the
+    * same closed-form set by construction. At the sf0.01 driver corpus
+    * cadence = 1 and the twin IS the full entry plus plants. */
+  def qDedupSimhashVerifiedSlice(s: SparkSession, dir: String): DataFrame = {
+    val threshold = 0.9
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val off = docReplayOffset(docs)
+    val cadence = math.max(1L, docs.count() / 2000L)
+    val planted = docs.unionByName(
+      docs.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + lit(off)).as("doc_id"),
+          concat(col("text"), lit(" qq7")).as("text")))
+    def inSlice(c: Column) =
+      (graft.functions.Md5Hex15.md5Hex15((c % off).cast("string"))
+        % cadence) === 0
+    simhashVerifyPairs(planted, threshold)
+      .filter(inSlice(col("a_id")) && inSlice(col("b_id")))
       .orderBy("a_id", "b_id")
   }
 
@@ -618,6 +691,41 @@ object Dedup {
     // engine, so the expensive list_intersect never touches non-candidates
     s"""WITH $simhashSigCtes,
        |d AS (SELECT doc_id, $grams AS grams FROM documents),
+       |ball AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |  WHERE $simhashHamSql <= 7)
+       |SELECT c.a_id, c.b_id,
+       |  round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+       |        CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE), 6) AS jaccard
+       |FROM ball c JOIN d a ON a.doc_id = c.a_id JOIN d b ON b.doc_id = c.b_id
+       |WHERE round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+       |        CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE), 6) >= 0.9
+       |ORDER BY a_id, b_id""".stripMargin
+  }
+
+  private val qDedupSimhashVerifiedSliceOracle = {
+    val grams =
+      """list_distinct(list_transform(
+        |  range(1, len(string_split_regex(trim(text), '\s+'))),
+        |  i -> string_split_regex(trim(text), '\s+')[i] || ' ' ||
+        |       string_split_regex(trim(text), '\s+')[i+1]))""".stripMargin
+    val slice =
+      """CAST(concat('0x', substr(md5(CAST(doc_id % (SELECT o FROM off)
+        |  AS VARCHAR)), 1, 15)) AS BIGINT) % (SELECT c FROM cad) = 0""".stripMargin
+    // signatures depend only on their own document and ball membership
+    // only on the pair, so the slice filter moves BEFORE the sig CTEs
+    // — the whole oracle is O(slice) md5 work + O(slice²) integer pairs
+    s"""WITH off AS (SELECT MAX(doc_id) + 1 AS o FROM documents),
+       |cad AS (SELECT GREATEST(1, COUNT(*) // 2000) AS c FROM documents),
+       |aug0 AS (SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + (SELECT o FROM off) AS doc_id,
+       |    text || ' qq7' AS text
+       |  FROM documents WHERE doc_id % 50 = 0),
+       |aug AS (SELECT doc_id, text FROM aug0 WHERE $slice),
+       |${simhashSigCtesFrom("aug")},
+       |d AS (SELECT doc_id, $grams AS grams FROM aug),
        |ball AS (
        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
        |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
@@ -928,12 +1036,17 @@ object Dedup {
     * kept block contains both plant sources (ids ≡ 0 and ≡ 25 mod 50),
     * so the exact-copy path AND the sign-flip multi-band catch-path
     * stay in the gated ground truth at every cadence. At the sf0.01
-    * driver corpus cadence = 1 and the twin IS the full entry. */
-  def qDedupEmbedSlice(s: SparkSession, dir: String,
-      target: Long = 2000): DataFrame = {
+    * driver corpus cadence = 1 and the twin IS the full entry.
+    *
+    * Like [[qDedupMinhashVerifiedSlice]], the twin intentionally pins
+    * 100 % LSH recall on in-slice pairs (the oracle brute-forces all
+    * in-slice cosines; the engine emits banding-surfaced candidates),
+    * and the slice target (2000) is a fixed constant because the
+    * pinned oracle hardcodes it (round-19 advisory). */
+  def qDedupEmbedSlice(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
     val off = e.agg(max(col("vec_id"))).head.getLong(0) + 1L
-    val cadence = math.max(1L, e.count() / target)
+    val cadence = math.max(1L, e.count() / 2000L)
     embedNearDupPairs(plantedEmbeddings(e), "vec_id", "embedding",
         dims = 64, threshold = 0.95)
       .filter(expr(s"((a_id % $off) div 50) % $cadence = 0") &&
@@ -1279,11 +1392,21 @@ object Dedup {
               else sys.env.get("SPARK_GRAFT_INDEX_ROOT"))
       .getOrElse(s.sessionState.conf.warehousePath)
 
+  // first-use stale sweep of the band-index root (round-19 verdict
+  // task 6 — same grammar/horizon discipline as Scratch.sweepStale):
+  // invocation-named tables from killed JVMs are the only garbage the
+  // shutdown reaper can't reach; explicitly-named production indexes
+  // never match the invocation grammar and are never touched.
+  private val sweptIndexRoots =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   private[graft] def writeBandIndex(s: SparkSession, index: DataFrame,
       name: String, keys: Seq[String]): DataFrame = {
-    val path = new org.apache.hadoop.fs.Path(
-      new org.apache.hadoop.fs.Path(indexRoot(s), "graft_band_index"),
-      name).toString
+    val idxParent = new org.apache.hadoop.fs.Path(
+      indexRoot(s), "graft_band_index")
+    if (sweptIndexRoots.add(idxParent.toString))
+      Scratch.sweepStale(s, idxParent, jvmToken)
+    val path = new org.apache.hadoop.fs.Path(idxParent, name).toString
     registerIndexCleanup(s, name, path)
     index.repartition(bandIndexBuckets, keys.map(col): _*)
       .write.mode("overwrite").format("parquet")
@@ -1948,6 +2071,8 @@ object Dedup {
       qDedupMinhashVerifiedSlice(s, d)),
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_dedup_simhash_verified" -> ((s, d) => qDedupSimhashVerified(s, d)),
+    "q_dedup_simhash_verified_slice" -> ((s, d) =>
+      qDedupSimhashVerifiedSlice(s, d)),
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_dedup_canonical" -> (qDedupCanonical _),
     "q_dedup_embed" -> (qDedupEmbed _),
@@ -1971,6 +2096,7 @@ object Dedup {
     "q_dedup_minhash_verified_slice" -> qDedupMinhashVerifiedSliceOracle,
     "q_dedup_simhash" -> qDedupSimhashOracle,
     "q_dedup_simhash_verified" -> qDedupSimhashVerifiedOracle,
+    "q_dedup_simhash_verified_slice" -> qDedupSimhashVerifiedSliceOracle,
     "q_dedup_clusters" -> qDedupClustersOracle,
     "q_dedup_canonical" -> qDedupCanonicalOracle,
     "q_dedup_embed" -> qDedupEmbedOracle,

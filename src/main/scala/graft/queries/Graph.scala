@@ -367,7 +367,31 @@ object Graph {
     * exchange (new-frontier rows keyed by v). The oracle states the
     * same distances as unrolled walk levels + MIN — a different
     * formulation on purpose. */
-  def qGraphBfs(s: SparkSession, dir: String, hops: Int = 3): DataFrame = {
+  def qGraphBfs(s: SparkSession, dir: String, hops: Int = 3): DataFrame =
+    graphBfsFrom(s, dir, hops, seedMod = 100L)
+
+  /** Bounded-seed GATE TWIN of [[qGraphBfs]] (round-19 verdict task 3
+    * — the slice-twin recipe applied to the frontier shape): the
+    * production entry's oracle unrolls three frontier joins from EVERY
+    * 100th customer, and at the 100× corpus that seed density makes
+    * the DuckDB level joins cross 480 s, so the entry carried no 100×
+    * row. The twin runs the IDENTICAL level-synchronous machinery
+    * ([[graphBfsFrom]] — same edge spine, same persist/partitioning
+    * discipline, same hop cap) and bounds only the SEED SET: seeds are
+    * customers with `c_custkey % R = 0` where R = max(100, n_cust/16)
+    * — an integer rule the oracle mirrors verbatim as
+    * `GREATEST(100, COUNT(*) // 16)`, so the seed count stays ~16 at
+    * any decade and the oracle's per-level joins touch only edges
+    * incident to a bounded frontier. At the sf0.01 driver corpus
+    * (1,500 customers) R = 100 and the twin IS the full entry —
+    * Round20Spec pins that identity. */
+  def qGraphBfsBounded(s: SparkSession, dir: String): DataFrame = {
+    val nCust = Tables.customer(s, dir).count()
+    graphBfsFrom(s, dir, hops = 3, seedMod = math.max(100L, nCust / 16L))
+  }
+
+  private def graphBfsFrom(s: SparkSession, dir: String, hops: Int,
+      seedMod: Long): DataFrame = {
     val e0 = Tables.orders(s, dir)
       .select(col("o_orderkey"), col("o_custkey"))
       .join(Tables.lineitem(s, dir)
@@ -384,7 +408,7 @@ object Graph {
       .sortWithinPartitions("u")
       .persist()
     var dist = Tables.customer(s, dir)
-      .filter(pmod(col("c_custkey"), lit(100)) === 0)
+      .filter(pmod(col("c_custkey"), lit(seedMod)) === 0)
       .select(col("c_custkey").cast(LongType).as("u"), lit(0L).as("dist"))
       .distinct()
     var prevCache: Option[DataFrame] = None
@@ -411,6 +435,26 @@ object Graph {
       |e AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
       |d0 AS (SELECT DISTINCT c_custkey AS u FROM customer
       |       WHERE c_custkey % 100 = 0),
+      |n1 AS (SELECT DISTINCT e.v AS u FROM e JOIN d0 ON e.u = d0.u),
+      |n2 AS (SELECT DISTINCT e.v AS u FROM e JOIN n1 ON e.u = n1.u),
+      |n3 AS (SELECT DISTINCT e.v AS u FROM e JOIN n2 ON e.u = n2.u),
+      |lv AS (SELECT u, 0 AS dist FROM d0
+      |       UNION ALL SELECT u, 1 FROM n1
+      |       UNION ALL SELECT u, 2 FROM n2
+      |       UNION ALL SELECT u, 3 FROM n3)
+      |SELECT u AS node_id, CAST(MIN(dist) AS BIGINT) AS dist
+      |FROM lv GROUP BY u ORDER BY node_id""".stripMargin
+
+  // identical unrolled-walk formulation, seed set bounded by the
+  // engine-mirrored integer rule R = max(100, n_cust/16)
+  private val qGraphBfsBoundedOracle =
+    """WITH r AS (SELECT GREATEST(100, COUNT(*) // 16) AS m FROM customer),
+      |e0 AS (
+      |  SELECT DISTINCT o.o_custkey AS u, 1000000 + l.l_suppkey AS v
+      |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+      |e AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+      |d0 AS (SELECT DISTINCT c_custkey AS u FROM customer
+      |       WHERE c_custkey % (SELECT m FROM r) = 0),
       |n1 AS (SELECT DISTINCT e.v AS u FROM e JOIN d0 ON e.u = d0.u),
       |n2 AS (SELECT DISTINCT e.v AS u FROM e JOIN n1 ON e.u = n1.u),
       |n3 AS (SELECT DISTINCT e.v AS u FROM e JOIN n2 ON e.u = n2.u),
@@ -504,13 +548,15 @@ object Graph {
     "q_graph_labelprop" -> ((s, d) => qGraphLabelprop(s, d)),
     "q_pagerank" -> ((s, d) => qPagerank(s, d)),
     "q_graph_triangles" -> ((s, d) => qGraphTriangles(s, d)),
-    "q_graph_bfs" -> ((s, d) => qGraphBfs(s, d))
+    "q_graph_bfs" -> ((s, d) => qGraphBfs(s, d)),
+    "q_graph_bfs_bounded" -> ((s, d) => qGraphBfsBounded(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
     "q_graph_labelprop" -> qGraphLabelpropOracle,
     "q_pagerank" -> qPagerankOracle,
     "q_graph_triangles" -> qGraphTrianglesOracle,
-    "q_graph_bfs" -> qGraphBfsOracle
+    "q_graph_bfs" -> qGraphBfsOracle,
+    "q_graph_bfs_bounded" -> qGraphBfsBoundedOracle
   )
 }

@@ -1125,13 +1125,32 @@ object TextAnalysis {
   // its vocabulary ESTIMATE (or uses the approx twin, whose eps=1/m
   // contract needs no regime at all), via the SPARK_GRAFT_HH_M
   // override, which still wins outside the Verify gate.
+  // The exact distinct-bigram count is a CORPUS property, so it is
+  // memoized per dir (round-19 advisory: q_heavy_hitters and its approx
+  // twin each ran the full vocabulary scan inside their registry
+  // lambdas — two extra corpus aggregations per board). Only the COUNT
+  // is cached; the knob resolution below stays per-call so a spec-side
+  // SPARK_GRAFT_HH_M / graft.verify flip is still honored.
+  private val hhVocab =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
   private[graft] def hhM(s: SparkSession, dir: String): Int = {
-    val v = Tables.documents(s, dir)
-      .select(explode(graft.functions.WordNgrams.grams(col("text"), 2))
-        .as("gram"))
-      .agg(countDistinct(col("gram")).as("v")).head.getLong(0)
-    val auto = math.min(math.max(1024L, 2L * v), Int.MaxValue.toLong).toInt
-    Knobs.scaleKnobWide("SPARK_GRAFT_HH_M", auto)
+    val v: Long = hhVocab.computeIfAbsent(dir, d =>
+      Tables.documents(s, d)
+        .select(explode(graft.functions.WordNgrams.grams(col("text"), 2))
+          .as("gram"))
+        .agg(countDistinct(col("gram")).as("v")).head.getLong(0))
+    val auto = math.max(1024L, 2L * v)
+    // the DuckDB mirror GREATEST(1024, 2*COUNT(DISTINCT gram)) is
+    // uncapped, so a silent clamp here would desync engine and oracle
+    // arithmetic (round-19 advisory) — refuse loudly instead; a corpus
+    // with 2·V over Int.MaxValue (>1e9 distinct bigrams in one gated
+    // table) needs the approx twin or an explicit SPARK_GRAFT_HH_M
+    require(auto <= Int.MaxValue.toLong,
+      s"auto-sized heavy-hitters m=$auto exceeds Int.MaxValue — the " +
+        "exact entry cannot mirror its oracle at this vocabulary; use " +
+        "q_heavy_hitters_approx or set SPARK_GRAFT_HH_M explicitly")
+    Knobs.scaleKnobWide("SPARK_GRAFT_HH_M", auto.toInt)
   }
 
   // the oracle-side mirror of the auto-sizing rule, over the same

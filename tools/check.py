@@ -4,7 +4,18 @@ not engine code). Runs graft.Verify's dumped parquet against each
 oracle_sql.json entry executed in DuckDB over the same sf tables, then
 compares row count, column names (sorted), and a value hash.
 
-Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check.py <sfDir> <verifyOutDir> [--digest q1,q2,...]
+
+--digest names entries compared via a 1-row ORDER-INSENSITIVE digest
+computed INSIDE DuckDB on both sides (count + SUM(hash(cols sorted by
+name)), HUGEINT-exact, width-insensitive across integer types —
+verified: hash(5::INTEGER) = hash(5::BIGINT) = hash(5::HUGEINT)),
+instead of the default python fetchall + per-cell hash. This exists for
+the comparer-bound 15M–180M-row outputs (ingest/parse/unpivot class) at
+the 100x gate, where the python boundary — not DuckDB and not the
+engine — was the measured bottleneck (round-19 verdict task 1). The
+digest drops the row-ORDER check the default path carries; every digest
+entry keeps its order-sensitive full-hash row at sf0.01 and 10x.
 """
 import sys, json, glob, hashlib
 import duckdb
@@ -30,7 +41,25 @@ def table_hash(rows, cols):
         h.update(b"\x1e")
     return h.hexdigest()
 
-def main(sf_dir, out_dir):
+def digest_check(con, sql, spark_files, cols):
+    """Both sides reduced to ONE row inside DuckDB: exact count + an
+    order-insensitive content digest (SUM over per-row 64-bit hashes of
+    the name-sorted columns, accumulated in HUGEINT so the sum is
+    exact). Only two scalars cross the python boundary."""
+    csv = ", ".join('"%s"' % c.replace('"', '""') for c in sorted(cols))
+    o_n, o_h = con.execute(
+        f"SELECT COUNT(*), SUM(hash({csv})) FROM ({sql}) t").fetchone()
+    s_n, s_h = con.execute(
+        f"SELECT COUNT(*), SUM(hash({csv})) "
+        f"FROM read_parquet({spark_files!r}) t").fetchone()
+    problems = []
+    if s_n != o_n:
+        problems.append(f"rows spark={s_n} oracle={o_n}")
+    elif s_h != o_h:
+        problems.append("digest mismatch")
+    return problems, s_n
+
+def main(sf_dir, out_dir, digest_names=()):
     con = duckdb.connect()
     import os
     for t in ["region","nation","customer","supplier","part","orders",
@@ -46,18 +75,20 @@ def main(sf_dir, out_dir):
         spark_files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not spark_files:
             print(f"FAIL {name}: no spark output"); n_fail += 1; continue
+        digest = name in digest_names
         try:
-            o = con.execute(sql)
-            o_cols = [d[0] for d in o.description]
-            o_rows = o.fetchall()
-            o_types = dict(r[:2] for r in con.execute(f"DESCRIBE {sql}").fetchall())
+            o_desc = con.execute(f"DESCRIBE {sql}").fetchall()
+            o_cols = [r[0] for r in o_desc]
+            o_types = dict(r[:2] for r in o_desc)
+            o_rows = None if digest else con.execute(sql).fetchall()
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}"); n_fail += 1; continue
-        sq = con.execute(f"SELECT * FROM read_parquet({spark_files!r})")
-        s_cols = [d[0] for d in sq.description]
-        s_rows = sq.fetchall()
-        s_types = dict(r[:2] for r in con.execute(
-            f"DESCRIBE SELECT * FROM read_parquet({spark_files!r})").fetchall())
+        s_desc = con.execute(
+            f"DESCRIBE SELECT * FROM read_parquet({spark_files!r})").fetchall()
+        s_cols = [r[0] for r in s_desc]
+        s_types = dict(r[:2] for r in s_desc)
+        s_rows = None if digest else con.execute(
+            f"SELECT * FROM read_parquet({spark_files!r})").fetchall()
         problems = []
         # Type-faithful gate: str()-hashing below masks integer-width/decimal
         # differences the driver's hash distinguishes (r5 q_join_null_safe,
@@ -83,6 +114,16 @@ def main(sf_dir, out_dir):
                 problems.append(f"col {c} type spark={st} oracle={ot}")
         if sorted(s_cols) != sorted(o_cols):
             problems.append(f"cols spark={sorted(s_cols)} oracle={sorted(o_cols)}")
+        if digest:
+            n_rows = 0
+            if not problems:
+                dprobs, n_rows = digest_check(con, sql, spark_files, o_cols)
+                problems.extend(dprobs)
+            if problems:
+                print(f"FAIL {name}: " + "; ".join(problems[:3])); n_fail += 1
+            else:
+                print(f"PASS {name} ({n_rows} rows, digest)"); n_pass += 1
+            continue
         if len(s_rows) != len(o_rows):
             problems.append(f"rows spark={len(s_rows)} oracle={len(o_rows)}")
         if not problems and table_hash(s_rows, s_cols) != table_hash(o_rows, o_cols):
@@ -101,4 +142,10 @@ def main(sf_dir, out_dir):
     return 1 if n_fail else 0
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    digest = set()
+    args = sys.argv[1:]
+    if "--digest" in args:
+        i = args.index("--digest")
+        digest = set(args[i + 1].split(","))
+        args = args[:i] + args[i + 2:]
+    sys.exit(main(args[0], args[1], digest))
