@@ -1430,6 +1430,125 @@ object ScaleBench {
     * the performance half: the split read should approach the
     * parallel-scan speedup the splits exist to buy. Recorded in
     * SCALE.md. */
+  /** Round-19 verdict task 4: the cluster-portability smoke. Every
+    * prior evidence arm ran one JVM on `file:` (local[N]), where a
+    * driver-local-state assumption — an executor-side read of a
+    * driver-only system property, a non-serializable closure capture,
+    * a class missing from the executor classpath, a driver-local temp
+    * path read back from a task — can never fail. This arm re-runs the
+    * Scratch-rooted lifecycles (streaming feed staging, the hive-layout
+    * demo, the persisted band-index append/probe) plus a
+    * shuffle/broadcast/custom-expression spine on a
+    * `local-cluster[2,2,2048]` master: a real standalone Master + 2
+    * Workers in-process, each executor a SEPARATE JVM launched with
+    * this JVM's classpath (`spark.executor.extraClassPath`), so task
+    * closures, graft Catalyst expressions, the graft datasource, and
+    * streaming state stores all deserialize and run outside the driver.
+    *
+    * Correctness signal: each entry's result digests (row count + sum
+    * of per-row xxhash64 over name-sorted columns, computed IN Spark on
+    * each side) must be IDENTICAL to a plain local[4] baseline session
+    * run first in this same JVM — a cross-master hash gate, not just
+    * "didn't crash". JVM separation is asserted, not assumed: the
+    * executor runtime names (`pid@host` from tasks) must be ≥2 and
+    * disjoint from the driver's. */
+  def localClusterEvidence(): Unit = {
+    val sf = sys.env.getOrElse("SPARK_GRAFT_SRC", "/root/testdata/sf0.01")
+    // the Scratch-rooted lifecycles the task names + a spine that
+    // shuffles, broadcasts, and runs graft codegen kernels in executors
+    val names = Seq(
+      "q_agg_group",                  // hash-agg shuffle
+      "q_join_inner",                 // broadcast dim join
+      "q_dedup_minhash",              // md5 band kernels in tasks
+      "q_ingest_typed",               // graft datasource + cast kernels
+      "q_stream_ingest",              // feed staging via Scratch + rename
+      "q_curation_partition_layout",  // hive layout via Scratch
+      "q_dedup_index_append",         // persisted band-index lifecycle
+      "q_multimodal_features",        // binary decode inside tasks
+      "q_stream_sessions_bounded",    // stateful streaming state stores
+      "q_sql_q21")                    // multiway shuffle-join spine
+
+    def session(master: String, warehouse: String): SparkSession = {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      val b = SparkSession.builder()
+        .master(master)
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.warehouse.dir", warehouse)
+        .config("spark.ui.enabled", "false")
+      val withExec =
+        if (master.startsWith("local-cluster"))
+          // executors are launched by the in-process Workers as fresh
+          // JVMs that know nothing of sbt's classpath — hand them ours
+          b.config("spark.executor.extraClassPath",
+              sys.props("java.class.path"))
+            .config("spark.executor.memory", "1g")
+            // the Worker builds the executor command with the packaged
+            // distro's AbstractCommandBuilder, which needs the scala
+            // version that bin/load-spark-env.sh would export in a real
+            // deployment; an in-process Worker never runs that script,
+            // so pass it through the app's executor environment (fails
+            // with "Cannot find any build directories." otherwise)
+            .config("spark.executorEnv.SPARK_SCALA_VERSION",
+              scala.util.Properties.versionNumberString
+                .split("\\.").take(2).mkString("."))
+            // JDK 17+ module opens for the executor JVMs, same set
+            // spark-submit injects for the driver
+            .config("spark.executor.extraJavaOptions",
+              org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions())
+        else b
+      val s = withExec.getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      s
+    }
+
+    /** Order-insensitive content digest computed inside Spark: exact
+      * row count + exact DECIMAL(38,0) SUM of per-row xxhash64 over the
+      * name-sorted columns (a raw BIGINT sum overflows under ANSI). */
+    def digests(s: SparkSession): Map[String, (Long, String)] =
+      names.map { n =>
+        val df = SparkEntry.queries(n)(s, sf)
+        val cols = df.columns.sorted.map(col)
+        val r = df.select(xxhash64(cols: _*).cast("decimal(38,0)").as("h"))
+          .agg(count(lit(1)).as("n"), sum(col("h")).as("hs")).head()
+        n -> ((r.getLong(0), String.valueOf(r.get(1))))
+      }.toMap
+
+    val base = session("local[4]", "/tmp/graft_lc_wh_base")
+    val expected = digests(base)
+    base.stop()
+
+    val clustered = session("local-cluster[2,2,2048]", "/tmp/graft_lc_wh_cluster")
+    try {
+      // hard evidence of JVM separation: runtime names (pid@host) seen
+      // by tasks vs the driver's own
+      val driverJvm =
+        java.lang.management.ManagementFactory.getRuntimeMXBean.getName
+      import clustered.implicits._
+      val execJvms = clustered.range(0, 64, 1, 8)
+        .mapPartitions(_ => Iterator(
+          java.lang.management.ManagementFactory.getRuntimeMXBean.getName))
+        .distinct().collect().toSet
+      require(execJvms.size >= 2,
+        s"expected >=2 executor JVMs, saw $execJvms")
+      require(!execJvms.contains(driverJvm),
+        s"executor 'JVMs' include the driver ($driverJvm) — not a cluster")
+
+      val got = digests(clustered)
+      val mism = names.filter(n => got(n) != expected(n))
+      require(mism.isEmpty,
+        s"cross-master digest mismatch: ${mism.map(n =>
+          s"$n local=${expected(n)} cluster=${got(n)}").mkString("; ")}")
+      val qs = names.map { n =>
+        s""""$n":{"rows":${got(n)._1},"digest_match":true}"""
+      }.mkString("{", ",", "}")
+      println(s"""{"metric":"local_cluster_smoke","sf":"$sf","executor_jvms":${execJvms.size},"entries":$qs}""")
+    } finally clustered.stop()
+  }
+
   def splitEvidence(spark: SparkSession): Unit = {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SRC", "/root/testdata/sf0.1")
     val key = srcDir.replaceAll("[^A-Za-z0-9._-]", "_")
@@ -1637,6 +1756,10 @@ object ScaleBench {
       spark.sparkContext.setLogLevel("WARN")
       graphDecadeEvidence(spark)
       spark.stop()
+      return
+    }
+    if (args.headOption.contains("localcluster")) {
+      localClusterEvidence()
       return
     }
     if (args.headOption.contains("skew")) {

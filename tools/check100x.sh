@@ -140,36 +140,51 @@ QUERIES="$QUERIES q_ann_range q_bpe_apply q_bpe_merges \
   q_stream_interval_join q_stream_interval_join_outer \
   q_stream_semi_join q_stream_ngrams q_stream_ngrams_sink \
   q_stream_sessions_bounded"
+# ── Round-20 wave (verdict tasks 1-3): the comparer-bound class joins
+# the gate through check.py --digest — both sides reduce to ONE
+# count+SUM(hash) row inside DuckDB, so the 15M–180M-row outputs
+# (the full converted corpus / unpivot fan-out is the RESULT by
+# design) no longer pay the python fetchall boundary. Every digest
+# entry keeps its order-sensitive full-hash row at sf0.01 and 10x;
+# the digest drops only the row-order check at this decade.
+DIGEST_QUERIES="q_ingest_typed q_ingest_jsonl q_safe_cast \
+  q_null_normalize q_parse_bool q_parse_date_multi q_parse_ts_multi \
+  q_stream_ingest q_stream_ingest_jsonl q_unpivot"
+QUERIES="$QUERIES $DIGEST_QUERIES"
+# ...and the two new bounded-oracle twins (round-19 verdict task 3,
+# the slice-twin recipe's 3rd/4th applications): simhash-verified's
+# full pipeline gated through an md5-hash output slice, BFS gated
+# through the seed rule R = max(100, n_cust/16) mirrored in the
+# oracle's recursive CTE.
+QUERIES="$QUERIES q_dedup_simhash_verified_slice q_graph_bfs_bounded"
 # ── Excluded at 100x, each with its measured reason (the no-silent-
-# caps discipline; all 20 are hash-gated at 10x and sf0.01):
+# caps discipline; all 10 are hash-gated at sf0.01, 8 directly at 10x
+# and the two O(n²)-oracle production forms via their slice twins at
+# the same decade — embed's full O(n²) oracle also paid once at 10x):
 #   q_join_interval — BOTH arms super-linear at the 5M-event interval
 #     density: the DuckDB IEJoin oracle exceeds 480 s and the
 #     pair-OUTPUT itself grows with overlap density² (the entry's own
 #     scaladoc documents this; its linear-output scale twin
 #     q_join_interval_agg IS gated here — 24 s oracle, 9.5M rows).
-#   q_unpivot — 180M output rows: the hash COMPARER (python fetchall
-#     + per-cell normalization), not DuckDB, is the bottleneck.
-#   q_ingest_typed q_ingest_jsonl q_safe_cast q_null_normalize
-#   q_parse_bool q_parse_date_multi q_parse_ts_multi q_stream_ingest
-#   q_stream_ingest_jsonl — same comparer class: 15M–60M-row outputs
-#     (the full converted corpus is the result by design); each is
-#     gated at 10x over the 6M-row feed where the compare is minutes.
 #   q_dedup_incremental_near / q_dedup_index_append — oracle arms
 #     cross-join batch grams against the 5M-doc corpus: >480 s.
 #   q_dedup_simhash_verified — recall-preconditioned all-pairs oracle
-#     >480 s; the candidate stage + Hamming ball gate via
-#     q_dedup_simhash at this decade instead.
-#   q_graph_bfs — DuckDB's recursive-CTE frontier oracle >480 s at
-#     1.6M edges (pagerank + labelprop + triangles carry graph at 10x;
-#     pagerank and labelprop are gated here).
+#     >480 s (FINAL: measured round 19); its identical pipeline is
+#     gated here by q_dedup_simhash_verified_slice, and the candidate
+#     stage + Hamming ball by q_dedup_simhash.
+#   q_graph_bfs — DuckDB's recursive-CTE frontier oracle from ALL
+#     sources >480 s at 1.6M edges (FINAL); the identical iteration
+#     is gated here by q_graph_bfs_bounded's seeded form.
 #   q_graph_triangles — the DuckDB 3-way edge self-join spills >60 GB
-#     of temp at this decade (measured: out-of-disk at 372 s).
+#     of temp at this decade (measured: out-of-disk at 372 s; FINAL).
 #   q_dedup_embed / q_dedup_minhash_verified — O(n²) brute-force
 #     oracles (their _slice twins gate the identical pipelines here).
 #   q_dedup_semdedup / q_embed_kmeans — hour-class oracles (round-17
-#     note: flat k=64 fit / full-assignment output), gated at 10x.
-# Tally: 220 of 240 registry entries hash-green at 100x.
+#     note: flat k=64 fit / full-assignment output), gated at 10x;
+#     the production-scale paths (semdedup_2l, the IVF/LSH probes)
+#     are gated here.
+# Tally: 232 of 242 registry entries hash-green at 100x.
 if [ "$SKIP_SIMHASH" = "0" ]; then QUERIES="$QUERIES q_dedup_simhash"; fi
 cd "$(dirname "$0")/.."
 sbt -batch "runMain graft.Verify $SF $OUT $QUERIES"
-python3 tools/check.py "$SF" "$OUT"
+python3 tools/check.py "$SF" "$OUT" --digest "$(echo $DIGEST_QUERIES | tr ' ' ',')"

@@ -158,12 +158,19 @@ QUERIES="$QUERIES q_context_pack q_hist_equidepth_approx \
 QUERIES="$QUERIES q_dedup_embed_incremental q_stream_dedup_embed \
   q_heavy_hitters q_heavy_hitters_approx q_dedup_embed_slice \
   q_dedup_minhash_verified_slice"
+# Round-20: the two new bounded-oracle twins (verdict task 3 — the
+# recipe's 3rd/4th applications) carry their own 10x rows too:
+# simhash-verified's identical full pipeline behind an md5-hash output
+# slice (slice-local signature + Hamming ball in DuckDB), and BFS's
+# identical frontier iteration from the seed rule R = max(100,
+# n_cust/16) (recursive CTE from the same seeds in DuckDB).
+QUERIES="$QUERIES q_dedup_simhash_verified_slice q_graph_bfs_bounded"
 # Excluded with reasons (the no-silent-caps discipline):
 #   q_dedup_embed / q_dedup_minhash_verified — their own oracles stay
 #     O(n^2)-priced out at this decade, but BOTH pipelines now carry a
 #     full-strength scaled hash row through their _slice twins above
 #     (same engine plan, bounded oracle), so no operator is untested.
-# Final tally: 238 of 240 registry entries carry a 10x hash row; the
+# Final tally: 240 of 242 registry entries carry a 10x hash row; the
 # two out are the O(n^2)-oracle production forms whose identical
 # pipelines gate through their _slice twins at the same decade.
 cd "$(dirname "$0")/.."
