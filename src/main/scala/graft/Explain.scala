@@ -101,7 +101,13 @@ object Explain {
     // the md5 hash-slice gate riding as two map-side filters ABOVE the
     // verify (the slice never changes the join shape; the oracle-side
     // bound comes from the slice, not the plan)
-    "q_dedup_minhash_verified_slice")
+    "q_dedup_minhash_verified_slice",
+    // round 20: the recipe's 3rd/4th applications — the simhash
+    // multi-probe ball + exact-Jaccard verify with the hash-slice gate
+    // riding above the verify, and the seeded BFS whose frontier
+    // iteration is byte-identical to q_graph_bfs (only the seed
+    // predicate differs)
+    "q_dedup_simhash_verified_slice", "q_graph_bfs_bounded")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

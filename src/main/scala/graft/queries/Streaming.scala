@@ -834,10 +834,12 @@ object Streaming {
     * no re-inference. Stateless map-only stream: no state store, no
     * watermark — the scale cost is the file-listing tick, and each
     * micro-batch is the same no-shuffle cast projection as the batch
-    * path. The memory sink (corpus-sized on the driver) is the
-    * VERIFICATION-scale gate only; the at-scale sink is the parquet
-    * file sink with a checkpoint, whose exactly-once restart contract
-    * StreamingSpec's "streaming ingest e2e" case pins. */
+    * path. The gated lifecycle drains through the PRODUCTION parquet
+    * file sink with a checkpoint (round 20: the memory sink it used
+    * before was corpus-sized on the driver and broke the gate at the
+    * 60M-row 100× feed — driver maxResultSize), so driver state stays
+    * bounded at any decade; the sink's exactly-once restart contract
+    * is pinned by StreamingSpec's "streaming ingest e2e" case. */
   /** Bundle of the per-format feed-staging + stream-building lambdas
     * shared by [[streamIngestLifecycle]] and the bench warmup path
     * [[prewarmIngestFeeds]]. */
@@ -941,7 +943,6 @@ object Streaming {
   private def streamIngestLifecycle(s: SparkSession, feedCfg: IngestFeed): DataFrame = {
     import scala.jdk.CollectionConverters._
     val name = feedCfg.name
-    s.catalog.dropTempView(name)
     val cache = ensureFeedChunks(s, feedCfg)
     // Hard-link staging is the LOCAL-filesystem fast path (O(#files)
     // metadata ops per bench run instead of an O(bytes) copy); on a
@@ -982,16 +983,30 @@ object Streaming {
       stage("b1")
       val stream = feedCfg.buildStream(s"$feed/*",
         new org.apache.hadoop.fs.Path(feed, "b1").toString)
+      // Drain through the PRODUCTION parquet file sink (exactly-once
+      // via the checkpoint + _spark_metadata log), not the memory sink:
+      // the memory sink serializes every task's rows onto the driver,
+      // which is cluster-false and breaks the gate at the 60M-row 100×
+      // feed (driver maxResultSize exceeded) — the file sink keeps
+      // driver state bounded at any corpus size. The sink dir is a
+      // Scratch freshDir NOT deleted here: the returned DataFrame reads
+      // from it lazily (Verify/Bench consume it after this returns), so
+      // its lifetime is the session's and the shutdown reaper owns it.
+      val sink = Scratch.freshDir(s, s"sink_$name")
+      val data = new org.apache.hadoop.fs.Path(sink, "data").toString
       val q = stream.writeStream.outputMode("append")
-        .format("memory").queryName(name).start()
+        .format("parquet").option("path", data)
+        .option("checkpointLocation",
+          new org.apache.hadoop.fs.Path(sink, "_cp").toString)
+        .start()
       try {
         q.processAllAvailable()
         stage("b2")
         q.processAllAvailable()
       } finally q.stop()
+      val t = s.read.parquet(data)
+      t.orderBy(t.columns.map(col): _*)
     } finally Scratch.delete(s, feed)
-    val t = s.table(name)
-    t.orderBy(t.columns.map(col): _*)
   }
 
   /** Streaming CDC materialization on Spark 4's `transformWithState`

@@ -71,7 +71,9 @@ def main(sf_dir, out_dir, digest_names=()):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
+    import time
     for name, sql in sorted(oracle.items()):
+        t0 = time.monotonic()
         spark_files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not spark_files:
             print(f"FAIL {name}: no spark output"); n_fail += 1; continue
@@ -122,7 +124,10 @@ def main(sf_dir, out_dir, digest_names=()):
             if problems:
                 print(f"FAIL {name}: " + "; ".join(problems[:3])); n_fail += 1
             else:
-                print(f"PASS {name} ({n_rows} rows, digest)"); n_pass += 1
+                # elapsed = oracle SQL + both digest scans in DuckDB — the
+                # per-entry cost the gate scripts' pricing notes record
+                print(f"PASS {name} ({n_rows} rows, digest, "
+                      f"{time.monotonic() - t0:.0f}s)"); n_pass += 1
             continue
         if len(s_rows) != len(o_rows):
             problems.append(f"rows spark={len(s_rows)} oracle={len(o_rows)}")
