@@ -147,6 +147,13 @@ QUERIES="$QUERIES q_ann_range q_bpe_apply q_bpe_merges \
 # design) no longer pay the python fetchall boundary. Every digest
 # entry keeps its order-sensitive full-hash row at sf0.01 and 10x;
 # the digest drops only the row-order check at this decade.
+# All 10 ran hash-green at HEAD 2026-08-17; measured digest cost
+# (oracle SQL + both DuckDB digest scans): ingest_typed 151s (60M),
+# stream_ingest 105s (60M), safe_cast 88s (60M), null_normalize 65s
+# (60M), parse_bool 58s (60M), parse_ts_multi 42s (15M), ingest_jsonl
+# 29s (15M), parse_date_multi 29s (15M), unpivot 24s (180M),
+# stream_ingest_jsonl 7s (15M) — the 180M-row entry that was the
+# comparer's worst case is now among the cheapest (pure column scan).
 DIGEST_QUERIES="q_ingest_typed q_ingest_jsonl q_safe_cast \
   q_null_normalize q_parse_bool q_parse_date_multi q_parse_ts_multi \
   q_stream_ingest q_stream_ingest_jsonl q_unpivot"
@@ -155,7 +162,9 @@ QUERIES="$QUERIES $DIGEST_QUERIES"
 # the slice-twin recipe's 3rd/4th applications): simhash-verified's
 # full pipeline gated through an md5-hash output slice, BFS gated
 # through the seed rule R = max(100, n_cust/16) mirrored in the
-# oracle's recursive CTE.
+# oracle's level-unrolled CTE. Both hash-green at HEAD 2026-08-17:
+# 33 rows (non-vacuous: organic + planted replays in-slice) and
+# 15,995 rows, full order-sensitive compares.
 QUERIES="$QUERIES q_dedup_simhash_verified_slice q_graph_bfs_bounded"
 # ── Excluded at 100x, each with its measured reason (the no-silent-
 # caps discipline; all 10 are hash-gated at sf0.01, 8 directly at 10x
