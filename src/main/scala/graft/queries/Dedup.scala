@@ -45,6 +45,25 @@ object Dedup {
     // hashes are unmoved while the per-element interpretation cost goes
     array_distinct(graft.functions.WordNgrams.grams(text, 2))
 
+  /** `round(|A∩B| / |A∪B|, 6)` over DISTINCT-element gram arrays, with
+    * the union size computed arithmetically: for distinct inputs
+    * |A∪B| = |A| + |B| − |A∩B| exactly (integer identity, then the same
+    * int→double cast), so no `array_union` hash set is ever built —
+    * the intersect is the only per-pair set operation and codegen's
+    * subexpression elimination evaluates it once (round-20
+    * optimization, guide §2.3/§4: the pair-verify stages' dominant
+    * per-row cost was building BOTH set structures per candidate).
+    * Value-identical to the `size(array_union)` form on every input the
+    * verify stages produce (bigrams() output is array_distinct'd;
+    * Round20OptSpec pins equality on the real corpus), so the DuckDB
+    * oracles — which keep the `list_distinct(list_concat(...))` union —
+    * are unmoved. */
+  private[graft] def jaccardRounded(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b))
+    round(inter.cast(DoubleType) /
+      (size(a) + size(b) - inter).cast(DoubleType), 6)
+  }
+
   /** Word-bigram Jaccard over doc pairs (same lang) above threshold.
     * This O(n²) form is the EXACTNESS BASELINE the LSH path
     * approximates, so it runs on a bounded sample (doc_id < 500 —
@@ -57,11 +76,10 @@ object Dedup {
       .select(col("doc_id"), col("lang"), bigrams(col("text")).as("grams"))
     val a = d.select(col("doc_id").as("a_id"), col("lang"), col("grams").as("a_grams"))
     val b = d.select(col("doc_id").as("b_id"), col("lang"), col("grams").as("b_grams"))
-    val inter = size(array_intersect(col("a_grams"), col("b_grams"))).cast(DoubleType)
-    val uni = size(array_union(col("a_grams"), col("b_grams"))).cast(DoubleType)
     a.join(b, Seq("lang"))
       .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"), round(inter / uni, 6).as("jaccard"))
+      .select(col("a_id"), col("b_id"),
+        jaccardRounded(col("a_grams"), col("b_grams")).as("jaccard"))
       .filter(col("jaccard") >= 0.12)
       .orderBy("a_id", "b_id")
   }
@@ -224,12 +242,11 @@ object Dedup {
       .distinct()
     // verify candidates with exact bigram Jaccard
     val grams = docs.select(col("doc_id"), bigrams(col("text")).as("grams"))
-    val inter = size(array_intersect(col("a_grams"), col("b_grams"))).cast(DoubleType)
-    val uni = size(array_union(col("a_grams"), col("b_grams"))).cast(DoubleType)
     cand
       .join(grams.select(col("doc_id").as("a_id"), col("grams").as("a_grams")), "a_id")
       .join(grams.select(col("doc_id").as("b_id"), col("grams").as("b_grams")), "b_id")
-      .select(col("a_id"), col("b_id"), round(inter / uni, 6).as("jaccard"))
+      .select(col("a_id"), col("b_id"),
+        jaccardRounded(col("a_grams"), col("b_grams")).as("jaccard"))
   }
 
   private val qDedupMinhashOracle = {
@@ -631,12 +648,11 @@ object Dedup {
   private[graft] def simhashVerifyPairs(docs: DataFrame,
       threshold: Double = 0.9): DataFrame = {
     val grams = docs.select(col("doc_id"), bigrams(col("text")).as("grams"))
-    val inter = size(array_intersect(col("a_grams"), col("b_grams"))).cast(DoubleType)
-    val uni = size(array_union(col("a_grams"), col("b_grams"))).cast(DoubleType)
     simhashCandidatesOf(simhashSig128Of(docs))
       .join(grams.select(col("doc_id").as("a_id"), col("grams").as("a_grams")), "a_id")
       .join(grams.select(col("doc_id").as("b_id"), col("grams").as("b_grams")), "b_id")
-      .select(col("a_id"), col("b_id"), round(inter / uni, 6).as("jaccard"))
+      .select(col("a_id"), col("b_id"),
+        jaccardRounded(col("a_grams"), col("b_grams")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -1573,12 +1589,11 @@ object Dedup {
       bigrams(col("text")).as("b_grams"))
     val cGrams = corpus.select(col("doc_id").as("corpus_id"),
       bigrams(col("text")).as("c_grams"))
-    val inter = size(array_intersect(col("b_grams"), col("c_grams"))).cast(DoubleType)
-    val uni = size(array_union(col("b_grams"), col("c_grams"))).cast(DoubleType)
     cand
       .join(bGrams, "batch_id")
       .join(cGrams, "corpus_id")
-      .select(col("batch_id"), col("corpus_id"), round(inter / uni, 6).as("jaccard"))
+      .select(col("batch_id"), col("corpus_id"),
+        jaccardRounded(col("b_grams"), col("c_grams")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .orderBy("batch_id", "corpus_id")
   }
@@ -1762,10 +1777,9 @@ object Dedup {
         .distinct()
       val bG = batch.select(col("doc_id").as("batch_id"), bigrams(col("text")).as("b_grams"))
       val iG = indexDocs.select(col("doc_id").as("partner_id"), bigrams(col("text")).as("i_grams"))
-      val inter = size(array_intersect(col("b_grams"), col("i_grams"))).cast(DoubleType)
-      val uni = size(array_union(col("b_grams"), col("i_grams"))).cast(DoubleType)
       cand.join(bG, "batch_id").join(iG, "partner_id")
-        .select(col("batch_id"), col("partner_id"), round(inter / uni, 6).as("jaccard"))
+        .select(col("batch_id"), col("partner_id"),
+          jaccardRounded(col("b_grams"), col("i_grams")).as("jaccard"))
         .filter(col("jaccard") >= threshold)
     }
 

@@ -92,9 +92,14 @@ object Profiling {
     * per group and broadcasts back onto the scan. */
   def qWinsorize(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
+    // round-20 optimization: both bounds from ONE percentile(...,
+    // array(0.05, 0.95)) aggregate — one value-count buffer + one
+    // per-group sort instead of two; same type-7 interpolation from the
+    // same counts, so lo/hi are bit-identical (q_agg_percentile note).
     val bounds = li.groupBy(col("l_returnflag")).agg(
-      expr("percentile(l_extendedprice, 0.05)").as("lo"),
-      expr("percentile(l_extendedprice, 0.95)").as("hi"))
+        expr("percentile(l_extendedprice, array(0.05D, 0.95D))").as("_b"))
+      .select(col("l_returnflag"),
+        col("_b").getItem(0).as("lo"), col("_b").getItem(1).as("hi"))
     val price = col("l_extendedprice")
     li.join(broadcast(bounds), "l_returnflag")
       .groupBy(col("l_returnflag"))

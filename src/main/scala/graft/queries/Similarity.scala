@@ -63,9 +63,31 @@ object Similarity {
   /** 12-bit sign bucket from the fixed hyperplanes — the shared LSH
     * plumbing [[qAnnLsh]], [[qAnnRecall]] and the ScaleBench recall arm
     * all ride, so the measured recall is the recall OF the production
-    * candidate stage, not of a lookalike. Sign fold is the sequential
-    * double fold the DuckDB oracles mirror. */
-  private[graft] def lshSignBucket(vec: Column): Column = {
+    * candidate stage, not of a lookalike.
+    *
+    * Round 20 (optimization): runs as the native [[graft.functions.LshSignature]]
+    * kernel with bands=1, bits=12 — ONE codegen'd primitive loop per row
+    * instead of 12 interpreted `aggregate(zip_with(...))` folds (the one
+    * non-codegen expression chain left on a full-corpus ANN path; guide
+    * §4). Bit-identical to [[lshSignBucketHof]] on EVERY input:
+    * same `Random(7)` plane draw order, same ascending-index IEEE dot
+    * sequence, same SQL NaN>0 sign semantics, and the trailing
+    * `coalesce(_, 0)` reproduces the HOF's null-poisoning (a NULL /
+    * null-element / length-mismatched vector folds to bucket 0 there,
+    * while the kernel nulls the signature) — Round20OptSpec pins the
+    * equality over well-formed AND malformed vectors, and the DuckDB
+    * oracles (which mirror the HOF fold) are unmoved. */
+  private[graft] def lshSignBucket(vec: Column): Column =
+    coalesce(
+      element_at(graft.functions.LshSignature.signature(
+        vec.cast(org.apache.spark.sql.types.ArrayType(DoubleType)),
+        lshAnnDims, bands = 1, bits = 12, seed = 7), 1),
+      lit(0L))
+
+  /** The 12-interpreted-folds formulation — kept as the spec's
+    * independent witness for the kernel form above (and the shape the
+    * DuckDB oracle text mirrors). */
+  private[graft] def lshSignBucketHof(vec: Column): Column = {
     val bits = lshAnnPlanes.zipWithIndex.map { case (p, i) =>
       val proj = aggregate(
         zip_with(vec, lit(p.toArray), (x, w) => x.cast(DoubleType) * w),
@@ -921,30 +943,40 @@ object Similarity {
     * the k×dims matrix (the documented bounded-collect pattern, same
     * as the PCA/covariance accumulators). At 100 TB: identical shape,
     * k×dims literals broadcast with the plan. */
-  private[queries] def kmeansFit(vecs: DataFrame, k: Int,
+  private[graft] def kmeansFit(vecs: DataFrame, k: Int,
       iters: Int): Seq[(Long, Long, Array[Double])] = {
     var cents: Seq[(Long, Array[Double])] = vecs.filter(col("vec_id") < k)
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1).toSeq
     var fitted: Seq[(Long, Long, Array[Double])] = Seq.empty
+    // round-20 optimization (guide §2.3 "aggregate before you shuffle"):
+    // the update used to posexplode every vector into dims rows and
+    // hash-aggregate n·dims (cid, pos) keys; one WIDE aggregate — dims
+    // sum columns over element_at — feeds the same exact long sums
+    // through dims·k cells with NO row explosion and no per-element
+    // hash probe. `round(x·1e6)`/cast/SUM arithmetic is unchanged, so
+    // every centroid (hence every assignment and every oracle hash) is
+    // bit-identical; the count per cluster equals the old per-(cid,pos)
+    // count on any well-formed corpus AND matches the DuckDB mirror's
+    // COUNT(*) exactly even on ragged vectors.
+    val dims = cents.headOption.map(_._2.length).getOrElse(0)
+    val dimSums = (0 until dims).map(d =>
+      sum(round(element_at(col("vec"), d + 1) * lit(1000000.0), 0)
+        .cast(LongType)).as(s"_s$d"))
     for (_ <- 1 to iters) {
-      val cells = vecs
-        .select(argminCid(col("vec"), cents).as("cid"),
-          posexplode(col("vec")).as(Seq("pos", "x")))
-        .select(col("cid"), col("pos"),
-          round(col("x") * lit(1000000.0), 0).cast(LongType).as("sv"))
-        .groupBy(col("cid"), col("pos"))
-        .agg(count(lit(1)).as("n"), sum(col("sv")).as("ssum"))
-        .collect() // k×dims cells — bounded, scale-invariant
-      val dims = cells.iterator.map(_.getInt(1)).max + 1
-      fitted = cells.groupBy(_.getLong(0)).toSeq.map { case (cid, rows) =>
-        val n = rows.head.getLong(2)
-        val arr = new Array[Double](dims)
+      val rows = vecs
+        .select(argminCid(col("vec"), cents).as("cid"), col("vec"))
+        .groupBy(col("cid"))
+        .agg(count(lit(1)).as("n"), dimSums: _*)
+        .collect() // k rows × dims cells — bounded, scale-invariant
+      fitted = rows.toSeq.map { r =>
+        val n = r.getLong(1)
         // exact long → double (|ssum| < 2^53), then the same two IEEE
         // divisions DuckDB's CAST(ssum AS DOUBLE)/n/1e6 performs
-        rows.foreach(r => arr(r.getInt(1)) = r.getLong(3).toDouble / n / 1000000.0)
-        (cid, n, arr)
+        val arr = Array.tabulate(dims)(d =>
+          r.getLong(2 + d).toDouble / n / 1000000.0)
+        (r.getLong(0), n, arr)
       }.sortBy(_._1)
       cents = fitted.map(t => (t._1, t._3))
     }
@@ -1035,22 +1067,26 @@ object Similarity {
         c -> rows.map(r => (r.getLong(1), r.getSeq[Double](2).toArray))
           .sortBy(_._1).toSeq
       }
+    // same wide-aggregate rewrite as [[kmeansFit]] (round-20): dims sum
+    // columns over element_at instead of a ×dims posexplode — identical
+    // exact long sums, k1·k2 rows × dims cells to the driver.
+    val fDims = coarse.headOption.map(_._2.length).getOrElse(0)
+    val fDimSums = (0 until fDims).map(d =>
+      sum(round(element_at(col("vec"), d + 1) * lit(1000000.0), 0)
+        .cast(LongType)).as(s"_s$d"))
     for (_ <- 1 to iters2) {
-      val cells = assigned
+      val rows = assigned
         .select(col("cid"), fineCid(col("vec"), col("cid"), fine).as("fid"),
-          posexplode(col("vec")).as(Seq("pos", "x")))
-        .select(col("cid"), col("fid"), col("pos"),
-          round(col("x") * lit(1000000.0), 0).cast(LongType).as("sv"))
-        .groupBy(col("cid"), col("fid"), col("pos"))
-        .agg(count(lit(1)).as("n"), sum(col("sv")).as("ssum"))
-        .collect() // k1×k2×dims cells — bounded, scale-invariant
-      val dims = cells.iterator.map(_.getInt(2)).max + 1
-      fine = cells.groupBy(_.getLong(0)).map { case (c, rows) =>
-        c -> rows.groupBy(_.getLong(1)).toSeq.map { case (fid, rs) =>
-          val n = rs.head.getLong(3)
-          val arr = new Array[Double](dims)
-          rs.foreach(r => arr(r.getInt(2)) = r.getLong(4).toDouble / n / 1000000.0)
-          (fid, arr)
+          col("vec"))
+        .groupBy(col("cid"), col("fid"))
+        .agg(count(lit(1)).as("n"), fDimSums: _*)
+        .collect() // k1×k2 rows × dims cells — bounded, scale-invariant
+      fine = rows.groupBy(_.getLong(0)).map { case (c, rs) =>
+        c -> rs.toSeq.map { r =>
+          val n = r.getLong(2)
+          val arr = Array.tabulate(fDims)(d =>
+            r.getLong(3 + d).toDouble / n / 1000000.0)
+          (r.getLong(1), arr)
         }.sortBy(_._1)
       }
     }

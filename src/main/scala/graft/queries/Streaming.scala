@@ -690,8 +690,6 @@ object Streaming {
       .select(col("doc_id"), col("text"))
       .unionByName(replays)
     val mid = midpoint(batch, "doc_id")
-    val inter = size(array_intersect(col("b_grams"), col("c_grams"))).cast("double")
-    val uni = size(array_union(col("b_grams"), col("c_grams"))).cast("double")
     runTwoBatchStream(s, "q_stream_dedup_near",
       batch.filter(col("doc_id") <= mid), batch.filter(col("doc_id") > mid),
       batch.schema,
@@ -705,7 +703,8 @@ object Streaming {
         .withColumn("b_grams", graft.queries.Dedup.docBigrams(col("text")))
         .join(broadcast(corpusGrams), "corpus_id")
         .select(col("batch_id"), col("corpus_id"),
-          round(inter / uni, 6).as("jaccard"))
+          graft.queries.Dedup.jaccardRounded(col("b_grams"), col("c_grams"))
+            .as("jaccard"))
         .filter(col("jaccard") >= 0.5),
       "append")
       .orderBy("batch_id", "corpus_id")
