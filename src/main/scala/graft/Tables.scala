@@ -11,8 +11,41 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * pruning + predicate pushdown from the declarative plans built on top.
   */
 object Tables {
+  /** Analyzed-handle cache, keyed by (session, path): every
+    * `spark.read.parquet(path)` call re-runs data-source resolution —
+    * a fresh footer read + relation build, measured 30–65 ms per call
+    * (round-20 PlanCostProbe; a 6-table TPC-H query paid ~0.4 s of it
+    * PER RUN before any data moved). The cache returns the same
+    * analyzed DataFrame handle for repeated loads of one immutable
+    * corpus table in one session — a METADATA cache, exactly what a
+    * catalog table gives a production deployment (resolve once, scan
+    * per query): no rows, no results, no computed intermediates are
+    * retained, and every execution still reads the parquet files.
+    * Keyed by session so test sessions with different confs never
+    * share handles; corpus tables are immutable per path (the driver
+    * testdata contract; sweep corpora write once per path). */
+  private val handles =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  // get/putIfAbsent rather than computeIfAbsent: events() resolves its
+  // raw table INSIDE its own loader, and nested computeIfAbsent on one
+  // ConcurrentHashMap throws "Recursive update" when the inner insert
+  // triggers a resize. The benign race (two threads both loading the
+  // same immutable handle, first insert wins) is fine — the value is
+  // idempotent.
+  private def cached(s: SparkSession, key: String)(load: => DataFrame): DataFrame = {
+    val k = (s, key)
+    val hit = handles.get(k)
+    if (hit != null) hit
+    else {
+      val v = load
+      val prev = handles.putIfAbsent(k, v)
+      if (prev != null) prev else v
+    }
+  }
+
   def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+    cached(s, s"$dir/$name.parquet")(s.read.parquet(s"$dir/$name.parquet"))
 
   def region(s: SparkSession, dir: String): DataFrame = t(s, dir, "region")
   def nation(s: SparkSession, dir: String): DataFrame = t(s, dir, "nation")
@@ -29,7 +62,13 @@ object Tables {
     * `ts_ts` = TimestampType. Every downstream query works off that
     * contract, so a testdata re-encode never reaches operator code.
     */
-  def events(s: SparkSession, dir: String): DataFrame = {
+  // the normalized events frame is cached as a handle too: the dtype
+  // dispatch + two withColumns re-analyzed a 3-step plan on every one
+  // of the ~40 event-family constructions per board run
+  def events(s: SparkSession, dir: String): DataFrame =
+    cached(s, s"$dir/events.parquet@normalized")(eventsUncached(s, dir))
+
+  private def eventsUncached(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr, timestamp_micros, unix_micros}
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val raw = t(s, dir, "events")

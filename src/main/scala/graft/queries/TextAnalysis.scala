@@ -286,14 +286,24 @@ object TextAnalysis {
     * list_reduce starts at c — identical sequences, exact BIGINT math.
     */
   def qTextFingerprint(s: SparkSession, dir: String): DataFrame = {
-    val fp = aggregate(
-      transform(split(col("text"), ""), ch => ascii(ch).cast(LongType)),
-      lit(0L), (acc, c) => (acc * 31 + c) % 1000000007L)
+    // round-20 optimization: the per-character interpreted HOF chain
+    // (split-to-singletons → ascii per element → interpreted fold) runs
+    // as the native PolyFingerprint codegen loop — same codepoint
+    // sequence, same exact modular arithmetic (scaladoc there;
+    // PolyFingerprintSpec pins bit-equality incl. the HOF witness)
+    val fp = graft.functions.PolyFingerprint.fingerprint(col("text"))
     Tables.documents(s, dir).select(
       col("doc_id"), fp.as("fingerprint"),
       substring(col("text"), 1, 16).as("prefix"))
       .orderBy("doc_id")
   }
+
+  /** The interpreted HOF formulation — kept as the spec's independent
+    * witness for the [[graft.functions.PolyFingerprint]] kernel. */
+  private[graft] def textFingerprintHof: Column =
+    aggregate(
+      transform(split(col("text"), ""), ch => ascii(ch).cast(LongType)),
+      lit(0L), (acc, c) => (acc * 31 + c) % 1000000007L)
 
   private val qTextFingerprintOracle =
     """SELECT doc_id,
