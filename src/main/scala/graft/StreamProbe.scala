@@ -72,6 +72,26 @@ object StreamProbe {
     time("stateless floor") {
       graft.queries.Streaming.streamNoopFloor(spark, stateful = false).collect()
     }
+    // per-micro-batch duration breakdown for the state-heaviest entry:
+    // run the interval-join lifecycle with a progress listener attached
+    if (sys.env.get("SPARK_GRAFT_STREAM_PROGRESS").contains("1")) {
+      val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+        override def onQueryStarted(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+        override def onQueryProgress(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = {
+          val p = e.progress
+          println(s"[progress] batch=${p.batchId} rows=${p.numInputRows} " +
+            s"durations=${p.durationMs}")
+        }
+        override def onQueryTerminated(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      }
+      spark.streams.addListener(listener)
+      graft.queries.Streaming.queries("q_stream_interval_join")(spark, sfDir)
+        .write.mode("overwrite").format("noop").save()
+      spark.streams.removeListener(listener)
+    }
     spark.stop()
   }
 }

@@ -59,7 +59,10 @@ object Dedup {
     * oracles — which keep the `list_distinct(list_concat(...))` union —
     * are unmoved. */
   private[graft] def jaccardRounded(a: Column, b: Column): Column = {
-    val inter = size(array_intersect(a, b))
+    // graft_intersect_count == size(array_intersect(a, b)) on every
+    // input (IntersectCountSpec), without materializing the
+    // intersection array per candidate pair
+    val inter = graft.functions.IntersectCount.intersectCount(a, b)
     round(inter.cast(DoubleType) /
       (size(a) + size(b) - inter).cast(DoubleType), 6)
   }
@@ -1098,7 +1101,10 @@ object Dedup {
       .select(col("doc_id"), col("lang"), bigrams(col("text")).as("grams"))
     val a = d.select(col("doc_id").as("a_id"), col("lang"), col("grams").as("a_grams"))
     val b = d.select(col("doc_id").as("b_id"), col("lang"), col("grams").as("b_grams"))
-    val inter = size(array_intersect(col("a_grams"), col("b_grams"))).cast(DoubleType)
+    // the count kernel instead of size(array_intersect): same integer
+    // on every input (see jaccardRounded), no intersection array built
+    val inter = graft.functions.IntersectCount
+      .intersectCount(col("a_grams"), col("b_grams")).cast(DoubleType)
     a.join(b, Seq("lang"))
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
