@@ -40,11 +40,14 @@ object StreamProbe {
     }
     val r = evs.agg(min(col("ts_us")).cast("long"), max(col("ts_us")).cast("long")).head()
     val mid = r.getLong(0) + (r.getLong(1) - r.getLong(0)) / 2
+    // probe scratch rides the shared Scratch root like every harness
+    // write (reaper-owned; no driver-local /tmp paths in src/main)
+    val probeDir = graft.queries.Scratch.freshDir(spark, "stream_probe")
     time("chunk writes (b1+b2)") {
       evs.filter(col("ts_us") <= mid).write.mode("overwrite")
-        .parquet("/tmp/probe_feed/b1")
+        .parquet(s"$probeDir/b1")
       evs.filter(col("ts_us") > mid).write.mode("overwrite")
-        .parquet("/tmp/probe_feed/b2")
+        .parquet(s"$probeDir/b2")
     }
     // events with all interval-join columns (the heavier chunk shape)
     val ev4 = Tables.events(spark, sfDir)
@@ -53,9 +56,9 @@ object StreamProbe {
         col("event_type"), expr("ts div 1000").as("ts_us"))
     time("interval chunk writes") {
       ev4.filter(col("ts_us") <= mid).drop("ts_us").write.mode("overwrite")
-        .parquet("/tmp/probe_feed/c1")
+        .parquet(s"$probeDir/c1")
       ev4.filter(col("ts_us") > mid).drop("ts_us").write.mode("overwrite")
-        .parquet("/tmp/probe_feed/c2")
+        .parquet(s"$probeDir/c2")
     }
     time("whole q_stream_enrich") {
       graft.queries.Streaming.queries("q_stream_enrich")(spark, sfDir)
