@@ -1199,12 +1199,21 @@ object Dedup {
         substring(col("text"), 1, prefixLen).as("pfx"))
     val a = d.select(col("doc_id").as("a_id"), col("lang"), col("pfx").as("a_pfx"))
     val b = d.select(col("doc_id").as("b_id"), col("lang"), col("pfx").as("b_pfx"))
-    val dist = levenshtein(col("a_pfx"), col("b_pfx"))
+    // Round 21 (guide §4): THRESHOLDED levenshtein — the banded DP
+    // (Spark 3.5+ 3-arg form) walks only the ±maxDist diagonal band and
+    // bails out the moment every band cell exceeds the threshold,
+    // instead of filling the full |a|×|b| matrix per pair and filtering
+    // after. For pairs within the threshold it returns the EXACT
+    // distance (identical edit_dist/prefix_sim doubles); pairs past it
+    // return -1 and are dropped by the same ≤ maxDist contract (the
+    // between(0, maxDist) filter — levenshtein is never negative, so
+    // the kept set is exactly the old dist ≤ maxDist set).
+    val dist = levenshtein(col("a_pfx"), col("b_pfx"), maxDist)
     a.join(b, Seq("lang"))
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"), dist.cast(LongType).as("edit_dist"),
         round(lit(1.0) - dist.cast(DoubleType) / prefixLen, 6).as("prefix_sim"))
-      .filter(col("edit_dist") <= maxDist)
+      .filter(col("edit_dist").between(0, maxDist))
       .orderBy("a_id", "b_id")
   }
 

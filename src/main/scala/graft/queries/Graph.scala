@@ -79,33 +79,41 @@ object Graph {
       .select(col("l_orderkey"), col("l_suppkey"))
       .groupBy("l_orderkey")
       .agg(collect_set(col("l_suppkey")).as("ss"))
-    val e0 = Tables.orders(s, dir)
+    // customers < 10⁶ ≤ suppliers, so the two orientations cannot collide.
+    // Round 21 (guide §2.4): the spine is built as UNDIRECTED adjacency in
+    // ONE aggregation — both orientations of every (customer, supplier)
+    // pair flow map-side into a per-node collect_set, which dedups across
+    // orders AND keys the result by u in a single exchange with map-side
+    // partial merge. The previous distinct + union + repartition(u) shape
+    // moved the pair spine through TWO edge-sized exchanges and then paid
+    // a third degree join; the set size IS the degree, free on the same
+    // row (the q_graph_triangles adjacency trick, measured 5.0 → 3.2 s
+    // there). The edge SET is identical, so every downstream sum —
+    // and the oracle hash — is unchanged.
+    val p0 = Tables.orders(s, dir)
       .select(col("o_orderkey"), col("o_custkey"))
       .join(perOrder, col("o_orderkey") === col("l_orderkey"))
-      .select(col("o_custkey").cast(LongType).as("u"),
+      .select(col("o_custkey").cast(LongType).as("c"),
         explode(col("ss")).as("s0"))
-      .select(col("u"), (col("s0") + lit(1000000L)).cast(LongType).as("v"))
-      .distinct()
-    // customers < 10⁶ ≤ suppliers, so the two orientations cannot collide.
-    // edges are cached too: deg AND ed both derive from them, and without
-    // the cache the expensive order-join edge generation runs once per
-    // derivation (measured +1.3 s at sf0.1)
-    val edges = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
-      .repartition(col("u"))
+      .select(col("c"), (col("s0") + lit(1000000L)).cast(LongType).as("sp"))
+    val adj = p0.select(col("c").as("u"), col("sp").as("v"))
+      .union(p0.select(col("sp").as("u"), col("c").as("v")))
+      .groupBy("u").agg(collect_set(col("v")).as("un"))
       .persist()
-    val deg = edges.groupBy("u").agg(count(lit(1)).as("d"))
-    // hash(u)-partitioned edge spine, SORTED within partitions and
-    // cached ONCE: InMemoryRelation preserves the cached plan's
-    // partitioning AND ordering, so every round's sort-merge join reads
-    // the spine without moving or sorting it. (persist, NOT
-    // localCheckpoint: under AQE a checkpoint captures the UNFINALIZED
-    // adaptive plan's partitioning — UnknownPartitioning — and the
-    // AQE-suspended checkpoint alternative pins raw row blocks that
-    // cannot evict, which OOM'd the 100× decade at the 8 GiB harness
-    // heap; columnar cache blocks are compressed and evictable.)
-    val ed = edges.join(deg, "u").sortWithinPartitions("u").persist()
-    val degC = deg.persist()
-    val nNodes = degC.count()
+    // hash(u)-partitioned edge spine with the degree folded in, SORTED
+    // within partitions and cached ONCE: InMemoryRelation preserves the
+    // cached plan's partitioning AND ordering, so every round's
+    // sort-merge join reads the spine without moving or sorting it.
+    // (persist, NOT localCheckpoint: under AQE a checkpoint captures the
+    // UNFINALIZED adaptive plan's partitioning — UnknownPartitioning —
+    // and the AQE-suspended checkpoint alternative pins raw row blocks
+    // that cannot evict, which OOM'd the 100× decade at the 8 GiB
+    // harness heap; columnar cache blocks are compressed and evictable.)
+    val ed = adj
+      .select(col("u"), size(col("un")).cast(LongType).as("d"),
+        explode(col("un")).as("v"))
+      .sortWithinPartitions("u").persist()
+    val nNodes = adj.count()
     // Round 16: the per-node mass is AUTO-SIZED from the node count —
     // the largest power of 10 with 17·n·mass inside Long, capped at the
     // 10^12 every gated SF pinned through round 15 (so small-SF plans
@@ -121,7 +129,7 @@ object Graph {
       s"pagerank int64 headroom: $nNodes nodes x initMass $initMass " +
         "overflows 17*totalMass; shrink the per-node initial mass " +
         "(SPARK_GRAFT_PR_MASS)")
-    var ranks = degC.select(col("u"), lit(initMass).as("r"))
+    var ranks = adj.select(col("u"), lit(initMass).as("r"))
     var prevCache: Option[DataFrame] = None
     for (_ <- 1 to iters) {
       val next = ed.join(ranks, "u")
@@ -392,37 +400,59 @@ object Graph {
 
   private def graphBfsFrom(s: SparkSession, dir: String, hops: Int,
       seedMod: Long): DataFrame = {
-    val e0 = Tables.orders(s, dir)
+    // Round 21 (guide §2.4): undirected adjacency in ONE aggregation —
+    // the same spine rebuild as qPagerank (see its scaladoc): both
+    // orientations flow map-side into a per-node collect_set, replacing
+    // the distinct + union + repartition(u) chain (two edge-sized
+    // exchanges) with one partially-aggregated exchange keyed by u. The
+    // explode re-derives the identical edge set already partitioned by
+    // hash(u); the in-partition sort runs once before the cache.
+    val p0 = Tables.orders(s, dir)
       .select(col("o_orderkey"), col("o_custkey"))
       .join(Tables.lineitem(s, dir)
           .select(col("l_orderkey"), col("l_suppkey"))
           .groupBy("l_orderkey")
           .agg(collect_set(col("l_suppkey")).as("ss")),
         col("o_orderkey") === col("l_orderkey"))
-      .select(col("o_custkey").cast(LongType).as("u"),
+      .select(col("o_custkey").cast(LongType).as("c"),
         explode(col("ss")).as("s0"))
-      .select(col("u"), (col("s0") + lit(1000000L)).cast(LongType).as("v"))
-      .distinct()
-    val edges = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
-      .repartition(col("u"))
+      .select(col("c"), (col("s0") + lit(1000000L)).cast(LongType).as("sp"))
+    val edges = p0.select(col("c").as("u"), col("sp").as("v"))
+      .union(p0.select(col("sp").as("u"), col("c").as("v")))
+      .groupBy("u").agg(collect_set(col("v")).as("un"))
+      .select(col("u"), explode(col("un")).as("v"))
       .sortWithinPartitions("u")
       .persist()
-    var dist = Tables.customer(s, dir)
+    // Round 21 (guide §2.3, verdict task 3b): FRONTIER-ONLY merge. The
+    // previous form unioned the whole discovered set with the new
+    // frontier and re-aggregated min(dist) over ALL of it every round —
+    // re-shuffling every already-final row once per remaining hop. BFS
+    // distances are final on first discovery (levels are disjoint; a
+    // node's first round IS its min walk length), so each round now
+    // computes only the increment: frontier-incident destinations,
+    // minus everything already discovered (anti-join against the
+    // node-sized cached levels), deduped. Rows shuffled per round drop
+    // from |discovered| + |frontier edges| to |new nodes|; the result
+    // set is identical (same first-discovery rounds), so the oracle's
+    // unrolled-levels + MIN formulation hashes unchanged.
+    val seeds = Tables.customer(s, dir)
       .filter(pmod(col("c_custkey"), lit(seedMod)) === 0)
       .select(col("c_custkey").cast(LongType).as("u"), lit(0L).as("dist"))
       .distinct()
-    var prevCache: Option[DataFrame] = None
+      .persist()
+    seeds.count()
+    var frontier = seeds
+    var dist = seeds
     for (h <- 1 to hops) {
-      val frontier = dist.filter(col("dist") === (h - 1))
-      val next = edges.join(frontier, "u")
-        .select(col("v").as("u"), lit(h.toLong).as("dist"))
-      val merged = dist.union(next)
-        .groupBy("u").agg(min(col("dist")).as("dist"))
+      val next = edges.join(frontier.select(col("u")), "u")
+        .select(col("v").as("u"))
+        .join(dist, Seq("u"), "left_anti")
+        .distinct()
+        .select(col("u"), lit(h.toLong).as("dist"))
         .persist()
-      merged.count() // materialize BEFORE dropping the round it came from
-      prevCache.foreach(_.unpersist(false))
-      prevCache = Some(merged)
-      dist = merged
+      next.count() // materialize while the prior levels are still cached
+      frontier = next
+      dist = dist.union(next)
     }
     dist.select(col("u").as("node_id"), col("dist").cast(LongType).as("dist"))
       .orderBy("node_id")
@@ -483,24 +513,36 @@ object Graph {
     * (u,label) counts, never raw edges. Labels are node ids, so no
     * label table ever exceeds the node relation. */
   def qGraphLabelprop(s: SparkSession, dir: String, iters: Int = 2): DataFrame = {
-    val e0 = Tables.orders(s, dir)
+    // Round 21 (guide §2.4): undirected adjacency in ONE aggregation,
+    // keyed by the JOIN side v (labels attach to the edge's
+    // destination) — the same spine rebuild as qPagerank/qGraphBfs. The
+    // old chain paid a pair-distinct exchange, a repartition(v)
+    // exchange, and then a THIRD node-distinct exchange just to seed the
+    // label table; the adjacency groupBy is one partially-aggregated
+    // exchange, the explode re-derives the identical edge set already
+    // hash(v)-partitioned, and the label seed reads the adjacency keys
+    // directly (v's key set IS the node set — the spine is undirected),
+    // with alias propagation keeping its hash partitioning.
+    val p0 = Tables.orders(s, dir)
       .select(col("o_orderkey"), col("o_custkey"))
       .join(Tables.lineitem(s, dir)
           .select(col("l_orderkey"), col("l_suppkey"))
           .groupBy("l_orderkey")
           .agg(collect_set(col("l_suppkey")).as("ss")),
         col("o_orderkey") === col("l_orderkey"))
-      .select(col("o_custkey").cast(LongType).as("u"),
+      .select(col("o_custkey").cast(LongType).as("c"),
         explode(col("ss")).as("s0"))
-      .select(col("u"), (col("s0") + lit(1000000L)).cast(LongType).as("v"))
-      .distinct()
-    val edges = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
-      .repartition(col("v"))
+      .select(col("c"), (col("s0") + lit(1000000L)).cast(LongType).as("sp"))
+    val adjV = p0.select(col("c").as("u"), col("sp").as("v"))
+      .union(p0.select(col("sp").as("u"), col("c").as("v")))
+      .groupBy("v").agg(collect_set(col("u")).as("us"))
+      .persist()
+    val edges = adjV
+      .select(explode(col("us")).as("u"), col("v"))
       .sortWithinPartitions("v")
       .persist()
-    var labels = edges.select(col("u")).distinct()
-      .select(col("u"), col("u").as("lbl"))
-      .repartition(col("u"))
+    var labels = adjV
+      .select(col("v").as("u"), col("v").as("lbl"))
       .persist()
     labels.count()
     var prevCache: Option[DataFrame] = Some(labels)

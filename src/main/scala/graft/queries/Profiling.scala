@@ -270,9 +270,14 @@ object Profiling {
   def qWinsorizeApprox(s: SparkSession, dir: String,
                        accuracy: Int = 10000): DataFrame = {
     val li = Tables.lineitem(s, dir)
+    // one GK digest per group, both bounds read from it (round 21,
+    // guide §1.2): the two single-fraction calls built two identical
+    // sketches over the same column — same insertions, same accuracy,
+    // so the array form's values are bit-identical
     val bounds = li.groupBy(col("l_returnflag")).agg(
-      expr(s"approx_percentile(l_extendedprice, 0.05, $accuracy)").as("lo"),
-      expr(s"approx_percentile(l_extendedprice, 0.95, $accuracy)").as("hi"))
+        expr(s"approx_percentile(l_extendedprice, array(0.05D, 0.95D), $accuracy)")
+          .as("_b"))
+      .select(col("l_returnflag"), col("_b")(0).as("lo"), col("_b")(1).as("hi"))
     val price = col("l_extendedprice")
     li.join(broadcast(bounds), "l_returnflag")
       .groupBy(col("l_returnflag"))
@@ -304,9 +309,11 @@ object Profiling {
       accuracy: Int = 10000): DataFrame = {
     val li = Tables.lineitem(s, dir)
       .select(col("l_returnflag"), col("l_extendedprice"))
+    // fused bounds sketch — see qWinsorizeApprox's round-21 note
     val bounds = li.groupBy(col("l_returnflag")).agg(
-      expr(s"approx_percentile(l_extendedprice, 0.05, $accuracy)").as("lo"),
-      expr(s"approx_percentile(l_extendedprice, 0.95, $accuracy)").as("hi"))
+        expr(s"approx_percentile(l_extendedprice, array(0.05D, 0.95D), $accuracy)")
+          .as("_b"))
+      .select(col("l_returnflag"), col("_b")(0).as("lo"), col("_b")(1).as("hi"))
     val price = col("l_extendedprice")
     li.join(broadcast(bounds), "l_returnflag")
       .groupBy(col("l_returnflag"))

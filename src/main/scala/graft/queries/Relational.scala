@@ -340,12 +340,18 @@ object Relational {
     * ≤ 1/accuracy. No oracle (sketch internals are engine-specific);
     * RelationalSpec bounds it against the exact form. */
   def qAggPercentileApprox(s: SparkSession, dir: String): DataFrame =
+    // one GK sketch per (group, column), both price fractions read from
+    // the same digest (round 21, guide §1.2 per-task work): two separate
+    // approx_percentile calls over l_extendedprice built two identical
+    // digests per group; the array form builds one and queries both
+    // ranks — same insertion order, same accuracy, identical values
     Tables.lineitem(s, dir)
       .groupBy(col("l_returnflag"))
-      .agg(expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("median_price"),
-        expr("approx_percentile(l_extendedprice, 0.9, 1000)").as("p90_price"),
+      .agg(expr("approx_percentile(l_extendedprice, array(0.5D, 0.9D), 1000)").as("_pp"),
         expr("approx_percentile(l_quantity, 0.25, 1000)").as("q1_qty"),
         count(lit(1)).as("n"))
+      .select(col("l_returnflag"), col("_pp")(0).as("median_price"),
+        col("_pp")(1).as("p90_price"), col("q1_qty"), col("n"))
       .orderBy("l_returnflag")
 
   /** The registry form of [[qAggPercentileApprox]], oracle-GATED
@@ -371,11 +377,15 @@ object Relational {
     val acc = 1000L
     val li = Tables.lineitem(s, dir).select(col("l_returnflag"),
       col("l_extendedprice"), col("l_quantity"))
+    // one price digest queried at both fractions (see
+    // qAggPercentileApprox's round-21 note) — identical values, half
+    // the sketch build work on the widest aggregate of the entry
     val appx = li.groupBy(col("l_returnflag"))
-      .agg(expr(s"approx_percentile(l_extendedprice, 0.5, $acc)").as("vm"),
-        expr(s"approx_percentile(l_extendedprice, 0.9, $acc)").as("vp"),
+      .agg(expr(s"approx_percentile(l_extendedprice, array(0.5D, 0.9D), $acc)").as("_vp"),
         expr(s"approx_percentile(l_quantity, 0.25, $acc)").as("vq"),
         count(lit(1)).as("n"))
+      .select(col("l_returnflag"), col("_vp")(0).as("vm"),
+        col("_vp")(1).as("vp"), col("vq"), col("n"))
     val counts = li.join(broadcast(appx), "l_returnflag")
       .groupBy(col("l_returnflag"))
       .agg(

@@ -964,12 +964,26 @@ object Similarity {
     val dimSums = (0 until dims).map(d =>
       sum(round(element_at(col("vec"), d + 1) * lit(1000000.0), 0)
         .cast(LongType)).as(s"_s$d"))
+    // uniform-dims contract enforced IN the same aggregation pass
+    // (round-20 advisory): dims is sized from the first k centroids, so
+    // a corpus whose later vectors are LONGER would silently truncate
+    // the trailing dimensions. min/max of size(vec) ride the update agg
+    // for free; a ragged corpus fails loudly instead.
+    val dimGuards = Seq(min(size(col("vec"))).as("_mind"),
+      max(size(col("vec"))).as("_maxd"))
     for (_ <- 1 to iters) {
       val rows = vecs
         .select(argminCid(col("vec"), cents).as("cid"), col("vec"))
         .groupBy(col("cid"))
-        .agg(count(lit(1)).as("n"), dimSums: _*)
+        .agg(count(lit(1)).as("n"), (dimSums ++ dimGuards): _*)
         .collect() // k rows × dims cells — bounded, scale-invariant
+      rows.foreach { r =>
+        val (mind, maxd) = (r.getInt(2 + dims), r.getInt(3 + dims))
+        require(mind == dims && maxd == dims,
+          s"kmeansFit uniform-dims contract: centroid dims = $dims but " +
+            s"cluster ${if (r.isNullAt(0)) "null" else r.getLong(0)} " +
+            s"holds vectors sized [$mind, $maxd]")
+      }
       fitted = rows.toSeq.map { r =>
         val n = r.getLong(1)
         // exact long → double (|ssum| < 2^53), then the same two IEEE

@@ -57,9 +57,11 @@ object Streaming {
                                 schema: StructType,
                                 build: DataFrame => DataFrame,
                                 outputMode: String,
-                                stateShape: String = "churny"): DataFrame = {
+                                stateShape: String = "churny",
+                                noDataBatches: Boolean = true): DataFrame = {
     s.catalog.dropTempView(name)
-    runTwoBatchFeed(s, name, dirKey, chunks, schema, stateShape)(stream =>
+    runTwoBatchFeed(s, name, dirKey, chunks, schema, stateShape,
+      noDataBatches)(stream =>
       build(stream).writeStream.outputMode(outputMode)
         .format("memory").queryName(name)
         .start())
@@ -107,6 +109,21 @@ object Streaming {
     * the identical staged bytes, so results cannot differ. Idempotent
     * via the `_STAGED` marker; reaped at JVM exit like every cache
     * dir. */
+  /** JVM-local per-cache-dir build locks: the marker check and the
+    * chunk writes below it are check-then-act, so two threads
+    * first-running the same entry concurrently could both build into
+    * one cache dir and a later run could hard-link a torn chunk
+    * (round-20 advisory). One lock object per key serializes the cold
+    * build; warm hits never touch it after the first volatile read. */
+  private val chunkBuildLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  private def buildOnce(key: String)(isBuilt: => Boolean)(build: => Unit): Unit =
+    if (!isBuilt)
+      chunkBuildLocks.computeIfAbsent(key, _ => new Object).synchronized {
+        if (!isBuilt) build
+      }
+
   private def ensureParquetChunks(s: SparkSession, name: String,
       dirKey: String,
       chunks: () => (DataFrame, DataFrame)): org.apache.hadoop.fs.Path = {
@@ -114,7 +131,7 @@ object Streaming {
     val cache = Scratch.cacheDir(s, s"pfeed_${name}_$key")
     val cfs = Scratch.fs(s, cache)
     val marker = new org.apache.hadoop.fs.Path(cache, "_STAGED")
-    if (!cfs.exists(marker)) {
+    buildOnce(cache.toString)(cfs.exists(marker)) {
       val (c1, c2) = chunks()
       c1.write.mode("overwrite")
         .parquet(new org.apache.hadoop.fs.Path(cache, "b1").toString)
@@ -158,7 +175,8 @@ object Streaming {
                               dirKey: String,
                               chunks: () => (DataFrame, DataFrame),
                               schema: StructType,
-                              stateShape: String = "churny")(
+                              stateShape: String = "churny",
+                              noDataBatches: Boolean = true)(
       start: DataFrame => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
     val cache = ensureParquetChunks(s, name, dirKey, chunks)
     // The feed lives under the shared [[Scratch]] root (round-18 verdict
@@ -206,7 +224,8 @@ object Streaming {
       // them set on the shared session, leaking into later queries)
       val rocksdbKeys = Seq(
         "spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage",
-        "spark.sql.streaming.stateStore.rocksdb.maxMemoryUsageMB")
+        "spark.sql.streaming.stateStore.rocksdb.maxMemoryUsageMB",
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled")
       val priorProvider = scala.util.Try(s.conf.get(providerKey)).toOption
       val priorRocksdb = rocksdbKeys.map(k =>
         k -> scala.util.Try(s.conf.get(k)).toOption)
@@ -225,6 +244,19 @@ object Streaming {
         s.conf.set("spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage", "true")
         s.conf.set("spark.sql.streaming.stateStore.rocksdb.maxMemoryUsageMB",
           sys.env.getOrElse("SPARK_GRAFT_ROCKSDB_MB", "512"))
+        // Changelog checkpointing (round 21, guide §5): each commit
+        // uploads the batch's CHANGELOG instead of a full RocksDB
+        // snapshot — snapshot materialization moves to background
+        // maintenance. This is the documented production setting for
+        // RocksDB stores (commit latency stops scaling with total state
+        // size, which is the whole point at 100 TB); locally it removes
+        // the per-batch snapshot sync from every transformWithState
+        // trigger. Same results: the changelog replays to the identical
+        // store content (spec + oracle gates unchanged). Env-overridable
+        // like the memory cap.
+        s.conf.set(
+          "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+          sys.env.getOrElse("SPARK_GRAFT_ROCKSDB_CHANGELOG", "true"))
       } else s.conf.set(providerKey,
         "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
       // Feed-sized shuffle partitions (see streamShufflePartitions):
@@ -234,6 +266,22 @@ object Streaming {
       // is only restored after stop(), when the lifecycle is over.
       val priorShuffle = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", streamShufflePartitions)
+      // Round 21 (guide §5 / verdict task 2 — trigger-count audit): a
+      // watermark advance schedules one extra NO-DATA micro-batch whose
+      // only job is eager state eviction — a full state-store
+      // init/commit round per lifecycle (the StreamProbe breakdown
+      // measured it at ~1.2 s of a 7 s interval-join trigger total).
+      // Entries whose OUTPUT is emission-on-data only (inner/semi
+      // interval joins, complete-mode aggregation) opt out: eviction
+      // then rides the next data batch, which at any scale is strictly
+      // less commit work for byte-identical output. Entries whose
+      // emissions FIRE on the watermark (outer join nulls, event-time
+      // timers, bounded-session timeouts) keep the default. The conf is
+      // session-scoped like the shuffle knob: the stream's cloned
+      // session captures it at start(), restored after stop().
+      val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+      val priorNoData = scala.util.Try(s.conf.get(noDataKey)).toOption
+      if (!noDataBatches) s.conf.set(noDataKey, "false")
       try {
         val q = start(s.readStream.schema(schema).parquet(s"$dir/*"))
         try {
@@ -243,6 +291,10 @@ object Streaming {
         } finally q.stop()
       } finally {
         s.conf.set("spark.sql.shuffle.partitions", priorShuffle)
+        priorNoData match {
+          case Some(v) => s.conf.set(noDataKey, v)
+          case None => s.conf.unset(noDataKey)
+        }
         priorProvider match {
           case Some(v) => s.conf.set(providerKey, v)
           case None => s.conf.unset(providerKey)
@@ -473,7 +525,11 @@ object Streaming {
           ev.filter(col("ts_us") > mid).drop("ts_us")) },
       feed.schema,
       df => { val (c, p) = split(df); Correlate.clickPurchase(c, p) },
-      "append")
+      "append",
+      // inner matches emit on data only; the watermark's no-data batch
+      // is pure state eviction here — skip it (round 21, see
+      // runTwoBatchFeed)
+      noDataBatches = false)
       .orderBy("click_id", "purchase_id")
   }
 
@@ -516,7 +572,10 @@ object Streaming {
       feed.schema,
       df => { val (c, p) = split(df)
         Correlate.clickPurchase(c, p, joinType = "left_semi") },
-      "append")
+      "append",
+      // semi emissions are data-driven (first match emits immediately);
+      // the no-data batch only evicts state — skip it (round 21)
+      noDataBatches = false)
       .orderBy("click_id")
   }
 
@@ -620,7 +679,11 @@ object Streaming {
           col("event_type"))
         .agg(count(lit(1)).as("n_events"),
           QueryUtil.dsum(col("value")).as("sum_value")),
-      "complete")
+      "complete",
+      // complete mode retains all window state and re-emits the full
+      // table every batch — a no-data batch re-emits the identical
+      // table; skip the extra commit round (round 21)
+      noDataBatches = false)
       .orderBy("hour", "event_type")
   }
 
@@ -988,7 +1051,7 @@ object Streaming {
     val cache = Scratch.cacheDir(s, s"feed_${feedCfg.name}_$key")
     val cfs = Scratch.fs(s, cache)
     val marker = new org.apache.hadoop.fs.Path(cache, "_STAGED")
-    if (!cfs.exists(marker)) {
+    buildOnce(cache.toString)(cfs.exists(marker)) {
       val keyed = feedCfg.readStaged(feedCfg.stagedPath)
         .withColumn("_k", feedCfg.splitKey(()))
       val mid = midpoint(keyed, "_k")
