@@ -73,6 +73,16 @@ object GraphProbe {
       queries.Graph.qPagerank(spark, sfDir)
         .write.mode("overwrite").format("noop").save()
     }
+    // simhash decomposition: the 128-sum signature aggregation vs the
+    // banded candidate join built on top of it
+    time("simhash sig128 (noop)") {
+      queries.Dedup.simhashSig128(spark, sfDir)
+        .write.mode("overwrite").format("noop").save()
+    }
+    time("whole q_dedup_simhash") {
+      queries.Dedup.qDedupSimhash(spark, sfDir)
+        .write.mode("overwrite").format("noop").save()
+    }
     spark.stop()
   }
 }

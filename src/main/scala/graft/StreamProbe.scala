@@ -93,6 +93,12 @@ object StreamProbe {
       spark.streams.addListener(listener)
       graft.queries.Streaming.queries("q_stream_interval_join")(spark, sfDir)
         .write.mode("overwrite").format("noop").save()
+      println("[progress] --- q_stream_ingest ---")
+      graft.queries.Streaming.queries("q_stream_ingest")(spark, sfDir)
+        .write.mode("overwrite").format("noop").save()
+      println("[progress] --- q_stream_cdc ---")
+      graft.queries.Streaming.queries("q_stream_cdc")(spark, sfDir)
+        .write.mode("overwrite").format("noop").save()
       spark.streams.removeListener(listener)
     }
     spark.stop()
