@@ -549,15 +549,21 @@ object Graph {
       .persist()
     labels.count()
     var prevCache: Option[DataFrame] = Some(labels)
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("u"))
     for (_ <- 1 to iters) {
+      // Round 21 (guide §1.2): the per-round argmax is a max_by HASH
+      // aggregate over (count, −lbl) instead of a row_number window —
+      // the window paid a second hash(u) exchange AND a per-partition
+      // sort of the (u, lbl) count rows every round; max_by keeps the
+      // exchange and drops the sort. Selection is identical: lbl is
+      // unique within a (u, lbl) count row, so maximizing the
+      // (c, −lbl) struct lexicographically IS "highest count, smallest
+      // label on ties" — the exact row_number(c DESC, lbl ASC) = 1 row
+      // (labels are non-negative node ids, so −lbl cannot overflow).
       val next = edges
         .join(labels.select(col("u").as("n"), col("lbl")), col("v") === col("n"))
         .groupBy(col("u"), col("lbl")).agg(count(lit(1)).as("c"))
-        .withColumn("rn", row_number().over(
-          w.orderBy(col("c").desc, col("lbl").asc)))
-        .filter(col("rn") === 1)
-        .select(col("u"), col("lbl"))
+        .groupBy(col("u"))
+        .agg(max_by(col("lbl"), struct(col("c"), -col("lbl"))).as("lbl"))
         .persist()
       next.count() // materialize BEFORE dropping the round it came from
       prevCache.foreach(_.unpersist(false))
