@@ -74,7 +74,14 @@ object GraphProbe {
         .write.mode("overwrite").format("noop").save()
     }
     // simhash decomposition: the 128-sum signature aggregation vs the
-    // banded candidate join built on top of it
+    // banded candidate join built on top of it. The SIG-STAGE plan is
+    // printed here because the registry entry's localCheckpoint
+    // truncates it out of the entry's own PlanDump (the round-20
+    // semdedup evidence situation): [gprobe-plan] lines are the
+    // committed plans/r21 evidence for the SimhashSig aggregate.
+    println("[gprobe-plan] simhash sig128 stage:\n" +
+      queries.Dedup.simhashSig128(spark, sfDir).queryExecution
+        .explainString(org.apache.spark.sql.execution.FormattedMode))
     time("simhash sig128 (noop)") {
       queries.Dedup.simhashSig128(spark, sfDir)
         .write.mode("overwrite").format("noop").save()
